@@ -1,0 +1,139 @@
+"""Posting-list compression: delta + varint (LEB128), vectorized in numpy.
+
+The reference stores raw uint32 suffix triples (``lib/suffix_array_writer.rb:
+96-99``); the north rule upgrades this to delta-encoded, varint-compressed
+posting lists. All encode/decode paths are numpy-vectorized (no per-element
+Python loops over postings) so they run fast inside Arrow-batched pandas UDFs.
+
+Doc ids are int64 (xxhash64 of the natural key → full signed range). For gap
+encoding we map them order-preservingly to uint64 by flipping the sign bit
+(``x XOR 2^63``), delta-encode in that domain, and varint the gaps. tfs / dls
+are small positive ints → plain varint. Positions are per-doc
+delta+varint, concatenated; per-doc boundaries are recovered from tf counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SIGN = np.uint64(1 << 63)
+_LOW7 = np.uint64(0x7F)
+_CONT = np.uint64(0x80)
+
+
+def _i64_to_u64_ordered(x: np.ndarray) -> np.ndarray:
+    """Order-preserving int64 -> uint64 (flip sign bit)."""
+    return x.astype(np.int64).view(np.uint64) ^ _SIGN
+
+
+def _u64_to_i64_ordered(x: np.ndarray) -> np.ndarray:
+    return (x ^ _SIGN).view(np.int64)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64 array."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    # bytes needed per value: ceil(bitlen/7), min 1
+    nbits = np.zeros(n, dtype=np.int64)
+    tmp = v.copy()
+    nbytes = np.ones(n, dtype=np.int64)
+    tmp >>= np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp != 0)
+        tmp >>= np.uint64(7)
+    del nbits
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    total = int(ends[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    maxb = int(nbytes.max())
+    for j in range(maxb):
+        mask = nbytes > j
+        chunk = (v[mask] >> np.uint64(7 * j)) & _LOW7
+        more = (nbytes[mask] > j + 1)
+        out[starts[mask] + j] = (chunk | np.where(more, _CONT, np.uint64(0))).astype(np.uint8)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Vectorized LEB128 decode -> uint64 array."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_last = (raw & 0x80) == 0
+    # value index for every byte: number of terminators strictly before it
+    vidx = np.zeros(raw.size, dtype=np.int64)
+    np.cumsum(is_last[:-1], out=vidx[1:])
+    n = int(is_last.sum())
+    if count is not None and count != n:
+        raise ValueError(f"varint_decode: expected {count} values, got {n}")
+    # byte offset within its value
+    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
+    boff = np.arange(raw.size, dtype=np.int64) - starts[vidx]
+    vals = np.zeros(n, dtype=np.uint64)
+    payload = (raw & 0x7F).astype(np.uint64) << (7 * boff).astype(np.uint64)
+    np.add.at(vals, vidx, payload)
+    return vals
+
+
+def delta_encode_ids(doc_ids: np.ndarray) -> bytes:
+    """Encode a strictly-increasing int64 doc-id array as varint gaps."""
+    u = _i64_to_u64_ordered(np.asarray(doc_ids, dtype=np.int64))
+    gaps = np.empty_like(u)
+    gaps[0:1] = u[0:1]
+    gaps[1:] = u[1:] - u[:-1]
+    return varint_encode(gaps)
+
+
+def delta_decode_ids(buf: bytes, count: int | None = None) -> np.ndarray:
+    gaps = varint_decode(buf, count)
+    if gaps.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    return _u64_to_i64_ordered(np.cumsum(gaps, dtype=np.uint64))
+
+
+def encode_u32s(values: np.ndarray) -> bytes:
+    """Plain varint for small positive ints (tfs, doc lengths)."""
+    return varint_encode(np.asarray(values, dtype=np.uint64))
+
+
+def decode_u32s(buf: bytes, count: int | None = None) -> np.ndarray:
+    return varint_decode(buf, count).astype(np.int64)
+
+
+def encode_positions(positions_concat: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode concatenated per-doc position lists (lengths given by ``tfs``).
+
+    Positions are delta-encoded within each doc (first position absolute),
+    then varinted as one stream. Vectorized: a grouped diff via segment
+    starts, no per-doc loop."""
+    pos = np.asarray(positions_concat, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if pos.size == 0:
+        return b""
+    gaps = np.empty_like(pos)
+    gaps[0:1] = pos[0:1]
+    gaps[1:] = pos[1:] - pos[:-1]
+    starts = np.cumsum(tfs)[:-1]  # first index of docs 1..n-1
+    gaps[starts] = pos[starts]  # reset delta chain at each doc boundary
+    return varint_encode(gaps)
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of ``encode_positions`` -> concatenated absolute positions."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    gaps = varint_decode(buf, total if total else None)
+    if gaps.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    # segmented cumsum: subtract, at each segment start, the running total
+    # accumulated before it
+    csum = np.cumsum(gaps, dtype=np.uint64)
+    starts = np.cumsum(tfs)[:-1]
+    offsets = np.zeros(gaps.size, dtype=np.uint64)
+    offsets[starts] = csum[starts - 1]
+    np.maximum.accumulate(offsets, out=offsets)
+    return (csum - offsets).astype(np.int64)
