@@ -1,38 +1,564 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2 + the
+training-data ops) over the driver's parquet tables; ``oracle_sql()`` gives
+the DuckDB-runnable ANSI-SQL twin of each. The fulltext queries build a real
+fatespark index over the ``documents`` table (cached per sf_dir under /tmp)
+and the SQL oracles re-derive BM25 from first principles with the exact same
+tokenizer (ASCII-whitespace split + ASCII-only fold), float64 formula and
+parenthesization, so scores match bit-for-bit before the defensive round().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fatespark.build import BuildConfig, IndexBuilder
+from fatespark.query import SearchIndex
+from fatespark import ann, dedup, textops
+from fatespark.oracle import B, K1
+
+# ---------------------------------------------------------------------------
+# shared constants — repr() of the python-computed floats guarantees the SQL
+# literal parses to the identical double
+# ---------------------------------------------------------------------------
+_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LO = "abcdefghijklmnopqrstuvwxyz"
+_WS_SQL = r"[ \t\n\r\f\v]+"          # RE2 (DuckDB)
+_K1 = repr(K1)
+_K1P1 = repr(K1 + 1.0)
+_1MB = repr(1.0 - B)
+_B = repr(B)
+
+QS = {  # the reference-style query set over the documents vocabulary
+    "single": ["batch"],
+    "and2": ["batch", "join"],
+    "or2": ["merge", "scan"],
+    "or3": ["batch", "join", "scan"],
+    "prefix": "st",
+    "phrase": "big data",
+    "count_terms": ["batch", "scan", "zzz_missing", "merge"],
+}
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, name))
+
+
+# ---------------------------------------------------------------------------
+# index cache: build the fulltext index over documents once per sf_dir
+# ---------------------------------------------------------------------------
+_IDX: dict[str, SearchIndex] = {}
+
+
+def _index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    if sf_dir in _IDX:
+        return _IDX[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx_dir = f"/tmp/fatespark_entry_idx/{tag}"
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    try:
+        idx = SearchIndex(spark, idx_dir)
+        if idx.n_docs != n:
+            raise ValueError("stale index")
+    except Exception:
+        IndexBuilder(idx_dir, BuildConfig(n_buckets=8, salt_bits=1,
+                                          block_size=128)).build(
+            spark, docs, id_col="doc_id", url_col="doc_id", text_col="text",
+            build_id="entry")
+        idx = SearchIndex(spark, idx_dir)
+    _IDX[sf_dir] = idx
+    return idx
+
+
+def _scores(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", "score")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: conjunctive BM25 top-10 with url join on sf0.001."""
+    idx = _index(spark, "/root/testdata/sf0.001")
+    return idx.search(QS["and2"], k=10, mode="AND", with_url=True)
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- fulltext engine (SURVEY §2.4/§2.5/§2.6: stats, count, top-k) -------
+    def ft_corpus_stats(spark, sf):
+        i = _index(spark, sf)
+        return spark.createDataFrame(
+            [(i.n_docs, round(i.avgdl, 6))], "n_docs long, avgdl double")
+    q["ft_corpus_stats"] = ft_corpus_stats
+
+    def ft_term_df_top20(spark, sf):
+        i = _index(spark, sf)
+        return (i.terms.select("term", "df")
+                .orderBy(F.desc("df"), F.asc("term")).limit(20))
+    q["ft_term_df_top20"] = ft_term_df_top20
+
+    def ft_count_terms(spark, sf):
+        i = _index(spark, sf)
+        return (i.terms.filter(F.col("term").isin(QS["count_terms"]))
+                .select("term", "df", "cf").orderBy("term"))
+    q["ft_count_terms"] = ft_count_terms
+
+    def _mk_search(key, mode, **kw):
+        def fn(spark, sf):
+            return _scores(_index(spark, sf).search(QS[key], k=10, mode=mode,
+                                                    quantize=4, **kw))
+        return fn
+    q["ft_topk_single"] = _mk_search("single", "OR")
+    q["ft_topk_and2"] = _mk_search("and2", "AND")
+    q["ft_topk_or2"] = _mk_search("or2", "OR")
+    q["ft_topk_or3_wand"] = _mk_search("or3", "OR", use_wand=True)
+
+    def ft_prefix(spark, sf):
+        return _scores(_index(spark, sf).search_prefix(QS["prefix"], k=10,
+                                                       quantize=4))
+    q["ft_prefix"] = ft_prefix
+
+    def ft_phrase(spark, sf):  # no SQL oracle → driver rows-only check
+        return _scores(_index(spark, sf).search_phrase(QS["phrase"], k=10)
+                       .select("doc_id", F.round("score", 4).alias("score")))
+    q["ft_phrase"] = ft_phrase
+
+    # -- text analysis (JVM-side column ops) --------------------------------
+    def tx_token_count(spark, sf):
+        d = _read(spark, sf, "documents")
+        return d.select("doc_id",
+                        textops.token_count_col("text").alias("n_tokens"))
+    q["tx_token_count"] = tx_token_count
+
+    def tx_fingerprint(spark, sf):
+        d = _read(spark, sf, "documents")
+        return d.select("doc_id",
+                        textops.fingerprint_col("text").alias("fingerprint"))
+    q["tx_fingerprint"] = tx_fingerprint
+
+    def tx_quality(spark, sf):
+        d = _read(spark, sf, "documents")
+        # floor-quantize, not round: the raw doubles are bit-identical with
+        # the SQL oracle, but Spark round (BigDecimal HALF_UP on the exact
+        # binary expansion) and DuckDB round disagree on .5 boundaries
+        qcol = F.floor(textops.quality_score_col("text") * 10000) / 10000
+        return d.select("doc_id", qcol.alias("quality"))
+    q["tx_quality"] = tx_quality
+
+    def tx_langid(spark, sf):
+        d = _read(spark, sf, "documents")
+        return d.select("doc_id",
+                        textops.lang_pred_col("text").alias("lang_pred"))
+    q["tx_langid"] = tx_langid
+
+    # -- dedup ---------------------------------------------------------------
+    def dd_exact_groups(spark, sf):
+        d = _read(spark, sf, "documents")
+        return dedup.exact_duplicate_groups(d).select(
+            "fingerprint", "n_docs", "keep_id")
+    q["dd_exact_groups"] = dd_exact_groups
+
+    def dd_ngram_jaccard(spark, sf):
+        d = _read(spark, sf, "documents")
+        return (dedup.ngram_jaccard_pairs_str(d, k=3, threshold=0.2)
+                .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
+    q["dd_ngram_jaccard"] = dd_ngram_jaccard
+
+    def dd_minhash(spark, sf):  # rows-only check (custom hash fn)
+        d = _read(spark, sf, "documents")
+        return dedup.minhash_dedup_pairs(d, threshold=0.35, num_hashes=64,
+                                         bands=16)
+    q["dd_minhash"] = dd_minhash
+
+    def dd_simhash(spark, sf):  # rows-only check
+        d = _read(spark, sf, "documents")
+        return dedup.simhash_near_pairs(d, max_hamming=8)
+    q["dd_simhash"] = dd_simhash
+
+    def dd_embdup(spark, sf):
+        e = _read(spark, sf, "embeddings")
+        return (dedup.embedding_dup_pairs(e, threshold=0.4)
+                .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+                .orderBy("id_a", "id_b"))
+    q["dd_embdup"] = dd_embdup
+
+    # -- similarity search ---------------------------------------------------
+    def ann_topk(spark, sf):
+        e = _read(spark, sf, "embeddings")
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return (ann.cosine_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10)
+                .select("vec_id", F.round("cosine", 4).alias("cosine")))
+    q["ann_topk"] = ann_topk
+
+    def ann_lsh_topk(spark, sf):  # rows-only check (approximate by design)
+        e = _read(spark, sf, "embeddings")
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return ann.lsh_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10,
+                            n_planes=10, n_probes=128)
+    q["ann_lsh_topk"] = ann_lsh_topk
+
+    # -- multimodal plumbing (binary columns, JVM hashes) --------------------
+    def mm_binary_meta(spark, sf):
+        d = _read(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            F.octet_length(F.col("text")).alias("n_bytes"),
+            F.sha2(F.col("text").cast("binary"), 256).alias("sha"))
+    q["mm_binary_meta"] = mm_binary_meta
+
+    # -- relational engine primitives (scan/filter/agg/join/window) ----------
+    def q1_pricing(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        dec = lambda c: c.cast("decimal(30,6)")  # noqa: E731
+        disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        charge = disc * (F.lit(1.0) + F.col("l_tax"))
+        return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+                     F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base"),
+                     F.sum(dec(disc)).cast("double").alias("sum_disc_price"),
+                     F.sum(dec(charge)).cast("double").alias("sum_charge"),
+                     F.count("*").alias("count_order"))
+                .orderBy("l_returnflag", "l_linestatus"))
+    q["q1_pricing"] = q1_pricing
+
+    def q_top_customers(spark, sf):
+        o = _read(spark, sf, "orders")
+        c = _read(spark, sf, "customer")
+        return (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+                .groupBy("c_custkey", "c_name")
+                .agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+                     .cast("double").alias("total_spent"),
+                     F.count("*").alias("n_orders"))
+                .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+                .limit(10))
+    q["q_top_customers"] = q_top_customers
+
+    def q_events_by_type(spark, sf):
+        e = _read(spark, sf, "events")
+        return (e.groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     (F.sum(F.col("value").cast("decimal(30,6)"))
+                      .cast("double")).alias("sum_value"))
+                .orderBy("event_type"))
+    q["q_events_by_type"] = q_events_by_type
+
+    def q_events_top3_per_user(spark, sf):
+        from pyspark.sql import Window
+        e = _read(spark, sf, "events").filter(F.col("user_id") < 20)
+        w = Window.partitionBy("user_id").orderBy(F.desc("value"),
+                                                  F.asc("event_id"))
+        return (e.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 3)
+                .select("user_id", "event_id", "rn"))
+    q["q_events_top3_per_user"] = q_events_top3_per_user
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_TOK_CTES = f"""
+tok AS (
+  SELECT doc_id, translate(t, '{_UP}', '{_LO}') AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(text, '{_WS_SQL}')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+dls AS (
+  SELECT d.doc_id, coalesce(x.dl, 0) AS dl
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id) x USING (doc_id)
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dls
+),
+tfs AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+),
+dfs AS (
+  SELECT term, count(*) AS df, sum(tf) AS cf FROM tfs GROUP BY term
+)"""
+
+
+def _bm25_sql(terms: list[str], mode: str) -> str:
+    """Top-10 BM25 with explicit ascending-term summation order (float64
+    parity with the engine)."""
+    terms = sorted(set(terms))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    per_term = ",\n      ".join(
+        f"max(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(terms))
+    add_chain = " + ".join(f"coalesce(s_{i}, 0.0)" for i in range(len(terms)))
+    having = (f"HAVING count(DISTINCT term) = {len(terms)}"
+              if mode == "AND" else "")
+    return f"""
+WITH {_TOK_CTES},
+contrib AS (
+  SELECT tfs.doc_id, tfs.term,
+         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tfs.tf * {_K1P1} / (tfs.tf + {_K1} *
+            ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS s
+  FROM tfs
+  JOIN dfs USING (term)
+  JOIN dls ON dls.doc_id = tfs.doc_id
+  CROSS JOIN stats
+  WHERE tfs.term IN ({in_list})
+),
+per_doc AS (
+  SELECT doc_id, {per_term}
+  FROM contrib GROUP BY doc_id {having.replace('count(DISTINCT term)',
+                                               'count(DISTINCT term)')}
+),
+scored AS (
+  SELECT doc_id, {add_chain} AS score FROM per_doc
+)
+SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
+FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
+
+
+def _bm25_prefix_sql(prefix: str) -> str:
+    """Prefix expansion in SQL: per-doc sum over matching terms must follow
+    ascending term order — emulated with an ORDER BY inside a per-term list
+    and fold via list_aggregate? DuckDB lacks ordered float fold; instead use
+    the fact that the engine sums contributions ascending by term: emulate
+    with a recursive-free trick — per-(doc,term) contributions summed via
+    sum() would be order-unspecified, so aggregate by building the ordered
+    list and reducing left-to-right with list_reduce (DuckDB preserves list
+    order from list(s ORDER BY term))."""
+    return f"""
+WITH {_TOK_CTES},
+contrib AS (
+  SELECT tfs.doc_id, tfs.term,
+         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tfs.tf * {_K1P1} / (tfs.tf + {_K1} *
+            ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS s
+  FROM tfs JOIN dfs USING (term) JOIN dls ON dls.doc_id = tfs.doc_id
+  CROSS JOIN stats
+  WHERE tfs.term LIKE '{prefix}%'
+),
+scored AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                     (acc, x) -> acc + x) AS score
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
+FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
+
+
+_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         coalesce(text, '') AS t,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS ntok,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_filter(toks, x -> list_contains(
+             ['the','of','and','to','a','in','is','for','on','with'],
+             translate(x, '{_UP}', '{_LO}')))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(t) > 0 THEN
+           CAST(length(t) - length(regexp_replace(t, '[!-/:-@\\[-`{{-~]', '', 'g'))
+                AS DOUBLE) / length(t) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN length(t) > 0 THEN
+           CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+                AS DOUBLE) / length(t) ELSE 0.0 END AS digit_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / len(toks) ELSE 0.0 END AS mtl
+  FROM base
+)
+SELECT doc_id,
+       floor((0.3 * least(1.0, ntok / 20.0)
+           + 0.3 * least(1.0, stop_ratio * 5.0)
+           + 0.2 * (1.0 - least(1.0, punct_ratio * 5.0))
+           + 0.1 * (1.0 - least(1.0, digit_ratio * 5.0))
+           + 0.1 * (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.0 END))
+           * 10000) / 10000 AS quality
+FROM m"""
+
+
+_FP_SQL = f"""
+SELECT doc_id,
+       md5(trim(translate(regexp_replace(coalesce(text, ''), '{_WS_SQL}', ' ', 'g'),
+                          '{_UP}', '{_LO}'))) AS fingerprint
+FROM documents"""
+
+
+_LANG_SQL = f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN length(t) > 0 THEN
+           CAST(length(t) - length(regexp_replace(t, '[\\x{{0400}}-\\x{{04FF}}]', '', 'g'))
+                AS DOUBLE) / length(t) ELSE 0.0 END AS cyr,
+         len(list_filter(toks, x -> list_contains(
+             ['the','of','and','to','a','in','is','for','on','with'],
+             translate(x, '{_UP}', '{_LO}')))) AS en_hits,
+         len(list_filter(toks, x -> list_contains(
+             ['der','die','das','und','ist','nicht','ein','mit','für','von'],
+             translate(x, '{_UP}', '{_LO}')))) AS de_hits
+  FROM base
+)
+SELECT doc_id,
+       CASE WHEN cyr > 0.3 THEN 'ru'
+            WHEN de_hits > en_hits THEN 'de'
+            ELSE 'en' END AS lang_pred
+FROM m"""
+
+
+_SHINGLE_CTE = f"""
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             list_filter(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}'),
+                         x -> x <> ''),
+             x -> translate(x, '{_UP}', '{_LO}')) AS toks
+    FROM documents),
+    unnest(range(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 3
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["ft_corpus_stats"] = f"""
+WITH {_TOK_CTES}
+SELECT n_docs, round(avgdl, 6) AS avgdl FROM stats"""
+
+    o["ft_term_df_top20"] = f"""
+WITH {_TOK_CTES}
+SELECT term, df FROM dfs ORDER BY df DESC, term LIMIT 20"""
+
+    in_list = ", ".join(f"'{t}'" for t in QS["count_terms"])
+    o["ft_count_terms"] = f"""
+WITH {_TOK_CTES}
+SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
+
+    o["ft_topk_single"] = _bm25_sql(QS["single"], "OR")
+    o["ft_topk_and2"] = _bm25_sql(QS["and2"], "AND")
+    o["ft_topk_or2"] = _bm25_sql(QS["or2"], "OR")
+    o["ft_topk_or3_wand"] = _bm25_sql(QS["or3"], "OR")
+    o["ft_prefix"] = _bm25_prefix_sql(QS["prefix"])
+    # ft_phrase: intentionally no oracle (positions logic) → rows-only check
+
+    o["tx_token_count"] = f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}'),
+                       x -> x <> '')) AS n_tokens
+FROM documents"""
+
+    o["tx_fingerprint"] = _FP_SQL
+    o["tx_quality"] = _QUALITY_SQL
+    o["tx_langid"] = _LANG_SQL
+
+    o["dd_exact_groups"] = f"""
+WITH fp AS ({_FP_SQL})
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM fp GROUP BY fingerprint"""
+
+    o["dd_ngram_jaccard"] = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2"""
+
+    # NB: cast to DOUBLE[] — duckdb's list_cosine_similarity on FLOAT[]
+    # computes in float32; the engine computes in float64
+    o["dd_embdup"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+ORDER BY id_a, id_b"""
+
+    o["ann_topk"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 4) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id
+LIMIT 10"""
+
+    o["mm_binary_meta"] = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha
+FROM documents"""
+
+    o["q1_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                     AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+    o["q_top_customers"] = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_spent,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey
+LIMIT 10"""
+
+    o["q_events_by_type"] = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+    o["q_events_top3_per_user"] = """
+SELECT user_id, event_id, rn FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events WHERE user_id < 20)
+WHERE rn <= 3"""
+
+    return o

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+   "sf": ..., "build_docs_per_sec": ..., ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     FATESPARK_BENCH_PAGES (default 50000 synthetic pages — same scale as the
+     reference's 50k-contacts run, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("FATESPARK_BENCH_PAGES", "50000"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from fatespark.build import BuildConfig, IndexBuilder
+    from fatespark.corpus import pages_df
+    from fatespark.query import SearchIndex
+    from fatespark.session import get_spark
+    from fatespark import ann, dedup
+
+    spark = get_spark(cpus=cpus, app="fatespark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name):
+        def deco(fn):
+            t0 = time.time()
+            out = fn()
+            times[name] = round(time.time() - t0, 4)
+            return out
+        return deco
+
+    # -- index build over synthetic Common-Crawl-style pages ----------------
+    idx_dir = "/tmp/fatespark_bench_idx"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    corpus = pages_df(spark, n_pages, partitions=cpus * 2)
+
+    @timed("build_pages")
+    def _build():
+        return IndexBuilder(idx_dir, BuildConfig(
+            n_buckets=max(8, cpus), salt_bits=2, block_size=128)).build(
+            spark, corpus, build_id="bench")
+    totals = _build
+    extra["build_docs"] = n_pages
+    extra["build_docs_per_sec"] = round(n_pages / times["build_pages"], 1)
+    extra["build_postings"] = totals["postings"]
+    extra["build_postings_per_sec"] = round(
+        totals["postings"] / times["build_pages"], 1)
+
+    idx = SearchIndex(spark, idx_dir)
+
+    # -- reference-style query set (head/mid/tail, AND/OR/WAND/prefix/phrase)
+    @timed("q_count_head")
+    def _c():
+        return idx.count("the")
+
+    @timed("q_and2")
+    def _a():
+        return idx.search(["smith", "the"], k=10, mode="AND").collect()
+
+    @timed("q_or2")
+    def _o():
+        return idx.search(["smith", "jones"], k=10, mode="OR").collect()
+
+    @timed("q_or3_wand")
+    def _w():
+        return idx.search(["the", "smith", "zyzzyva"], k=10, mode="OR",
+                          use_wand=True).collect()
+
+    @timed("q_prefix")
+    def _p():
+        return idx.search_prefix("fa", k=10).collect()
+
+    @timed("q_phrase")
+    def _ph():
+        return idx.search_phrase("big array", k=10).collect()
+
+    # -- training-data ops over the driver tables ---------------------------
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    @timed("dd_minhash")
+    def _mh():
+        return dedup.minhash_dedup_pairs(docs, threshold=0.35,
+                                         num_hashes=64, bands=16).count()
+
+    @timed("dd_exact")
+    def _ex():
+        return dedup.exact_duplicate_groups(docs).count()
+
+    @timed("ann_topk")
+    def _ann():
+        qv = emb.limit(1).collect()[0]["embedding"]
+        return ann.cosine_topk(emb, list(qv), k=10).collect()
+
+    total = round(sum(times.values()), 4)
+    out = {
+        "metric": "fatespark index-build + BM25 query suite",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir,
+        "cpus": cpus,
+        **extra,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,49 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return vals
 
 
+def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 encoded length (int64), vectorized."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp != 0)
+        tmp >>= np.uint64(7)
+    return nbytes
+
+
+def segmented_delta(values: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Gap-encode a uint64 stream with the delta chain reset at each segment
+    start (segment starts carry absolute values). ``seg_starts`` must start
+    with 0. Vectorized."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    gaps = np.empty_like(v)
+    if v.size == 0:
+        return gaps
+    gaps[0:1] = v[0:1]
+    gaps[1:] = v[1:] - v[:-1]
+    gaps[seg_starts] = v[seg_starts]
+    return gaps
+
+
+def encode_grouped(values: np.ndarray, group_starts: np.ndarray) -> list[bytes]:
+    """Varint-encode a flat uint64 stream once, then slice per-group byte
+    ranges — one vectorized pass regardless of group count (the per-group
+    Python work is a single buffer slice)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return []
+    buf = np.frombuffer(varint_encode(v), dtype=np.uint8)
+    ends_b = np.cumsum(varint_byte_lengths(v))
+    gstart_b = np.empty(group_starts.size, dtype=np.int64)
+    gstart_b[0] = 0
+    gstart_b[1:] = ends_b[group_starts[1:] - 1]
+    gend_b = np.empty(group_starts.size, dtype=np.int64)
+    gend_b[:-1] = gstart_b[1:]
+    gend_b[-1] = ends_b[-1]
+    return [buf[a:b].tobytes() for a, b in zip(gstart_b, gend_b)]
+
+
 def delta_encode_ids(doc_ids: np.ndarray) -> bytes:
     """Encode a strictly-increasing int64 doc-id array as varint gaps."""
     u = _i64_to_u64_ordered(np.asarray(doc_ids, dtype=np.int64))

@@ -30,8 +30,10 @@ def idf(n_docs: int, df: int) -> float:
 
 
 def bm25_term_score(tf: float, dl: float, avgdl: float, idf_val: float) -> float:
+    # parenthesization is part of the spec: idf * (tf-part), so the engine's
+    # vectorized (idf * bm25_part) matches bit-for-bit in float64
     norm = (1.0 - B) + (B * dl / avgdl if avgdl > 0 else 0.0)
-    return idf_val * tf * (K1 + 1.0) / (tf + K1 * norm)
+    return idf_val * (tf * (K1 + 1.0) / (tf + K1 * norm))
 
 
 class BM25Oracle:

@@ -1,0 +1,274 @@
+"""Query engine: count / search / top-k over a built index.
+
+Query lifecycle (SURVEY §3.2 target shape): fold query terms → broadcast-size
+lookup of term stats (df → idf) from the tiny ``terms`` table (predicate
+pushdown onto term-sorted parquet) → filtered scan of posting blocks
+(``term IN (...)`` reaches the parquet row-group stats) → per-bucket scorer
+(``applyInPandas``: decode, intersect/merge, BM25, block-max WAND, local
+top-k) → global ``orderBy(score DESC, doc_id ASC).limit(k)`` (Catalyst
+``TakeOrderedAndProject``) → optional doc-metadata join.
+
+The index is document-partitioned (bucket = hash(doc_id)), so every bucket
+scores independently and the global merge touches only n_buckets × k rows —
+the property that keeps top-k latency flat as the corpus scales.
+
+Public surface mirrors the reference library API (``lib/fates.rb:48-84``):
+``count`` ~ fulltext_count, ``search(query, k, offset, mode)`` ~
+fulltext_find with BM25 replacing weighted ranking, plus phrase
+(``README.markdown:9-11`` natural phrase semantics) and prefix
+(``README.markdown:7-9`` LIKE-prefix semantics) queries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analysis import ANALYZERS, ascii_fold
+from .codec import decode_positions, decode_u32s, delta_decode_ids
+from .oracle import idf as idf_fn
+from .wand import TermBlocks, score_and, score_bmw_or, score_exhaustive_or
+
+RESULT_SCHEMA = "doc_id long, score double"
+
+
+def _fold_terms(query: str | list[str], analyzer: str) -> list[str]:
+    if isinstance(query, str):
+        tok, _ = ANALYZERS[analyzer]
+        raw = tok(query)
+    else:
+        raw = [t for t in query if t]
+    return sorted({ascii_fold(t) for t in raw})
+
+
+def _term_blocks_from_pdf(g: pd.DataFrame, idf: float) -> TermBlocks:
+    return TermBlocks(
+        idf,
+        g["first_doc"].to_numpy(np.int64), g["last_doc"].to_numpy(np.int64),
+        g["n"].to_numpy(np.int64), g["max_tf"].to_numpy(np.int64),
+        g["min_dl"].to_numpy(np.int64),
+        list(g["docs"]), list(g["tfs"]), list(g["dls"]))
+
+
+class SearchIndex:
+    """Reader over an index directory produced by ``IndexBuilder``."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        meta = spark.read.parquet(f"{index_dir}/meta").collect()
+        if not meta:
+            raise FileNotFoundError(f"no published index at {index_dir}")
+        m = meta[0].asDict()
+        self.n_docs = int(m["n_docs"])
+        self.avgdl = float(m["avgdl"])
+        self.n_buckets = int(m["n_buckets"])
+        self.analyzer = m["analyzer"]
+        self.store_positions = bool(m["store_positions"])
+        self.meta = m
+        self.postings = spark.read.parquet(f"{index_dir}/postings")
+        self.docs = spark.read.parquet(f"{index_dir}/docs")
+        self.terms = spark.read.parquet(f"{index_dir}/terms")
+
+    # -- stats ---------------------------------------------------------------
+    def term_stats(self, terms: list[str]) -> dict[str, dict]:
+        rows = self.terms.filter(F.col("term").isin(list(terms))).collect()
+        return {r["term"]: {"df": int(r["df"]), "cf": int(r["cf"]),
+                            "max_tf": int(r["max_tf"])} for r in rows}
+
+    def count(self, term: str) -> int:
+        """Doc frequency (reference ``count_hits`` analogue for whole-token
+        terms, ``lib/suffix_array_reader.rb:115-125``)."""
+        st = self.term_stats([ascii_fold(term)])
+        return next(iter(st.values()))["df"] if st else 0
+
+    def count_occurrences(self, term: str) -> int:
+        """Total occurrences (collection frequency)."""
+        st = self.term_stats([ascii_fold(term)])
+        return next(iter(st.values()))["cf"] if st else 0
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], RESULT_SCHEMA)
+
+    # -- search ----------------------------------------------------------------
+    def search(self, query: str | list[str], k: int = 10, mode: str = "AND",
+               offset: int = 0, use_wand: bool = False,
+               with_url: bool = False, quantize: int | None = None) -> DataFrame:
+        """Top-k BM25. Returns DataFrame (doc_id, score[, url]) in total
+        order (score DESC, doc_id ASC), sliced [offset, offset+k).
+
+        ``quantize=d`` floor-quantizes scores to d decimals BEFORE ranking
+        (both locally and globally) so that cross-engine 1-ULP differences
+        (e.g. a different libm ln) cannot flip near-tied ranks — used by the
+        DuckDB-oracle driver checks; default is exact float64."""
+        qterms = _fold_terms(query, self.analyzer)
+        stats = self.term_stats(qterms)
+        present = [t for t in qterms if t in stats]
+        if not present or (mode == "AND" and len(present) < len(qterms)):
+            return self._empty()
+        idfs = {t: idf_fn(self.n_docs, stats[t]["df"]) for t in present}
+        scored = self._score_buckets(present, idfs, k + offset, mode, use_wand,
+                                     quantize)
+        out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k + offset)
+        if offset:
+            out = out.offset(offset)
+        return self._join_url(out) if with_url else out
+
+    def _score_buckets(self, terms: list[str], idfs: dict[str, float],
+                       k_local: int, mode: str, use_wand: bool,
+                       quantize: int | None = None) -> DataFrame:
+        avgdl = self.avgdl
+        n_query = len(terms)
+        qmul = float(10 ** quantize) if quantize else None
+
+        def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+            by_term = {t: _term_blocks_from_pdf(g, idfs[t])
+                       for t, g in pdf.groupby("term")}
+            if mode == "AND" and len(by_term) < n_query:
+                return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                     "score": pd.array([], dtype="float64")})
+            tbs = [by_term[t] for t in sorted(by_term)]  # ascending term order
+            if mode == "AND":
+                docs, scores = score_and(tbs, avgdl, k_local, qmul)
+            elif use_wand:
+                docs, scores = score_bmw_or(tbs, avgdl, k_local, qmul)
+            else:
+                docs, scores = score_exhaustive_or(tbs, avgdl, k_local, qmul)
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        blocks = self.postings.filter(F.col("term").isin(terms))
+        return blocks.groupBy("bucket").applyInPandas(scorer, RESULT_SCHEMA)
+
+    # -- phrase ----------------------------------------------------------------
+    def search_phrase(self, phrase: str, k: int = 10, offset: int = 0,
+                      with_url: bool = False) -> DataFrame:
+        """Consecutive-token phrase, scored as one pseudo-term (tf = phrase
+        occurrences, df = matching docs). Two jobs: match (needs positions),
+        then JVM-side BM25 over the (tiny) match set."""
+        if not self.store_positions:
+            raise ValueError("index built without positions; phrase disabled")
+        tok, _ = ANALYZERS[self.analyzer]
+        terms = [ascii_fold(t) for t in tok(phrase)]
+        if not terms:
+            return self._empty()
+        uniq = sorted(set(terms))
+        stats = self.term_stats(uniq)
+        if len(stats) < len(uniq):
+            return self._empty()
+
+        def matcher(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                  "tf": pd.array([], dtype="int32"),
+                                  "dl": pd.array([], dtype="int32")})
+            data = {t: _decode_with_positions(g) for t, g in pdf.groupby("term")}
+            if len(data) < len(uniq):  # a phrase term absent in this bucket
+                return empty
+            out_docs, out_tf, out_dl = [], [], []
+            cand = data[uniq[0]]["docs"]
+            for t in uniq[1:]:
+                cand = np.intersect1d(cand, data[t]["docs"], assume_unique=True)
+            for d in cand:
+                starts = _doc_positions(data[terms[0]], int(d))
+                for i, t in enumerate(terms[1:], start=1):
+                    if starts.size == 0:
+                        break
+                    starts = np.intersect1d(
+                        starts, _doc_positions(data[t], int(d)) - i,
+                        assume_unique=True)
+                if starts.size:
+                    out_docs.append(int(d))
+                    out_tf.append(int(starts.size))
+                    out_dl.append(int(_doc_dl(data[terms[0]], int(d))))
+            return pd.DataFrame({"doc_id": pd.array(out_docs, dtype="int64"),
+                                 "tf": pd.array(out_tf, dtype="int32"),
+                                 "dl": pd.array(out_dl, dtype="int32")})
+
+        blocks = self.postings.filter(F.col("term").isin(uniq))
+        matches = blocks.groupBy("bucket").applyInPandas(
+            matcher, "doc_id long, tf int, dl int").cache()
+        try:
+            df_phrase = matches.count()
+            if df_phrase == 0:
+                return self._empty()
+            iv = idf_fn(self.n_docs, df_phrase)
+            k1, b = 1.2, 0.75
+            norm = (1.0 - b) + b * F.col("dl") / F.lit(self.avgdl) if \
+                self.avgdl > 0 else F.lit(1.0 - b)
+            # same parenthesization as oracle.bm25_term_score: idf * (tf-part)
+            score = F.lit(iv) * (F.col("tf") * F.lit(k1 + 1.0) / (
+                F.col("tf") + F.lit(k1) * norm))
+            out = (matches.select("doc_id", score.alias("score"))
+                   .orderBy(F.desc("score"), F.asc("doc_id"))
+                   .limit(k + offset))
+            if offset:
+                out = out.offset(offset)
+            out = out.localCheckpoint(eager=True)
+        finally:
+            matches.unpersist()
+        return self._join_url(out) if with_url else out
+
+    # -- prefix ----------------------------------------------------------------
+    def expand_prefix(self, prefix: str) -> list[str]:
+        p = ascii_fold(prefix)
+        # >= p gives parquet row-group lower-bound pruning on the term-sorted
+        # table; startswith is the exact predicate
+        rows = (self.terms
+                .filter((F.col("term") >= p) & F.col("term").startswith(p))
+                .select("term").collect())
+        return sorted(r["term"] for r in rows)
+
+    def search_prefix(self, prefix: str, k: int = 10, max_terms: int = 256,
+                      with_url: bool = False,
+                      quantize: int | None = None) -> DataFrame:
+        """Prefix query ``fa%`` → dictionary range-expansion → OR-BM25."""
+        terms = self.expand_prefix(prefix)[:max_terms]
+        if not terms:
+            return self._empty()
+        return self.search(terms, k=k, mode="OR", with_url=with_url,
+                           quantize=quantize)
+
+    # -- misc ------------------------------------------------------------------
+    def _join_url(self, result: DataFrame) -> DataFrame:
+        ids = [r["doc_id"] for r in result.select("doc_id").collect()]
+        meta = self.docs.filter(F.col("doc_id").isin(ids)).select("doc_id", "url")
+        return (result.join(F.broadcast(meta), "doc_id", "left")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+def _decode_with_positions(g: pd.DataFrame) -> dict:
+    """Decode all block rows of one term within a bucket, positions included,
+    into doc-sorted arrays (handles cross-chunk block interleave)."""
+    ns = g["n"].to_numpy(np.int64)
+    docs = np.concatenate([delta_decode_ids(bb, int(n))
+                           for bb, n in zip(g["docs"], ns)])
+    tfs = np.concatenate([decode_u32s(bb, int(n)) for bb, n in zip(g["tfs"], ns)])
+    dls = np.concatenate([decode_u32s(bb, int(n)) for bb, n in zip(g["dls"], ns)])
+    poss = np.concatenate([
+        decode_positions(bb, decode_u32s(tt, int(n)))
+        for bb, tt, n in zip(g["poss"], g["tfs"], ns)]) if len(ns) else \
+        np.zeros(0, dtype=np.int64)
+    if docs.size > 1 and np.any(np.diff(docs) <= 0):
+        order = np.argsort(docs, kind="mergesort")
+        src_doc = np.repeat(np.arange(docs.size), tfs)
+        rank = np.empty(docs.size, dtype=np.int64)
+        rank[order] = np.arange(docs.size)
+        perm = np.argsort(rank[src_doc], kind="stable")
+        poss = poss[perm]
+        docs, tfs, dls = docs[order], tfs[order], dls[order]
+    tok_starts = np.zeros(docs.size + 1, dtype=np.int64)
+    np.cumsum(tfs, out=tok_starts[1:])
+    return {"docs": docs, "tfs": tfs, "dls": dls, "poss": poss,
+            "tok_starts": tok_starts}
+
+
+def _doc_positions(data: dict, doc_id: int) -> np.ndarray:
+    j = int(np.searchsorted(data["docs"], doc_id))
+    a, b = data["tok_starts"][j], data["tok_starts"][j + 1]
+    return data["poss"][a:b]
+
+
+def _doc_dl(data: dict, doc_id: int) -> int:
+    j = int(np.searchsorted(data["docs"], doc_id))
+    return int(data["dls"][j])

@@ -1,0 +1,121 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, document fingerprinting, quality scoring, language ID.
+
+Every operator here is a pure Spark Column expression (JVM-side, whole-stage
+codegen, no Python in the hot path) built from the same ASCII-whitespace /
+ASCII-fold primitives as the index analyzer, and each has an exact ANSI-SQL
+twin for the DuckDB oracle (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+LOWER = "abcdefghijklmnopqrstuvwxyz"
+WS_RE = "[ \\t\\n\\r\\f\\x0B]+"
+PUNCT_RE = "[!-/:-@\\[-`{-~]"          # ASCII punctuation ranges
+DIGIT_RE = "[0-9]"
+CYRILLIC_RE = "[\\u0400-\\u04FF]"
+
+EN_STOPWORDS = ["the", "of", "and", "to", "a", "in", "is", "for", "on", "with"]
+DE_STOPWORDS = ["der", "die", "das", "und", "ist", "nicht", "ein", "mit",
+                "für", "von"]
+
+
+def fold_col(c):
+    """ASCII-only lowercase — JVM twin of analysis.ascii_fold."""
+    return F.translate(c, UPPER, LOWER)
+
+
+def tokens_col(text_col: str):
+    """array of raw tokens (ASCII-whitespace split, empties dropped)."""
+    return F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), WS_RE),
+                    lambda x: x != F.lit(""))
+
+
+def token_count_col(text_col: str):
+    return F.size(tokens_col(text_col))
+
+
+def normalized_text_col(text_col: str):
+    """Canonical doc text: ASCII-fold + collapse whitespace runs to single
+    spaces + trim — the exact-dedup key."""
+    collapsed = F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
+                                 WS_RE, " ")
+    return F.trim(fold_col(collapsed))
+
+
+def fingerprint_col(text_col: str):
+    """Deterministic content fingerprint: md5 hex of the normalized text."""
+    return F.md5(normalized_text_col(text_col))
+
+
+def _ratio(num, den):
+    return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio_col(text_col: str):
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, PUNCT_RE, ""))
+    return _ratio(n_punct, F.length(t))
+
+
+def digit_ratio_col(text_col: str):
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_dig = F.length(t) - F.length(F.regexp_replace(t, DIGIT_RE, ""))
+    return _ratio(n_dig, F.length(t))
+
+
+def stopword_ratio_col(text_col: str, stopwords: list[str] | None = None):
+    sw = stopwords or EN_STOPWORDS
+    toks = tokens_col(text_col)
+    hits = F.size(F.filter(toks, lambda x: fold_col(x).isin(sw)))
+    return _ratio(hits, F.size(toks))
+
+
+def mean_token_len_col(text_col: str):
+    toks = tokens_col(text_col)
+    total = F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, x: acc + F.length(x))
+    return _ratio(total, F.size(toks))
+
+
+def quality_score_col(text_col: str):
+    """Heuristic [0,1] web-text quality score (Gopher/C4-style signals):
+    rewards a healthy stopword ratio and 3-10 char mean token length,
+    penalizes punctuation/digit-heavy text and very short docs.
+
+    score = 0.3*min(1, n_tokens/20) + 0.3*min(1, stop_ratio*5)
+          + 0.2*(1 - min(1, punct_ratio*5)) + 0.1*(1 - min(1, digit_ratio*5))
+          + 0.1*(case mean_tok_len between 3 and 10 -> 1 else 0)
+    """
+    ntok = token_count_col(text_col).cast("double")
+    stop = stopword_ratio_col(text_col)
+    punct = punct_ratio_col(text_col)
+    dig = digit_ratio_col(text_col)
+    mtl = mean_token_len_col(text_col)
+    return (
+        F.lit(0.3) * F.least(F.lit(1.0), ntok / F.lit(20.0))
+        + F.lit(0.3) * F.least(F.lit(1.0), stop * F.lit(5.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(1.0), punct * F.lit(5.0)))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(F.lit(1.0), dig * F.lit(5.0)))
+        + F.lit(0.1) * F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0))
+                        .otherwise(F.lit(0.0)))
+
+
+def cyrillic_ratio_col(text_col: str):
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_cyr = F.length(t) - F.length(F.regexp_replace(t, CYRILLIC_RE, ""))
+    return _ratio(n_cyr, F.length(t))
+
+
+def lang_pred_col(text_col: str):
+    """n-gram-free heuristic language ID: Cyrillic char share → 'ru';
+    else German vs English stopword-hit counts; ties → 'en'."""
+    toks = tokens_col(text_col)
+    en = F.size(F.filter(toks, lambda x: fold_col(x).isin(EN_STOPWORDS)))
+    de = F.size(F.filter(toks, lambda x: fold_col(x).isin(DE_STOPWORDS)))
+    return (F.when(cyrillic_ratio_col(text_col) > 0.3, F.lit("ru"))
+            .when(de > en, F.lit("de"))
+            .otherwise(F.lit("en")))

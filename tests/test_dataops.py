@@ -1,0 +1,190 @@
+"""Training-data pipeline operators: text analysis, dedup, ANN, multimodal."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fatespark import ann, dedup, multimodal, textops
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the cat sat on the mat", "en"),           # exact dup of 1
+        (3, "the cat sat on the mat today", "en"),     # near dup of 1
+        (4, "Der Hund ist nicht ein Tier und das", "de"),
+        (5, "Любовная история и война и мир", "ru"),
+        (6, "completely different text about searching indexes", "en"),
+        (7, "THE CAT SAT ON THE MAT", "en"),           # case-dup of 1
+        (8, "!!! ??? ... 123 456", "xx"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestTextOps:
+    def test_token_count(self, docs_df):
+        got = {r["doc_id"]: r["n"] for r in docs_df.select(
+            "doc_id", textops.token_count_col("text").alias("n")).collect()}
+        assert got[1] == 6 and got[8] == 5 and got[5] == 6
+
+    def test_fingerprint_folds_and_collapses(self, docs_df):
+        got = {r["doc_id"]: r["fp"] for r in docs_df.select(
+            "doc_id", textops.fingerprint_col("text").alias("fp")).collect()}
+        assert got[1] == got[2] == got[7]
+        assert got[1] != got[3]
+
+    def test_lang_pred(self, docs_df):
+        got = {r["doc_id"]: r["lp"] for r in docs_df.select(
+            "doc_id", textops.lang_pred_col("text").alias("lp")).collect()}
+        assert got[1] == "en" and got[4] == "de" and got[5] == "ru"
+
+    def test_quality_score_ordering(self, docs_df):
+        got = {r["doc_id"]: r["q"] for r in docs_df.select(
+            "doc_id", textops.quality_score_col("text").alias("q")).collect()}
+        assert got[1] > got[8]  # real text beats punctuation soup
+        assert 0.0 <= min(got.values()) and max(got.values()) <= 1.0
+
+    def test_punct_ratio(self, docs_df):
+        got = {r["doc_id"]: r["p"] for r in docs_df.select(
+            "doc_id", textops.punct_ratio_col("text").alias("p")).collect()}
+        assert got[8] > 0.4 and got[1] == 0.0
+
+
+class TestDedup:
+    def test_exact_groups(self, docs_df):
+        groups = dedup.exact_duplicate_groups(docs_df).collect()
+        dup = [g for g in groups if g["n_docs"] > 1]
+        assert len(dup) == 1
+        assert dup[0]["n_docs"] == 3 and dup[0]["keep_id"] == 1
+
+    def test_exact_dedup_keeps_representatives(self, docs_df):
+        kept = sorted(r["doc_id"] for r in
+                      dedup.exact_dedup(docs_df).select("doc_id").collect())
+        assert kept == [1, 3, 4, 5, 6, 8]
+
+    def test_ngram_jaccard(self, docs_df):
+        pairs = dedup.ngram_jaccard_pairs(docs_df, k=3, threshold=0.5).collect()
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+        assert (1, 2) in got and got[(1, 2)] == 1.0
+        assert (1, 7) in got and (2, 7) in got
+        assert (1, 3) in got  # 4/5 shared shingles... >= 0.5
+        assert all(a < b for a, b in got)
+
+    def test_minhash_lsh_finds_exact_dups(self, docs_df):
+        pairs = dedup.minhash_dedup_pairs(docs_df, threshold=0.9,
+                                          num_hashes=32, bands=8).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert {(1, 2), (1, 7), (2, 7)} <= got
+        assert (1, 6) not in got
+
+    def test_minhash_estimate_tracks_true_jaccard(self, spark):
+        # two docs with known shingle overlap; estimate within ~0.2
+        a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+        b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 xx yy"
+        df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+        sigs = dedup.minhash_signatures(df, num_hashes=128)
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        est = dedup.minhash_jaccard_estimate(sigs, pairs).collect()[0]["jaccard_est"]
+        sh_a = dedup._shingle_hashes(a, 3)
+        sh_b = dedup._shingle_hashes(b, 3)
+        true_j = np.intersect1d(sh_a, sh_b).size / np.union1d(sh_a, sh_b).size
+        assert abs(est - true_j) < 0.2
+
+    def test_simhash_near_pairs(self, docs_df):
+        pairs = dedup.simhash_near_pairs(docs_df, max_hamming=3).collect()
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+        assert got.get((1, 2)) == 0 and got.get((1, 7)) == 0
+        assert (1, 6) not in got
+
+    def test_embedding_dup_pairs(self, spark):
+        rows = [(1, [1.0, 0.0, 0.0]), (2, [0.99, 0.01, 0.0]),
+                (3, [0.0, 1.0, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = dedup.embedding_dup_pairs(df, threshold=0.95).collect()
+        assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+class TestANN:
+    @pytest.fixture(scope="class")
+    def emb_df(self, spark):
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(200, 16))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        rows = [(i, vecs[i].tolist()) for i in range(200)]
+        return (spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+                vecs)
+
+    def test_bruteforce_matches_numpy(self, emb_df):
+        df, vecs = emb_df
+        q = vecs[0]
+        got = [(r["vec_id"], r["cosine"]) for r in
+               ann.cosine_topk(df, q.tolist(), k=5).collect()]
+        sims = vecs @ q
+        order = np.lexsort((np.arange(200), -sims))[:5]
+        assert [g[0] for g in got] == order.tolist()
+        assert got[0][0] == 0 and abs(got[0][1] - 1.0) < 1e-9
+
+    def test_lsh_recall_at_10(self, emb_df):
+        df, vecs = emb_df
+        q = vecs[7]
+        exact = {r["vec_id"] for r in ann.cosine_topk(df, q.tolist(), k=10).collect()}
+        approx = {r["vec_id"] for r in
+                  ann.lsh_topk(df, q.tolist(), k=10, n_planes=8,
+                               n_probes=64).collect()}
+        # with 64/256 buckets probed, recall should be decent and the query
+        # itself must always be found (it hashes to its own bucket)
+        assert 7 in approx
+        assert len(exact & approx) >= 5
+
+    def test_lsh_bucket_deterministic(self):
+        planes = ann.hyperplanes(16, 12, seed=5)
+        v = np.ones((3, 16))
+        b1 = ann.lsh_bucket_of(v, planes)
+        b2 = ann.lsh_bucket_of(v, ann.hyperplanes(16, 12, seed=5))
+        assert np.array_equal(b1, b2)
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def img_df(self, spark):
+        rows = [(i, multimodal.fake_image_bytes(i, 8, 4)) for i in range(10)]
+        return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    def test_image_metadata(self, img_df):
+        meta = {r["doc_id"]: r for r in multimodal.image_metadata(img_df).collect()}
+        assert len(meta) == 10
+        assert meta[3]["width"] == 8 and meta[3]["height"] == 4
+        assert meta[3]["n_pixels"] == 32
+        _, _, px = multimodal.decode_image(multimodal.fake_image_bytes(3, 8, 4))
+        assert meta[3]["mean_px"] == float(px.mean())
+
+    def test_image_features_shape(self, img_df):
+        feats = multimodal.image_features(img_df, n_bins=16).collect()
+        assert all(len(r["features"]) == 16 for r in feats)
+        assert all(abs(sum(r["features"]) - 1.0) < 1e-5 for r in feats)
+
+    def test_audio_metadata(self, spark):
+        rows = [(i, multimodal.fake_audio_bytes(i)) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        meta = multimodal.audio_metadata(df).collect()
+        assert all(r["sample_rate"] == 16000 and r["n_samples"] == 64
+                   for r in meta)
+
+    def test_real_format_rejected_loudly(self):
+        with pytest.raises(NotImplementedError, match="jpeg"):
+            multimodal.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+        with pytest.raises(NotImplementedError, match="png"):
+            multimodal.decode_image(b"\x89PNG\r\n")
+
+    def test_frame_sampling(self, spark):
+        video = b"".join(multimodal.fake_image_bytes(1, 4, 4)
+                         for _ in range(10))
+        df = spark.createDataFrame([(1, video)], "doc_id long, payload binary")
+        frames = multimodal.sample_frames(df, every_n=4).collect()
+        assert [r["frame_idx"] for r in frames] == [0, 4, 8]
+        w, h, _ = multimodal.decode_image(bytes(frames[0]["frame"]))
+        assert (w, h) == (4, 4)

@@ -1,0 +1,169 @@
+"""End-to-end Spark engine tests: build → query, rank-identical vs the
+pure-Python oracle (SURVEY §5: count, AND, OR, phrase, prefix, determinism
+across partition counts, WAND == exhaustive, resume)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fatespark.build import BuildConfig, IndexBuilder
+from fatespark.corpus import pages_df, pages_pandas
+from fatespark.oracle import BM25Oracle
+from fatespark.query import SearchIndex
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="session")
+def built(spark, tmp_root):
+    """Build the index once; also return the oracle over the same corpus
+    keyed by the engine's doc_ids."""
+    idx_dir = str(tmp_root / "idx")
+    corpus = pages_df(spark, N_DOCS, partitions=8)
+    builder = IndexBuilder(idx_dir, BuildConfig(n_buckets=4, salt_bits=1,
+                                                block_size=32))
+    totals = builder.build(spark, corpus, build_id="t1")
+    idx = SearchIndex(spark, idx_dir)
+    # oracle with engine doc ids: map url -> xxhash64 doc_id from docs table
+    id_rows = idx.docs.select("doc_id", "url").collect()
+    url2id = {r["url"]: r["doc_id"] for r in id_rows}
+    pdf = pages_pandas(np.arange(N_DOCS, dtype=np.uint64))
+    oracle = BM25Oracle([(url2id[u], t) for u, t in zip(pdf["url"], pdf["text"])])
+    return idx, oracle, totals
+
+
+def _got(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+class TestBuild:
+    def test_totals(self, built):
+        idx, oracle, totals = built
+        assert totals["docs"] == N_DOCS
+        assert idx.n_docs == N_DOCS
+
+    def test_corpus_stats_match_oracle(self, built):
+        idx, oracle, _ = built
+        assert idx.n_docs == oracle.n_docs
+        assert idx.avgdl == oracle.avgdl  # exact float64
+
+    def test_term_stats_match_oracle(self, built):
+        idx, oracle, _ = built
+        for t in ["the", "smith", "fat_entry", "Любовная".lower()]:
+            assert idx.count(t) == oracle.count(t), t
+        assert idx.count("nonexistenttoken") == 0
+
+    def test_cf_matches_oracle(self, built):
+        idx, oracle, _ = built
+        cf = sum(len(p) for p in oracle.postings.get("the", {}).values())
+        assert idx.count_occurrences("the") == cf
+
+
+QUERIES = [
+    ("the", "OR"),                  # head term
+    ("smith", "OR"),                # mid term
+    ("zyzzyva", "OR"),              # tail term
+    ("the smith", "AND"),           # head+mid AND
+    ("smith jones", "OR"),          # OR
+    ("the smith zyzzyva", "AND"),   # AND with rare term (WAND stressor)
+    ("the of and to a in", "OR"),   # many head terms
+    ("nosuchterm", "OR"),           # zero-hit
+    ("nosuchterm the", "AND"),      # AND with zero-hit member
+]
+
+
+class TestRankIdentical:
+    @pytest.mark.parametrize("q,mode", QUERIES)
+    def test_topk_matches_oracle(self, built, q, mode):
+        idx, oracle, _ = built
+        expected = oracle.search(q, k=10, mode=mode)
+        got = _got(idx.search(q, k=10, mode=mode))
+        assert got == expected, f"{q} {mode}"
+
+    @pytest.mark.parametrize("q,mode", [("the smith", "OR"),
+                                        ("smith jones brown", "OR"),
+                                        ("the of and to a in", "OR")])
+    def test_wand_equals_exhaustive(self, built, q, mode):
+        idx, oracle, _ = built
+        exh = _got(idx.search(q, k=10, mode=mode, use_wand=False))
+        wand = _got(idx.search(q, k=10, mode=mode, use_wand=True))
+        assert wand == exh
+        assert wand == oracle.search(q, k=10, mode=mode)
+
+    def test_pagination(self, built):
+        idx, oracle, _ = built
+        full = oracle.search("smith", k=20, mode="OR")
+        assert _got(idx.search("smith", k=5, mode="OR", offset=5)) == full[5:10]
+
+    def test_phrase(self, built):
+        idx, oracle, _ = built
+        expected = oracle.search_phrase("the the", k=10)
+        got = _got(idx.search_phrase("the the", k=10))
+        assert got == expected
+
+    def test_prefix(self, built):
+        idx, oracle, _ = built
+        assert idx.expand_prefix("fa") == oracle.expand_prefix("fa")
+        assert _got(idx.search_prefix("fa", k=10)) == oracle.search_prefix("fa", k=10)
+
+    def test_with_url(self, built):
+        idx, oracle, _ = built
+        rows = idx.search("smith", k=3, mode="OR", with_url=True).collect()
+        assert all(r["url"].startswith("https://example-") for r in rows)
+
+
+class TestDeterminism:
+    def test_partition_count_invariance(self, spark, tmp_root, built):
+        """Same corpus at a different partitioning → byte-identical results
+        (the Spark-native analogue of fragment-order independence)."""
+        idx1, oracle, _ = built
+        idx_dir = str(tmp_root / "idx_p2")
+        corpus = pages_df(spark, N_DOCS, partitions=2)
+        IndexBuilder(idx_dir, BuildConfig(n_buckets=3, salt_bits=0,
+                                          block_size=128)).build(
+            spark, corpus, build_id="t2")
+        idx2 = SearchIndex(spark, idx_dir)
+        for q, mode in [("the smith", "AND"), ("smith jones", "OR")]:
+            assert _got(idx1.search(q, mode=mode)) == _got(idx2.search(q, mode=mode))
+
+
+class TestResume:
+    def test_chunked_build_equals_single(self, spark, tmp_root, built):
+        idx1, oracle, _ = built
+        idx_dir = str(tmp_root / "idx_chunked")
+        corpus = pages_df(spark, N_DOCS, partitions=4)
+        b = IndexBuilder(idx_dir, BuildConfig(n_buckets=4, salt_bits=1,
+                                              block_size=32))
+        b.build(spark, corpus, build_id="c1", n_chunks=3)
+        idx2 = SearchIndex(spark, idx_dir)
+        assert idx2.n_docs == N_DOCS and idx2.avgdl == oracle.avgdl
+        for q, mode in [("the smith", "AND"), ("smith", "OR")]:
+            assert _got(idx2.search(q, mode=mode)) == oracle.search(q, mode=mode)
+
+    def test_resume_skips_done_chunks(self, spark, tmp_root):
+        idx_dir = str(tmp_root / "idx_resume")
+        corpus = pages_df(spark, 100, partitions=2)
+        b = IndexBuilder(idx_dir, BuildConfig(n_buckets=2, salt_bits=0))
+        b.build(spark, corpus, build_id="r1", n_chunks=2)
+        # resuming the same build: all chunks already done
+        totals = b.build(spark, corpus, build_id="r1", n_chunks=2, resume=True)
+        assert totals["chunks_skipped"] == 2
+        assert totals["docs"] == 0  # nothing rebuilt
+        idx = SearchIndex(spark, idx_dir)
+        assert idx.n_docs == 100
+
+    def test_duplicate_doc_detection(self, spark, tmp_root):
+        idx_dir = str(tmp_root / "idx_dup")
+        corpus = pages_df(spark, 50, partitions=2)
+        dup = corpus.union(corpus.limit(5))
+        b = IndexBuilder(idx_dir, BuildConfig(n_buckets=2, salt_bits=0))
+        with pytest.raises(Exception, match="duplicate doc_ids"):
+            b.build(spark, dup, build_id="d1")
+
+
+class TestPlanShape:
+    def test_term_filter_pushed_to_scan(self, built):
+        idx, _, _ = built
+        plan = (idx.postings.filter(F.col("term").isin(["the", "smith"]))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "PushedFilters" in plan and "term" in plan
