@@ -46,14 +46,20 @@ def main() -> None:
         return deco
 
     # -- index build over synthetic Common-Crawl-style pages ----------------
+    # corpus materialized to parquet once so the build measures the real
+    # pipeline (parquet scan -> tokenize -> merge -> write), not generation
     idx_dir = "/tmp/fatespark_bench_idx"
     shutil.rmtree(idx_dir, ignore_errors=True)
-    corpus = pages_df(spark, n_pages, partitions=cpus * 2)
+    corpus_path = f"/tmp/fatespark_bench_corpus_{n_pages}"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        pages_df(spark, n_pages, partitions=cpus * 2).write.mode(
+            "overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
 
     @timed("build_pages")
     def _build():
         return IndexBuilder(idx_dir, BuildConfig(
-            n_buckets=max(8, cpus), salt_bits=2, block_size=128)).build(
+            n_buckets=16, salt_bits=2, block_size=128)).build(
             spark, corpus, build_id="bench")
     totals = _build
     extra["build_docs"] = n_pages

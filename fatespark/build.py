@@ -170,12 +170,10 @@ class IndexBuilder:
                     + F.sum(F.octet_length("dls"))
                     + F.sum(F.octet_length("poss"))).alias("bytes"))
               .withColumn("chunk_id", F.lit(chunk_id))
-              .withColumn("build_id", F.lit(build_id)))
+              .withColumn("build_id", F.lit(build_id))).cache()
         bm.coalesce(1).write.mode("append").parquet(self._p("bucket_metrics"))
-        agg = (spark.read.parquet(self._p("bucket_metrics"))
-               .filter((F.col("build_id") == build_id)
-                       & (F.col("chunk_id") == chunk_id))
-               .agg(F.sum("postings"), F.sum("bytes")).collect()[0])
+        agg = bm.agg(F.sum("postings"), F.sum("bytes")).collect()[0]
+        bm.unpersist()
         n_docs = spark.read.parquet(self._p(f"docs/chunk={chunk_id}")).count()
         secs = time.time() - t0
         row = {

@@ -122,6 +122,31 @@ def encode_grouped(values: np.ndarray, group_starts: np.ndarray) -> list[bytes]:
     return [buf[a:b].tobytes() for a, b in zip(gstart_b, gend_b)]
 
 
+def varint_decode_concat(bufs: list[bytes], total: int | None = None) -> np.ndarray:
+    """Decode MANY varint buffers in one vectorized pass (LEB128 streams are
+    self-delimiting, so concatenation is safe). Returns the flat uint64
+    stream; per-buffer boundaries are the caller's counts."""
+    if not bufs:
+        return np.zeros(0, dtype=np.uint64)
+    return varint_decode(b"".join(bufs), total)
+
+
+def segmented_cumsum_u64(gaps: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Inverse of ``segmented_delta``: cumulative sum with the chain reset at
+    each segment start. Vectorized (no per-segment loop)."""
+    if gaps.size == 0:
+        return gaps.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        # csum may wrap (many segments × large absolute first values); the
+        # per-segment difference csum - base stays exact mod 2^64 because the
+        # true in-segment sums are < 2^64
+        csum = np.cumsum(gaps, dtype=np.uint64)
+        base = np.zeros(seg_starts.size, dtype=np.uint64)
+        base[1:] = csum[seg_starts[1:] - 1]
+        seg_lens = np.diff(np.append(seg_starts, gaps.size))
+        return csum - np.repeat(base, seg_lens)
+
+
 def delta_encode_ids(doc_ids: np.ndarray) -> bytes:
     """Encode a strictly-increasing int64 doc-id array as varint gaps."""
     u = _i64_to_u64_ordered(np.asarray(doc_ids, dtype=np.int64))
@@ -172,11 +197,6 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
     gaps = varint_decode(buf, total if total else None)
     if gaps.size == 0:
         return np.zeros(0, dtype=np.int64)
-    # segmented cumsum: subtract, at each segment start, the running total
-    # accumulated before it
-    csum = np.cumsum(gaps, dtype=np.uint64)
-    starts = np.cumsum(tfs)[:-1]
-    offsets = np.zeros(gaps.size, dtype=np.uint64)
-    offsets[starts] = csum[starts - 1]
-    np.maximum.accumulate(offsets, out=offsets)
-    return (csum - offsets).astype(np.int64)
+    starts = np.zeros(tfs.size, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    return segmented_cumsum_u64(gaps, starts).astype(np.int64)
