@@ -37,12 +37,17 @@ def run_once(cpus: int, corpus_path: str, n_pages: int) -> dict:
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     idx_dir = f"/tmp/fatespark_scale_idx_{cpus}"
+    # project to the indexed columns BEFORE any movement — repartitioning the
+    # full rows would shuffle the html payload for nothing
+    corpus = spark.read.parquet(corpus_path).select("url", "text")
+    cfg = BuildConfig(n_buckets=16, salt_bits=1, block_size=128)
+    # warm-up: JIT, python-worker spin-up, parquet page cache — untimed
     shutil.rmtree(idx_dir, ignore_errors=True)
-    corpus = spark.read.parquet(corpus_path).repartition(cpus * 3)
+    IndexBuilder(idx_dir, cfg).build(spark, corpus.limit(5000),
+                                     build_id="warmup")
+    shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.time()
-    IndexBuilder(idx_dir, BuildConfig(n_buckets=max(16, cpus), salt_bits=2,
-                                      block_size=128)).build(
-        spark, corpus, build_id=f"scale{cpus}")
+    IndexBuilder(idx_dir, cfg).build(spark, corpus, build_id=f"scale{cpus}")
     secs = time.time() - t0
 
     # query batch at this parallelism

@@ -237,6 +237,29 @@ class SearchIndex:
                 .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+def snippets(result: DataFrame, corpus: DataFrame, query: str | list[str],
+             size: int = 30, text_col: str = "text",
+             id_col: str = "doc_id", analyzer: str = "whitespace") -> DataFrame:
+    """Attach a ±size-char context snippet around the first query-term match
+    to each result row (reference ``Hit#context``/``Hit#text``,
+    ``lib/suffix_array_reader.rb:19-36``). Pure JVM expressions: the result
+    set is tiny (top-k), joined against the corpus row store on doc_id with
+    the small side broadcast."""
+    from .textops import fold_col
+    terms = _fold_terms(query, analyzer)
+    folded = fold_col(F.col(text_col))
+    # first match position across terms (1-based; 0 = no match)
+    locs = [F.locate(t, folded) for t in terms]
+    pos = F.least(*[F.when(loc > 0, loc).otherwise(F.lit(2**31 - 1))
+                    for loc in locs]) if len(terms) > 1 else \
+        F.when(locs[0] > 0, locs[0]).otherwise(F.lit(2**31 - 1))
+    start = F.greatest(pos - size, F.lit(1))
+    snippet = F.when(pos == 2**31 - 1, F.lit("")).otherwise(
+        F.substring(F.col(text_col), start.cast("int"), 2 * size))
+    joined = corpus.join(F.broadcast(result), id_col)
+    return joined.select(id_col, "score", snippet.alias("snippet"))
+
+
 def _decode_with_positions(g: pd.DataFrame) -> dict:
     """Decode all block rows of one term within a bucket, positions included,
     into doc-sorted arrays (handles cross-chunk block interleave)."""
@@ -249,7 +272,8 @@ def _decode_with_positions(g: pd.DataFrame) -> dict:
         decode_positions(bb, decode_u32s(tt, int(n)))
         for bb, tt, n in zip(g["poss"], g["tfs"], ns)]) if len(ns) else \
         np.zeros(0, dtype=np.int64)
-    if docs.size > 1 and np.any(np.diff(docs) <= 0):
+    # compare, don't np.diff: int64 differences overflow for xxhash ids
+    if docs.size > 1 and np.any(docs[1:] <= docs[:-1]):
         order = np.argsort(docs, kind="mergesort")
         src_doc = np.repeat(np.arange(docs.size), tfs)
         rank = np.empty(docs.size, dtype=np.int64)

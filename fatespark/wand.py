@@ -121,7 +121,10 @@ class TermBlocks:
         docs = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
         dls = np.concatenate([p[2] for p in parts])
-        if np.any(np.diff(docs) <= 0):
+        # NB: compare, don't np.diff — int64 differences overflow for
+        # full-range xxhash ids and can wrap to positive, silently skipping
+        # the sort on an unsorted concat
+        if np.any(docs[1:] <= docs[:-1]):
             o = np.argsort(docs, kind="mergesort")
             docs, tfs, dls = docs[o], tfs[o], dls[o]
         return docs, tfs, dls

@@ -1,0 +1,80 @@
+"""Incremental (streaming) indexing + snippet extraction."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fatespark.build import BuildConfig, IndexBuilder
+from fatespark.corpus import pages_df, pages_pandas
+from fatespark.oracle import BM25Oracle
+from fatespark.query import SearchIndex, snippets
+from fatespark.streaming import StreamingIndexer
+
+
+class TestStreamingIndexer:
+    def test_microbatches_equal_batch_build(self, spark, tmp_root):
+        """Feeding the corpus as 3 'micro-batches' through the streaming sink
+        must produce the same query results as one batch build."""
+        n = 150
+        corpus = pages_df(spark, n, partitions=4).cache()
+        # batch reference build
+        ref_dir = str(tmp_root / "stream_ref")
+        IndexBuilder(ref_dir, BuildConfig(n_buckets=4, salt_bits=0)).build(
+            spark, corpus, build_id="ref")
+        ref = SearchIndex(spark, ref_dir)
+
+        # streaming build: 3 epochs
+        st_dir = str(tmp_root / "stream_idx")
+        sink = StreamingIndexer(
+            IndexBuilder(st_dir, BuildConfig(n_buckets=4, salt_bits=0)),
+            build_id="s1", finalize_every=100)
+        full = corpus.withColumn("part", F.pmod(F.xxhash64("url"), F.lit(3)))
+        for epoch in range(3):
+            sink.process_batch(full.filter(F.col("part") == epoch), epoch)
+        sink.finalize(spark)
+
+        idx = SearchIndex(spark, st_dir)
+        assert idx.n_docs == ref.n_docs and idx.avgdl == ref.avgdl
+        for q, mode in [("the smith", "AND"), ("smith jones", "OR")]:
+            got = [(r["doc_id"], r["score"]) for r in idx.search(q, mode=mode).collect()]
+            exp = [(r["doc_id"], r["score"]) for r in ref.search(q, mode=mode).collect()]
+            assert got == exp, q
+        corpus.unpersist()
+
+    def test_epoch_retry_is_idempotent(self, spark, tmp_root):
+        n = 60
+        corpus = pages_df(spark, n, partitions=2)
+        st_dir = str(tmp_root / "stream_retry")
+        sink = StreamingIndexer(
+            IndexBuilder(st_dir, BuildConfig(n_buckets=2, salt_bits=0)),
+            build_id="s2", finalize_every=100)
+        sink.process_batch(corpus, 0)
+        sink.finalize(spark)
+        # Structured Streaming may re-deliver the same epoch after a crash
+        sink.process_batch(corpus, 0)  # must be a no-op, not a dup-doc error
+        idx = SearchIndex(spark, st_dir)
+        assert idx.n_docs == n
+
+
+class TestSnippets:
+    def test_snippet_contains_term(self, spark, tmp_root):
+        idx_dir = str(tmp_root / "snip_idx")
+        corpus = pages_df(spark, 120, partitions=2).withColumn(
+            "doc_id", F.xxhash64("url")).cache()
+        IndexBuilder(idx_dir, BuildConfig(n_buckets=2, salt_bits=0)).build(
+            spark, corpus, id_col="doc_id", build_id="sn")
+        idx = SearchIndex(spark, idx_dir)
+        res = idx.search("smith", k=5, mode="OR")
+        out = snippets(res, corpus, "smith", size=20).collect()
+        assert len(out) == 5
+        for r in out:
+            assert "smith" in r["snippet"].lower()
+            assert len(r["snippet"]) <= 40
+        corpus.unpersist()
+
+    def test_snippet_empty_when_no_literal_match(self, spark):
+        corpus = spark.createDataFrame([(1, "alpha beta", 0.5)],
+                                       "doc_id long, text string, score double")
+        res = corpus.select("doc_id", "score")
+        out = snippets(res, corpus.select("doc_id", "text"), "gamma").collect()
+        assert out[0]["snippet"] == ""
