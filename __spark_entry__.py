@@ -136,6 +136,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        .select("doc_id", F.round("score", 4).alias("score")))
     q["ft_phrase"] = ft_phrase
 
+    def ft_topk_paged(spark, sf):  # pagination (lib/fates.rb:53-84 parity)
+        return _scores(_index(spark, sf).search(QS["or2"], k=5, mode="OR",
+                                                offset=5, quantize=4))
+    q["ft_topk_paged"] = ft_topk_paged
+
+    def ft_snippets(spark, sf):
+        from fatespark.query import snippets
+        idx = _index(spark, sf)
+        res = idx.search(QS["or2"], k=10, mode="OR", quantize=4)
+        docs = _read(spark, sf, "documents")
+        return snippets(res, docs, QS["or2"], size=30)
+    q["ft_snippets"] = ft_snippets
+
     # -- text analysis (JVM-side column ops) --------------------------------
     def tx_token_count(spark, sf):
         d = _read(spark, sf, "documents")
@@ -219,6 +232,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sha2(F.col("text").cast("binary"), 256).alias("sha"))
     q["mm_binary_meta"] = mm_binary_meta
 
+    def _fake_payloads(spark, sf, kind):
+        """documents -> (doc_id, payload BINARY) with deterministic fake
+        containers derived from doc_id (multimodal.py formats)."""
+        from fatespark import multimodal as mm
+        import pandas as pd
+
+        def gen(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].tolist()
+                if kind == "image":
+                    pay = [mm.fake_image_bytes(i) for i in ids]
+                elif kind == "audio":
+                    pay = [mm.fake_audio_bytes(i) for i in ids]
+                else:  # 'video': 6 frames back-to-back
+                    pay = [b"".join(mm.fake_image_bytes(i * 7 + f, 4, 4)
+                                    for f in range(6)) for i in ids]
+                yield pd.DataFrame({"doc_id": ids, "payload": pay})
+        d = _read(spark, sf, "documents").select("doc_id")
+        return d.mapInPandas(gen, "doc_id long, payload binary")
+
+    def mm_image_meta(spark, sf):  # rows-only (decode stub not in SQL)
+        from fatespark import multimodal as mm
+        return mm.image_metadata(_fake_payloads(spark, sf, "image"))
+    q["mm_image_meta"] = mm_image_meta
+
+    def mm_audio_meta(spark, sf):  # rows-only
+        from fatespark import multimodal as mm
+        return mm.audio_metadata(_fake_payloads(spark, sf, "audio"))
+    q["mm_audio_meta"] = mm_audio_meta
+
+    def mm_frame_sample(spark, sf):  # rows-only (row-exploding UDTF shape)
+        from fatespark import multimodal as mm
+        return (mm.sample_frames(_fake_payloads(spark, sf, "video"),
+                                 every_n=2)
+                .select("doc_id", "frame_idx",
+                        F.octet_length("frame").alias("frame_bytes")))
+    q["mm_frame_sample"] = mm_frame_sample
+
     # -- relational engine primitives (scan/filter/agg/join/window) ----------
     def q1_pricing(spark, sf):
         li = _read(spark, sf, "lineitem")
@@ -298,7 +349,8 @@ dfs AS (
 )"""
 
 
-def _bm25_sql(terms: list[str], mode: str) -> str:
+def _bm25_sql(terms: list[str], mode: str, limit: int = 10,
+              offset: int = 0) -> str:
     """Top-10 BM25 with explicit ascending-term summation order (float64
     parity with the engine)."""
     terms = sorted(set(terms))
@@ -331,7 +383,8 @@ scored AS (
   SELECT doc_id, {add_chain} AS score FROM per_doc
 )
 SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
-FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
+FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id
+LIMIT {limit} OFFSET {offset}"""
 
 
 def _bm25_prefix_sql(prefix: str) -> str:
@@ -473,6 +526,28 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_topk_or3_wand"] = _bm25_sql(QS["or3"], "OR")
     o["ft_prefix"] = _bm25_prefix_sql(QS["prefix"])
     # ft_phrase: intentionally no oracle (positions logic) → rows-only check
+
+    o["ft_topk_paged"] = _bm25_sql(QS["or2"], "OR", limit=5, offset=5)
+
+    # snippet: ±30 chars around the first (ascending-term) match in the
+    # ASCII-folded text — char semantics match Spark locate/substring
+    snip_terms = sorted(set(QS["or2"]))
+    pos_cases = ", ".join(
+        f"CASE WHEN strpos(translate(d.text, '{_UP}', '{_LO}'), '{t}') > 0 "
+        f"THEN strpos(translate(d.text, '{_UP}', '{_LO}'), '{t}') "
+        f"ELSE 2147483647 END" for t in snip_terms)
+    o["ft_snippets"] = f"""
+WITH topk AS ({_bm25_sql(QS["or2"], "OR")}),
+j AS (
+  SELECT d.doc_id, t.score,
+         least({pos_cases}) AS p, d.text AS text
+  FROM topk t JOIN documents d USING (doc_id)
+)
+SELECT doc_id, score,
+       CASE WHEN p = 2147483647 THEN ''
+            ELSE substring(text, CAST(greatest(p - 30, 1) AS INT), 60)
+       END AS snippet
+FROM j"""
 
     o["tx_token_count"] = f"""
 SELECT doc_id,
