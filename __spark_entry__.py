@@ -149,6 +149,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return snippets(res, docs, QS["or2"], size=30)
     q["ft_snippets"] = ft_snippets
 
+    def ft_stemmed_topk(spark, sf):  # rows-only (Porter not SQL-expressible)
+        tag = os.path.basename(os.path.normpath(sf)) or "sf"
+        d = f"/tmp/fatespark_entry_idx/{tag}_porter"
+        docs = _read(spark, sf, "documents")
+        n = docs.count()
+        try:
+            idx = SearchIndex(spark, d)
+            if idx.n_docs != n:
+                raise ValueError("stale index")
+        except Exception:
+            IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=0,
+                                        analyzer="porter")).build(
+                spark, docs, id_col="doc_id", url_col="doc_id",
+                text_col="text", build_id="entry-porter")
+            idx = SearchIndex(spark, d)
+        # morphology variants conflate: query any inflection of the corpus
+        # vocabulary and rank by stemmed-term BM25
+        return _scores(idx.search(["merges", "scanning"], k=10, mode="OR",
+                                  quantize=4))
+    q["ft_stemmed_topk"] = ft_stemmed_topk
+
     # -- text analysis (JVM-side column ops) --------------------------------
     def tx_token_count(spark, sf):
         d = _read(spark, sf, "documents")

@@ -68,9 +68,21 @@ def identifier_tokens(text: str) -> list[str]:
     return IDENT_TOKEN_RE.findall(text)
 
 
+def porter_tokens(text: str) -> list[str]:
+    """Whitespace tokens, ASCII-folded then Porter-stemmed (north rule:
+    'tokenization and stemming'). Folds internally so the output is already
+    index-ready; the outer fold applied by segment build / query prep is
+    idempotent over it."""
+    from .stem import porter_stem
+    return [porter_stem(ascii_fold(t)) for t in WS_TOKEN_RE.findall(text)]
+
+
 ANALYZERS = {
     "whitespace": (whitespace_tokens, whitespace_token_offsets),
     "identifier": (identifier_tokens, identifier_token_offsets),
+    # stemming analyzer: same offsets as whitespace (stemming does not move
+    # token starts), stemmed terms in the index/query stream
+    "porter": (porter_tokens, whitespace_token_offsets),
 }
 
 

@@ -35,11 +35,13 @@ RESULT_SCHEMA = "doc_id long, score double"
 
 
 def _fold_terms(query: str | list[str], analyzer: str) -> list[str]:
-    if isinstance(query, str):
-        tok, _ = ANALYZERS[analyzer]
-        raw = tok(query)
-    else:
-        raw = [t for t in query if t]
+    """Query terms -> index-ready terms: every term runs through the SAME
+    analyzer the index was built with (fold + tokenize + stem for stemming
+    analyzers), the reference's prepared-term discipline
+    (``lib/suffix_array_reader.rb:116,128``)."""
+    tok, _ = ANALYZERS[analyzer]
+    parts = [query] if isinstance(query, str) else [t for t in query if t]
+    raw = [t for p in parts for t in tok(p)]
     return sorted({ascii_fold(t) for t in raw})
 
 
@@ -81,12 +83,12 @@ class SearchIndex:
     def count(self, term: str) -> int:
         """Doc frequency (reference ``count_hits`` analogue for whole-token
         terms, ``lib/suffix_array_reader.rb:115-125``)."""
-        st = self.term_stats([ascii_fold(term)])
+        st = self.term_stats(_fold_terms(term, self.analyzer))
         return next(iter(st.values()))["df"] if st else 0
 
     def count_occurrences(self, term: str) -> int:
         """Total occurrences (collection frequency)."""
-        st = self.term_stats([ascii_fold(term)])
+        st = self.term_stats(_fold_terms(term, self.analyzer))
         return next(iter(st.values()))["cf"] if st else 0
 
     def _empty(self) -> DataFrame:
@@ -154,7 +156,7 @@ class SearchIndex:
         if not self.store_positions:
             raise ValueError("index built without positions; phrase disabled")
         tok, _ = ANALYZERS[self.analyzer]
-        terms = [ascii_fold(t) for t in tok(phrase)]
+        terms = [ascii_fold(t) for t in tok(ascii_fold(phrase))]
         if not terms:
             return self._empty()
         uniq = sorted(set(terms))
