@@ -42,6 +42,7 @@ QS = {  # the reference-style query set over the documents vocabulary
     "prefix": "st",
     "phrase": "big data",
     "count_terms": ["batch", "scan", "zzz_missing", "merge"],
+    "mf": ["batch", "src3"],
 }
 
 
@@ -148,6 +149,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         return snippets(res, docs, QS["or2"], size=30)
     q["ft_snippets"] = ft_snippets
+
+    def ft_multifield_topk(spark, sf):
+        """Weighted two-field BM25 (text w=1, source w=2) — the reference's
+        weighted-field ranking upgraded (lib/fates.rb:65)."""
+        tag = os.path.basename(os.path.normpath(sf)) or "sf"
+        d = f"/tmp/fatespark_entry_idx/{tag}_mf"
+        docs = _read(spark, sf, "documents")
+        n = docs.count()
+        try:
+            idx = SearchIndex(spark, d)
+            if idx.n_docs != n or idx.n_fields != 2:
+                raise ValueError("stale index")
+        except Exception:
+            IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=0)).build(
+                spark, docs, id_col="doc_id", url_col="doc_id",
+                text_cols=["text", "source"], build_id="entry-mf")
+            idx = SearchIndex(spark, d)
+        return _scores(idx.search(QS["mf"], k=10, mode="OR",
+                                  weights=[1.0, 2.0], quantize=4))
+    q["ft_multifield_topk"] = ft_multifield_topk
 
     def ft_stemmed_topk(spark, sf):  # rows-only (Porter not SQL-expressible)
         tag = os.path.basename(os.path.normpath(sf)) or "sf"
@@ -549,6 +570,61 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     # ft_phrase: intentionally no oracle (positions logic) → rows-only check
 
     o["ft_topk_paged"] = _bm25_sql(QS["or2"], "OR", limit=5, offset=5)
+
+    # weighted two-field BM25 (fields: 0=text w=1.0, 1=source w=2.0);
+    # summation order = ascending (term, field), engine parity
+    mf_terms = sorted(set(QS["mf"]))
+    mf_keys = [(t, f) for t in mf_terms for f in (0, 1)]
+    mf_pivot = ",\n      ".join(
+        f"max(CASE WHEN term = '{t}' AND field = {f} THEN s END) AS s_{i}"
+        for i, (t, f) in enumerate(mf_keys))
+    mf_add = " + ".join(f"coalesce(s_{i}, 0.0)" for i in range(len(mf_keys)))
+    mf_in = ", ".join(f"'{t}'" for t in mf_terms)
+    o["ft_multifield_topk"] = f"""
+WITH tok AS (
+  SELECT doc_id, 0 AS field, translate(t, '{_UP}', '{_LO}') AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}')) AS t
+        FROM documents) WHERE t <> ''
+  UNION ALL
+  SELECT doc_id, 1 AS field, translate(t, '{_UP}', '{_LO}') AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(coalesce(source, ''), '{_WS_SQL}')) AS t
+        FROM documents) WHERE t <> ''
+),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+dls AS (
+  SELECT d.doc_id, fs.field, coalesce(x.dl, 0) AS dl
+  FROM documents d CROSS JOIN (VALUES (0), (1)) fs(field)
+  LEFT JOIN (SELECT doc_id, field, count(*) AS dl FROM tok
+             GROUP BY doc_id, field) x
+    ON x.doc_id = d.doc_id AND x.field = fs.field),
+stats AS (
+  SELECT field, CAST(sum(dl) AS DOUBLE) / (SELECT n_docs FROM nd) AS avgdl
+  FROM dls GROUP BY field),
+tfs AS (SELECT doc_id, field, term, count(*) AS tf FROM tok
+        GROUP BY doc_id, field, term),
+dfs AS (SELECT term, field, count(*) AS df FROM tfs GROUP BY term, field),
+contrib AS (
+  SELECT tfs.doc_id, tfs.term, tfs.field,
+         (w.w * ln(1 + (nd.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)))
+         * (tfs.tf * {_K1P1} / (tfs.tf + {_K1} *
+            ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS s
+  FROM tfs
+  JOIN dfs ON dfs.term = tfs.term AND dfs.field = tfs.field
+  JOIN dls ON dls.doc_id = tfs.doc_id AND dls.field = tfs.field
+  JOIN stats ON stats.field = tfs.field
+  JOIN (VALUES (0, 1.0), (1, 2.0)) w(field, w) ON w.field = tfs.field
+  CROSS JOIN nd
+  WHERE tfs.term IN ({mf_in})
+),
+per_doc AS (
+  SELECT doc_id, {mf_pivot}
+  FROM contrib GROUP BY doc_id
+),
+scored AS (SELECT doc_id, {mf_add} AS score FROM per_doc)
+SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
+FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
 
     # snippet: ±30 chars around the first (ascending-term) match in the
     # ASCII-folded text — char semantics match Spark locate/substring

@@ -42,14 +42,21 @@ from .segments import build_segments
 # analysis.WS_TOKEN_RE exactly (\x0B spelled out — Java's \v differs).
 WS_SPLIT_RE = "[ \\t\\n\\r\\f\\x0B]+"
 WS_TOKEN_RE_SQL = "[^ \\t\\n\\r\\f\\x0B]+"
+# per-analyzer token-count regex (token COUNT only; the postings' dls come
+# from the real tokenizer in the segment build and must agree)
+_DOCLEN_RE = {
+    "whitespace": WS_TOKEN_RE_SQL,
+    "porter": WS_TOKEN_RE_SQL,          # stemming never changes token count
+    "identifier": "[A-Za-z_][A-Za-z0-9_]*",
+}
 
 
-def doclen_col(text_col: str):
+def doclen_col(text_col: str, analyzer: str = "whitespace"):
     """JVM-side token count, byte-equal to analysis.doc_length (no UDF).
-    ``regexp_count`` of non-whitespace runs — counts without materializing a
-    token array the way split()+filter would."""
+    ``regexp_count`` of token runs — counts without materializing a token
+    array the way split()+filter would."""
     return F.regexp_count(F.coalesce(F.col(text_col), F.lit("")),
-                          F.lit(WS_TOKEN_RE_SQL))
+                          F.lit(_DOCLEN_RE[analyzer]))
 
 
 def _write_local_parquet(pdf: pd.DataFrame, dir_path: str,
@@ -82,8 +89,19 @@ class BuildConfig:
     salt_bits: int = 2
     block_size: int = 128
     analyzer: str = "whitespace"
+    # multi-field: one analyzer per field, parallel to build()'s text_cols
+    # (reference: analyzers array parallel to fields,
+    # lib/fulltext_writer.rb:51-55); None = config.analyzer for every field
+    analyzers: list[str] | None = None
     store_positions: bool = True
     on_duplicate: str = "error"
+
+    def field_analyzers(self, n_fields: int) -> list[str]:
+        if self.analyzers is not None:
+            if len(self.analyzers) != n_fields:
+                raise ValueError("analyzers must parallel text_cols")
+            return list(self.analyzers)
+        return [self.analyzer] * n_fields
 
 
 @dataclass
@@ -112,18 +130,24 @@ class IndexBuilder:
     # -- build -------------------------------------------------------------
     def build(self, spark: SparkSession, df: DataFrame, *,
               url_col: str = "url", id_col: str | None = None,
-              text_col: str = "text", build_id: str = "b0001",
+              text_col: str = "text", text_cols: list[str] | None = None,
+              build_id: str = "b0001",
               resume: bool = False, n_chunks: int = 1,
               chunk_col: str | None = None) -> dict:
         """Build (or resume) the index from a corpus DataFrame.
 
         doc_id: ``xxhash64(url)`` (deterministic, collision-checked at merge)
         unless ``id_col`` names an existing unique bigint column.
+        ``text_cols`` indexes several fields in one pass (field_id =
+        position; per-field weights are a QUERY-time choice — the reference's
+        weighted-field ranking, ``lib/fates.rb:65``, upgraded to weighted
+        per-field BM25).
         Chunking: rows are split by ``pmod(xxhash64(doc_id), n_chunks)`` (or a
         caller-provided ``chunk_col``) and each chunk is built + committed
         independently for checkpoint/resume.
         """
         cfg = self.config
+        fields = text_cols if text_cols is not None else [text_col]
         if id_col is None:
             df = df.withColumn("doc_id", F.xxhash64(F.col(url_col)))
             id_col = "doc_id"
@@ -131,8 +155,9 @@ class IndexBuilder:
         base = df.select(
             F.col(id_col).alias("doc_id"),
             F.col(keep_url).cast("string").alias("url"),
-            F.col(text_col).alias("text"),
+            *[F.col(c).alias(f"_f{i}") for i, c in enumerate(fields)],
         )
+        field_cols = [f"_f{i}" for i in range(len(fields))]
         if n_chunks > 1:
             ck = F.col(chunk_col) if chunk_col else F.pmod(
                 F.xxhash64(F.col("doc_id")), F.lit(n_chunks))
@@ -146,40 +171,55 @@ class IndexBuilder:
                 continue
             chunk_df = base.filter(F.col("_chunk") == c) if n_chunks > 1 else base
             stats = self._build_chunk(spark, chunk_df, chunk_id=c,
-                                      build_id=build_id)
+                                      build_id=build_id,
+                                      field_cols=field_cols)
             for k in ("docs", "postings", "bytes"):
                 totals[k] += stats[k]
             totals["secs"] += stats["secs"]
 
-        self._finalize(spark, build_id=build_id, n_chunks=n_chunks)
+        self._finalize(spark, build_id=build_id, n_chunks=n_chunks,
+                       n_fields=len(fields))
         return totals
 
     def _build_chunk(self, spark: SparkSession, chunk_df: DataFrame, *,
-                     chunk_id: int, build_id: str) -> dict:
+                     chunk_id: int, build_id: str,
+                     field_cols: list[str] | None = None) -> dict:
         cfg = self.config
+        fcols = field_cols if field_cols is not None else ["text"]
+        anas = cfg.field_analyzers(len(fcols))
         t0 = time.time()
-        # all-JVM docs pipeline (regexp_count doc length, no Python round
-        # trip); corpus stats ride along on the write job via Observation
+        # all-JVM docs pipeline (regexp_count doc length per field, no Python
+        # round trip); corpus stats ride along on the write job via
+        # Observation. docs.dls[i] = token count of field i.
         obs = Observation(f"docs_{build_id}_{chunk_id}")
+        per_field = [doclen_col(c, a) for c, a in zip(fcols, anas)]
         docs = (chunk_df
-                .withColumn("dl", doclen_col("text"))
-                .select("doc_id", "url", "dl")
+                .withColumn("dls", F.array(*per_field))
+                .withColumn("dl", sum(F.col("dls")[i]
+                                      for i in range(len(fcols)))
+                            if len(fcols) > 1 else F.col("dls")[0])
+                .select("doc_id", "url", "dl", "dls")
                 .observe(obs, F.count(F.lit(1)).alias("n_docs"),
-                         F.sum("dl").alias("sum_dl")))
+                         F.sum("dl").alias("sum_dl"),
+                         *[F.sum(F.col("dls")[i]).alias(f"sum_dl_{i}")
+                           for i in range(len(fcols))]))
         docs.write.mode("overwrite").parquet(
             self._p(f"docs/chunk={chunk_id}"))
-        n_docs = int(obs.get["n_docs"])
-        sum_dl = int(obs.get["sum_dl"] or 0)
+        got = obs.get
+        n_docs = int(got["n_docs"])
+        sum_dl = int(got["sum_dl"] or 0)
+        sum_dls = [int(got[f"sum_dl_{i}"] or 0) for i in range(len(fcols))]
         t_docs = time.time() - t0
 
         # segments -> one shuffle -> streaming merge -> direct write: the
-        # merge input is sorted by (bucket, term, salt) and the salt is a
-        # doc-range split, so the emitted blocks already stream out in
-        # (bucket, term, first_doc) order — no extra repartition/sort stage
+        # merge input is sorted by (bucket, term, field, salt) and the salt
+        # is a doc-range split, so the emitted blocks already stream out in
+        # (bucket, term, field, first_doc) order — no extra repartition/sort
         t1 = time.time()
         segments = build_segments(
             chunk_df, n_buckets=cfg.n_buckets, salt_bits=cfg.salt_bits,
-            analyzer=cfg.analyzer, store_positions=cfg.store_positions)
+            store_positions=cfg.store_positions,
+            text_cols=fcols, analyzers=anas)
         blocks = merge_segments(segments, block_size=cfg.block_size,
                                 on_duplicate=cfg.on_duplicate)
         blocks.write.mode("overwrite").parquet(
@@ -202,10 +242,12 @@ class IndexBuilder:
         t_metrics = time.time() - t2
 
         secs = time.time() - t0
+        import json as _json
         row = {
             "ts": float(time.time()),
             "build_id": build_id, "chunk_id": chunk_id, "status": "done",
-            "docs": n_docs, "sum_dl": sum_dl, "postings": n_post,
+            "docs": n_docs, "sum_dl": sum_dl,
+            "sum_dls_json": _json.dumps(sum_dls), "postings": n_post,
             "bytes": n_bytes, "secs": float(secs),
             "docs_secs": float(t_docs), "postings_secs": float(t_post),
             "metrics_secs": float(t_metrics),
@@ -215,10 +257,12 @@ class IndexBuilder:
         self._append_manifest(spark, row)
         return row
 
-    def _corpus_stats(self, spark: SparkSession) -> tuple[int, int]:
-        """(n_docs, sum_dl) over every chunk present in the index: from the
-        manifest when it covers all chunk dirs (no data scan), else a
-        column-pruned dl scan."""
+    def _corpus_stats(self, spark: SparkSession,
+                      n_fields: int) -> tuple[int, int, list[int]]:
+        """(n_docs, sum_dl, per-field sum_dl) over every chunk present in the
+        index: from the manifest when it covers all chunk dirs (no data
+        scan), else a column-pruned dl/dls scan."""
+        import json as _json
         present = set()
         for d in glob.glob(self._p("docs/chunk=*")):
             try:
@@ -226,36 +270,57 @@ class IndexBuilder:
             except ValueError:
                 pass
         m = self._manifest(spark)
-        if m is not None and not m.empty and "sum_dl" in m.columns:
+        if (m is not None and not m.empty and "sum_dl" in m.columns
+                and "sum_dls_json" in m.columns):
             m = m[m["status"] == "done"]
             last = m.sort_values("ts").groupby("chunk_id").tail(1) \
                 if "ts" in m.columns else m.groupby("chunk_id").tail(1)
             if present and set(last["chunk_id"].astype(int)) >= present:
                 last = last[last["chunk_id"].astype(int).isin(present)]
-                return int(last["docs"].sum()), int(last["sum_dl"].sum())
+                sums = [_json.loads(j) for j in last["sum_dls_json"]]
+                if all(len(s) == n_fields for s in sums):
+                    per_field = [sum(s[i] for s in sums)
+                                 for i in range(n_fields)]
+                    return (int(last["docs"].sum()),
+                            int(last["sum_dl"].sum()), per_field)
         docs = spark.read.parquet(self._p("docs"))
-        agg = docs.agg(F.count("*").alias("n"),
-                       F.sum("dl").alias("s")).collect()[0]
-        return int(agg["n"]), int(agg["s"] or 0)
+        aggs = [F.count("*").alias("n"), F.sum("dl").alias("s")]
+        if "dls" in docs.columns:
+            aggs += [F.sum(F.col("dls")[i]).alias(f"s{i}")
+                     for i in range(n_fields)]
+        agg = docs.agg(*aggs).collect()[0]
+        n, s = int(agg["n"]), int(agg["s"] or 0)
+        per_field = [int(agg[f"s{i}"] or 0) for i in range(n_fields)] \
+            if "dls" in docs.columns else [s]
+        return n, s, per_field
 
     def _finalize(self, spark: SparkSession, *, build_id: str,
-                  n_chunks: int) -> None:
+                  n_chunks: int, n_fields: int = 1) -> None:
         cfg = self.config
         blocks = spark.read.parquet(self._p("postings"))
-        terms = (blocks.groupBy("term")
+        terms = (blocks.groupBy("term", "field")
                  .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"),
                       F.max("max_tf").alias("max_tf"),
                       F.count("*").alias("n_blocks")))
         # hash-partition + per-file term sort: no range-sampling recompute of
         # the agg; lookups still prune via per-row-group min/max term stats
         (terms.repartition(max(1, cfg.n_buckets // 4), "term")
-         .sortWithinPartitions("term")
+         .sortWithinPartitions("term", "field")
          .write.mode("overwrite").parquet(self._p("terms")))
 
-        n_docs, sum_dl = self._corpus_stats(spark)
+        n_docs, sum_dl, sum_dls = self._corpus_stats(spark, n_fields)
+        anas = cfg.field_analyzers(n_fields)
+        fs = pd.DataFrame({
+            "field": list(range(n_fields)),
+            "analyzer": anas,
+            "sum_dl": sum_dls,
+            "avgdl": [(s / n_docs) if n_docs else 0.0 for s in sum_dls],
+        })
+        _write_local_parquet(fs, self._p("field_stats"), mode="overwrite")
         meta = pd.DataFrame([{
             "n_docs": n_docs, "sum_dl": sum_dl,
             "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+            "n_fields": n_fields,
             "n_buckets": cfg.n_buckets, "salt_bits": cfg.salt_bits,
             "block_size": cfg.block_size, "analyzer": cfg.analyzer,
             "store_positions": cfg.store_positions,

@@ -44,13 +44,14 @@ from .codec import (
 from .ids import u64o
 
 BLOCK_SCHEMA = (
-    "bucket int, term string, block_id int, n int, first_doc long, "
-    "last_doc long, sum_tf long, max_tf int, min_dl int, nbytes long, "
-    "docs binary, tfs binary, dls binary, poss binary"
+    "bucket int, term string, field int, block_id int, n int, "
+    "first_doc long, last_doc long, sum_tf long, max_tf int, min_dl int, "
+    "nbytes long, docs binary, tfs binary, dls binary, poss binary"
 )
 
 _EMPTY_BLOCKS = {
-    "bucket": "int32", "term": "object", "block_id": "int32", "n": "int32",
+    "bucket": "int32", "term": "object", "field": "int32",
+    "block_id": "int32", "n": "int32",
     "first_doc": "int64", "last_doc": "int64", "sum_tf": "int64",
     "max_tf": "int32", "min_dl": "int32", "nbytes": "int64",
     "docs": "object", "tfs": "object", "dls": "object", "poss": "object",
@@ -88,14 +89,16 @@ def merge_rows_vectorized(pdf: pd.DataFrame, block_size: int = 128,
         np.cumsum(tfs[:-1], out=doc_starts_tok_src[1:])
         src_pos = segmented_cumsum_u64(p_gaps, doc_starts_tok_src).astype(np.int64)
 
-    # ---- group ids per row: consecutive (bucket, term, salt) runs ----------
+    # ---- group ids per row: consecutive (bucket, term, field, salt) runs ---
     b = pdf["bucket"].to_numpy(np.int64)
     s = pdf["salt"].to_numpy(np.int64)
     t = pdf["term"].to_numpy(object)
+    fl = pdf["field"].to_numpy(np.int64)
     new_grp_row = np.empty(nrows, dtype=bool)
     new_grp_row[0] = True
     if nrows > 1:
-        new_grp_row[1:] = (b[1:] != b[:-1]) | (s[1:] != s[:-1]) | (t[1:] != t[:-1])
+        new_grp_row[1:] = (b[1:] != b[:-1]) | (s[1:] != s[:-1]) | (
+            fl[1:] != fl[:-1]) | (t[1:] != t[:-1])
     gid_row = np.cumsum(new_grp_row) - 1
     gid = np.repeat(gid_row, ns)                            # per posting
 
@@ -172,6 +175,7 @@ def merge_rows_vectorized(pdf: pd.DataFrame, block_size: int = 128,
     return pd.DataFrame({
         "bucket": b[rep_row].astype(np.int32),
         "term": t[rep_row],
+        "field": fl[rep_row].astype(np.int32),
         "block_id": blk_idx[blk_starts].astype(np.int32),
         "n": (blk_ends - blk_starts).astype(np.int32),
         "first_doc": first_doc,
@@ -204,7 +208,7 @@ def merge_segments(segments, block_size: int = 128,
     partitions (hash repartition); they MAY split across Arrow batches, so
     the merger holds back the trailing key of each batch and prepends it to
     the next (carry), flushing at end-of-partition."""
-    key = ["bucket", "term", "salt"]
+    key = ["bucket", "term", "field", "salt"]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -214,10 +218,10 @@ def merge_segments(segments, block_size: int = 128,
                 carry = None
             if len(pdf) == 0:
                 continue
-            lb, lt, ls = (pdf["bucket"].iloc[-1], pdf["term"].iloc[-1],
-                          pdf["salt"].iloc[-1])
+            lb, lt, lf, ls = (pdf["bucket"].iloc[-1], pdf["term"].iloc[-1],
+                              pdf["field"].iloc[-1], pdf["salt"].iloc[-1])
             tail = ((pdf["bucket"] == lb) & (pdf["term"] == lt)
-                    & (pdf["salt"] == ls))
+                    & (pdf["field"] == lf) & (pdf["salt"] == ls))
             # hold back the (possibly batch-spanning) last key
             cut = int(len(pdf) - tail[::-1].cumprod().sum())
             carry = pdf.iloc[cut:].reset_index(drop=True)

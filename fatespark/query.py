@@ -45,13 +45,14 @@ def _fold_terms(query: str | list[str], analyzer: str) -> list[str]:
     return sorted({ascii_fold(t) for t in raw})
 
 
-def _term_blocks_from_pdf(g: pd.DataFrame, idf: float) -> TermBlocks:
+def _term_blocks_from_pdf(g: pd.DataFrame, idf: float,
+                          avgdl: float = 0.0) -> TermBlocks:
     return TermBlocks(
         idf,
         g["first_doc"].to_numpy(np.int64), g["last_doc"].to_numpy(np.int64),
         g["n"].to_numpy(np.int64), g["max_tf"].to_numpy(np.int64),
         g["min_dl"].to_numpy(np.int64),
-        list(g["docs"]), list(g["tfs"]), list(g["dls"]))
+        list(g["docs"]), list(g["tfs"]), list(g["dls"]), avgdl=avgdl)
 
 
 class SearchIndex:
@@ -69,27 +70,56 @@ class SearchIndex:
         self.n_buckets = int(m["n_buckets"])
         self.analyzer = m["analyzer"]
         self.store_positions = bool(m["store_positions"])
+        self.n_fields = int(m.get("n_fields", 1) or 1)
         self.meta = m
+        # per-field avgdl (BM25F normalization); pre-field_stats indexes fall
+        # back to the corpus avgdl for their single field
+        try:
+            fs = spark.read.parquet(f"{index_dir}/field_stats").collect()
+            self.field_avgdl = {int(r["field"]): float(r["avgdl"])
+                                for r in fs}
+        except Exception:
+            self.field_avgdl = {0: self.avgdl}
         self.postings = spark.read.parquet(f"{index_dir}/postings")
         self.docs = spark.read.parquet(f"{index_dir}/docs")
         self.terms = spark.read.parquet(f"{index_dir}/terms")
+        self._has_field = "field" in self.terms.columns
 
     # -- stats ---------------------------------------------------------------
     def term_stats(self, terms: list[str]) -> dict[str, dict]:
+        """term -> field -> {df, cf, max_tf} (single-field indexes: field 0
+        only). One partition-pruned lookup of the tiny terms table."""
         rows = self.terms.filter(F.col("term").isin(list(terms))).collect()
-        return {r["term"]: {"df": int(r["df"]), "cf": int(r["cf"]),
-                            "max_tf": int(r["max_tf"])} for r in rows}
+        out: dict[str, dict] = {}
+        for r in rows:
+            f = int(r["field"]) if self._has_field else 0
+            out.setdefault(r["term"], {})[f] = {
+                "df": int(r["df"]), "cf": int(r["cf"]),
+                "max_tf": int(r["max_tf"])}
+        return out
 
-    def count(self, term: str) -> int:
+    def count(self, term: str, field: int | None = None) -> int:
         """Doc frequency (reference ``count_hits`` analogue for whole-token
-        terms, ``lib/suffix_array_reader.rb:115-125``)."""
+        terms, ``lib/suffix_array_reader.rb:115-125``). On a multi-field
+        index with ``field=None`` this counts (doc, field) hit locations —
+        the reference's suffix-hit granularity — not distinct docs."""
         st = self.term_stats(_fold_terms(term, self.analyzer))
-        return next(iter(st.values()))["df"] if st else 0
+        if not st:
+            return 0
+        by_field = next(iter(st.values()))
+        if field is not None:
+            return by_field.get(field, {}).get("df", 0)
+        return sum(v["df"] for v in by_field.values())
 
-    def count_occurrences(self, term: str) -> int:
+    def count_occurrences(self, term: str, field: int | None = None) -> int:
         """Total occurrences (collection frequency)."""
         st = self.term_stats(_fold_terms(term, self.analyzer))
-        return next(iter(st.values()))["cf"] if st else 0
+        if not st:
+            return 0
+        by_field = next(iter(st.values()))
+        if field is not None:
+            return by_field.get(field, {}).get("cf", 0)
+        return sum(v["cf"] for v in by_field.values())
 
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], RESULT_SCHEMA)
@@ -97,9 +127,15 @@ class SearchIndex:
     # -- search ----------------------------------------------------------------
     def search(self, query: str | list[str], k: int = 10, mode: str = "AND",
                offset: int = 0, use_wand: bool = False,
-               with_url: bool = False, quantize: int | None = None) -> DataFrame:
+               with_url: bool = False, quantize: int | None = None,
+               weights: list[float] | None = None) -> DataFrame:
         """Top-k BM25. Returns DataFrame (doc_id, score[, url]) in total
         order (score DESC, doc_id ASC), sliced [offset, offset+k).
+
+        ``weights`` gives one multiplier per field (default 1.0 each) — the
+        reference's weighted-field ranking (``lib/fates.rb:65``) upgraded to
+        a weighted sum of per-field BM25 with per-field length
+        normalization. AND means: every query term in at least one field.
 
         ``quantize=d`` floor-quantizes scores to d decimals BEFORE ranking
         (both locally and globally) so that cross-engine 1-ULP differences
@@ -110,7 +146,11 @@ class SearchIndex:
         present = [t for t in qterms if t in stats]
         if not present or (mode == "AND" and len(present) < len(qterms)):
             return self._empty()
-        idfs = {t: idf_fn(self.n_docs, stats[t]["df"]) for t in present}
+        w = list(weights) if weights is not None else [1.0] * self.n_fields
+        # (term, field) -> field_weight * idf — the stream's full scalar
+        idfs = {(t, f): w[f] * idf_fn(self.n_docs, st["df"])
+                for t in present for f, st in stats[t].items()
+                if f < len(w) and w[f] != 0.0}
         scored = self._score_buckets(present, idfs, k + offset, mode, use_wand,
                                      quantize)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k + offset)
@@ -118,32 +158,41 @@ class SearchIndex:
             out = out.offset(offset)
         return self._join_url(out) if with_url else out
 
-    def _score_buckets(self, terms: list[str], idfs: dict[str, float],
+    def _score_buckets(self, terms: list[str], idfs: dict[tuple, float],
                        k_local: int, mode: str, use_wand: bool,
                        quantize: int | None = None) -> DataFrame:
         avgdl = self.avgdl
+        favg = dict(self.field_avgdl)
         n_query = len(terms)
         qmul = float(10 ** quantize) if quantize else None
 
         def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
-            by_term = {t: _term_blocks_from_pdf(g, idfs[t])
-                       for t, g in pdf.groupby("term")}
-            if mode == "AND" and len(by_term) < n_query:
+            # one TermBlocks per (term, field) stream, ascending order
+            by_tf = {(t, int(f)): _term_blocks_from_pdf(
+                        g, idfs[(t, int(f))], favg.get(int(f), avgdl))
+                     for (t, f), g in pdf.groupby(["term", "field"])
+                     if (t, int(f)) in idfs}
+            terms_here = {t for t, _ in by_tf}
+            if mode == "AND" and len(terms_here) < n_query:
                 return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                                      "score": pd.array([], dtype="float64")})
-            tbs = [by_term[t] for t in sorted(by_term)]  # ascending term order
+            keys = sorted(by_tf)                     # (term, field) ascending
             if mode == "AND":
-                docs, scores = score_and(tbs, avgdl, k_local, qmul)
+                groups = [[by_tf[k] for k in keys if k[0] == t]
+                          for t in sorted(terms_here)]
+                docs, scores = score_and(groups, avgdl, k_local, qmul)
             elif use_wand:
-                docs, scores = score_bmw_or(tbs, avgdl, k_local, qmul)
+                docs, scores = score_bmw_or([by_tf[k] for k in keys], avgdl,
+                                            k_local, qmul)
             else:
-                docs, scores = score_exhaustive_or(tbs, avgdl, k_local, qmul)
+                docs, scores = score_exhaustive_or([by_tf[k] for k in keys],
+                                                   avgdl, k_local, qmul)
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
         # column-prune before the Arrow hop: the scorer never reads positions
         # (poss is the largest column in the index)
         blocks = self.postings.filter(F.col("term").isin(terms)).select(
-            "bucket", "term", "n", "first_doc", "last_doc", "max_tf",
+            "bucket", "term", "field", "n", "first_doc", "last_doc", "max_tf",
             "min_dl", "docs", "tfs", "dls")
         return blocks.groupBy("bucket").applyInPandas(scorer, RESULT_SCHEMA)
 
@@ -166,47 +215,68 @@ class SearchIndex:
 
         def matcher(pdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                  "field": pd.array([], dtype="int32"),
                                   "tf": pd.array([], dtype="int32"),
                                   "dl": pd.array([], dtype="int32")})
-            data = {t: _decode_with_positions(g) for t, g in pdf.groupby("term")}
-            if len(data) < len(uniq):  # a phrase term absent in this bucket
-                return empty
-            out_docs, out_tf, out_dl = [], [], []
-            cand = data[uniq[0]]["docs"]
-            for t in uniq[1:]:
-                cand = np.intersect1d(cand, data[t]["docs"], assume_unique=True)
-            for d in cand:
-                starts = _doc_positions(data[terms[0]], int(d))
-                for i, t in enumerate(terms[1:], start=1):
-                    if starts.size == 0:
-                        break
-                    starts = np.intersect1d(
-                        starts, _doc_positions(data[t], int(d)) - i,
-                        assume_unique=True)
-                if starts.size:
-                    out_docs.append(int(d))
-                    out_tf.append(int(starts.size))
-                    out_dl.append(int(_doc_dl(data[terms[0]], int(d))))
-            return pd.DataFrame({"doc_id": pd.array(out_docs, dtype="int64"),
-                                 "tf": pd.array(out_tf, dtype="int32"),
-                                 "dl": pd.array(out_dl, dtype="int32")})
+            outs = [empty]
+            # phrase matches are per (doc, field): a phrase never crosses a
+            # field boundary (unlike the reference's heap-wide byte match,
+            # an acknowledged artifact of its single fulltext stream)
+            for fid, fpdf in pdf.groupby("field"):
+                data = {t: _decode_with_positions(g)
+                        for t, g in fpdf.groupby("term")}
+                if len(data) < len(uniq):  # a term absent in bucket+field
+                    continue
+                out_docs, out_tf, out_dl = [], [], []
+                cand = data[uniq[0]]["docs"]
+                for t in uniq[1:]:
+                    cand = np.intersect1d(cand, data[t]["docs"],
+                                          assume_unique=True)
+                for d in cand:
+                    starts = _doc_positions(data[terms[0]], int(d))
+                    for i, t in enumerate(terms[1:], start=1):
+                        if starts.size == 0:
+                            break
+                        starts = np.intersect1d(
+                            starts, _doc_positions(data[t], int(d)) - i,
+                            assume_unique=True)
+                    if starts.size:
+                        out_docs.append(int(d))
+                        out_tf.append(int(starts.size))
+                        out_dl.append(int(_doc_dl(data[terms[0]], int(d))))
+                outs.append(pd.DataFrame({
+                    "doc_id": pd.array(out_docs, dtype="int64"),
+                    "field": pd.array([int(fid)] * len(out_docs),
+                                      dtype="int32"),
+                    "tf": pd.array(out_tf, dtype="int32"),
+                    "dl": pd.array(out_dl, dtype="int32")}))
+            return pd.concat(outs, ignore_index=True)
 
         blocks = self.postings.filter(F.col("term").isin(uniq)).select(
-            "bucket", "term", "n", "docs", "tfs", "dls", "poss")
+            "bucket", "term", "field", "n", "docs", "tfs", "dls", "poss")
         matches = blocks.groupBy("bucket").applyInPandas(
-            matcher, "doc_id long, tf int, dl int").cache()
+            matcher, "doc_id long, field int, tf int, dl int").cache()
         try:
-            df_phrase = matches.count()
-            if df_phrase == 0:
+            # per-field phrase df -> per-field idf (phrase as pseudo-term)
+            per_field = {int(r["field"]): int(r["n"]) for r in
+                         matches.groupBy("field").agg(
+                             F.count("*").alias("n")).collect()}
+            if not per_field:
                 return self._empty()
-            iv = idf_fn(self.n_docs, df_phrase)
             k1, b = 1.2, 0.75
-            norm = (1.0 - b) + b * F.col("dl") / F.lit(self.avgdl) if \
-                self.avgdl > 0 else F.lit(1.0 - b)
-            # same parenthesization as oracle.bm25_term_score: idf * (tf-part)
-            score = F.lit(iv) * (F.col("tf") * F.lit(k1 + 1.0) / (
-                F.col("tf") + F.lit(k1) * norm))
-            out = (matches.select("doc_id", score.alias("score"))
+            score = None
+            for f, dfp in sorted(per_field.items()):
+                iv = idf_fn(self.n_docs, dfp)
+                ad = self.field_avgdl.get(f, self.avgdl)
+                norm = (1.0 - b) + b * F.col("dl") / F.lit(ad) if ad > 0 \
+                    else F.lit(1.0 - b)
+                # same parenthesization as oracle: idf * (tf-part)
+                s_f = F.lit(iv) * (F.col("tf") * F.lit(k1 + 1.0) / (
+                    F.col("tf") + F.lit(k1) * norm))
+                s_f = F.when(F.col("field") == f, s_f)
+                score = s_f if score is None else F.coalesce(s_f, score)
+            out = (matches.select("doc_id", score.alias("s"))
+                   .groupBy("doc_id").agg(F.sum("s").alias("score"))
                    .orderBy(F.desc("score"), F.asc("doc_id"))
                    .limit(k + offset))
             if offset:
@@ -223,7 +293,7 @@ class SearchIndex:
         # table; startswith is the exact predicate
         rows = (self.terms
                 .filter((F.col("term") >= p) & F.col("term").startswith(p))
-                .select("term").collect())
+                .select("term").distinct().collect())
         return sorted(r["term"] for r in rows)
 
     def search_prefix(self, prefix: str, k: int = 10, max_terms: int = 256,

@@ -29,18 +29,19 @@ from .codec import encode_grouped, segmented_delta
 from .ids import bucket_of, salt_of, u64o
 
 SEGMENT_SCHEMA = (
-    "bucket int, term string, salt int, n long, sum_tf long, max_tf int, "
-    "min_dl int, docs binary, tfs binary, dls binary, poss binary"
+    "bucket int, term string, field int, salt int, n long, sum_tf long, "
+    "max_tf int, min_dl int, docs binary, tfs binary, dls binary, poss binary"
 )
 
-SEGMENT_COLS = ["bucket", "term", "salt", "n", "sum_tf", "max_tf", "min_dl",
-                "docs", "tfs", "dls", "poss"]
+SEGMENT_COLS = ["bucket", "term", "field", "salt", "n", "sum_tf", "max_tf",
+                "min_dl", "docs", "tfs", "dls", "poss"]
 
 
 def _empty_segments() -> pd.DataFrame:
     return pd.DataFrame({
         "bucket": pd.array([], dtype="int32"),
         "term": pd.array([], dtype=object),
+        "field": pd.array([], dtype="int32"),
         "salt": pd.array([], dtype="int32"),
         "n": pd.array([], dtype="int64"),
         "sum_tf": pd.array([], dtype="int64"),
@@ -56,9 +57,12 @@ def _empty_segments() -> pd.DataFrame:
 def segment_rows_pandas(doc_ids: np.ndarray, texts: list[str], *,
                         n_buckets: int, salt_bits: int = 0,
                         analyzer: str = "whitespace",
-                        store_positions: bool = True) -> pd.DataFrame:
-    """Build segment rows for one batch. Pure pandas/numpy — unit-testable
-    locally and wrapped by ``build_segments`` for the cluster."""
+                        store_positions: bool = True,
+                        field_id: int = 0) -> pd.DataFrame:
+    """Build segment rows for one batch of ONE field (``field_id`` emitted as
+    a constant column; multi-field corpora call this once per field per batch
+    — same single scan). Pure pandas/numpy — unit-testable locally and
+    wrapped by ``build_segments`` for the cluster."""
     tok, _ = ANALYZERS[analyzer]
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     toks_per_doc = [tok(ascii_fold(t) if t is not None else "") for t in texts]
@@ -126,6 +130,7 @@ def segment_rows_pandas(doc_ids: np.ndarray, texts: list[str], *,
     return pd.DataFrame({
         "bucket": p_b[grp_starts].astype(np.int32),
         "term": uniq_terms[p_codes[grp_starts]],
+        "field": np.full(grp_starts.size, field_id, dtype=np.int32),
         "salt": p_s[grp_starts].astype(np.int32),
         "n": grp_sizes.astype(np.int64),
         "sum_tf": sum_tf.astype(np.int64),
@@ -140,21 +145,33 @@ def segment_rows_pandas(doc_ids: np.ndarray, texts: list[str], *,
 
 def build_segments(df, *, n_buckets: int, salt_bits: int = 0,
                    analyzer: str = "whitespace", store_positions: bool = True,
-                   id_col: str = "doc_id", text_col: str = "text"):
+                   id_col: str = "doc_id", text_col: str = "text",
+                   text_cols: list[str] | None = None,
+                   analyzers: list[str] | None = None):
     """corpus DataFrame -> segments DataFrame (one narrow mapInPandas stage,
-    no shuffle)."""
+    no shuffle). ``text_cols`` indexes several fields in the SAME scan
+    (field_id = position, reference's positional field identity,
+    ``lib/fulltext_writer.rb:51-55``); ``analyzers`` optionally names one
+    analyzer per field (parallel array, like the reference's)."""
+    cols = text_cols if text_cols is not None else [text_col]
+    anas = analyzers if analyzers is not None else [analyzer] * len(cols)
+    if len(anas) != len(cols):
+        raise ValueError("analyzers must parallel text_cols")
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = segment_rows_pandas(
-                pdf[id_col].to_numpy(np.int64), list(pdf[text_col]),
-                n_buckets=n_buckets, salt_bits=salt_bits, analyzer=analyzer,
-                store_positions=store_positions)
-            if len(out):
-                yield out
+            ids = pdf[id_col].to_numpy(np.int64)
+            for fid, (col, ana) in enumerate(zip(cols, anas)):
+                out = segment_rows_pandas(
+                    ids, list(pdf[col]),
+                    n_buckets=n_buckets, salt_bits=salt_bits, analyzer=ana,
+                    store_positions=store_positions, field_id=fid)
+                if len(out):
+                    yield out
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema=SEGMENT_SCHEMA)
+    return df.select(id_col, *cols).mapInPandas(gen, schema=SEGMENT_SCHEMA)
 
 
 def decode_segment_row(row) -> dict:

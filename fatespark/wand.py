@@ -62,15 +62,21 @@ def topk_select(doc_ids: np.ndarray, scores: np.ndarray, k: int):
 
 
 class TermBlocks:
-    """One term's posting blocks within a bucket, decoded lazily per block."""
+    """One (term, field)'s posting blocks within a bucket, decoded lazily per
+    block. ``idf`` is the full scalar multiplier for this stream's
+    contributions — field weight × idf(term, field) for weighted multi-field
+    scoring; ``avgdl`` is the FIELD's average length (BM25F-style per-field
+    normalization, the principled upgrade of the reference's per-field
+    weights, ``lib/fates.rb:65``)."""
 
-    __slots__ = ("idf", "first", "last", "ns", "max_tf", "min_dl",
+    __slots__ = ("idf", "avgdl", "first", "last", "ns", "max_tf", "min_dl",
                  "enc_docs", "enc_tfs", "enc_dls", "_cache", "total")
 
     def __init__(self, idf: float, first, last, ns, max_tf, min_dl,
-                 enc_docs, enc_tfs, enc_dls):
+                 enc_docs, enc_tfs, enc_dls, avgdl: float = 0.0):
         order = np.argsort(np.asarray(first, dtype=np.int64), kind="mergesort")
         self.idf = float(idf)
+        self.avgdl = float(avgdl)
         self.first = np.asarray(first, dtype=np.int64)[order]
         self.last = np.asarray(last, dtype=np.int64)[order]
         self.ns = np.asarray(ns, dtype=np.int64)[order]
@@ -129,14 +135,16 @@ class TermBlocks:
             docs, tfs, dls = docs[o], tfs[o], dls[o]
         return docs, tfs, dls
 
-    def block_ub(self, i: int, avgdl: float) -> float:
-        return self.idf * float(bm25_part(self.max_tf[i], self.min_dl[i], avgdl))
+    def block_ub(self, i: int, avgdl: float | None = None) -> float:
+        a = self.avgdl if avgdl is None else avgdl
+        return self.idf * float(bm25_part(self.max_tf[i], self.min_dl[i], a))
 
-    def term_ub(self, avgdl: float) -> float:
+    def term_ub(self, avgdl: float | None = None) -> float:
         if not len(self.ns):
             return 0.0
+        a = self.avgdl if avgdl is None else avgdl
         return self.idf * float(
-            bm25_part(int(self.max_tf.max()), int(self.min_dl.min()), avgdl))
+            bm25_part(int(self.max_tf.max()), int(self.min_dl.min()), a))
 
 
 def _quantize(scores: np.ndarray, qmul: float | None) -> np.ndarray:
@@ -148,7 +156,8 @@ def _quantize(scores: np.ndarray, qmul: float | None) -> np.ndarray:
 def score_exhaustive_or(terms: list[TermBlocks], avgdl: float, k: int,
                         qmul: float | None = None):
     """Vectorized disjunctive BM25 over the union of candidate docs.
-    Terms must be supplied in ascending term order (summation order)."""
+    Streams must be supplied in ascending (term, field) order (summation
+    order). ``avgdl`` is the fallback when a stream carries none."""
     live = [t for t in terms if t.total]
     if not live:
         z = np.zeros(0, dtype=np.int64)
@@ -158,43 +167,48 @@ def score_exhaustive_or(terms: list[TermBlocks], avgdl: float, k: int,
     scores = np.zeros(all_docs.size, dtype=np.float64)
     for t, (docs, tfs, dls) in zip(live, decoded):
         idx = np.searchsorted(all_docs, docs)
-        scores[idx] += t.idf * bm25_part(tfs, dls, avgdl)
+        scores[idx] += t.idf * bm25_part(tfs, dls, t.avgdl or avgdl)
     return topk_select(all_docs, _quantize(scores, qmul), k)
 
 
-def score_and(terms: list[TermBlocks], avgdl: float, k: int,
-              qmul: float | None = None):
-    """Conjunctive: galloping intersection starting from the rarest term,
-    decoding only the blocks of other terms that candidates can touch."""
-    if not terms or any(t.total == 0 for t in terms):
+def _group_docs(group: list[TermBlocks]) -> np.ndarray:
+    """Union of a term's doc ids across its field streams (sorted)."""
+    parts = [t.decode_all()[0] for t in group if t.total]
+    if not parts:
+        return np.zeros(0, dtype=np.int64)
+    return parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+
+
+def score_and(terms, avgdl: float, k: int, qmul: float | None = None):
+    """Conjunctive over query TERMS (a doc must contain every term in at
+    least one field): intersection starting from the rarest term-group.
+    ``terms`` is a list of TermBlocks (single-field) or a list of lists
+    (one group of field streams per term, ascending field order within)."""
+    groups = [[g] if isinstance(g, TermBlocks) else list(g) for g in terms]
+    if not groups or any(sum(t.total for t in g) == 0 for g in groups):
         z = np.zeros(0, dtype=np.int64)
         return z, np.zeros(0, dtype=np.float64)
-    by_rarity = sorted(range(len(terms)), key=lambda i: terms[i].total)
-    rare = terms[by_rarity[0]]
-    cand, _, _ = rare.decode_all()
+    by_rarity = sorted(range(len(groups)),
+                       key=lambda i: sum(t.total for t in groups[i]))
+    cand = _group_docs(groups[by_rarity[0]])
     for i in by_rarity[1:]:
         if cand.size == 0:
             break
-        t = terms[i]
-        # only decode blocks whose [first,last] range intersects candidates
-        touched = np.unique(np.searchsorted(t.first, cand, side="right") - 1)
-        touched = touched[touched >= 0]
-        keep = []
-        for bi in touched:
-            docs_b = t.block(int(bi))[0]
-            idx = np.searchsorted(docs_b, cand)
-            hit = (idx < docs_b.size)
-            hit[hit] = docs_b[idx[hit]] == cand[hit]
-            keep.append(cand[hit])
-        cand = np.concatenate(keep) if keep else cand[:0]
-        cand.sort()
+        cand = np.intersect1d(cand, _group_docs(groups[i]),
+                              assume_unique=True)
     if cand.size == 0:
         return cand, np.zeros(0, dtype=np.float64)
     scores = np.zeros(cand.size, dtype=np.float64)
-    for t in terms:  # ascending term order == oracle summation order
-        docs, tfs, dls = t.decode_all()
-        idx = np.searchsorted(docs, cand)
-        scores += t.idf * bm25_part(tfs[idx], dls[idx], avgdl)
+    for g in groups:  # ascending (term, field) == oracle summation order
+        for t in g:
+            if not t.total:
+                continue
+            docs, tfs, dls = t.decode_all()
+            idx = np.searchsorted(docs, cand)
+            hit = idx < docs.size
+            hit[hit] = docs[idx[hit]] == cand[hit]
+            scores[hit] += t.idf * bm25_part(tfs[idx[hit]], dls[idx[hit]],
+                                             t.avgdl or avgdl)
     return topk_select(cand, _quantize(scores, qmul), k)
 
 
@@ -215,7 +229,7 @@ def score_bmw_or(terms: list[TermBlocks], avgdl: float, k: int,
     for _, t in live:
         d0 = int(t.block(0)[0][0])
         cursors.append([d0, 0, 0, t])
-    ubs = {id(t): t.term_ub(avgdl) for _, t in live}
+    ubs = {id(t): t.term_ub(t.avgdl or avgdl) for _, t in live}
 
     heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of top-k
 
@@ -283,7 +297,7 @@ def score_bmw_or(terms: list[TermBlocks], avgdl: float, k: int,
                 continue  # term exhausted beyond pivot_doc
             if t.first[bi] <= pivot_doc:
                 # block covers pivot_doc: bound holds through its end
-                bub += t.block_ub(bi, avgdl)
+                bub += t.block_ub(bi, t.avgdl or avgdl)
                 nxt = min(nxt, int(t.last[bi]) + 1)
             else:
                 # pivot_doc in a gap: contributes 0 now, but the bound stops
@@ -311,7 +325,8 @@ def score_bmw_or(terms: list[TermBlocks], avgdl: float, k: int,
                     t = c[3]
                     _, tfs_b, dls_b = t.block(c[1])
                     s = t.idf * float(bm25_part(int(tfs_b[c[2]]),
-                                                int(dls_b[c[2]]), avgdl))
+                                                int(dls_b[c[2]]),
+                                                t.avgdl or avgdl))
                     contrib.append((order_rank[id(t)], s))
             score = 0.0
             for _, s in sorted(contrib):

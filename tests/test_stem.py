@@ -79,7 +79,7 @@ def test_porter_tokens_idempotent_under_fold():
     assert porter_tokens(ascii_fold(text)) == porter_tokens(text)
 
 
-@pytest.mark.spark
+
 def test_index_with_porter_analyzer(spark, tmp_root):
     from fatespark.build import BuildConfig, IndexBuilder
     from fatespark.query import SearchIndex
