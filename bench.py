@@ -5,8 +5,9 @@
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     FATESPARK_BENCH_PAGES (default 50000 synthetic pages — same scale as the
-     reference's 50k-contacts run, BASELINE.md).
+     FATESPARK_BENCH_PAGES (default 200000 synthetic ~109-token pages; the
+     reference's published run is 50k two-word name records, BASELINE.md —
+     tokens/doc is reported so the comparison stays honest).
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("FATESPARK_BENCH_PAGES", "50000"))
+    n_pages = int(os.environ.get("FATESPARK_BENCH_PAGES", "200000"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
@@ -76,6 +77,11 @@ def main() -> None:
     extra["build_postings"] = totals["postings"]
     extra["build_postings_per_sec"] = round(
         totals["postings"] / times["build_pages"], 1)
+    if totals.get("sum_dl"):
+        extra["build_tokens"] = totals["sum_dl"]
+        extra["tokens_per_doc"] = round(totals["sum_dl"] / n_pages, 1)
+        extra["build_tokens_per_sec"] = round(
+            totals["sum_dl"] / times["build_pages"], 1)
 
     idx = SearchIndex(spark, idx_dir)
 

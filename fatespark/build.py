@@ -164,8 +164,8 @@ class IndexBuilder:
             base = base.withColumn("_chunk", ck.cast("int"))
 
         done = self.done_chunks(spark, build_id) if resume else set()
-        totals = {"docs": 0, "postings": 0, "bytes": 0, "secs": 0.0,
-                  "chunks_skipped": len(done)}
+        totals = {"docs": 0, "postings": 0, "bytes": 0, "sum_dl": 0,
+                  "secs": 0.0, "chunks_skipped": len(done)}
         for c in range(n_chunks):
             if c in done:
                 continue
@@ -173,7 +173,7 @@ class IndexBuilder:
             stats = self._build_chunk(spark, chunk_df, chunk_id=c,
                                       build_id=build_id,
                                       field_cols=field_cols)
-            for k in ("docs", "postings", "bytes"):
+            for k in ("docs", "postings", "bytes", "sum_dl"):
                 totals[k] += stats[k]
             totals["secs"] += stats["secs"]
 
