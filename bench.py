@@ -111,6 +111,33 @@ def main() -> None:
     def _ph():
         return idx.search_phrase("big array", k=10).collect()
 
+    # -- driver-local read path (pyarrow + same kernels, no Spark jobs) -----
+    from fatespark.build import IndexBuilder as _IB
+    from fatespark.local import LocalSearchIndex
+
+    @timed("compact_local")
+    def _cl():
+        return _IB(idx_dir, BuildConfig(n_buckets=8, salt_bits=1)
+                   ).compact_local(spark)
+    lidx = LocalSearchIndex(idx_dir)
+    lidx.search(["smith"], k=10, mode="OR")  # warm footers/skip index
+
+    @timed("ql_count_head", reps=3)
+    def _lc():
+        return lidx.count("the")
+
+    @timed("ql_and2", reps=3)
+    def _la():
+        return lidx.search(["smith", "the"], k=10, mode="AND")
+
+    @timed("ql_or2", reps=3)
+    def _lo():
+        return lidx.search(["smith", "jones"], k=10, mode="OR")
+
+    @timed("ql_prefix", reps=3)
+    def _lp():
+        return lidx.search_prefix("fa", k=10)
+
     # -- training-data ops over the driver tables ---------------------------
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))

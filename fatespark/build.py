@@ -328,3 +328,24 @@ class IndexBuilder:
         }])
         # publish marker: written last, required by SearchIndex.load
         _write_local_parquet(meta, self._p("meta"), mode="overwrite")
+
+    def compact_local(self, spark: SparkSession,
+                      rg_bytes: int = 1 << 20) -> None:
+        """Write the read-optimized serving copy ``postings_local/``:
+        term-range-clustered files with small (~1 MB) row groups, so a
+        point-term lookup touches only the row groups whose min/max term
+        stats cover it. The BUILD keeps hash partitioning (head-term skew
+        stays bounded by bucket×salt); this second, cheap pass over the
+        already-compressed blocks trades one extra job for millisecond
+        local reads (``fatespark.local.LocalSearchIndex``) — the analogue of
+        the reference's read-optimized index file + sampled inline suffix
+        index (``lib/suffix_array_writer.rb:88-92``). On a 10^12-doc corpus
+        this is the per-serving-shard compaction, not a global rewrite."""
+        cfg = self.config
+        blocks = spark.read.parquet(self._p("postings"))
+        (blocks.repartitionByRange(max(1, cfg.n_buckets), "term", "field",
+                                   "bucket")
+         .sortWithinPartitions("term", "field", "bucket", "first_doc")
+         .write.mode("overwrite")
+         .option("parquet.block.size", rg_bytes)
+         .parquet(self._p("postings_local")))

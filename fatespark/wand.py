@@ -70,7 +70,7 @@ class TermBlocks:
     weights, ``lib/fates.rb:65``)."""
 
     __slots__ = ("idf", "avgdl", "first", "last", "ns", "max_tf", "min_dl",
-                 "enc_docs", "enc_tfs", "enc_dls", "_cache", "total")
+                 "enc_docs", "enc_tfs", "enc_dls", "_cache", "_all", "total")
 
     def __init__(self, idf: float, first, last, ns, max_tf, min_dl,
                  enc_docs, enc_tfs, enc_dls, avgdl: float = 0.0):
@@ -86,6 +86,7 @@ class TermBlocks:
         self.enc_tfs = [enc_tfs[i] for i in order]
         self.enc_dls = [enc_dls[i] for i in order]
         self._cache: dict[int, tuple] = {}
+        self._all = None
         self.total = int(self.ns.sum())
         # blocks from different build chunks can interleave doc ranges; the
         # cursor/skip machinery assumes disjoint ordered blocks, so re-block
@@ -118,22 +119,41 @@ class TermBlocks:
 
     def decode_all(self):
         """(docs, tfs, dls) for the whole term within the bucket, doc-sorted.
+        Bulk path: ONE vectorized multi-buffer varint decode across every
+        block (per-block python calls dominate for long posting lists).
         Blocks from different build chunks may interleave doc ranges, so sort
         if needed."""
+        if self._all is not None:
+            return self._all
         if not len(self.ns):
             z = np.zeros(0, dtype=np.int64)
             return z, z, z
-        parts = [self.block(i) for i in range(len(self.ns))]
-        docs = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts])
-        dls = np.concatenate([p[2] for p in parts])
+        if self.enc_docs is not None and not self._cache:
+            from .codec import (
+                _u64_to_i64_ordered,
+                segmented_cumsum_u64,
+                varint_decode_concat,
+            )
+            total = self.total
+            starts = np.zeros(len(self.ns), dtype=np.int64)
+            np.cumsum(self.ns[:-1], out=starts[1:])
+            d_gaps = varint_decode_concat(self.enc_docs, total)
+            docs = _u64_to_i64_ordered(segmented_cumsum_u64(d_gaps, starts))
+            tfs = varint_decode_concat(self.enc_tfs, total).astype(np.int64)
+            dls = varint_decode_concat(self.enc_dls, total).astype(np.int64)
+        else:
+            parts = [self.block(i) for i in range(len(self.ns))]
+            docs = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
         # NB: compare, don't np.diff — int64 differences overflow for
         # full-range xxhash ids and can wrap to positive, silently skipping
         # the sort on an unsorted concat
         if np.any(docs[1:] <= docs[:-1]):
             o = np.argsort(docs, kind="mergesort")
             docs, tfs, dls = docs[o], tfs[o], dls[o]
-        return docs, tfs, dls
+        self._all = (docs, tfs, dls)
+        return self._all
 
     def block_ub(self, i: int, avgdl: float | None = None) -> float:
         a = self.avgdl if avgdl is None else avgdl

@@ -1,0 +1,90 @@
+"""LocalSearchIndex (pyarrow, no Spark jobs) must return IDENTICAL results
+to the distributed SearchIndex — same kernels, same total order."""
+
+import pytest
+
+from fatespark.build import BuildConfig, IndexBuilder
+from fatespark.corpus import contacts_df, pages_df
+from fatespark.local import LocalSearchIndex
+from fatespark.query import SearchIndex
+
+
+@pytest.fixture(scope="module")
+def pages_idx(spark, tmp_root):
+    d = str(tmp_root / "local_pages_idx")
+    corpus = pages_df(spark, 4000, partitions=4)
+    IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=1)).build(
+        spark, corpus, build_id="lp")
+    return SearchIndex(spark, d), LocalSearchIndex(d)
+
+
+@pytest.fixture(scope="module")
+def contacts_idx(spark, tmp_root):
+    d = str(tmp_root / "local_contacts_idx")
+    IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=0)).build(
+        spark, contacts_df(spark, 1500, partitions=4), id_col="id",
+        url_col="id", text_cols=["first_name", "last_name"], build_id="lc")
+    return SearchIndex(spark, d), LocalSearchIndex(d)
+
+
+def _rows(df):
+    if hasattr(df, "collect"):
+        return [(r["doc_id"], r["score"]) for r in df.collect()]
+    return list(zip(df["doc_id"].tolist(), df["score"].tolist()))
+
+
+QUERIES = [
+    (["the"], "OR", False),
+    (["smith", "the"], "AND", False),
+    (["smith", "jones"], "OR", False),
+    (["the", "smith", "zyzzyva"], "OR", True),
+    (["nosuchterm"], "OR", False),
+]
+
+
+@pytest.mark.parametrize("terms,mode,wand", QUERIES)
+def test_search_matches_distributed(pages_idx, terms, mode, wand):
+    dist, loc = pages_idx
+    a = _rows(dist.search(terms, k=10, mode=mode, use_wand=wand))
+    b = _rows(loc.search(terms, k=10, mode=mode, use_wand=wand))
+    assert a == b
+
+
+def test_counts_and_stats_match(pages_idx):
+    dist, loc = pages_idx
+    for t in ["the", "smith", "zyzzyva", "nosuchterm"]:
+        assert loc.count(t) == dist.count(t), t
+    assert loc.n_docs == dist.n_docs
+    assert loc.avgdl == dist.avgdl
+
+
+def test_prefix_matches_distributed(pages_idx):
+    dist, loc = pages_idx
+    assert loc.expand_prefix("fa") == dist.expand_prefix("fa")
+    a = _rows(dist.search_prefix("fa", k=10, quantize=4))
+    b = _rows(loc.search_prefix("fa", k=10, quantize=4))
+    assert a == b
+
+
+def test_pagination_matches(pages_idx):
+    dist, loc = pages_idx
+    a = _rows(dist.search(["the", "smith"], k=5, mode="OR", offset=5))
+    b = _rows(loc.search(["the", "smith"], k=5, mode="OR", offset=5))
+    assert a == b
+
+
+def test_multifield_weights_match(contacts_idx):
+    dist, loc = contacts_idx
+    for terms, mode in [(["smith"], "OR"), (["james", "smith"], "AND")]:
+        a = _rows(dist.search(terms, k=12, mode=mode, weights=[0.2, 1.0]))
+        b = _rows(loc.search(terms, k=12, mode=mode, weights=[0.2, 1.0]))
+        assert a == b
+    assert loc.count("smith", field=1) == dist.count("smith", field=1)
+
+
+def test_local_is_sparkless(pages_idx):
+    # constructing + querying from the directory alone, no session handle
+    _, loc = pages_idx
+    out = loc.search(["the"], k=3, mode="OR")
+    assert list(out.columns) == ["doc_id", "score"]
+    assert len(out) == 3
