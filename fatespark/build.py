@@ -329,6 +329,82 @@ class IndexBuilder:
         # publish marker: written last, required by SearchIndex.load
         _write_local_parquet(meta, self._p("meta"), mode="overwrite")
 
+    # -- deletes + vacuum ---------------------------------------------------
+    def delete_docs(self, spark: SparkSession, doc_ids) -> None:
+        """Tombstone docs (the delta capability the reference declares
+        unsupported — ``README.markdown:95-96``). Queries exclude tombstoned
+        docs immediately; corpus/term stats stay stale until ``vacuum``
+        (standard search-engine semantics). ``doc_ids``: iterable of ids or
+        a DataFrame with a doc_id column."""
+        import numpy as np
+        if isinstance(doc_ids, DataFrame):
+            ids = [r["doc_id"] for r in doc_ids.select("doc_id").collect()]
+        else:
+            ids = [int(x) for x in doc_ids]
+        pdf = pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                            "ts": float(time.time())})
+        _write_local_parquet(pdf, self._p("tombstones"))
+
+    def tombstones(self) -> "pd.Series | None":
+        t = _read_local_parquet(self._p("tombstones"))
+        return None if t is None or t.empty else t["doc_id"]
+
+    def vacuum(self, spark: SparkSession, build_id: str = "vacuum") -> dict:
+        """Physically drop tombstoned docs and consolidate every chunk into
+        one: existing posting BLOCKS re-enter the merge as pseudo-segments
+        (block_id plays the salt — like salts, blocks of one (bucket, term,
+        field) are doc-range-disjoint and ordered), with the tombstone set
+        filtered out during the vectorized rewrite. Docs table is rewritten,
+        stats re-finalized, tombstones cleared. The Lucene-forceMerge-style
+        compaction the reference's fragment model never got."""
+        import numpy as np
+        import shutil
+        cfg = self.config
+        ts = self.tombstones()
+        drop = np.sort(ts.to_numpy(np.int64)) if ts is not None else \
+            np.zeros(0, dtype=np.int64)
+
+        blocks = spark.read.parquet(self._p("postings"))
+        pseudo = blocks.select(
+            "bucket", "term", "field", F.col("block_id").alias("salt"),
+            F.col("n").cast("long").alias("n"), "sum_tf", "max_tf", "min_dl",
+            "docs", "tfs", "dls", "poss")
+        merged = merge_segments(pseudo, block_size=cfg.block_size,
+                                on_duplicate=cfg.on_duplicate,
+                                drop_docs=drop)
+        merged.write.mode("overwrite").parquet(self._p("postings_new"))
+
+        docs = spark.read.parquet(self._p("docs"))
+        keep_docs = docs
+        if drop.size:
+            ids_df = spark.createDataFrame(pd.DataFrame({"doc_id": drop}))
+            keep_docs = docs.join(F.broadcast(ids_df), "doc_id", "left_anti")
+        keep_docs.select(docs.columns).write.mode("overwrite").parquet(
+            self._p("docs_new"))
+
+        nf = self.meta_n_fields(spark)
+        # swap in the rewritten chunkless dirs (Iceberg snapshot commit on a
+        # real deployment); chunk-level lineage belongs to the old builds, so
+        # manifest/metrics/tombstones reset and stats re-finalize from data
+        for name in ("postings", "docs"):
+            shutil.rmtree(self._p(name))
+            os.rename(self._p(f"{name}_new"), self._p(name))
+        for name in ("manifest", "bucket_metrics", "tombstones",
+                     "postings_local"):
+            shutil.rmtree(self._p(name), ignore_errors=True)
+
+        self._finalize(spark, build_id=build_id, n_chunks=1, n_fields=nf)
+        agg = spark.read.parquet(self._p("postings")).agg(
+            F.sum("n"), F.count("*")).collect()[0]
+        return {"dropped": int(drop.size), "postings": int(agg[0] or 0),
+                "blocks": int(agg[1] or 0)}
+
+    def meta_n_fields(self, spark: SparkSession) -> int:
+        m = _read_local_parquet(self._p("meta"))
+        if m is None or m.empty or "n_fields" not in m.columns:
+            return 1
+        return int(m.iloc[0]["n_fields"] or 1)
+
     def compact_local(self, spark: SparkSession,
                       rg_bytes: int = 1 << 20) -> None:
         """Write the read-optimized serving copy ``postings_local/``:

@@ -120,6 +120,16 @@ class LocalSearchIndex:
                                 for r in fs.itertuples()}
         else:
             self.field_avgdl = {0: self.avgdl}
+        tombs = sorted(glob.glob(os.path.join(index_dir, "tombstones",
+                                              "*.parquet")))
+        if tombs:
+            import pyarrow.parquet as _pq
+            ids = np.concatenate([
+                _pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy()
+                for f in tombs])
+            self.tombstones = np.sort(ids.astype(np.int64))
+        else:
+            self.tombstones = None
         self._terms_ix = _RGIndex(os.path.join(index_dir, "terms"), "term")
         # prefer the term-range-clustered serving copy (IndexBuilder.
         # compact_local): the raw build output is hash-partitioned for merge
@@ -183,6 +193,10 @@ class LocalSearchIndex:
                         self.field_avgdl.get(int(f), self.avgdl))
                      for (t, f), g in bpdf.groupby(["term", "field"])
                      if (t, int(f)) in idfs}
+            if self.tombstones is not None:
+                by_tf = {k: tb.without_docs(self.tombstones)
+                         for k, tb in by_tf.items()}
+                by_tf = {k: tb for k, tb in by_tf.items() if tb.total}
             terms_here = {t for t, _ in by_tf}
             if mode == "AND" and len(terms_here) < len(present):
                 continue

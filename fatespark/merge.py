@@ -63,11 +63,16 @@ def _empty_blocks() -> pd.DataFrame:
 
 
 def merge_rows_vectorized(pdf: pd.DataFrame, block_size: int = 128,
-                          on_duplicate: str = "error") -> pd.DataFrame:
+                          on_duplicate: str = "error",
+                          drop_docs: np.ndarray | None = None) -> pd.DataFrame:
     """Merge a batch of segment rows that is CONTIGUOUS in (bucket, term,
     salt) into posting-block rows. Vectorized across every group in the
     batch: one flat varint decode, one lexsort (k-way merge of pre-sorted
-    runs), reduceat aggregates, one grouped re-encode."""
+    runs), reduceat aggregates, one grouped re-encode.
+
+    ``drop_docs`` (sorted int64 doc ids) filters those docs' postings out
+    after the flat decode — the vacuum/compaction path (tombstoned deletes
+    applied while rewriting blocks)."""
     nrows = len(pdf)
     if nrows == 0:
         return _empty_blocks()
@@ -101,6 +106,22 @@ def merge_rows_vectorized(pdf: pd.DataFrame, block_size: int = 128,
             fl[1:] != fl[:-1]) | (t[1:] != t[:-1])
     gid_row = np.cumsum(new_grp_row) - 1
     gid = np.repeat(gid_row, ns)                            # per posting
+
+    # ---- tombstone filter (vacuum path) ------------------------------------
+    if drop_docs is not None and drop_docs.size and total:
+        from .codec import _i64_to_u64_ordered
+        drop_u = np.sort(_i64_to_u64_ordered(
+            np.asarray(drop_docs, dtype=np.int64)))
+        j = np.searchsorted(drop_u, du)
+        hit = j < drop_u.size
+        hit[hit] = drop_u[j[hit]] == du[hit]
+        keep = ~hit
+        if has_pos:
+            src_pos = src_pos[np.repeat(keep, tfs)]
+        du, tfs, dls, gid = du[keep], tfs[keep], dls[keep], gid[keep]
+        total = int(du.size)
+        if total == 0:
+            return _empty_blocks()
 
     # ---- k-way merge: sort postings by (group, doc) ------------------------
     order = np.lexsort((du, gid))
@@ -200,7 +221,9 @@ def merge_group_pandas(pdf: pd.DataFrame, block_size: int = 128,
 
 
 def merge_segments(segments, block_size: int = 128,
-                   on_duplicate: str = "error", num_partitions: int | None = None):
+                   on_duplicate: str = "error",
+                   num_partitions: int | None = None,
+                   drop_docs: np.ndarray | None = None):
     """segments DataFrame -> posting-block DataFrame.
 
     One hash shuffle on (bucket, term, salt), JVM sort within partitions,
@@ -228,9 +251,11 @@ def merge_segments(segments, block_size: int = 128,
             head = pdf.iloc[:cut]
             if len(head):
                 yield merge_rows_vectorized(head.reset_index(drop=True),
-                                            block_size, on_duplicate)
+                                            block_size, on_duplicate,
+                                            drop_docs)
         if carry is not None and len(carry):
-            yield merge_rows_vectorized(carry, block_size, on_duplicate)
+            yield merge_rows_vectorized(carry, block_size, on_duplicate,
+                                        drop_docs)
 
     parts = segments.repartition(num_partitions, *key) if num_partitions \
         else segments.repartition(*key)

@@ -84,6 +84,12 @@ class SearchIndex:
         self.docs = spark.read.parquet(f"{index_dir}/docs")
         self.terms = spark.read.parquet(f"{index_dir}/terms")
         self._has_field = "field" in self.terms.columns
+        # tombstoned deletes (pre-vacuum): excluded from every search result;
+        # df/avgdl stats stay stale until IndexBuilder.vacuum (documented)
+        from .build import _read_local_parquet
+        t = _read_local_parquet(f"{index_dir}/tombstones")
+        self.tombstones = np.sort(t["doc_id"].to_numpy(np.int64)) \
+            if t is not None and not t.empty else None
 
     # -- stats ---------------------------------------------------------------
     def term_stats(self, terms: list[str]) -> dict[str, dict]:
@@ -166,12 +172,17 @@ class SearchIndex:
         n_query = len(terms)
         qmul = float(10 ** quantize) if quantize else None
 
+        drop = self.tombstones
+
         def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
             # one TermBlocks per (term, field) stream, ascending order
             by_tf = {(t, int(f)): _term_blocks_from_pdf(
                         g, idfs[(t, int(f))], favg.get(int(f), avgdl))
                      for (t, f), g in pdf.groupby(["term", "field"])
                      if (t, int(f)) in idfs}
+            if drop is not None:
+                by_tf = {k: tb.without_docs(drop) for k, tb in by_tf.items()}
+                by_tf = {k: tb for k, tb in by_tf.items() if tb.total}
             terms_here = {t for t, _ in by_tf}
             if mode == "AND" and len(terms_here) < n_query:
                 return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
@@ -213,6 +224,8 @@ class SearchIndex:
         if len(stats) < len(uniq):
             return self._empty()
 
+        tombs = self.tombstones
+
         def matcher(pdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                                   "field": pd.array([], dtype="int32"),
@@ -232,6 +245,8 @@ class SearchIndex:
                 for t in uniq[1:]:
                     cand = np.intersect1d(cand, data[t]["docs"],
                                           assume_unique=True)
+                if tombs is not None and cand.size:
+                    cand = cand[~np.isin(cand, tombs)]
                 for d in cand:
                     starts = _doc_positions(data[terms[0]], int(d))
                     for i, t in enumerate(terms[1:], start=1):

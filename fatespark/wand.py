@@ -155,6 +155,44 @@ class TermBlocks:
         self._all = (docs, tfs, dls)
         return self._all
 
+    @classmethod
+    def from_arrays(cls, idf: float, docs: np.ndarray, tfs: np.ndarray,
+                    dls: np.ndarray, avgdl: float = 0.0,
+                    block_size: int = 128) -> "TermBlocks":
+        """Build directly from decoded doc-sorted arrays (tombstone-filtered
+        streams); block metadata recomputed so WAND bounds stay tight."""
+        tb = cls.__new__(cls)
+        tb.idf = float(idf)
+        tb.avgdl = float(avgdl)
+        nb = (docs.size + block_size - 1) // block_size
+        starts = np.arange(nb, dtype=np.int64) * block_size
+        ends = np.minimum(starts + block_size, docs.size)
+        tb.first = docs[starts] if nb else np.zeros(0, np.int64)
+        tb.last = docs[ends - 1] if nb else np.zeros(0, np.int64)
+        tb.ns = ends - starts
+        tb.max_tf = np.maximum.reduceat(tfs, starts) if nb else \
+            np.zeros(0, np.int64)
+        tb.min_dl = np.minimum.reduceat(dls, starts) if nb else \
+            np.zeros(0, np.int64)
+        tb.enc_docs = tb.enc_tfs = tb.enc_dls = None
+        tb._cache = {i: (docs[a:b], tfs[a:b], dls[a:b])
+                     for i, (a, b) in enumerate(zip(starts, ends))}
+        tb._all = (docs, tfs, dls)
+        tb.total = int(docs.size)
+        return tb
+
+    def without_docs(self, drop_sorted: np.ndarray) -> "TermBlocks":
+        """Copy of this stream with the (sorted int64) doc ids removed."""
+        docs, tfs, dls = self.decode_all()
+        j = np.searchsorted(drop_sorted, docs)
+        hit = j < drop_sorted.size
+        hit[hit] = drop_sorted[j[hit]] == docs[hit]
+        if not hit.any():
+            return self
+        keep = ~hit
+        return TermBlocks.from_arrays(self.idf, docs[keep], tfs[keep],
+                                      dls[keep], avgdl=self.avgdl)
+
     def block_ub(self, i: int, avgdl: float | None = None) -> float:
         a = self.avgdl if avgdl is None else avgdl
         return self.idf * float(bm25_part(self.max_tf[i], self.min_dl[i], a))
