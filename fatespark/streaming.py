@@ -71,6 +71,78 @@ class StreamingIndexer:
                                n_chunks=self._epochs_done)
 
 
+def streaming_term_stats(stream_df: DataFrame, *,
+                         text_col: str = "text",
+                         analyzer: str = "whitespace",
+                         salt_bits: int = 0):
+    """Incrementally-maintained term statistics over a document stream via
+    ``applyInPandasWithState`` — the custom STATEFUL streaming operator
+    (running ``(term, df, cf)`` per term, emitted on every update). This is
+    the terms-dictionary half of the index kept fresh without the full
+    postings rescan ``finalize`` performs; at head-term scale the optional
+    doc-hash salt splits a term's state across ``2^salt_bits`` keys (same
+    Zipf-skew discipline as the merge) and readers sum the partials.
+
+    Returns a streaming DataFrame (term, salt, df, cf) in update mode; pair
+    with ``foreachBatch``/``toTable`` to land it. Batch-vs-stream parity is
+    tested (availableNow over a growing source == one-shot recompute)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .analysis import ANALYZERS, ascii_fold
+    from .ids import salt_of
+
+    tok, _ = ANALYZERS[analyzer]
+
+    def explode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            toks = [tok(ascii_fold(t) if t is not None else "")
+                    for t in pdf[text_col]]
+            lens = np.fromiter(map(len, toks), np.int64, len(toks))
+            if not lens.sum():
+                continue
+            flat = np.concatenate([np.asarray(t, dtype=object)
+                                   for t in toks if t])
+            doc_idx = np.repeat(np.arange(ids.size), lens)
+            salts = salt_of(ids, salt_bits)[doc_idx]
+            out = pd.DataFrame({"term": flat, "salt": salts.astype("int32"),
+                                "doc_id": ids[doc_idx]})
+            # per-(term, salt, doc) tf -> one row per posting
+            g = (out.groupby(["term", "salt", "doc_id"], sort=False)
+                 .size().reset_index(name="tf"))
+            yield g
+
+    postings = stream_df.select("doc_id", text_col).mapInPandas(
+        explode, "term string, salt int, doc_id long, tf long")
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        df_inc = 0
+        cf_inc = 0
+        for pdf in pdfs:
+            df_inc += int(pdf["doc_id"].nunique())
+            cf_inc += int(pdf["tf"].sum())
+        if state.exists:
+            df0, cf0 = state.get
+        else:
+            df0, cf0 = 0, 0
+        state.update((df0 + df_inc, cf0 + cf_inc))
+        yield pd.DataFrame({"term": [key[0]], "salt": [key[1]],
+                            "df": [df0 + df_inc], "cf": [cf0 + cf_inc]})
+
+    return postings.groupBy("term", "salt").applyInPandasWithState(
+        update,
+        outputStructType="term string, salt int, df long, cf long",
+        stateStructType="df long, cf long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+
 def index_stream(stream_df: DataFrame, builder: IndexBuilder, *,
                  checkpoint_dir: str, url_col: str = "url",
                  id_col: str | None = None, text_col: str = "text",

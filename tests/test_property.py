@@ -1,0 +1,96 @@
+"""Hypothesis property tests over the pure kernels — codec round-trips on
+adversarial shapes, analyzer invariants, stemmer sanity, top-k total order.
+(The reference has no property tests; SURVEY §5 target plan adds them.)"""
+
+import re
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fatespark.analysis import ascii_fold, whitespace_token_offsets, \
+    whitespace_tokens
+from fatespark.codec import (
+    delta_decode_ids,
+    delta_encode_ids,
+    varint_decode,
+    varint_encode,
+)
+from fatespark.stem import porter_stem
+from fatespark.wand import topk_select
+
+u64s = st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=200)
+
+
+@settings(max_examples=200, deadline=None)
+@given(u64s)
+def test_varint_roundtrip(vals):
+    a = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(a), a.size), a)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                max_size=150, unique=True))
+def test_doc_id_delta_roundtrip_any_signed(ids):
+    # doc lists are stored sorted in u64o (unsigned-mapped) order
+    from fatespark.codec import _i64_to_u64_ordered, _u64_to_i64_ordered
+    a = _u64_to_i64_ordered(np.sort(_i64_to_u64_ordered(
+        np.array(ids, dtype=np.int64))))
+    assert np.array_equal(delta_decode_ids(delta_encode_ids(a), a.size), a)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=300))
+def test_tokenizer_invariants(text):
+    toks = whitespace_tokens(text)
+    offs = whitespace_token_offsets(text)
+    # one offset triple per token, each pointing at its token start
+    assert len(toks) == len(offs)
+    for tok, (start, _, _) in zip(toks, offs):
+        assert text[start:start + len(tok)] == tok
+    # tokens contain no ASCII whitespace and cover all non-ws chars
+    ws = set(" \t\n\r\f\v")
+    assert all(not (set(t) & ws) for t in toks)
+    assert sum(map(len, toks)) == sum(1 for c in text if c not in ws)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=100))
+def test_fold_idempotent_and_length_preserving(text):
+    f = ascii_fold(text)
+    assert len(f) == len(text)
+    assert ascii_fold(f) == f
+    # non-ASCII untouched
+    for a, b in zip(text, f):
+        if ord(a) > 127:
+            assert a == b
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+               max_size=30))
+def test_stemmer_invariants(w):
+    s = porter_stem(w)
+    assert len(s) <= len(w) + 1          # +1: e-restoration (hop -> hope)
+    assert s == "" or (s.isascii() and s.islower())
+    if len(w) <= 2:
+        assert s == w
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=-1000, max_value=1000),
+                          st.floats(min_value=0, max_value=10,
+                                    allow_nan=False)),
+                max_size=80),
+       st.integers(min_value=1, max_value=20))
+def test_topk_select_is_total_order_prefix(pairs, k):
+    seen = {}
+    for d, s in pairs:  # unique doc ids
+        seen[d] = s
+    docs = np.array(list(seen), dtype=np.int64)
+    scores = np.array([seen[d] for d in docs], dtype=np.float64)
+    got_d, got_s = topk_select(docs, scores, k)
+    want = sorted(zip(docs.tolist(), scores.tolist()),
+                  key=lambda p: (-p[1], p[0]))[:k]
+    assert list(zip(got_d.tolist(), got_s.tolist())) == want

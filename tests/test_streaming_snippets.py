@@ -78,3 +78,51 @@ class TestSnippets:
         res = corpus.select("doc_id", "score")
         out = snippets(res, corpus.select("doc_id", "text"), "gamma").collect()
         assert out[0]["snippet"] == ""
+
+
+class TestStreamingTermStats:
+    def test_stateful_stats_match_batch_recompute(self, spark, tmp_root):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from fatespark.corpus import pages_pandas
+        from fatespark.streaming import streaming_term_stats
+
+        src = str(tmp_root / "sts_src")
+        # two files -> two micro-batches with maxFilesPerTrigger=1
+        for i, lo in enumerate([0, 600]):
+            pdf = pages_pandas(np.arange(lo, lo + 600))
+            pdf["doc_id"] = np.arange(lo, lo + 600, dtype=np.int64)
+            sdf = spark.createDataFrame(pdf[["doc_id", "text"]])
+            sdf.coalesce(1).write.mode("append").parquet(src)
+
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        out = streaming_term_stats(stream, salt_bits=1)
+        q = (out.writeStream.format("memory").queryName("sts")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_root / "sts_ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        # last update per (term, salt) wins; df is monotone so max == last
+        final = (spark.table("sts").groupBy("term", "salt")
+                 .agg(F.max("df").alias("df"), F.max("cf").alias("cf"))
+                 .groupBy("term")
+                 .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
+        got = {r["term"]: (r["df"], r["cf"]) for r in final.collect()}
+
+        from fatespark.analysis import analyze
+        pdf = pages_pandas(np.arange(0, 1200))
+        exp: dict[str, list[int]] = {}
+        for text in pdf["text"]:
+            toks = analyze(text)
+            for t in set(toks):
+                e = exp.setdefault(t, [0, 0])
+                e[0] += 1
+            for t in toks:
+                exp[t][1] += 1
+        assert len(got) == len(exp)
+        for t, (df, cf) in exp.items():
+            assert got[t] == (df, cf), t
