@@ -150,6 +150,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return snippets(res, docs, QS["or2"], size=30)
     q["ft_snippets"] = ft_snippets
 
+    def ft_local_topk(spark, sf):
+        """Driver-local read path (no Spark jobs for the query itself):
+        LocalSearchIndex over the same index dir, same kernels — shares the
+        ft_topk_or2 oracle, proving distributed/local parity at the driver
+        surface."""
+        from fatespark.local import LocalSearchIndex
+        _index(spark, sf)  # ensure built
+        tag = os.path.basename(os.path.normpath(sf)) or "sf"
+        loc = LocalSearchIndex(f"/tmp/fatespark_entry_idx/{tag}")
+        pdf = loc.search(QS["or2"], k=10, mode="OR", quantize=4)
+        return spark.createDataFrame(pdf, "doc_id long, score double")
+    q["ft_local_topk"] = ft_local_topk
+
     def ft_multifield_topk(spark, sf):
         """Weighted two-field BM25 (text w=1, source w=2) — the reference's
         weighted-field ranking upgraded (lib/fates.rb:65)."""
@@ -570,6 +583,7 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     # ft_phrase: intentionally no oracle (positions logic) → rows-only check
 
     o["ft_topk_paged"] = _bm25_sql(QS["or2"], "OR", limit=5, offset=5)
+    o["ft_local_topk"] = _bm25_sql(QS["or2"], "OR")  # same oracle as or2
 
     # weighted two-field BM25 (fields: 0=text w=1.0, 1=source w=2.0);
     # summation order = ascending (term, field), engine parity
