@@ -1,0 +1,138 @@
+"""End-to-end parity against the reference's OWN corpus and query scenario.
+
+Indexes the actual 50,000-row ``spec/samples/contacts.csv`` shipped with the
+reference (the corpus behind every README transcript, ``README.markdown:
+20-93``; field order [last_name, first_name] exactly as ``tasks/fates.rake:
+49`` adds ``[row[2], row[1]]``) and checks the engine against a pure-Python
+oracle of fates' suffix-prefix hit semantics computed from the same CSV.
+
+The README transcript reports ``QUERY='Smith'`` -> 4370 hits, but that run
+used a different ``rake fates:randomize`` shuffle of the CSV (the randomize
+task re-draws names, ``tasks/fates.rake:9-21``) — so the assertions here pin
+the engine to the oracle on the SHIPPED corpus (4,380 smith-prefixed token
+starts), not to the transcript's literal number.
+
+Skipped when the reference checkout is absent.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pandas as pd
+import pytest
+
+from fatespark.build import BuildConfig, IndexBuilder
+from fatespark.query import SearchIndex
+
+CSV = "/root/reference/spec/samples/contacts.csv"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(CSV), reason="reference corpus not available")
+
+_TOKEN = re.compile(r"\S+")
+
+
+def _load_csv() -> pd.DataFrame:
+    df = pd.read_csv(CSV, header=None, names=["id", "first", "last"])
+    df["id"] = df["id"].astype("int64")
+    return df
+
+
+def _prefix_hits(df: pd.DataFrame, prefix: str) -> dict[str, int]:
+    """fates hit semantics: a query matches every token START whose following
+    text begins with the (case-folded) query — ``'fa' ... match[es] faq,
+    fat, fat_entry`` (``README.markdown:7-9``). Returns per-term counts over
+    BOTH fields (the suffix array spans all fields)."""
+    out: dict[str, int] = {}
+    for col in ("last", "first"):  # reference field order, fates.rake:49
+        for v in df[col]:
+            for t in _TOKEN.findall(str(v)):
+                tl = t.lower()
+                if tl.startswith(prefix):
+                    out[tl] = out.get(tl, 0) + 1
+    return out
+
+
+@pytest.fixture(scope="module")
+def ref(spark, tmp_root):
+    d = str(tmp_root / "reference_contacts_idx")
+    pdf = _load_csv()
+    sdf = spark.createDataFrame(
+        pdf.rename(columns={"last": "last_name", "first": "first_name"}))
+    IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=0)).build(
+        spark, sdf, id_col="id", url_col="id",
+        text_cols=["last_name", "first_name"])
+    return SearchIndex(spark, d), pdf
+
+
+def test_corpus_size(ref):
+    idx, pdf = ref
+    assert idx.n_docs == len(pdf) == 50_000
+
+
+def test_smith_hit_count_matches_oracle(ref):
+    """The README's headline query. On the shipped CSV every smith-prefixed
+    token is exactly 'smith', so term count == prefix count == 4,380."""
+    idx, pdf = ref
+    oracle = _prefix_hits(pdf, "smith")
+    assert oracle == {"smith": 4380}
+    assert idx.count_occurrences("Smith") == 4380
+    # per-field split agrees with the CSV
+    last = sum(str(v).lower().startswith("smith") for v in pdf["last"])
+    assert idx.count_occurrences("Smith", field=0) == last
+    assert idx.count_occurrences("Smith", field=1) == 4380 - last
+
+
+def test_prefix_fa_expansion_matches_oracle(ref):
+    """'fa' -> faq, fat, ... (``README.markdown:7-9``): the term-dictionary
+    range scan must surface exactly the oracle's prefixed terms with exact
+    occurrence counts."""
+    idx, pdf = ref
+    oracle = _prefix_hits(pdf, "fa")
+    assert oracle  # the names corpus has Fay/Faith/...
+    assert set(idx.expand_prefix("fa")) == set(oracle)
+    got = {t: idx.count_occurrences(t) for t in oracle}
+    assert got == oracle
+
+
+def test_ranked_smith_scenario(ref):
+    """The SORT='y' transcript scenario (``README.markdown:66-89``): with the
+    reference's unequal field weights (last_name dominant, ``tasks/
+    fates.rake:95``) every last-name Smith outranks any first-name-only
+    Smith. Weights upgrade to weighted per-field BM25 per the north rule."""
+    idx, pdf = ref
+    top = idx.search(["Smith"], k=10, mode="OR", weights=[5.0, 1.0]).collect()
+    assert len(top) == 10
+    by_id = pdf.set_index("id")
+    for r in top:
+        assert str(by_id.loc[r["doc_id"], "last"]).lower() == "smith"
+    # scores strictly grouped: worst last-name hit > best first-name-only hit
+    first_only = pdf[(pdf["first"].str.lower() == "smith")
+                     & (pdf["last"].str.lower() != "smith")]
+    if len(first_only):
+        probe = idx.search(["Smith"], k=idx.n_docs, mode="OR",
+                           weights=[5.0, 1.0])
+        import pyspark.sql.functions as F
+        worst_last = probe.filter(
+            F.col("doc_id").isin([int(i) for i in
+                                  pdf[pdf["last"].str.lower() == "smith"]
+                                  ["id"].head(50)])) \
+            .agg(F.min("score")).collect()[0][0]
+        best_first = probe.filter(
+            F.col("doc_id").isin([int(i) for i in first_only["id"].head(50)])) \
+            .agg(F.max("score")).collect()[0][0]
+        if worst_last is not None and best_first is not None:
+            assert worst_last > best_first
+
+
+def test_unranked_count_vs_doc_granularity(ref):
+    """hits (4,380 occurrences) vs docs: a contact named 'Smith Smith' would
+    count twice in hits but once per field in df — pin both views."""
+    idx, pdf = ref
+    n_last = sum(str(v).lower() == "smith" for v in pdf["last"])
+    n_first = sum(str(v).lower() == "smith" for v in pdf["first"])
+    assert idx.count("Smith", field=0) == n_last
+    assert idx.count("Smith", field=1) == n_first
+    assert idx.count("Smith") == n_last + n_first
