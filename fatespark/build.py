@@ -95,6 +95,10 @@ class BuildConfig:
     analyzers: list[str] | None = None
     store_positions: bool = True
     on_duplicate: str = "error"
+    # posting-block codec for the merged index (north rule names both):
+    # "varint" (delta+LEB128 streams) or "pfor" (NewPFD frames with varint
+    # fallback, ~15-60% smaller blocks; codec.get_codec / pfor.py)
+    codec: str = "varint"
 
     def field_analyzers(self, n_fields: int) -> list[str]:
         if self.analyzers is not None:
@@ -221,7 +225,8 @@ class IndexBuilder:
             store_positions=cfg.store_positions,
             text_cols=fcols, analyzers=anas)
         blocks = merge_segments(segments, block_size=cfg.block_size,
-                                on_duplicate=cfg.on_duplicate)
+                                on_duplicate=cfg.on_duplicate,
+                                out_codec=cfg.codec)
         blocks.write.mode("overwrite").parquet(
             self._p(f"postings/chunk={chunk_id}"))
         t_post = time.time() - t1
@@ -295,8 +300,10 @@ class IndexBuilder:
         return n, s, per_field
 
     def _finalize(self, spark: SparkSession, *, build_id: str,
-                  n_chunks: int, n_fields: int = 1) -> None:
+                  n_chunks: int, n_fields: int = 1,
+                  codec: str | None = None) -> None:
         cfg = self.config
+        codec = codec or cfg.codec
         blocks = spark.read.parquet(self._p("postings"))
         terms = (blocks.groupBy("term", "field")
                  .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"),
@@ -323,7 +330,7 @@ class IndexBuilder:
             "n_fields": n_fields,
             "n_buckets": cfg.n_buckets, "salt_bits": cfg.salt_bits,
             "block_size": cfg.block_size, "analyzer": cfg.analyzer,
-            "store_positions": cfg.store_positions,
+            "store_positions": cfg.store_positions, "codec": codec,
             "build_id": build_id, "n_chunks": n_chunks,
         }])
         # publish marker: written last, required by SearchIndex.load
@@ -369,9 +376,10 @@ class IndexBuilder:
             "bucket", "term", "field", F.col("block_id").alias("salt"),
             F.col("n").cast("long").alias("n"), "sum_tf", "max_tf", "min_dl",
             "docs", "tfs", "dls", "poss")
+        mc = self.meta_codec(spark)  # blocks carry the BUILT codec, not cfg's
         merged = merge_segments(pseudo, block_size=cfg.block_size,
                                 on_duplicate=cfg.on_duplicate,
-                                drop_docs=drop)
+                                drop_docs=drop, in_codec=mc, out_codec=mc)
         merged.write.mode("overwrite").parquet(self._p("postings_new"))
 
         docs = spark.read.parquet(self._p("docs"))
@@ -393,7 +401,8 @@ class IndexBuilder:
                      "postings_local"):
             shutil.rmtree(self._p(name), ignore_errors=True)
 
-        self._finalize(spark, build_id=build_id, n_chunks=1, n_fields=nf)
+        self._finalize(spark, build_id=build_id, n_chunks=1, n_fields=nf,
+                       codec=mc)
         agg = spark.read.parquet(self._p("postings")).agg(
             F.sum("n"), F.count("*")).collect()[0]
         return {"dropped": int(drop.size), "postings": int(agg[0] or 0),
@@ -404,6 +413,12 @@ class IndexBuilder:
         if m is None or m.empty or "n_fields" not in m.columns:
             return 1
         return int(m.iloc[0]["n_fields"] or 1)
+
+    def meta_codec(self, spark: SparkSession) -> str:
+        m = _read_local_parquet(self._p("meta"))
+        if m is None or m.empty or "codec" not in m.columns:
+            return "varint"
+        return str(m.iloc[0]["codec"] or "varint")
 
     def compact_local(self, spark: SparkSession,
                       rg_bytes: int = 1 << 20) -> None:

@@ -200,3 +200,53 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
     starts = np.zeros(tfs.size, dtype=np.int64)
     np.cumsum(tfs[:-1], out=starts[1:])
     return segmented_cumsum_u64(gaps, starts).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Pluggable posting-block codec (north rule: "varint/PForDelta compression").
+# The MERGED index's docs/tfs/dls blocks encode through one of these;
+# positions are always varint (per-doc runs are too short for PFor frames).
+# The codec name is recorded in the index ``meta`` table and resolved by
+# every reader, so indexes built with either codec are self-describing.
+# ---------------------------------------------------------------------------
+
+class PostingCodec:
+    """Base: per-group frame encode + count-aware decode. Subclasses are
+    stateless (all staticmethods/classmethods) so closures can capture the
+    NAME and re-resolve with ``get_codec`` inside executors."""
+
+    name = "varint"
+    encode_grouped = staticmethod(encode_grouped)
+
+    @staticmethod
+    def decode(buf: bytes, n: int) -> np.ndarray:
+        return varint_decode(buf, n)
+
+    @staticmethod
+    def decode_concat(bufs: list[bytes], ns, total: int | None = None
+                      ) -> np.ndarray:
+        return varint_decode_concat(list(bufs), total)
+
+    @classmethod
+    def decode_ids(cls, buf: bytes, n: int) -> np.ndarray:
+        gaps = cls.decode(buf, n)
+        if gaps.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        return _u64_to_i64_ordered(np.cumsum(gaps, dtype=np.uint64))
+
+    @classmethod
+    def decode_u32s(cls, buf: bytes, n: int) -> np.ndarray:
+        return cls.decode(buf, n).astype(np.int64)
+
+
+def get_codec(name) -> type[PostingCodec]:
+    """Resolve a codec by name (None/'' -> varint). Accepts a codec class
+    and returns it unchanged, so call sites can take either."""
+    if isinstance(name, type) and issubclass(name, PostingCodec):
+        return name
+    if not name or name == "varint":
+        return PostingCodec
+    if name == "pfor":
+        from .pfor import PForPostingCodec
+        return PForPostingCodec
+    raise ValueError(f"unknown posting codec: {name!r}")

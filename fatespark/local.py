@@ -111,6 +111,7 @@ class LocalSearchIndex:
         self.avgdl = float(m["avgdl"])
         self.n_fields = int(m.get("n_fields", 1) or 1)
         self.analyzer = m["analyzer"]
+        self.codec_name = str(m.get("codec") or "varint")
         self.meta = m
         fsp = sorted(glob.glob(os.path.join(index_dir, "field_stats",
                                             "*.parquet")))
@@ -190,7 +191,8 @@ class LocalSearchIndex:
         for _, bpdf in pdf.groupby("bucket"):
             by_tf = {(t, int(f)): _term_blocks_from_pdf(
                         g, idfs[(t, int(f))],
-                        self.field_avgdl.get(int(f), self.avgdl))
+                        self.field_avgdl.get(int(f), self.avgdl),
+                        self.codec_name)
                      for (t, f), g in bpdf.groupby(["term", "field"])
                      if (t, int(f)) in idfs}
             if self.tombstones is not None:

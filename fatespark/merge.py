@@ -37,6 +37,7 @@ import pandas as pd
 
 from .codec import (
     encode_grouped,
+    get_codec,
     segmented_cumsum_u64,
     segmented_delta,
     varint_decode_concat,
@@ -64,7 +65,9 @@ def _empty_blocks() -> pd.DataFrame:
 
 def merge_rows_vectorized(pdf: pd.DataFrame, block_size: int = 128,
                           on_duplicate: str = "error",
-                          drop_docs: np.ndarray | None = None) -> pd.DataFrame:
+                          drop_docs: np.ndarray | None = None,
+                          in_codec: str = "varint",
+                          out_codec: str = "varint") -> pd.DataFrame:
     """Merge a batch of segment rows that is CONTIGUOUS in (bucket, term,
     salt) into posting-block rows. Vectorized across every group in the
     batch: one flat varint decode, one lexsort (k-way merge of pre-sorted
@@ -72,20 +75,26 @@ def merge_rows_vectorized(pdf: pd.DataFrame, block_size: int = 128,
 
     ``drop_docs`` (sorted int64 doc ids) filters those docs' postings out
     after the flat decode — the vacuum/compaction path (tombstoned deletes
-    applied while rewriting blocks)."""
+    applied while rewriting blocks).
+
+    ``in_codec``/``out_codec`` select the docs/tfs/dls block codec
+    (``codec.get_codec``): map-side segments are always varint, but the
+    vacuum path re-feeds already-merged blocks whose codec is whatever the
+    index was built with. Positions are varint in both directions."""
     nrows = len(pdf)
     if nrows == 0:
         return _empty_blocks()
+    in_c, out_c = get_codec(in_codec), get_codec(out_codec)
     ns = pdf["n"].to_numpy(np.int64)
     total = int(ns.sum())
     row_starts = np.zeros(nrows, dtype=np.int64)
     np.cumsum(ns[:-1], out=row_starts[1:])
 
     # ---- flat decode of all rows at once -----------------------------------
-    d_gaps = varint_decode_concat(list(pdf["docs"]), total)
+    d_gaps = in_c.decode_concat(list(pdf["docs"]), ns, total)
     du = segmented_cumsum_u64(d_gaps, row_starts)          # u64-ordered ids
-    tfs = varint_decode_concat(list(pdf["tfs"]), total).astype(np.int64)
-    dls = varint_decode_concat(list(pdf["dls"]), total).astype(np.int64)
+    tfs = in_c.decode_concat(list(pdf["tfs"]), ns, total).astype(np.int64)
+    dls = in_c.decode_concat(list(pdf["dls"]), ns, total).astype(np.int64)
     has_pos = bool(pdf["poss"].iloc[0])
     if has_pos:
         tok_total = int(tfs.sum())
@@ -169,9 +178,10 @@ def merge_rows_vectorized(pdf: pd.DataFrame, block_size: int = 128,
     del row_of_block
 
     # ---- re-encode (flat, grouped by block) ---------------------------------
-    docs_enc = encode_grouped(segmented_delta(du_s, blk_starts), blk_starts)
-    tfs_enc = encode_grouped(tfs_s.astype(np.uint64), blk_starts)
-    dls_enc = encode_grouped(dls_s.astype(np.uint64), blk_starts)
+    docs_enc = out_c.encode_grouped(segmented_delta(du_s, blk_starts),
+                                    blk_starts)
+    tfs_enc = out_c.encode_grouped(tfs_s.astype(np.uint64), blk_starts)
+    dls_enc = out_c.encode_grouped(dls_s.astype(np.uint64), blk_starts)
     if has_pos:
         # permute variable-length per-doc position runs into merged order
         src_doc = np.repeat(np.arange(total, dtype=np.int64), tfs)
@@ -223,7 +233,9 @@ def merge_group_pandas(pdf: pd.DataFrame, block_size: int = 128,
 def merge_segments(segments, block_size: int = 128,
                    on_duplicate: str = "error",
                    num_partitions: int | None = None,
-                   drop_docs: np.ndarray | None = None):
+                   drop_docs: np.ndarray | None = None,
+                   in_codec: str = "varint",
+                   out_codec: str = "varint"):
     """segments DataFrame -> posting-block DataFrame.
 
     One hash shuffle on (bucket, term, salt), JVM sort within partitions,
@@ -252,10 +264,10 @@ def merge_segments(segments, block_size: int = 128,
             if len(head):
                 yield merge_rows_vectorized(head.reset_index(drop=True),
                                             block_size, on_duplicate,
-                                            drop_docs)
+                                            drop_docs, in_codec, out_codec)
         if carry is not None and len(carry):
             yield merge_rows_vectorized(carry, block_size, on_duplicate,
-                                        drop_docs)
+                                        drop_docs, in_codec, out_codec)
 
     parts = segments.repartition(num_partitions, *key) if num_partitions \
         else segments.repartition(*key)

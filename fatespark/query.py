@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .analysis import ANALYZERS, ascii_fold
-from .codec import decode_positions, decode_u32s, delta_decode_ids
+from .codec import decode_positions, get_codec
 from .oracle import idf as idf_fn
 from .wand import TermBlocks, score_and, score_bmw_or, score_exhaustive_or
 
@@ -45,14 +45,15 @@ def _fold_terms(query: str | list[str], analyzer: str) -> list[str]:
     return sorted({ascii_fold(t) for t in raw})
 
 
-def _term_blocks_from_pdf(g: pd.DataFrame, idf: float,
-                          avgdl: float = 0.0) -> TermBlocks:
+def _term_blocks_from_pdf(g: pd.DataFrame, idf: float, avgdl: float = 0.0,
+                          codec: str = "varint") -> TermBlocks:
     return TermBlocks(
         idf,
         g["first_doc"].to_numpy(np.int64), g["last_doc"].to_numpy(np.int64),
         g["n"].to_numpy(np.int64), g["max_tf"].to_numpy(np.int64),
         g["min_dl"].to_numpy(np.int64),
-        list(g["docs"]), list(g["tfs"]), list(g["dls"]), avgdl=avgdl)
+        list(g["docs"]), list(g["tfs"]), list(g["dls"]), avgdl=avgdl,
+        codec=codec)
 
 
 class SearchIndex:
@@ -71,6 +72,7 @@ class SearchIndex:
         self.analyzer = m["analyzer"]
         self.store_positions = bool(m["store_positions"])
         self.n_fields = int(m.get("n_fields", 1) or 1)
+        self.codec_name = str(m.get("codec") or "varint")
         self.meta = m
         # per-field avgdl (BM25F normalization); pre-field_stats indexes fall
         # back to the corpus avgdl for their single field
@@ -173,11 +175,12 @@ class SearchIndex:
         qmul = float(10 ** quantize) if quantize else None
 
         drop = self.tombstones
+        codec = self.codec_name
 
         def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
             # one TermBlocks per (term, field) stream, ascending order
             by_tf = {(t, int(f)): _term_blocks_from_pdf(
-                        g, idfs[(t, int(f))], favg.get(int(f), avgdl))
+                        g, idfs[(t, int(f))], favg.get(int(f), avgdl), codec)
                      for (t, f), g in pdf.groupby(["term", "field"])
                      if (t, int(f)) in idfs}
             if drop is not None:
@@ -225,6 +228,7 @@ class SearchIndex:
             return self._empty()
 
         tombs = self.tombstones
+        codec = self.codec_name
 
         def matcher(pdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
@@ -236,7 +240,7 @@ class SearchIndex:
             # field boundary (unlike the reference's heap-wide byte match,
             # an acknowledged artifact of its single fulltext stream)
             for fid, fpdf in pdf.groupby("field"):
-                data = {t: _decode_with_positions(g)
+                data = {t: _decode_with_positions(g, codec)
                         for t, g in fpdf.groupby("term")}
                 if len(data) < len(uniq):  # a term absent in bucket+field
                     continue
@@ -352,16 +356,20 @@ def snippets(result: DataFrame, corpus: DataFrame, query: str | list[str],
     return joined.select(id_col, "score", snippet.alias("snippet"))
 
 
-def _decode_with_positions(g: pd.DataFrame) -> dict:
+def _decode_with_positions(g: pd.DataFrame, codec: str = "varint") -> dict:
     """Decode all block rows of one term within a bucket, positions included,
-    into doc-sorted arrays (handles cross-chunk block interleave)."""
+    into doc-sorted arrays (handles cross-chunk block interleave). Positions
+    are always varint; docs/tfs/dls use the index codec."""
+    c = get_codec(codec)
     ns = g["n"].to_numpy(np.int64)
-    docs = np.concatenate([delta_decode_ids(bb, int(n))
+    docs = np.concatenate([c.decode_ids(bb, int(n))
                            for bb, n in zip(g["docs"], ns)])
-    tfs = np.concatenate([decode_u32s(bb, int(n)) for bb, n in zip(g["tfs"], ns)])
-    dls = np.concatenate([decode_u32s(bb, int(n)) for bb, n in zip(g["dls"], ns)])
+    tfs = np.concatenate([c.decode_u32s(bb, int(n))
+                          for bb, n in zip(g["tfs"], ns)])
+    dls = np.concatenate([c.decode_u32s(bb, int(n))
+                          for bb, n in zip(g["dls"], ns)])
     poss = np.concatenate([
-        decode_positions(bb, decode_u32s(tt, int(n)))
+        decode_positions(bb, c.decode_u32s(tt, int(n)))
         for bb, tt, n in zip(g["poss"], g["tfs"], ns)]) if len(ns) else \
         np.zeros(0, dtype=np.int64)
     # compare, don't np.diff: int64 differences overflow for xxhash ids

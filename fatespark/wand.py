@@ -24,7 +24,7 @@ import heapq
 
 import numpy as np
 
-from .codec import decode_u32s, delta_decode_ids
+from .codec import get_codec
 
 K1 = 1.2
 B = 0.75
@@ -70,13 +70,16 @@ class TermBlocks:
     weights, ``lib/fates.rb:65``)."""
 
     __slots__ = ("idf", "avgdl", "first", "last", "ns", "max_tf", "min_dl",
-                 "enc_docs", "enc_tfs", "enc_dls", "_cache", "_all", "total")
+                 "enc_docs", "enc_tfs", "enc_dls", "_cache", "_all", "total",
+                 "codec")
 
     def __init__(self, idf: float, first, last, ns, max_tf, min_dl,
-                 enc_docs, enc_tfs, enc_dls, avgdl: float = 0.0):
+                 enc_docs, enc_tfs, enc_dls, avgdl: float = 0.0,
+                 codec: str = "varint"):
         order = np.argsort(np.asarray(first, dtype=np.int64), kind="mergesort")
         self.idf = float(idf)
         self.avgdl = float(avgdl)
+        self.codec = get_codec(codec)
         self.first = np.asarray(first, dtype=np.int64)[order]
         self.last = np.asarray(last, dtype=np.int64)[order]
         self.ns = np.asarray(ns, dtype=np.int64)[order]
@@ -111,9 +114,9 @@ class TermBlocks:
     def block(self, i: int):
         got = self._cache.get(i)
         if got is None:
-            got = (delta_decode_ids(self.enc_docs[i], int(self.ns[i])),
-                   decode_u32s(self.enc_tfs[i], int(self.ns[i])),
-                   decode_u32s(self.enc_dls[i], int(self.ns[i])))
+            got = (self.codec.decode_ids(self.enc_docs[i], int(self.ns[i])),
+                   self.codec.decode_u32s(self.enc_tfs[i], int(self.ns[i])),
+                   self.codec.decode_u32s(self.enc_dls[i], int(self.ns[i])))
             self._cache[i] = got
         return got
 
@@ -129,18 +132,16 @@ class TermBlocks:
             z = np.zeros(0, dtype=np.int64)
             return z, z, z
         if self.enc_docs is not None and not self._cache:
-            from .codec import (
-                _u64_to_i64_ordered,
-                segmented_cumsum_u64,
-                varint_decode_concat,
-            )
+            from .codec import _u64_to_i64_ordered, segmented_cumsum_u64
             total = self.total
             starts = np.zeros(len(self.ns), dtype=np.int64)
             np.cumsum(self.ns[:-1], out=starts[1:])
-            d_gaps = varint_decode_concat(self.enc_docs, total)
+            d_gaps = self.codec.decode_concat(self.enc_docs, self.ns, total)
             docs = _u64_to_i64_ordered(segmented_cumsum_u64(d_gaps, starts))
-            tfs = varint_decode_concat(self.enc_tfs, total).astype(np.int64)
-            dls = varint_decode_concat(self.enc_dls, total).astype(np.int64)
+            tfs = self.codec.decode_concat(self.enc_tfs, self.ns,
+                                           total).astype(np.int64)
+            dls = self.codec.decode_concat(self.enc_dls, self.ns,
+                                           total).astype(np.int64)
         else:
             parts = [self.block(i) for i in range(len(self.ns))]
             docs = np.concatenate([p[0] for p in parts])
@@ -164,6 +165,7 @@ class TermBlocks:
         tb = cls.__new__(cls)
         tb.idf = float(idf)
         tb.avgdl = float(avgdl)
+        tb.codec = get_codec("varint")  # unused: everything below is decoded
         nb = (docs.size + block_size - 1) // block_size
         starts = np.arange(nb, dtype=np.int64) * block_size
         ends = np.minimum(starts + block_size, docs.size)
