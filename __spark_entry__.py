@@ -183,6 +183,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   weights=[1.0, 2.0], quantize=4))
     q["ft_multifield_topk"] = ft_multifield_topk
 
+    def ft_pfor_topk(spark, sf):
+        """Same AND query as ft_topk_and2 over an index built with the
+        PForDelta block codec (BuildConfig(codec='pfor'), pfor.py) — shares
+        ft_topk_and2's oracle, proving the codec is bit-transparent at the
+        driver surface."""
+        tag = os.path.basename(os.path.normpath(sf)) or "sf"
+        d = f"/tmp/fatespark_entry_idx/{tag}_pfor"
+        docs = _read(spark, sf, "documents")
+        n = docs.count()
+        try:
+            idx = SearchIndex(spark, d)
+            if idx.n_docs != n or idx.codec_name != "pfor":
+                raise ValueError("stale index")
+        except Exception:
+            IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=0,
+                                        codec="pfor")).build(
+                spark, docs, id_col="doc_id", url_col="doc_id",
+                text_col="text", build_id="entry-pfor")
+            idx = SearchIndex(spark, d)
+        return _scores(idx.search(QS["and2"], k=10, mode="AND", quantize=4))
+    q["ft_pfor_topk"] = ft_pfor_topk
+
     def ft_stemmed_topk(spark, sf):  # rows-only (Porter not SQL-expressible)
         tag = os.path.basename(os.path.normpath(sf)) or "sf"
         d = f"/tmp/fatespark_entry_idx/{tag}_porter"
@@ -584,6 +606,7 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
 
     o["ft_topk_paged"] = _bm25_sql(QS["or2"], "OR", limit=5, offset=5)
     o["ft_local_topk"] = _bm25_sql(QS["or2"], "OR")  # same oracle as or2
+    o["ft_pfor_topk"] = _bm25_sql(QS["and2"], "AND")  # codec-transparent
 
     # weighted two-field BM25 (fields: 0=text w=1.0, 1=source w=2.0);
     # summation order = ascending (term, field), engine parity
