@@ -233,6 +233,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         textops.token_count_col("text").alias("n_tokens"))
     q["tx_token_count"] = tx_token_count
 
+    def tx_identifier_count(spark, sf):
+        d = _read(spark, sf, "documents")
+        return d.select("doc_id", textops.identifier_count_col("text")
+                        .alias("n_idents"))
+    q["tx_identifier_count"] = tx_identifier_count
+
     def tx_fingerprint(spark, sf):
         d = _read(spark, sf, "documents")
         return d.select("doc_id",
@@ -687,6 +693,12 @@ FROM j"""
 SELECT doc_id,
        len(list_filter(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}'),
                        x -> x <> '')) AS n_tokens
+FROM documents"""
+
+    o["tx_identifier_count"] = """
+SELECT doc_id,
+       len(regexp_extract_all(coalesce(text, ''),
+                              '[A-Za-z_][A-Za-z0-9_]*')) AS n_idents
 FROM documents"""
 
     o["tx_fingerprint"] = _FP_SQL

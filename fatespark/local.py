@@ -141,6 +141,7 @@ class LocalSearchIndex:
                          recursive=True):
             post = os.path.join(index_dir, "postings")
         self._post_ix = _RGIndex(post, "term")
+        self._docs_dir = os.path.join(index_dir, "docs")
 
     # -- stats --------------------------------------------------------------
     def term_stats(self, terms: list[str]) -> dict[str, dict]:
@@ -161,6 +162,15 @@ class LocalSearchIndex:
             return by_field.get(field, {}).get("df", 0)
         return sum(v["df"] for v in by_field.values())
 
+    def count_occurrences(self, term: str, field: int | None = None) -> int:
+        st = self.term_stats(_fold_terms(term, self.analyzer))
+        if not st:
+            return 0
+        by_field = next(iter(st.values()))
+        if field is not None:
+            return by_field.get(field, {}).get("cf", 0)
+        return sum(v["cf"] for v in by_field.values())
+
     # -- search -------------------------------------------------------------
     def _blocks(self, terms: list[str]) -> pd.DataFrame:
         return self._post_ix.read(
@@ -168,9 +178,21 @@ class LocalSearchIndex:
             ["bucket", "term", "field", "n", "first_doc", "last_doc",
              "max_tf", "min_dl", "docs", "tfs", "dls"])
 
+    def urls_of(self, doc_ids: list[int]) -> dict[int, str]:
+        """doc_id -> url from the docs table (pyarrow dataset filter with
+        row-group statistics pushdown; result sets are top-k sized)."""
+        import pyarrow.dataset as ds
+        import pyarrow.compute as pc
+        if not doc_ids:
+            return {}
+        t = ds.dataset(self._docs_dir, format="parquet").to_table(
+            columns=["doc_id", "url"],
+            filter=pc.field("doc_id").isin(list(doc_ids)))
+        return dict(zip(t["doc_id"].to_pylist(), t["url"].to_pylist()))
+
     def search(self, query: str | list[str], k: int = 10, mode: str = "AND",
                offset: int = 0, use_wand: bool = False,
-               quantize: int | None = None,
+               quantize: int | None = None, with_url: bool = False,
                weights: list[float] | None = None) -> pd.DataFrame:
         """Identical semantics and results to ``SearchIndex.search`` (same
         kernels, same per-bucket scoring, same (score DESC, doc_id ASC)
@@ -220,7 +242,76 @@ class LocalSearchIndex:
         allp = allp.sort_values(["score", "doc_id"],
                                 ascending=[False, True],
                                 kind="mergesort").head(k_local)
-        return allp.iloc[offset:].reset_index(drop=True)
+        out = allp.iloc[offset:].reset_index(drop=True)
+        if with_url:
+            u = self.urls_of([int(d) for d in out["doc_id"]])
+            out = out.assign(url=[u.get(int(d)) for d in out["doc_id"]])
+        return out
+
+    def search_phrase(self, phrase: str, k: int = 10,
+                      offset: int = 0) -> pd.DataFrame:
+        """Consecutive-token phrase over positions — identical semantics to
+        ``SearchIndex.search_phrase`` (phrase scored as a pseudo-term with
+        per-field df/idf; a phrase never crosses a field boundary), answered
+        from local row-group-pruned reads."""
+        from .query import _decode_with_positions, _doc_dl, _doc_positions
+        if not bool(self.meta.get("store_positions", True)):
+            raise ValueError("index built without positions; phrase disabled")
+        tok, _ = ANALYZERS[self.analyzer]
+        terms = [ascii_fold(t) for t in tok(ascii_fold(phrase))]
+        if not terms:
+            return _empty_result()
+        uniq = sorted(set(terms))
+        if len(self.term_stats(uniq)) < len(uniq):
+            return _empty_result()
+        pdf = self._post_ix.read(uniq, ["bucket", "term", "field", "n",
+                                        "docs", "tfs", "dls", "poss"])
+        rows: dict[str, list] = {"doc_id": [], "field": [], "tf": [], "dl": []}
+        for (_, fid), fpdf in pdf.groupby(["bucket", "field"]):
+            data = {t: _decode_with_positions(g, self.codec_name)
+                    for t, g in fpdf.groupby("term")}
+            if len(data) < len(uniq):
+                continue
+            cand = data[uniq[0]]["docs"]
+            for t in uniq[1:]:
+                cand = np.intersect1d(cand, data[t]["docs"],
+                                      assume_unique=True)
+            if self.tombstones is not None and cand.size:
+                cand = cand[~np.isin(cand, self.tombstones)]
+            for d in cand:
+                starts = _doc_positions(data[terms[0]], int(d))
+                for i, t in enumerate(terms[1:], start=1):
+                    if starts.size == 0:
+                        break
+                    starts = np.intersect1d(
+                        starts, _doc_positions(data[t], int(d)) - i,
+                        assume_unique=True)
+                if starts.size:
+                    rows["doc_id"].append(int(d))
+                    rows["field"].append(int(fid))
+                    rows["tf"].append(int(starts.size))
+                    rows["dl"].append(int(_doc_dl(data[terms[0]], int(d))))
+        if not rows["doc_id"]:
+            return _empty_result()
+        m = pd.DataFrame(rows).sort_values(["doc_id", "field"],
+                                           kind="mergesort")
+        k1, b = 1.2, 0.75
+        score = np.zeros(len(m), dtype=np.float64)
+        tf = m["tf"].to_numpy(np.float64)
+        dl = m["dl"].to_numpy(np.float64)
+        for f, g in m.groupby("field"):
+            dfp = int(len(g))
+            iv = idf_fn(self.n_docs, dfp)
+            ad = self.field_avgdl.get(int(f), self.avgdl)
+            sel = (m["field"] == f).to_numpy()
+            norm = (1.0 - b) + (b * dl[sel] / ad if ad > 0 else 0.0)
+            # same parenthesization as the Spark path and the oracle
+            score[sel] = iv * (tf[sel] * (k1 + 1.0) / (tf[sel] + k1 * norm))
+        m = m.assign(score=score)
+        out = (m.groupby("doc_id", as_index=False)["score"].sum()
+               .sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(k + offset))
+        return out.iloc[offset:][["doc_id", "score"]].reset_index(drop=True)
 
     def expand_prefix(self, prefix: str, max_terms: int = 256) -> list[str]:
         p = ascii_fold(prefix)

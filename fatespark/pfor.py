@@ -1,5 +1,12 @@
 """PForDelta (NewPFD-style) posting-block codec, numpy-vectorized.
 
+Published background: PFOR/PFOR-DELTA from Zukowski, Heman, Nes & Boncz,
+"Super-Scalar RAM-CPU Cache Compression" (ICDE 2006); the patched-exception
+variant with per-block width selection follows NewPFD from Yan, Ding & Suel,
+"Inverted Index Compression and Query Processing with Optimized Document
+Ordering" (WWW 2009). The varint-fallback hybrid for short tail-term lists
+is standard practice in Lucene-family engines.
+
 The north rule names "varint/PForDelta compression"; ``codec.py`` provides
 the delta+varint stream codec, this module the patched frame-of-reference
 alternative for the MERGED index's posting blocks (``merge.py`` emits fixed
@@ -141,7 +148,7 @@ def pfor_encode_grouped(values: np.ndarray,
     pb_start = np.zeros(G, dtype=np.int64)
     np.cumsum(pb_len[:-1], out=pb_start[1:])
     packed = np.zeros(int(pb_len.sum()), dtype=np.uint8)
-    for b in np.unique(b_grp[(~use_varint) & (b_grp > 0)] if G else b_grp):
+    for b in np.unique(b_grp[(~use_varint) & (b_grp > 0)]):
         b = int(b)
         sel = (b_grp == b) & ~use_varint
         if not sel.any():

@@ -306,20 +306,25 @@ class SearchIndex:
         return self._join_url(out) if with_url else out
 
     # -- prefix ----------------------------------------------------------------
-    def expand_prefix(self, prefix: str) -> list[str]:
+    def expand_prefix(self, prefix: str,
+                      max_terms: int | None = None) -> list[str]:
         p = ascii_fold(prefix)
         # >= p gives parquet row-group lower-bound pruning on the term-sorted
-        # table; startswith is the exact predicate
-        rows = (self.terms
-                .filter((F.col("term") >= p) & F.col("term").startswith(p))
-                .select("term").distinct().collect())
-        return sorted(r["term"] for r in rows)
+        # table; startswith is the exact predicate. ``max_terms`` pushes the
+        # bound into the plan (TakeOrdered) so a short prefix over a web-scale
+        # vocabulary never collects the whole expansion to the driver.
+        t = (self.terms
+             .filter((F.col("term") >= p) & F.col("term").startswith(p))
+             .select("term").distinct())
+        if max_terms is not None:
+            t = t.orderBy("term").limit(max_terms)
+        return sorted(r["term"] for r in t.collect())
 
     def search_prefix(self, prefix: str, k: int = 10, max_terms: int = 256,
                       with_url: bool = False,
                       quantize: int | None = None) -> DataFrame:
         """Prefix query ``fa%`` → dictionary range-expansion → OR-BM25."""
-        terms = self.expand_prefix(prefix)[:max_terms]
+        terms = self.expand_prefix(prefix, max_terms)
         if not terms:
             return self._empty()
         return self.search(terms, k=k, mode="OR", with_url=with_url,

@@ -38,6 +38,20 @@ def token_count_col(text_col: str):
     return F.size(tokens_col(text_col))
 
 
+IDENT_RE = "[A-Za-z_][A-Za-z0-9_]*"
+
+
+def identifier_count_col(text_col: str):
+    """Count of identifier tokens — the JVM twin of the reference's
+    SimpleIdentifierAnalyzer (``lib/analysis/simple_identifier_analyzer.rb:
+    15-23``: runs of ``[A-Za-z_][A-Za-z0-9_]*``, everything else a
+    separator; ``"1"`` and ``"$@!"`` yield none). Same non-overlapping
+    left-to-right match semantics in Java regex and RE2, so it is DuckDB
+    oracle-checkable."""
+    return F.regexp_count(F.coalesce(F.col(text_col), F.lit("")),
+                          F.lit(IDENT_RE))
+
+
 def normalized_text_col(text_col: str):
     """Canonical doc text: ASCII-fold + collapse whitespace runs to single
     spaces + trim — the exact-dedup key."""

@@ -188,3 +188,20 @@ class TestMultimodal:
         assert [r["frame_idx"] for r in frames] == [0, 4, 8]
         w, h, _ = multimodal.decode_image(bytes(frames[0]["frame"]))
         assert (w, h) == (4, 4)
+
+
+class TestIdentifierCount:
+    def test_matches_reference_analyzer_semantics(self, spark):
+        """JVM identifier_count_col == len(identifier tokenizer output) on
+        the reference's golden strings (simple_identifier_analyzer_test.rb:
+        9-33: '1' and '$@!' yield nothing)."""
+        from fatespark.analysis import identifier_tokens
+        cases = ["fat_entry", "1", "$@!", "a b2 _x 9y", "", None,
+                 "foo-bar baz_9 42x"]
+        pdf = pd.DataFrame({"doc_id": range(len(cases)), "text": cases})
+        df = spark.createDataFrame(pdf)
+        got = {r["doc_id"]: r["n"] for r in df.select(
+            "doc_id", textops.identifier_count_col("text").alias("n")
+        ).collect()}
+        for i, c in enumerate(cases):
+            assert got[i] == len(identifier_tokens(c or "")), c

@@ -88,3 +88,32 @@ def test_local_is_sparkless(pages_idx):
     out = loc.search(["the"], k=3, mode="OR")
     assert list(out.columns) == ["doc_id", "score"]
     assert len(out) == 3
+
+
+def test_phrase_matches_distributed(pages_idx):
+    dist, loc = pages_idx
+    for phrase in ["big array", "the", "no such phrase here"]:
+        a = _rows(dist.search_phrase(phrase, k=10))
+        b = _rows(loc.search_phrase(phrase, k=10))
+        assert a == b, phrase
+
+
+def test_phrase_pagination_matches(pages_idx):
+    dist, loc = pages_idx
+    a = _rows(dist.search_phrase("big array", k=5, offset=2))
+    b = _rows(loc.search_phrase("big array", k=5, offset=2))
+    assert a == b
+
+
+def test_count_occurrences_matches(pages_idx):
+    dist, loc = pages_idx
+    for t in ["the", "smith", "nosuchterm"]:
+        assert loc.count_occurrences(t) == dist.count_occurrences(t), t
+
+
+def test_with_url_matches(pages_idx):
+    dist, loc = pages_idx
+    a = dist.search(["smith"], k=5, mode="OR", with_url=True).collect()
+    b = loc.search(["smith"], k=5, mode="OR", with_url=True)
+    assert [(r["doc_id"], r["url"]) for r in a] == \
+        list(zip(b["doc_id"].tolist(), b["url"].tolist()))

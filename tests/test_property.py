@@ -94,3 +94,41 @@ def test_topk_select_is_total_order_prefix(pairs, k):
     want = sorted(zip(docs.tolist(), scores.tolist()),
                   key=lambda p: (-p[1], p[0]))[:k]
     assert list(zip(got_d.tolist(), got_s.tolist())) == want
+
+
+# -- PFor frames (pfor.py) ---------------------------------------------------
+
+_pfor_groups = st.lists(
+    st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+             min_size=1, max_size=160),
+    min_size=1, max_size=12)
+
+
+@given(_pfor_groups)
+@settings(max_examples=60, deadline=None)
+def test_pfor_grouped_roundtrip(groups):
+    from fatespark.pfor import pfor_decode_concat, pfor_encode_grouped
+    flat = np.array([v for g in groups for v in g], dtype=np.uint64)
+    glens = np.array([len(g) for g in groups], dtype=np.int64)
+    starts = np.zeros(len(groups), dtype=np.int64)
+    np.cumsum(glens[:-1], out=starts[1:])
+    bufs = pfor_encode_grouped(flat, starts)
+    assert len(bufs) == len(groups)
+    back = pfor_decode_concat(bufs, glens, int(glens.sum()))
+    assert (back == flat).all()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=1, max_size=500))
+@settings(max_examples=60, deadline=None)
+def test_pfor_single_frame_vs_varint_agree(vals):
+    from fatespark.codec import get_codec
+    v = np.array(vals, dtype=np.uint64)
+    st0 = np.zeros(1, dtype=np.int64)
+    out = {}
+    for name in ("varint", "pfor"):
+        c = get_codec(name)
+        buf = c.encode_grouped(v, st0)[0]
+        out[name] = c.decode(buf, v.size)
+    assert (out["varint"] == out["pfor"]).all()
+    assert (out["pfor"] == v).all()
