@@ -137,6 +137,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        .select("doc_id", F.round("score", 4).alias("score")))
     q["ft_phrase"] = ft_phrase
 
+    def ft_phrase_prefix(spark, sf):  # rows-only (positions logic, like ft_phrase)
+        """fates' natural suffix semantics: trailing partial token expands
+        against the dictionary ('big arr' ~ 'big array%')."""
+        return _scores(_index(spark, sf)
+                       .search_phrase_prefix(QS["phrase"][:-1], k=10)
+                       .select("doc_id", F.round("score", 4).alias("score")))
+    q["ft_phrase_prefix"] = ft_phrase_prefix
+
     def ft_topk_paged(spark, sf):  # pagination (lib/fates.rb:53-84 parity)
         return _scores(_index(spark, sf).search(QS["or2"], k=5, mode="OR",
                                                 offset=5, quantize=4))

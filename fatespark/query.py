@@ -211,21 +211,36 @@ class SearchIndex:
         return blocks.groupBy("bucket").applyInPandas(scorer, RESULT_SCHEMA)
 
     # -- phrase ----------------------------------------------------------------
-    def search_phrase(self, phrase: str, k: int = 10, offset: int = 0,
-                      with_url: bool = False) -> DataFrame:
-        """Consecutive-token phrase, scored as one pseudo-term (tf = phrase
-        occurrences, df = matching docs). Two jobs: match (needs positions),
-        then JVM-side BM25 over the (tiny) match set."""
-        if not self.store_positions:
-            raise ValueError("index built without positions; phrase disabled")
+    def _phrase_variants(self, phrase: str,
+                         max_expansions: int | None = None) -> list[list[str]]:
+        """Token sequences to match: just the analyzed phrase, or — prefix
+        mode — one variant per dictionary expansion of the LAST token (the
+        reference's natural suffix semantics: a query is a byte prefix of
+        the suffix from a token start, so earlier tokens are exact and the
+        final token matches as a prefix — ``README.markdown:7-11``)."""
         tok, _ = ANALYZERS[self.analyzer]
         terms = [ascii_fold(t) for t in tok(ascii_fold(phrase))]
         if not terms:
-            return self._empty()
-        uniq = sorted(set(terms))
-        stats = self.term_stats(uniq)
-        if len(stats) < len(uniq):
-            return self._empty()
+            return []
+        if max_expansions is None:
+            return [terms]
+        return [terms[:-1] + [e]
+                for e in self.expand_prefix(terms[-1], max_expansions)]
+
+    def _phrase_matches(self, variants: list[list[str]]) -> DataFrame | None:
+        """(doc_id, field, tf, dl) for docs matching ANY variant, tf summed
+        across variants — at a given token position exactly one variant can
+        match (a position holds one term), so occurrences are disjoint and
+        the sum is the exact total. One match pass decodes each term once
+        per (bucket, field) no matter how many variants share it."""
+        if not self.store_positions:
+            raise ValueError("index built without positions; phrase disabled")
+        variants = [v for v in variants if v]
+        stats = self.term_stats(sorted({t for v in variants for t in v}))
+        variants = [v for v in variants if all(t in stats for t in v)]
+        if not variants:
+            return None
+        uniq = sorted({t for v in variants for t in v})
 
         tombs = self.tombstones
         codec = self.codec_name
@@ -242,39 +257,91 @@ class SearchIndex:
             for fid, fpdf in pdf.groupby("field"):
                 data = {t: _decode_with_positions(g, codec)
                         for t, g in fpdf.groupby("term")}
-                if len(data) < len(uniq):  # a term absent in bucket+field
-                    continue
-                out_docs, out_tf, out_dl = [], [], []
-                cand = data[uniq[0]]["docs"]
-                for t in uniq[1:]:
-                    cand = np.intersect1d(cand, data[t]["docs"],
-                                          assume_unique=True)
-                if tombs is not None and cand.size:
-                    cand = cand[~np.isin(cand, tombs)]
-                for d in cand:
-                    starts = _doc_positions(data[terms[0]], int(d))
-                    for i, t in enumerate(terms[1:], start=1):
-                        if starts.size == 0:
-                            break
-                        starts = np.intersect1d(
-                            starts, _doc_positions(data[t], int(d)) - i,
-                            assume_unique=True)
-                    if starts.size:
-                        out_docs.append(int(d))
-                        out_tf.append(int(starts.size))
-                        out_dl.append(int(_doc_dl(data[terms[0]], int(d))))
-                outs.append(pd.DataFrame({
-                    "doc_id": pd.array(out_docs, dtype="int64"),
-                    "field": pd.array([int(fid)] * len(out_docs),
-                                      dtype="int32"),
-                    "tf": pd.array(out_tf, dtype="int32"),
-                    "dl": pd.array(out_dl, dtype="int32")}))
+                acc: dict[int, list[int]] = {}  # doc -> [tf, dl]
+                for v in variants:
+                    if any(t not in data for t in v):
+                        continue  # a term absent in this bucket+field
+                    vu = sorted(set(v))
+                    cand = data[vu[0]]["docs"]
+                    for t in vu[1:]:
+                        cand = np.intersect1d(cand, data[t]["docs"],
+                                              assume_unique=True)
+                    if tombs is not None and cand.size:
+                        cand = cand[~np.isin(cand, tombs)]
+                    for d in cand:
+                        starts = _doc_positions(data[v[0]], int(d))
+                        for i, t in enumerate(v[1:], start=1):
+                            if starts.size == 0:
+                                break
+                            starts = np.intersect1d(
+                                starts, _doc_positions(data[t], int(d)) - i,
+                                assume_unique=True)
+                        if starts.size:
+                            e = acc.setdefault(
+                                int(d),
+                                [0, int(_doc_dl(data[v[0]], int(d)))])
+                            e[0] += int(starts.size)
+                if acc:
+                    items = sorted(acc.items())
+                    outs.append(pd.DataFrame({
+                        "doc_id": pd.array([d for d, _ in items],
+                                           dtype="int64"),
+                        "field": pd.array([int(fid)] * len(items),
+                                          dtype="int32"),
+                        "tf": pd.array([e[0] for _, e in items],
+                                       dtype="int32"),
+                        "dl": pd.array([e[1] for _, e in items],
+                                       dtype="int32")}))
             return pd.concat(outs, ignore_index=True)
 
         blocks = self.postings.filter(F.col("term").isin(uniq)).select(
             "bucket", "term", "field", "n", "docs", "tfs", "dls", "poss")
-        matches = blocks.groupBy("bucket").applyInPandas(
-            matcher, "doc_id long, field int, tf int, dl int").cache()
+        return blocks.groupBy("bucket").applyInPandas(
+            matcher, "doc_id long, field int, tf int, dl int")
+
+    def search_phrase(self, phrase: str, k: int = 10, offset: int = 0,
+                      with_url: bool = False) -> DataFrame:
+        """Consecutive-token phrase, scored as one pseudo-term (tf = phrase
+        occurrences, df = matching docs). Two jobs: match (needs positions),
+        then JVM-side BM25 over the (tiny) match set."""
+        m = self._phrase_matches(self._phrase_variants(phrase))
+        if m is None:
+            return self._empty()
+        return self._score_phrase_matches(m, k, offset, with_url)
+
+    def search_phrase_prefix(self, phrase: str, k: int = 10, offset: int = 0,
+                             max_expansions: int = 16,
+                             with_url: bool = False) -> DataFrame:
+        """fates' natural phrase-prefix search: ``'big arr'`` matches
+        ``'big array'`` (``README.markdown:7-11``) — last token expanded
+        against the term dictionary, earlier tokens exact, all variants
+        matched in one pass and scored as one pseudo-term."""
+        m = self._phrase_matches(
+            self._phrase_variants(phrase, max_expansions))
+        if m is None:
+            return self._empty()
+        return self._score_phrase_matches(m, k, offset, with_url)
+
+    def count_phrase(self, phrase: str, prefix: bool = False,
+                     max_expansions: int = 256) -> int:
+        """Total phrase occurrences across the corpus — the reference's
+        ``count_hits`` on a multi-token query (every suffix-array entry the
+        phrase byte string is a prefix of, ``lib/suffix_array_reader.rb:
+        115-125``). ``prefix=True`` applies last-token prefix semantics."""
+        variants = self._phrase_variants(
+            phrase, max_expansions if prefix else None)
+        if variants and all(len(v) == 1 for v in variants):
+            # single-token: occurrences come straight from the terms table
+            st = self.term_stats([v[0] for v in variants])
+            return sum(f["cf"] for d in st.values() for f in d.values())
+        m = self._phrase_matches(variants)
+        if m is None:
+            return 0
+        return int(m.agg(F.sum("tf")).collect()[0][0] or 0)
+
+    def _score_phrase_matches(self, matches: DataFrame, k: int, offset: int,
+                              with_url: bool) -> DataFrame:
+        matches = matches.cache()
         try:
             # per-field phrase df -> per-field idf (phrase as pseudo-term)
             per_field = {int(r["field"]): int(r["n"]) for r in

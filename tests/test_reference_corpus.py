@@ -136,3 +136,27 @@ def test_unranked_count_vs_doc_granularity(ref):
     assert idx.count("Smith", field=0) == n_last
     assert idx.count("Smith", field=1) == n_first
     assert idx.count("Smith") == n_last + n_first
+
+
+def test_fates_api_veneer_on_reference_corpus(ref, spark, tmp_root):
+    """The reference's public API surface (fulltext_count / fulltext_find,
+    ``lib/fates.rb:48-84``) driven through the compat veneer over the same
+    index + CSV — a fates user's calls, answered by the Spark engine."""
+    from fatespark.compat import FatesIndex
+    _, pdf = ref
+    sdf = spark.createDataFrame(
+        pdf.rename(columns={"last": "last_name", "first": "first_name"}))
+    fi = FatesIndex(spark, str(tmp_root / "reference_contacts_idx"),
+                    corpus=sdf, id_col="id",
+                    field_cols=["last_name", "first_name"])
+    assert fi.fulltext_count("Smith") == 4380
+    fa = _prefix_hits(pdf, "fa")
+    assert fi.fulltext_count("fa") == sum(fa.values())
+    got = fi.fulltext_find("Smith", 0, 10)
+    assert len(got) == 10
+    by_id = pdf.set_index("id")
+    for pk, fields, score in got:
+        assert score > 0.0
+        assert fields == [by_id.loc[pk, "last"], by_id.loc[pk, "first"]]
+    # pagination window identity (lib/fates.rb:53-84)
+    assert fi.fulltext_find("Smith", 5, 5) == got[5:]
