@@ -248,53 +248,103 @@ class LocalSearchIndex:
             out = out.assign(url=[u.get(int(d)) for d in out["doc_id"]])
         return out
 
-    def search_phrase(self, phrase: str, k: int = 10,
-                      offset: int = 0) -> pd.DataFrame:
-        """Consecutive-token phrase over positions — identical semantics to
-        ``SearchIndex.search_phrase`` (phrase scored as a pseudo-term with
-        per-field df/idf; a phrase never crosses a field boundary), answered
-        from local row-group-pruned reads."""
-        from .query import _decode_with_positions, _doc_dl, _doc_positions
-        if not bool(self.meta.get("store_positions", True)):
-            raise ValueError("index built without positions; phrase disabled")
+    def _phrase_variants(self, phrase: str,
+                         max_expansions: int | None = None) -> list[list[str]]:
         tok, _ = ANALYZERS[self.analyzer]
         terms = [ascii_fold(t) for t in tok(ascii_fold(phrase))]
         if not terms:
-            return _empty_result()
-        uniq = sorted(set(terms))
-        if len(self.term_stats(uniq)) < len(uniq):
-            return _empty_result()
+            return []
+        if max_expansions is None:
+            return [terms]
+        return [terms[:-1] + [e]
+                for e in self.expand_prefix(terms[-1], max_expansions)]
+
+    def _phrase_match_rows(self,
+                           variants: list[list[str]]) -> pd.DataFrame | None:
+        """(doc_id, field, tf, dl) matches of ANY variant, tf summed — the
+        local twin of ``SearchIndex._phrase_matches``."""
+        from .query import _decode_with_positions, _doc_dl, _doc_positions
+        if not bool(self.meta.get("store_positions", True)):
+            raise ValueError("index built without positions; phrase disabled")
+        variants = [v for v in variants if v]
+        stats = self.term_stats(sorted({t for v in variants for t in v}))
+        variants = [v for v in variants if all(t in stats for t in v)]
+        if not variants:
+            return None
+        uniq = sorted({t for v in variants for t in v})
         pdf = self._post_ix.read(uniq, ["bucket", "term", "field", "n",
                                         "docs", "tfs", "dls", "poss"])
         rows: dict[str, list] = {"doc_id": [], "field": [], "tf": [], "dl": []}
         for (_, fid), fpdf in pdf.groupby(["bucket", "field"]):
             data = {t: _decode_with_positions(g, self.codec_name)
                     for t, g in fpdf.groupby("term")}
-            if len(data) < len(uniq):
-                continue
-            cand = data[uniq[0]]["docs"]
-            for t in uniq[1:]:
-                cand = np.intersect1d(cand, data[t]["docs"],
-                                      assume_unique=True)
-            if self.tombstones is not None and cand.size:
-                cand = cand[~np.isin(cand, self.tombstones)]
-            for d in cand:
-                starts = _doc_positions(data[terms[0]], int(d))
-                for i, t in enumerate(terms[1:], start=1):
-                    if starts.size == 0:
-                        break
-                    starts = np.intersect1d(
-                        starts, _doc_positions(data[t], int(d)) - i,
-                        assume_unique=True)
-                if starts.size:
-                    rows["doc_id"].append(int(d))
-                    rows["field"].append(int(fid))
-                    rows["tf"].append(int(starts.size))
-                    rows["dl"].append(int(_doc_dl(data[terms[0]], int(d))))
+            acc: dict[int, list[int]] = {}
+            for v in variants:
+                if any(t not in data for t in v):
+                    continue
+                vu = sorted(set(v))
+                cand = data[vu[0]]["docs"]
+                for t in vu[1:]:
+                    cand = np.intersect1d(cand, data[t]["docs"],
+                                          assume_unique=True)
+                if self.tombstones is not None and cand.size:
+                    cand = cand[~np.isin(cand, self.tombstones)]
+                for d in cand:
+                    starts = _doc_positions(data[v[0]], int(d))
+                    for i, t in enumerate(v[1:], start=1):
+                        if starts.size == 0:
+                            break
+                        starts = np.intersect1d(
+                            starts, _doc_positions(data[t], int(d)) - i,
+                            assume_unique=True)
+                    if starts.size:
+                        e = acc.setdefault(
+                            int(d), [0, int(_doc_dl(data[v[0]], int(d)))])
+                        e[0] += int(starts.size)
+            for d, e in sorted(acc.items()):
+                rows["doc_id"].append(d)
+                rows["field"].append(int(fid))
+                rows["tf"].append(e[0])
+                rows["dl"].append(e[1])
         if not rows["doc_id"]:
+            return None
+        return pd.DataFrame(rows)
+
+    def count_phrase(self, phrase: str, prefix: bool = False,
+                     max_expansions: int = 256) -> int:
+        """Local twin of ``SearchIndex.count_phrase`` (reference count_hits
+        suffix semantics)."""
+        variants = self._phrase_variants(
+            phrase, max_expansions if prefix else None)
+        if variants and all(len(v) == 1 for v in variants):
+            st = self.term_stats([v[0] for v in variants])
+            return sum(f["cf"] for d in st.values() for f in d.values())
+        m = self._phrase_match_rows(variants)
+        return 0 if m is None else int(m["tf"].sum())
+
+    def search_phrase(self, phrase: str, k: int = 10,
+                      offset: int = 0) -> pd.DataFrame:
+        """Consecutive-token phrase over positions — identical semantics to
+        ``SearchIndex.search_phrase`` (phrase scored as a pseudo-term with
+        per-field df/idf; a phrase never crosses a field boundary), answered
+        from local row-group-pruned reads."""
+        m = self._phrase_match_rows(self._phrase_variants(phrase))
+        if m is None:
             return _empty_result()
-        m = pd.DataFrame(rows).sort_values(["doc_id", "field"],
-                                           kind="mergesort")
+        return self._score_phrase_rows(m, k, offset)
+
+    def search_phrase_prefix(self, phrase: str, k: int = 10, offset: int = 0,
+                             max_expansions: int = 16) -> pd.DataFrame:
+        """Local twin of ``SearchIndex.search_phrase_prefix``."""
+        m = self._phrase_match_rows(
+            self._phrase_variants(phrase, max_expansions))
+        if m is None:
+            return _empty_result()
+        return self._score_phrase_rows(m, k, offset)
+
+    def _score_phrase_rows(self, m: pd.DataFrame, k: int,
+                           offset: int) -> pd.DataFrame:
+        m = m.sort_values(["doc_id", "field"], kind="mergesort")
         k1, b = 1.2, 0.75
         score = np.zeros(len(m), dtype=np.float64)
         tf = m["tf"].to_numpy(np.float64)

@@ -156,3 +156,26 @@ class TestFatesIndexVeneer:
         fi, _ = fates
         got = fi.fulltext_find("Smith", 0, 3, ranked=False)
         assert got and all(s == 0.0 for _, _, s in got)
+
+
+class TestLocalPhrasePrefixParity:
+    @pytest.fixture(scope="class")
+    def local(self, pidx, tmp_root):
+        from fatespark.local import LocalSearchIndex
+        return LocalSearchIndex(str(tmp_root / "phrase_prefix_idx"))
+
+    def test_count_phrase_matches(self, pidx, local):
+        idx, _ = pidx
+        for q, pre in [("the term00003", False), ("the term0000", True),
+                       ("fa", True), ("the", False)]:
+            assert local.count_phrase(q, prefix=pre, max_expansions=1024) == \
+                idx.count_phrase(q, prefix=pre, max_expansions=1024), q
+
+    def test_search_phrase_prefix_matches(self, pidx, local):
+        idx, _ = pidx
+        a = [(r["doc_id"], r["score"]) for r in
+             idx.search_phrase_prefix("the term0000", k=10,
+                                      max_expansions=64).collect()]
+        b = local.search_phrase_prefix("the term0000", k=10,
+                                       max_expansions=64)
+        assert a == list(zip(b["doc_id"].tolist(), b["score"].tolist()))
