@@ -263,7 +263,7 @@ class LocalSearchIndex:
                            variants: list[list[str]]) -> pd.DataFrame | None:
         """(doc_id, field, tf, dl) matches of ANY variant, tf summed — the
         local twin of ``SearchIndex._phrase_matches``."""
-        from .query import _decode_with_positions, _doc_dl, _doc_positions
+        from .query import _decode_with_positions, _variants_match_rows
         if not bool(self.meta.get("store_positions", True)):
             raise ValueError("index built without positions; phrase disabled")
         variants = [v for v in variants if v]
@@ -274,41 +274,17 @@ class LocalSearchIndex:
         uniq = sorted({t for v in variants for t in v})
         pdf = self._post_ix.read(uniq, ["bucket", "term", "field", "n",
                                         "docs", "tfs", "dls", "poss"])
-        rows: dict[str, list] = {"doc_id": [], "field": [], "tf": [], "dl": []}
+        frames = []
         for (_, fid), fpdf in pdf.groupby(["bucket", "field"]):
             data = {t: _decode_with_positions(g, self.codec_name)
                     for t, g in fpdf.groupby("term")}
-            acc: dict[int, list[int]] = {}
-            for v in variants:
-                if any(t not in data for t in v):
-                    continue
-                vu = sorted(set(v))
-                cand = data[vu[0]]["docs"]
-                for t in vu[1:]:
-                    cand = np.intersect1d(cand, data[t]["docs"],
-                                          assume_unique=True)
-                if self.tombstones is not None and cand.size:
-                    cand = cand[~np.isin(cand, self.tombstones)]
-                for d in cand:
-                    starts = _doc_positions(data[v[0]], int(d))
-                    for i, t in enumerate(v[1:], start=1):
-                        if starts.size == 0:
-                            break
-                        starts = np.intersect1d(
-                            starts, _doc_positions(data[t], int(d)) - i,
-                            assume_unique=True)
-                    if starts.size:
-                        e = acc.setdefault(
-                            int(d), [0, int(_doc_dl(data[v[0]], int(d)))])
-                        e[0] += int(starts.size)
-            for d, e in sorted(acc.items()):
-                rows["doc_id"].append(d)
-                rows["field"].append(int(fid))
-                rows["tf"].append(e[0])
-                rows["dl"].append(e[1])
-        if not rows["doc_id"]:
+            m = _variants_match_rows(data, variants, self.tombstones)
+            if m is not None:
+                frames.append(m.assign(field=np.int32(fid)))
+        if not frames:
             return None
-        return pd.DataFrame(rows)
+        return pd.concat(frames, ignore_index=True)[
+            ["doc_id", "field", "tf", "dl"]]
 
     def count_phrase(self, phrase: str, prefix: bool = False,
                      max_expansions: int = 256) -> int:

@@ -257,41 +257,13 @@ class SearchIndex:
             for fid, fpdf in pdf.groupby("field"):
                 data = {t: _decode_with_positions(g, codec)
                         for t, g in fpdf.groupby("term")}
-                acc: dict[int, list[int]] = {}  # doc -> [tf, dl]
-                for v in variants:
-                    if any(t not in data for t in v):
-                        continue  # a term absent in this bucket+field
-                    vu = sorted(set(v))
-                    cand = data[vu[0]]["docs"]
-                    for t in vu[1:]:
-                        cand = np.intersect1d(cand, data[t]["docs"],
-                                              assume_unique=True)
-                    if tombs is not None and cand.size:
-                        cand = cand[~np.isin(cand, tombs)]
-                    for d in cand:
-                        starts = _doc_positions(data[v[0]], int(d))
-                        for i, t in enumerate(v[1:], start=1):
-                            if starts.size == 0:
-                                break
-                            starts = np.intersect1d(
-                                starts, _doc_positions(data[t], int(d)) - i,
-                                assume_unique=True)
-                        if starts.size:
-                            e = acc.setdefault(
-                                int(d),
-                                [0, int(_doc_dl(data[v[0]], int(d)))])
-                            e[0] += int(starts.size)
-                if acc:
-                    items = sorted(acc.items())
+                m = _variants_match_rows(data, variants, tombs)
+                if m is not None:
                     outs.append(pd.DataFrame({
-                        "doc_id": pd.array([d for d, _ in items],
-                                           dtype="int64"),
-                        "field": pd.array([int(fid)] * len(items),
-                                          dtype="int32"),
-                        "tf": pd.array([e[0] for _, e in items],
-                                       dtype="int32"),
-                        "dl": pd.array([e[1] for _, e in items],
-                                       dtype="int32")}))
+                        "doc_id": m["doc_id"].astype("int64"),
+                        "field": np.full(len(m), int(fid), dtype=np.int32),
+                        "tf": m["tf"].astype("int32"),
+                        "dl": m["dl"].astype("int32")}))
             return pd.concat(outs, ignore_index=True)
 
         blocks = self.postings.filter(F.col("term").isin(uniq)).select(
@@ -428,6 +400,76 @@ def snippets(result: DataFrame, corpus: DataFrame, query: str | list[str],
     return joined.select(id_col, "score", snippet.alias("snippet"))
 
 
+def _gather_doc_positions(data: dict, cand: np.ndarray,
+                          shift: int) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated ``(doc_rank << 32) | (pos + shift)`` keys for the cand
+    docs' positions, plus per-doc position counts. ``cand`` must be sorted
+    and a subset of ``data['docs']``. Fully vectorized slice-gather."""
+    idx = np.searchsorted(data["docs"], cand)
+    lens = data["tfs"][idx]
+    starts = data["tok_starts"][idx]
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64), lens
+    gather = np.repeat(starts, lens) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(lens) - lens, lens))
+    rank = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+    return (rank << np.int64(32)) | (data["poss"][gather] + shift), lens
+
+
+def _match_variant_rows(data: dict, v: list[str],
+                        tombs: np.ndarray | None) -> pd.DataFrame | None:
+    """All (doc, tf, dl) matches of ONE token-sequence variant within one
+    (bucket, field)'s decoded postings — vectorized document-at-a-time-free
+    adjacency: term i's positions shifted by -i are intersected as composite
+    (doc_rank, pos) keys across the whole candidate set at once (no per-doc
+    Python loop). Positions fit 32 bits (dl < 2^31), so keys are exact."""
+    vu = sorted(set(v))
+    cand = data[vu[0]]["docs"]
+    for t in vu[1:]:
+        cand = np.intersect1d(cand, data[t]["docs"], assume_unique=True)
+    if tombs is not None and cand.size:
+        cand = cand[~np.isin(cand, tombs)]
+    if cand.size == 0:
+        return None
+    L = len(v)
+    matched = None
+    for i, t in enumerate(v):
+        keys, _ = _gather_doc_positions(data[t], cand, L - i)
+        matched = keys if matched is None else np.intersect1d(
+            matched, keys, assume_unique=True)
+        if matched.size == 0:
+            return None
+    ranks = (matched >> np.int64(32))
+    uniq_ranks, tf = np.unique(ranks, return_counts=True)
+    docs = cand[uniq_ranks]
+    idx0 = np.searchsorted(data[v[0]]["docs"], docs)
+    dls = data[v[0]]["dls"][idx0]
+    return pd.DataFrame({"doc_id": docs, "tf": tf.astype(np.int64),
+                         "dl": dls.astype(np.int64)})
+
+
+def _variants_match_rows(data: dict, variants: list[list[str]],
+                         tombs: np.ndarray | None) -> pd.DataFrame | None:
+    """(doc_id, tf, dl) of docs matching ANY variant, tf summed across
+    variants (disjoint occurrences — one term per position)."""
+    frames = []
+    for v in variants:
+        if any(t not in data for t in v):
+            continue
+        m = _match_variant_rows(data, v, tombs)
+        if m is not None:
+            frames.append(m)
+    if not frames:
+        return None
+    out = (pd.concat(frames, ignore_index=True)
+           .groupby("doc_id", as_index=False)
+           .agg(tf=("tf", "sum"), dl=("dl", "first"))
+           .sort_values("doc_id", kind="mergesort"))
+    return out
+
+
 def _decode_with_positions(g: pd.DataFrame, codec: str = "varint") -> dict:
     """Decode all block rows of one term within a bucket, positions included,
     into doc-sorted arrays (handles cross-chunk block interleave). Positions
@@ -459,12 +501,3 @@ def _decode_with_positions(g: pd.DataFrame, codec: str = "varint") -> dict:
             "tok_starts": tok_starts}
 
 
-def _doc_positions(data: dict, doc_id: int) -> np.ndarray:
-    j = int(np.searchsorted(data["docs"], doc_id))
-    a, b = data["tok_starts"][j], data["tok_starts"][j + 1]
-    return data["poss"][a:b]
-
-
-def _doc_dl(data: dict, doc_id: int) -> int:
-    j = int(np.searchsorted(data["docs"], doc_id))
-    return int(data["dls"][j])
