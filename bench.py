@@ -124,6 +124,18 @@ def main() -> None:
     def _ph():
         return idx.search_phrase("big array", k=10).collect()
 
+    @timed("q_phrase_prefix", reps=3)
+    def _pp():
+        return idx.search_phrase_prefix("big arr", k=10).collect()
+
+    # variance-free size metrics (host contention moves seconds, not bytes)
+    import glob as _glob
+    post_bytes = sum(os.path.getsize(f) for f in _glob.glob(
+        os.path.join(idx_dir, "postings", "**", "*.parquet"), recursive=True))
+    extra["index_postings_bytes"] = post_bytes
+    extra["index_bytes_per_posting"] = round(
+        post_bytes / max(1, totals["postings"]), 3)
+
     # -- driver-local read path (pyarrow + same kernels, no Spark jobs) -----
     from fatespark.build import IndexBuilder as _IB
     from fatespark.local import LocalSearchIndex
@@ -150,6 +162,10 @@ def main() -> None:
     @timed("ql_prefix", reps=3)
     def _lp():
         return lidx.search_prefix("fa", k=10)
+
+    @timed("ql_phrase", reps=3)
+    def _lph():
+        return lidx.search_phrase("big array", k=10)
 
     # -- training-data ops over the driver tables ---------------------------
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
