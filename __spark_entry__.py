@@ -132,17 +132,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                        quantize=4))
     q["ft_prefix"] = ft_prefix
 
-    def ft_phrase(spark, sf):  # no SQL oracle → driver rows-only check
-        return _scores(_index(spark, sf).search_phrase(QS["phrase"], k=10)
-                       .select("doc_id", F.round("score", 4).alias("score")))
+    def ft_phrase(spark, sf):
+        return _scores(_index(spark, sf).search_phrase(QS["phrase"], k=10,
+                                                       quantize=4))
     q["ft_phrase"] = ft_phrase
 
-    def ft_phrase_prefix(spark, sf):  # rows-only (positions logic, like ft_phrase)
+    def ft_phrase_prefix(spark, sf):
         """fates' natural suffix semantics: trailing partial token expands
-        against the dictionary ('big arr' ~ 'big array%')."""
+        against the dictionary ('big dat' ~ 'big data%')."""
         return _scores(_index(spark, sf)
-                       .search_phrase_prefix(QS["phrase"][:-1], k=10)
-                       .select("doc_id", F.round("score", 4).alias("score")))
+                       .search_phrase_prefix(QS["phrase"][:-1], k=10,
+                                             max_expansions=256, quantize=4))
     q["ft_phrase_prefix"] = ft_phrase_prefix
 
     def ft_topk_paged(spark, sf):  # pagination (lib/fates.rb:53-84 parity)
@@ -478,6 +478,52 @@ FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id
 LIMIT {limit} OFFSET {offset}"""
 
 
+def _bm25_phrase_sql(first: str, second: str, prefix: bool = False,
+                     limit: int = 10) -> str:
+    """Top-k BM25 for a TWO-token phrase scored as a pseudo-term: adjacency
+    via zipped unnest + generate_subscripts over the filtered token list
+    (positions = engine token positions); ``prefix=True`` makes the second
+    token a dictionary prefix (the suffix semantics of ft_phrase_prefix).
+    tf = adjacent-pair count, df = matching docs, same float64 expression
+    shape and floor-quantization as ``_bm25_sql``."""
+    cond = (f"b.term LIKE '{second}%'" if prefix else f"b.term = '{second}'")
+    return f"""
+WITH ptok AS (
+  SELECT doc_id, translate(unnest(toks), '{_UP}', '{_LO}') AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                 '{_WS_SQL}'),
+                           x -> x <> '') AS toks
+        FROM documents)
+),
+dls AS (
+  SELECT d.doc_id, coalesce(x.dl, 0) AS dl
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*) AS dl FROM ptok GROUP BY doc_id) x USING (doc_id)
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dls
+),
+ph AS (
+  SELECT a.doc_id, count(*) AS tf
+  FROM ptok a JOIN ptok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{first}' AND {cond}
+  GROUP BY a.doc_id
+),
+pstats AS (SELECT count(*) AS df FROM ph),
+scored AS (
+  SELECT ph.doc_id,
+         ln(1 + (stats.n_docs - pstats.df + 0.5) / (pstats.df + 0.5))
+         * (ph.tf * {_K1P1} / (ph.tf + {_K1} *
+            ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS score
+  FROM ph JOIN dls USING (doc_id) CROSS JOIN stats CROSS JOIN pstats
+)
+SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
+FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT {limit}"""
+
+
 def _bm25_prefix_sql(prefix: str) -> str:
     """Prefix expansion in SQL: per-doc sum over matching terms must follow
     ascending term order — emulated with an ORDER BY inside a per-term list
@@ -616,7 +662,10 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_topk_or2"] = _bm25_sql(QS["or2"], "OR")
     o["ft_topk_or3_wand"] = _bm25_sql(QS["or3"], "OR")
     o["ft_prefix"] = _bm25_prefix_sql(QS["prefix"])
-    # ft_phrase: intentionally no oracle (positions logic) → rows-only check
+    ph_first, ph_second = QS["phrase"].split()
+    o["ft_phrase"] = _bm25_phrase_sql(ph_first, ph_second)
+    o["ft_phrase_prefix"] = _bm25_phrase_sql(ph_first, ph_second[:-1],
+                                             prefix=True)
 
     o["ft_topk_paged"] = _bm25_sql(QS["or2"], "OR", limit=5, offset=5)
     o["ft_local_topk"] = _bm25_sql(QS["or2"], "OR")  # same oracle as or2

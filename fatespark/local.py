@@ -298,8 +298,8 @@ class LocalSearchIndex:
         m = self._phrase_match_rows(variants)
         return 0 if m is None else int(m["tf"].sum())
 
-    def search_phrase(self, phrase: str, k: int = 10,
-                      offset: int = 0) -> pd.DataFrame:
+    def search_phrase(self, phrase: str, k: int = 10, offset: int = 0,
+                      quantize: int | None = None) -> pd.DataFrame:
         """Consecutive-token phrase over positions — identical semantics to
         ``SearchIndex.search_phrase`` (phrase scored as a pseudo-term with
         per-field df/idf; a phrase never crosses a field boundary), answered
@@ -307,19 +307,20 @@ class LocalSearchIndex:
         m = self._phrase_match_rows(self._phrase_variants(phrase))
         if m is None:
             return _empty_result()
-        return self._score_phrase_rows(m, k, offset)
+        return self._score_phrase_rows(m, k, offset, quantize)
 
     def search_phrase_prefix(self, phrase: str, k: int = 10, offset: int = 0,
-                             max_expansions: int = 16) -> pd.DataFrame:
+                             max_expansions: int = 16,
+                             quantize: int | None = None) -> pd.DataFrame:
         """Local twin of ``SearchIndex.search_phrase_prefix``."""
         m = self._phrase_match_rows(
             self._phrase_variants(phrase, max_expansions))
         if m is None:
             return _empty_result()
-        return self._score_phrase_rows(m, k, offset)
+        return self._score_phrase_rows(m, k, offset, quantize)
 
-    def _score_phrase_rows(self, m: pd.DataFrame, k: int,
-                           offset: int) -> pd.DataFrame:
+    def _score_phrase_rows(self, m: pd.DataFrame, k: int, offset: int,
+                           quantize: int | None = None) -> pd.DataFrame:
         m = m.sort_values(["doc_id", "field"], kind="mergesort")
         k1, b = 1.2, 0.75
         score = np.zeros(len(m), dtype=np.float64)
@@ -334,9 +335,12 @@ class LocalSearchIndex:
             # same parenthesization as the Spark path and the oracle
             score[sel] = iv * (tf[sel] * (k1 + 1.0) / (tf[sel] + k1 * norm))
         m = m.assign(score=score)
-        out = (m.groupby("doc_id", as_index=False)["score"].sum()
-               .sort_values(["score", "doc_id"], ascending=[False, True],
-                            kind="mergesort").head(k + offset))
+        out = m.groupby("doc_id", as_index=False)["score"].sum()
+        if quantize:
+            qm = float(10 ** quantize)
+            out = out.assign(score=np.floor(out["score"].to_numpy() * qm) / qm)
+        out = out.sort_values(["score", "doc_id"], ascending=[False, True],
+                              kind="mergesort").head(k + offset)
         return out.iloc[offset:][["doc_id", "score"]].reset_index(drop=True)
 
     def expand_prefix(self, prefix: str, max_terms: int = 256) -> list[str]:

@@ -272,18 +272,21 @@ class SearchIndex:
             matcher, "doc_id long, field int, tf int, dl int")
 
     def search_phrase(self, phrase: str, k: int = 10, offset: int = 0,
-                      with_url: bool = False) -> DataFrame:
+                      with_url: bool = False,
+                      quantize: int | None = None) -> DataFrame:
         """Consecutive-token phrase, scored as one pseudo-term (tf = phrase
         occurrences, df = matching docs). Two jobs: match (needs positions),
-        then JVM-side BM25 over the (tiny) match set."""
+        then JVM-side BM25 over the (tiny) match set. ``quantize`` as in
+        ``search`` (floor-quantize BEFORE ranking, oracle parity)."""
         m = self._phrase_matches(self._phrase_variants(phrase))
         if m is None:
             return self._empty()
-        return self._score_phrase_matches(m, k, offset, with_url)
+        return self._score_phrase_matches(m, k, offset, with_url, quantize)
 
     def search_phrase_prefix(self, phrase: str, k: int = 10, offset: int = 0,
                              max_expansions: int = 16,
-                             with_url: bool = False) -> DataFrame:
+                             with_url: bool = False,
+                             quantize: int | None = None) -> DataFrame:
         """fates' natural phrase-prefix search: ``'big arr'`` matches
         ``'big array'`` (``README.markdown:7-11``) — last token expanded
         against the term dictionary, earlier tokens exact, all variants
@@ -292,7 +295,7 @@ class SearchIndex:
             self._phrase_variants(phrase, max_expansions))
         if m is None:
             return self._empty()
-        return self._score_phrase_matches(m, k, offset, with_url)
+        return self._score_phrase_matches(m, k, offset, with_url, quantize)
 
     def count_phrase(self, phrase: str, prefix: bool = False,
                      max_expansions: int = 256) -> int:
@@ -312,7 +315,8 @@ class SearchIndex:
         return int(m.agg(F.sum("tf")).collect()[0][0] or 0)
 
     def _score_phrase_matches(self, matches: DataFrame, k: int, offset: int,
-                              with_url: bool) -> DataFrame:
+                              with_url: bool,
+                              quantize: int | None = None) -> DataFrame:
         matches = matches.cache()
         try:
             # per-field phrase df -> per-field idf (phrase as pseudo-term)
@@ -333,9 +337,14 @@ class SearchIndex:
                     F.col("tf") + F.lit(k1) * norm))
                 s_f = F.when(F.col("field") == f, s_f)
                 score = s_f if score is None else F.coalesce(s_f, score)
-            out = (matches.select("doc_id", score.alias("s"))
-                   .groupBy("doc_id").agg(F.sum("s").alias("score"))
-                   .orderBy(F.desc("score"), F.asc("doc_id"))
+            agg = (matches.select("doc_id", score.alias("s"))
+                   .groupBy("doc_id").agg(F.sum("s").alias("score")))
+            if quantize:
+                qm = float(10 ** quantize)
+                agg = agg.select(
+                    "doc_id",
+                    (F.floor(F.col("score") * qm) / qm).alias("score"))
+            out = (agg.orderBy(F.desc("score"), F.asc("doc_id"))
                    .limit(k + offset))
             if offset:
                 out = out.offset(offset)
