@@ -142,7 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         against the dictionary ('big dat' ~ 'big data%')."""
         return _scores(_index(spark, sf)
                        .search_phrase_prefix(QS["phrase"][:-1], k=10,
-                                             max_expansions=256, quantize=4))
+                                             max_expansions=4096, quantize=4))
     q["ft_phrase_prefix"] = ft_phrase_prefix
 
     def ft_topk_paged(spark, sf):  # pagination (lib/fates.rb:53-84 parity)

@@ -168,6 +168,20 @@ class IndexBuilder:
             base = base.withColumn("_chunk", ck.cast("int"))
 
         done = self.done_chunks(spark, build_id) if resume else set()
+        if done:
+            # a config change between resume runs would silently mix codecs
+            # inside one index (readers decode every block with the single
+            # meta codec) — refuse instead
+            m = self._manifest(spark)
+            if m is not None and "codec" in m.columns:
+                prior = set(m[(m["build_id"] == build_id)
+                              & (m["status"] == "done")]["codec"]
+                            .dropna().astype(str))
+                if prior and prior != {cfg.codec}:
+                    raise ValueError(
+                        f"resume with codec={cfg.codec!r} but committed "
+                        f"chunks used {sorted(prior)}; keep the original "
+                        f"BuildConfig.codec or rebuild from scratch")
         totals = {"docs": 0, "postings": 0, "bytes": 0, "sum_dl": 0,
                   "secs": 0.0, "chunks_skipped": len(done)}
         for c in range(n_chunks):
@@ -251,6 +265,7 @@ class IndexBuilder:
         row = {
             "ts": float(time.time()),
             "build_id": build_id, "chunk_id": chunk_id, "status": "done",
+            "codec": cfg.codec,
             "docs": n_docs, "sum_dl": sum_dl,
             "sum_dls_json": _json.dumps(sum_dls), "postings": n_post,
             "bytes": n_bytes, "secs": float(secs),

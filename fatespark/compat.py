@@ -53,9 +53,10 @@ class FatesIndex:
                        weights: list[float] | None = None,
                        config: BuildConfig | None = None,
                        build_id: str = "fates") -> "FatesIndex":
-        cfg = config or BuildConfig()
+        from dataclasses import replace
+        cfg = replace(config) if config is not None else BuildConfig()
         if analyzers is not None:
-            cfg.analyzers = analyzers
+            cfg.analyzers = list(analyzers)  # fresh copy: caller's config untouched
         IndexBuilder(index_dir, cfg).build(
             spark, df, id_col=id_col, url_col=id_col, text_cols=fields,
             build_id=build_id)
@@ -65,8 +66,11 @@ class FatesIndex:
     # -- count (Model.fulltext_count, lib/fates.rb:48-51) --------------------
     def fulltext_count(self, query: str) -> int:
         """Suffix-hit count: occurrences of the query as a byte prefix from
-        token starts — single tokens match as prefixes, multi-token queries
-        as phrases with the last token a prefix (count_hits semantics)."""
+        token starts — single tokens match as prefixes (EXACT and uncapped
+        via the terms-table aggregation), multi-token queries as phrases
+        with the last token a prefix (dictionary expansion capped at
+        ``max_expansions`` — raise it for exhaustive counts over wide
+        vocabularies)."""
         return self.idx.count_phrase(query, prefix=True,
                                      max_expansions=self.max_expansions)
 
@@ -90,7 +94,8 @@ class FatesIndex:
         else:
             res = self.idx.search_phrase_prefix(
                 query, k=limit, offset=offset,
-                max_expansions=self.max_expansions)
+                max_expansions=self.max_expansions,
+                weights=self.weights)
         rows = res.collect()
         fields_of = self._fields_of([r["doc_id"] for r in rows])
         return [[r["doc_id"], fields_of.get(r["doc_id"], []),

@@ -192,7 +192,7 @@ class LocalSearchIndex:
 
     def search(self, query: str | list[str], k: int = 10, mode: str = "AND",
                offset: int = 0, use_wand: bool = False,
-               quantize: int | None = None, with_url: bool = False,
+               with_url: bool = False, quantize: int | None = None,
                weights: list[float] | None = None) -> pd.DataFrame:
         """Identical semantics and results to ``SearchIndex.search`` (same
         kernels, same per-bucket scoring, same (score DESC, doc_id ASC)
@@ -250,14 +250,23 @@ class LocalSearchIndex:
 
     def _phrase_variants(self, phrase: str,
                          max_expansions: int | None = None) -> list[list[str]]:
-        tok, _ = ANALYZERS[self.analyzer]
-        terms = [ascii_fold(t) for t in tok(ascii_fold(phrase))]
-        if not terms:
-            return []
-        if max_expansions is None:
-            return [terms]
-        return [terms[:-1] + [e]
-                for e in self.expand_prefix(terms[-1], max_expansions)]
+        from .query import _phrase_variants_for
+        return _phrase_variants_for(self.analyzer, self.expand_prefix,
+                                    phrase, max_expansions)
+
+    def count_prefix(self, prefix: str) -> int:
+        """Exact, uncapped occurrence count of tokens starting with
+        ``prefix`` — sums cf over the terms-table row groups in range
+        (local twin of ``SearchIndex.count_prefix``)."""
+        p = ascii_fold(prefix)
+        if not p:
+            return 0
+        hi = p[:-1] + chr(ord(p[-1]) + 1)
+        t = self._terms_ix.read_range(p, hi, ["term", "cf"])
+        if not len(t):
+            return 0
+        keep = t["term"].astype(str).str.startswith(p)
+        return int(t.loc[keep, "cf"].sum())
 
     def _phrase_match_rows(self,
                            variants: list[list[str]]) -> pd.DataFrame | None:
@@ -289,17 +298,24 @@ class LocalSearchIndex:
     def count_phrase(self, phrase: str, prefix: bool = False,
                      max_expansions: int = 256) -> int:
         """Local twin of ``SearchIndex.count_phrase`` (reference count_hits
-        suffix semantics)."""
+        suffix semantics; tombstone-consistent, uncapped single-token
+        prefix via ``count_prefix`` — see the distributed docstring)."""
+        live = self.tombstones is not None
         variants = self._phrase_variants(
             phrase, max_expansions if prefix else None)
-        if variants and all(len(v) == 1 for v in variants):
+        if variants and all(len(v) == 1 for v in variants) and not live:
+            if prefix:
+                tok, _ = ANALYZERS[self.analyzer]
+                last = [ascii_fold(t) for t in tok(ascii_fold(phrase))][-1]
+                return self.count_prefix(last)
             st = self.term_stats([v[0] for v in variants])
             return sum(f["cf"] for d in st.values() for f in d.values())
         m = self._phrase_match_rows(variants)
         return 0 if m is None else int(m["tf"].sum())
 
     def search_phrase(self, phrase: str, k: int = 10, offset: int = 0,
-                      quantize: int | None = None) -> pd.DataFrame:
+                      quantize: int | None = None,
+                      weights: list[float] | None = None) -> pd.DataFrame:
         """Consecutive-token phrase over positions — identical semantics to
         ``SearchIndex.search_phrase`` (phrase scored as a pseudo-term with
         per-field df/idf; a phrase never crosses a field boundary), answered
@@ -307,20 +323,30 @@ class LocalSearchIndex:
         m = self._phrase_match_rows(self._phrase_variants(phrase))
         if m is None:
             return _empty_result()
-        return self._score_phrase_rows(m, k, offset, quantize)
+        return self._score_phrase_rows(m, k, offset, quantize, weights)
 
     def search_phrase_prefix(self, phrase: str, k: int = 10, offset: int = 0,
                              max_expansions: int = 16,
-                             quantize: int | None = None) -> pd.DataFrame:
+                             quantize: int | None = None,
+                             weights: list[float] | None = None
+                             ) -> pd.DataFrame:
         """Local twin of ``SearchIndex.search_phrase_prefix``."""
         m = self._phrase_match_rows(
             self._phrase_variants(phrase, max_expansions))
         if m is None:
             return _empty_result()
-        return self._score_phrase_rows(m, k, offset, quantize)
+        return self._score_phrase_rows(m, k, offset, quantize, weights)
 
     def _score_phrase_rows(self, m: pd.DataFrame, k: int, offset: int,
-                           quantize: int | None = None) -> pd.DataFrame:
+                           quantize: int | None = None,
+                           weights: list[float] | None = None) -> pd.DataFrame:
+        w = list(weights) if weights is not None else None
+        if w is not None:
+            keep = m["field"].map(
+                lambda f: int(f) < len(w) and w[int(f)] != 0.0)
+            m = m[keep.to_numpy()]
+            if not len(m):
+                return _empty_result()
         m = m.sort_values(["doc_id", "field"], kind="mergesort")
         k1, b = 1.2, 0.75
         score = np.zeros(len(m), dtype=np.float64)
@@ -329,6 +355,8 @@ class LocalSearchIndex:
         for f, g in m.groupby("field"):
             dfp = int(len(g))
             iv = idf_fn(self.n_docs, dfp)
+            if w is not None:
+                iv = w[int(f)] * iv
             ad = self.field_avgdl.get(int(f), self.avgdl)
             sel = (m["field"] == f).to_numpy()
             norm = (1.0 - b) + (b * dl[sel] / ad if ad > 0 else 0.0)

@@ -213,19 +213,8 @@ class SearchIndex:
     # -- phrase ----------------------------------------------------------------
     def _phrase_variants(self, phrase: str,
                          max_expansions: int | None = None) -> list[list[str]]:
-        """Token sequences to match: just the analyzed phrase, or — prefix
-        mode — one variant per dictionary expansion of the LAST token (the
-        reference's natural suffix semantics: a query is a byte prefix of
-        the suffix from a token start, so earlier tokens are exact and the
-        final token matches as a prefix — ``README.markdown:7-11``)."""
-        tok, _ = ANALYZERS[self.analyzer]
-        terms = [ascii_fold(t) for t in tok(ascii_fold(phrase))]
-        if not terms:
-            return []
-        if max_expansions is None:
-            return [terms]
-        return [terms[:-1] + [e]
-                for e in self.expand_prefix(terms[-1], max_expansions)]
+        return _phrase_variants_for(self.analyzer, self.expand_prefix,
+                                    phrase, max_expansions)
 
     def _phrase_matches(self, variants: list[list[str]]) -> DataFrame | None:
         """(doc_id, field, tf, dl) for docs matching ANY variant, tf summed
@@ -271,22 +260,38 @@ class SearchIndex:
         return blocks.groupBy("bucket").applyInPandas(
             matcher, "doc_id long, field int, tf int, dl int")
 
+    def count_prefix(self, prefix: str) -> int:
+        """EXACT total occurrences of tokens starting with ``prefix`` — a
+        JVM aggregation over the terms table (no driver-side expansion, no
+        cap; scalable to any vocabulary). Terms-table semantics: includes
+        tombstoned docs until vacuum, like ``count``/``count_occurrences``."""
+        p = ascii_fold(prefix)
+        if not p:
+            return 0
+        r = (self.terms
+             .filter((F.col("term") >= p) & F.col("term").startswith(p))
+             .agg(F.sum("cf")).collect()[0][0])
+        return int(r or 0)
+
     def search_phrase(self, phrase: str, k: int = 10, offset: int = 0,
                       with_url: bool = False,
-                      quantize: int | None = None) -> DataFrame:
+                      quantize: int | None = None,
+                      weights: list[float] | None = None) -> DataFrame:
         """Consecutive-token phrase, scored as one pseudo-term (tf = phrase
         occurrences, df = matching docs). Two jobs: match (needs positions),
-        then JVM-side BM25 over the (tiny) match set. ``quantize`` as in
-        ``search`` (floor-quantize BEFORE ranking, oracle parity)."""
+        then JVM-side BM25 over the (tiny) match set. ``quantize``/
+        ``weights`` as in ``search``."""
         m = self._phrase_matches(self._phrase_variants(phrase))
         if m is None:
             return self._empty()
-        return self._score_phrase_matches(m, k, offset, with_url, quantize)
+        return self._score_phrase_matches(m, k, offset, with_url, quantize,
+                                          weights)
 
     def search_phrase_prefix(self, phrase: str, k: int = 10, offset: int = 0,
                              max_expansions: int = 16,
                              with_url: bool = False,
-                             quantize: int | None = None) -> DataFrame:
+                             quantize: int | None = None,
+                             weights: list[float] | None = None) -> DataFrame:
         """fates' natural phrase-prefix search: ``'big arr'`` matches
         ``'big array'`` (``README.markdown:7-11``) — last token expanded
         against the term dictionary, earlier tokens exact, all variants
@@ -295,18 +300,31 @@ class SearchIndex:
             self._phrase_variants(phrase, max_expansions))
         if m is None:
             return self._empty()
-        return self._score_phrase_matches(m, k, offset, with_url, quantize)
+        return self._score_phrase_matches(m, k, offset, with_url, quantize,
+                                          weights)
 
     def count_phrase(self, phrase: str, prefix: bool = False,
                      max_expansions: int = 256) -> int:
         """Total phrase occurrences across the corpus — the reference's
         ``count_hits`` on a multi-token query (every suffix-array entry the
         phrase byte string is a prefix of, ``lib/suffix_array_reader.rb:
-        115-125``). ``prefix=True`` applies last-token prefix semantics."""
+        115-125``). ``prefix=True`` applies last-token prefix semantics.
+
+        Tombstone-consistent: with pending deletes the count always goes
+        through the (tombstone-filtering) matcher. Single-token prefix
+        counts on a clean index use the exact, uncapped ``count_prefix``
+        aggregation; multi-token prefix counts expand at most
+        ``max_expansions`` dictionary terms (raise it for exhaustive counts
+        over adversarial vocabularies)."""
+        live = self.tombstones is not None
         variants = self._phrase_variants(
             phrase, max_expansions if prefix else None)
-        if variants and all(len(v) == 1 for v in variants):
-            # single-token: occurrences come straight from the terms table
+        if variants and all(len(v) == 1 for v in variants) and not live:
+            if prefix:  # exact + uncapped: terms-table aggregation
+                tok, _ = ANALYZERS[self.analyzer]
+                last = [ascii_fold(t)
+                        for t in tok(ascii_fold(phrase))][-1]
+                return self.count_prefix(last)
             st = self.term_stats([v[0] for v in variants])
             return sum(f["cf"] for d in st.values() for f in d.values())
         m = self._phrase_matches(variants)
@@ -316,19 +334,26 @@ class SearchIndex:
 
     def _score_phrase_matches(self, matches: DataFrame, k: int, offset: int,
                               with_url: bool,
-                              quantize: int | None = None) -> DataFrame:
+                              quantize: int | None = None,
+                              weights: list[float] | None = None) -> DataFrame:
+        w = list(weights) if weights is not None else None
         matches = matches.cache()
         try:
             # per-field phrase df -> per-field idf (phrase as pseudo-term)
             per_field = {int(r["field"]): int(r["n"]) for r in
                          matches.groupBy("field").agg(
                              F.count("*").alias("n")).collect()}
+            if w is not None:
+                per_field = {f: n for f, n in per_field.items()
+                             if f < len(w) and w[f] != 0.0}
             if not per_field:
                 return self._empty()
             k1, b = 1.2, 0.75
             score = None
             for f, dfp in sorted(per_field.items()):
                 iv = idf_fn(self.n_docs, dfp)
+                if w is not None:
+                    iv = w[f] * iv
                 ad = self.field_avgdl.get(f, self.avgdl)
                 norm = (1.0 - b) + b * F.col("dl") / F.lit(ad) if ad > 0 \
                     else F.lit(1.0 - b)
@@ -407,6 +432,24 @@ def snippets(result: DataFrame, corpus: DataFrame, query: str | list[str],
         F.substring(F.col(text_col), start.cast("int"), 2 * size))
     joined = corpus.join(F.broadcast(result), id_col)
     return joined.select(id_col, "score", snippet.alias("snippet"))
+
+
+def _phrase_variants_for(analyzer: str, expand_fn, phrase: str,
+                         max_expansions: int | None = None) -> list[list[str]]:
+    """Token sequences to match: just the analyzed phrase, or — prefix
+    mode — one variant per dictionary expansion of the LAST token (the
+    reference's natural suffix semantics: a query is a byte prefix of the
+    suffix from a token start, so earlier tokens are exact and the final
+    token matches as a prefix — ``README.markdown:7-11``). Shared by the
+    distributed and local readers (``expand_fn`` is each reader's
+    dictionary range scan)."""
+    tok, _ = ANALYZERS[analyzer]
+    terms = [ascii_fold(t) for t in tok(ascii_fold(phrase))]
+    if not terms:
+        return []
+    if max_expansions is None:
+        return [terms]
+    return [terms[:-1] + [e] for e in expand_fn(terms[-1], max_expansions)]
 
 
 def _gather_doc_positions(data: dict, cand: np.ndarray,
