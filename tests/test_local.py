@@ -117,3 +117,18 @@ def test_with_url_matches(pages_idx):
     b = loc.search(["smith"], k=5, mode="OR", with_url=True)
     assert [(r["doc_id"], r["url"]) for r in a] == \
         list(zip(b["doc_id"].tolist(), b["url"].tolist()))
+
+
+def test_index_stats_diagnostics(pages_idx, tmp_root):
+    from fatespark.diagnostics import index_stats
+    dist, _ = pages_idx
+    s = index_stats(str(tmp_root / "local_pages_idx"))
+    assert s["n_docs"] == dist.n_docs
+    assert s["codec"] == "varint"
+    assert s["n_postings"] > 0 and s["n_blocks"] > 0
+    assert 0 < s["encoded_bytes_per_posting"] < 64
+    assert s["head_terms"][0]["term"] == "the"
+    assert s["head_terms"][0]["df"] == dist.count("the")
+    assert s["chunks"]["done"] == 1
+    assert s["pending_tombstones"] == 0
+    assert s["bucket_skew"]["max_over_mean"] < 2.0
