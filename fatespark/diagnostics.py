@@ -106,3 +106,9 @@ def index_stats(index_dir: str, top_terms: int = 10) -> dict:
     out["pending_tombstones"] = sum(
         pq.ParquetFile(f).metadata.num_rows for f in tombs)
     return out
+
+
+if __name__ == "__main__":  # python -m fatespark.diagnostics <index_dir>
+    import json
+    import sys
+    print(json.dumps(index_stats(sys.argv[1]), indent=2, default=str))
