@@ -179,3 +179,21 @@ class TestLocalPhrasePrefixParity:
         b = local.search_phrase_prefix("the term0000", k=10,
                                        max_expansions=64)
         assert a == list(zip(b["doc_id"].tolist(), b["score"].tolist()))
+
+
+def test_fates_veneer_composes_with_pfor_codec(spark, tmp_root):
+    """Veneer x codec composition: fulltext_index with BuildConfig(codec=
+    'pfor') must answer identically to the varint build of the same data."""
+    from fatespark.build import BuildConfig
+    from fatespark.corpus import contacts_df
+    corpus = contacts_df(spark, 800, partitions=2)
+    out = {}
+    for codec in ("varint", "pfor"):
+        fi = FatesIndex.fulltext_index(
+            spark, corpus, str(tmp_root / f"compat_{codec}_idx"),
+            ["last_name", "first_name"], id_col="id",
+            config=BuildConfig(n_buckets=2, salt_bits=0, codec=codec),
+            build_id=f"c-{codec}")
+        out[codec] = (fi.fulltext_count("smith"), fi.fulltext_count("fa"),
+                      fi.fulltext_find("Smith", 0, 5))
+    assert out["varint"] == out["pfor"]
