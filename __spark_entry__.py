@@ -60,10 +60,22 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _IDX: dict[str, SearchIndex] = {}
 
 
+def _corpus_tag(sf_dir: str) -> str:
+    """Cache key for /tmp index dirs: sf name + documents.parquet mtime, so
+    a regenerated corpus at the same scale (row count unchanged) can never
+    be served a stale cached index."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        mt = int(os.path.getmtime(_t(sf_dir, "documents")))
+    except OSError:
+        mt = 0
+    return f"{tag}_{mt:x}"
+
+
 def _index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     if sf_dir in _IDX:
         return _IDX[sf_dir]
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = _corpus_tag(sf_dir)
     idx_dir = f"/tmp/fatespark_entry_idx/{tag}"
     docs = _read(spark, sf_dir, "documents")
     n = docs.count()
@@ -165,7 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         surface."""
         from fatespark.local import LocalSearchIndex
         _index(spark, sf)  # ensure built
-        tag = os.path.basename(os.path.normpath(sf)) or "sf"
+        tag = _corpus_tag(sf)
         loc = LocalSearchIndex(f"/tmp/fatespark_entry_idx/{tag}")
         pdf = loc.search(QS["or2"], k=10, mode="OR", quantize=4)
         return spark.createDataFrame(pdf, "doc_id long, score double")
@@ -174,7 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_multifield_topk(spark, sf):
         """Weighted two-field BM25 (text w=1, source w=2) — the reference's
         weighted-field ranking upgraded (lib/fates.rb:65)."""
-        tag = os.path.basename(os.path.normpath(sf)) or "sf"
+        tag = _corpus_tag(sf)
         d = f"/tmp/fatespark_entry_idx/{tag}_mf"
         docs = _read(spark, sf, "documents")
         n = docs.count()
@@ -196,7 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         PForDelta block codec (BuildConfig(codec='pfor'), pfor.py) — shares
         ft_topk_and2's oracle, proving the codec is bit-transparent at the
         driver surface."""
-        tag = os.path.basename(os.path.normpath(sf)) or "sf"
+        tag = _corpus_tag(sf)
         d = f"/tmp/fatespark_entry_idx/{tag}_pfor"
         docs = _read(spark, sf, "documents")
         n = docs.count()
@@ -214,7 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_pfor_topk"] = ft_pfor_topk
 
     def ft_stemmed_topk(spark, sf):  # rows-only (Porter not SQL-expressible)
-        tag = os.path.basename(os.path.normpath(sf)) or "sf"
+        tag = _corpus_tag(sf)
         d = f"/tmp/fatespark_entry_idx/{tag}_porter"
         docs = _read(spark, sf, "documents")
         n = docs.count()
@@ -419,7 +431,7 @@ _TOK_CTES = f"""
 tok AS (
   SELECT doc_id, translate(t, '{_UP}', '{_LO}') AS term
   FROM (SELECT doc_id,
-               unnest(regexp_split_to_array(text, '{_WS_SQL}')) AS t
+               unnest(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}')) AS t
         FROM documents)
   WHERE t <> ''
 ),
@@ -436,7 +448,10 @@ tfs AS (
   SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
 ),
 dfs AS (
-  SELECT term, count(*) AS df, sum(tf) AS cf FROM tfs GROUP BY term
+  -- CAST: DuckDB sum(BIGINT) is HUGEINT (read back as float64); the engine's
+  -- cf is int64, so the driver value-hash needs the explicit BIGINT
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM tfs GROUP BY term
 )"""
 
 

@@ -7,15 +7,22 @@
 - MinHash + LSH: the 100 TB path — constant-size signatures per doc, banding
   turns all-pairs into an equi-join on (band, band_hash) buckets.
 - SimHash: 64-bit near-dup fingerprint, hamming-banded candidate join.
-- embedding cosine: exact threshold self-join for small dims/corpora; the
-  scale path reuses the LSH banding idea with random hyperplanes (see ann.py).
+- embedding cosine: exact threshold self-join as the small-corpus oracle;
+  ``embedding_dup_pairs_banded`` is the scale path (hyperplane-LSH banded
+  equi-join, no cartesian).
 
 All randomness is derived from splitmix64 of fixed seeds — signatures are
-reproducible across runs, partitionings, and cluster sizes.
+reproducible across runs, partitionings, and cluster sizes. Token content
+hashes are the first 8 bytes of md5 (one C call per unique token, cached),
+so every hash in this module is replicable in ANSI SQL (``sqlhash``) and
+the DuckDB driver oracles can check minhash/simhash output bit-exactly.
+Everything after tokenization is batch-vectorized numpy — no per-token or
+per-doc Python loops in the hot path.
 """
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -54,45 +61,71 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 # shingles
 # ---------------------------------------------------------------------------
 
-def _shingle_hashes(text: str, k: int, seed: int = 1337) -> np.ndarray:
-    """Distinct k-token-shingle hashes of one doc (uint64), via a rolling
-    polynomial over per-token splitmix64 hashes — deterministic and
-    library-version independent."""
-    toks = whitespace_tokens(ascii_fold(text or ""))
-    n = len(toks)
-    if n < k:
-        return np.zeros(0, dtype=np.uint64)
-    # token content hash: splitmix64 chain over utf-8 bytes, vectorized per
-    # unique token via python-level cache (tokens repeat heavily)
-    uniq, inv = np.unique(np.array(toks, dtype=object), return_inverse=True)
-    th = np.fromiter((_str_hash(t, seed) for t in uniq), dtype=np.uint64,
-                     count=len(uniq))[inv]
-    with np.errstate(over="ignore"):
-        out = np.zeros(n - k + 1, dtype=np.uint64)
-        mult = np.uint64(0x9E3779B97F4A7C15)
-        for i in range(k):
-            out = out * mult + th[i:n - k + 1 + i]
-        out = splitmix64(out)
-    return np.unique(out)
+_MULT = np.uint64(0x9E3779B97F4A7C15)
+_TOKEN_HASH_CACHE: dict[str, int] = {}
 
 
-_STR_CACHE: dict[tuple[str, int], int] = {}
-
-
-def _str_hash(s: str, seed: int) -> np.uint64:
-    key = (s, seed)
-    got = _STR_CACHE.get(key)
+def token_hash_u64(s: str) -> int:
+    """First 8 bytes (big-endian) of md5(utf-8(s)) — one C call per UNIQUE
+    token (cached), replicable in SQL as a fold over the md5 hex prefix
+    (``sqlhash.md5_u64``)."""
+    got = _TOKEN_HASH_CACHE.get(s)
     if got is None:
-        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = np.uint64(seed)
-            mult = np.uint64(0x100000001B3)
-            for x in b:  # tokens are short; cached per unique token
-                h = (h ^ x) * mult
-        got = int(splitmix64(h))
-        if len(_STR_CACHE) < 1_000_000:
-            _STR_CACHE[key] = got
-    return np.uint64(got)
+        got = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8],
+                             "big")
+        if len(_TOKEN_HASH_CACHE) < 1_000_000:
+            _TOKEN_HASH_CACHE[s] = got
+    return got
+
+
+def _batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize + hash one whole Arrow batch: (flat u64 token hashes in doc
+    order, per-doc token counts). md5 runs once per unique token in the
+    batch; everything else is vectorized."""
+    toks = [whitespace_tokens(ascii_fold(t or "")) for t in texts]
+    lens = np.fromiter(map(len, toks), np.int64, len(toks))
+    if int(lens.sum()) == 0:
+        return np.zeros(0, dtype=np.uint64), lens
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+    uniq, inv = np.unique(flat, return_inverse=True)
+    th = np.fromiter((token_hash_u64(t) for t in uniq), dtype=np.uint64,
+                     count=len(uniq))[inv]
+    return th, lens
+
+
+def _shingle_windows(th: np.ndarray, lens: np.ndarray, k: int,
+                     seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hashes of ALL k-token windows of a flat batch (not deduped):
+    (doc index per window, u64 window hash), doc-ordered. Window hash is a
+    rolling polynomial seeded with splitmix64(seed) over the token hashes,
+    finalized with splitmix64 — 2 mul-adds + one finalizer per window, all
+    vectorized across the batch."""
+    n_docs = lens.size
+    wcounts = np.maximum(lens - k + 1, 0)
+    total = int(wcounts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    doc_starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=doc_starts[1:])
+    w_doc = np.repeat(np.arange(n_docs, dtype=np.int64), wcounts)
+    w0 = np.repeat(doc_starts, wcounts) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(wcounts) - wcounts, wcounts))
+    init = np.uint64(int(splitmix64(np.uint64(seed))))
+    with np.errstate(over="ignore"):
+        out = np.full(total, init, dtype=np.uint64)
+        for j in range(k):
+            out = out * _MULT + th[w0 + j]
+        out = splitmix64(out)
+    return w_doc, out
+
+
+def _shingle_hashes(text: str, k: int, seed: int = 1337) -> np.ndarray:
+    """Distinct k-token-shingle hashes of ONE doc (uint64) — single-doc
+    wrapper over the batch kernels (property-test surface)."""
+    th, lens = _batch_token_hashes([text])
+    _, h = _shingle_windows(th, lens, k, seed)
+    return np.unique(h)
 
 
 def shingles_df(df: DataFrame, k: int = 3, text_col: str = "text",
@@ -100,15 +133,17 @@ def shingles_df(df: DataFrame, k: int = 3, text_col: str = "text",
     """(doc_id, shingle bigint) — distinct k-shingle hashes per doc."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sh = [], []
-            for d, t in zip(pdf[id_col], pdf[text_col]):
-                h = _shingle_hashes(t, k)
-                ids.extend([d] * h.size)
-                sh.append(h.view(np.int64))
+            ids = pdf[id_col].to_numpy(np.int64)
+            th, lens = _batch_token_hashes(pdf[text_col].tolist())
+            w_doc, h = _shingle_windows(th, lens, k, seed=1337)
+            # distinct per doc: sort (doc, hash), keep group heads
+            order = np.lexsort((h, w_doc))
+            wd, hh = w_doc[order], h[order]
+            keep = np.ones(hh.size, dtype=bool)
+            keep[1:] = (hh[1:] != hh[:-1]) | (wd[1:] != wd[:-1])
             yield pd.DataFrame({
-                "doc_id": pd.array(ids, dtype="int64"),
-                "shingle": np.concatenate(sh) if sh else
-                np.zeros(0, dtype=np.int64)})
+                "doc_id": pd.array(ids[wd[keep]], dtype="int64"),
+                "shingle": hh[keep].view(np.int64)})
     return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
         gen, schema="doc_id long, shingle long")
 
@@ -189,27 +224,32 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 64, k: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
                        seed: int = 7) -> DataFrame:
     """(doc_id, sig array<bigint>) — num_hashes minhash values per doc.
-    h_i(s) = splitmix64(s XOR seed_i); one vectorized (shingles × hashes)
-    min-reduce per doc."""
+    h_i(s) = splitmix64(s XOR seed_i), minimized over the doc's shingle
+    hashes. Batch-vectorized: one (all-windows × seed) hash + segmented
+    min-reduce per seed across the WHOLE Arrow batch (duplicate windows
+    cannot change a min, so no dedup pass is needed)."""
     seeds = splitmix64(np.arange(num_hashes, dtype=np.uint64)
                        + np.uint64(seed) * np.uint64(0x9E3779B9))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sigs = [], []
-            for d, t in zip(pdf[id_col], pdf[text_col]):
-                sh = _shingle_hashes(t, k)
-                if sh.size == 0:
-                    sig = np.full(num_hashes, np.iinfo(np.int64).max,
-                                  dtype=np.int64)
-                else:
-                    with np.errstate(over="ignore"):
-                        m = splitmix64(sh[:, None] ^ seeds[None, :])
-                    sig = m.min(axis=0).view(np.int64)
-                ids.append(d)
-                sigs.append(sig.tolist())
+            ids = pdf[id_col].to_numpy(np.int64)
+            th, lens = _batch_token_hashes(pdf[text_col].tolist())
+            _, h = _shingle_windows(th, lens, k, seed=1337)
+            wcounts = np.maximum(lens - k + 1, 0)
+            sig = np.full((ids.size, num_hashes), np.iinfo(np.int64).max,
+                          dtype=np.int64)
+            nz = wcounts > 0
+            if h.size:
+                starts = np.zeros(int(nz.sum()), dtype=np.int64)
+                np.cumsum(wcounts[nz][:-1], out=starts[1:])
+                with np.errstate(over="ignore"):
+                    for i in range(num_hashes):
+                        m = splitmix64(h ^ seeds[i])
+                        sig[nz, i] = np.minimum.reduceat(m, starts).view(
+                            np.int64)
             yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
-                                "sig": sigs})
+                                "sig": [row.tolist() for row in sig]})
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         gen, schema="doc_id long, sig array<long>")
 
@@ -262,32 +302,42 @@ def minhash_dedup_pairs(df: DataFrame, threshold: float = 0.8,
 
 def simhash_col_df(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", seed: int = 99) -> DataFrame:
-    """(doc_id, simhash bigint): 64-bit SimHash over token hashes weighted by
-    term frequency."""
+    """(doc_id, simhash bigint): 64-bit SimHash over seeded token hashes
+    weighted by term frequency. Token hash = splitmix64(md5_u64(token) XOR
+    splitmix64(seed)); docs with no tokens get simhash 0. Batch-vectorized:
+    per-(doc, token) counts via one lexsort, then 64 segmented bit-weight
+    reductions across the whole Arrow batch."""
+    seed_c = np.uint64(int(splitmix64(np.uint64(seed))))
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bit_idx = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            ids, out = [], []
-            for d, t in zip(pdf[id_col], pdf[text_col]):
-                toks = whitespace_tokens(ascii_fold(t or ""))
-                if not toks:
-                    ids.append(d)
-                    out.append(0)
-                    continue
-                uniq, counts = np.unique(np.array(toks, dtype=object),
-                                         return_counts=True)
-                th = np.fromiter((_str_hash(s, seed) for s in uniq),
-                                 dtype=np.uint64, count=len(uniq))
-                bits = ((th[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                        ).astype(np.float64)
-                acc = ((2.0 * bits - 1.0) * counts[:, None]).sum(axis=0)
-                sh = np.uint64(0)
-                for j in np.flatnonzero(acc > 0):
-                    sh |= np.uint64(1) << np.uint64(j)
-                ids.append(d)
-                out.append(int(sh.view(np.int64) if hasattr(sh, "view")
-                               else sh))
-                out[-1] = int(np.uint64(sh).astype(np.int64))
+            ids = pdf[id_col].to_numpy(np.int64)
+            th, lens = _batch_token_hashes(pdf[text_col].tolist())
+            out = np.zeros(ids.size, dtype=np.int64)
+            if th.size:
+                with np.errstate(over="ignore"):
+                    ths = splitmix64(th ^ seed_c)
+                doc_idx = np.repeat(np.arange(ids.size, dtype=np.int64),
+                                    lens)
+                # unique (doc, token-hash) rows with occurrence counts
+                order = np.lexsort((ths, doc_idx))
+                d_s, t_s = doc_idx[order], ths[order]
+                head = np.ones(t_s.size, dtype=bool)
+                head[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
+                gstart = np.flatnonzero(head)
+                counts = np.diff(np.append(gstart, t_s.size)).astype(
+                    np.float64)
+                u_d, u_t = d_s[gstart], t_s[gstart]
+                dhead = np.ones(u_d.size, dtype=bool)
+                dhead[1:] = u_d[1:] != u_d[:-1]
+                dstart = np.flatnonzero(dhead)
+                sh = np.zeros(dstart.size, dtype=np.uint64)
+                for b in range(64):
+                    bit = ((u_t >> np.uint64(b)) & np.uint64(1)).astype(
+                        np.float64)
+                    acc = np.add.reduceat((2.0 * bit - 1.0) * counts, dstart)
+                    sh |= (acc > 0).astype(np.uint64) << np.uint64(b)
+                out[u_d[dstart]] = sh.view(np.int64)
             yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
                                 "simhash": pd.array(out, dtype="int64")})
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
@@ -323,20 +373,102 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
 # embedding near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_dup_pairs(emb_df: DataFrame, threshold: float = 0.95,
-                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact cosine-similarity ≥ threshold pairs (brute self-join — correct
-    baseline; use ann.lsh_bucketed_join for the scale path)."""
+def _pair_cosine() -> "F.Column":
+    """cosine(a.v, b.v) as a JVM fold — ordered left-fold, so bit-identical
+    regardless of which side of the pair each vector lands on (per-element
+    products commute; the summation order is the element order)."""
     dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
                                  lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda side: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(F.col(f"{side}.v"), lambda x: x * x),
         F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (norm("a") * norm("b"))
+
+
+def embedding_dup_pairs(emb_df: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_blocks: int = 16) -> DataFrame:
+    """EXACT cosine-similarity ≥ threshold pairs via a block-tiled
+    equi-join (1-bucket-theta style, Okcan & Riedewald SIGMOD'11): ids hash
+    into ``n_blocks`` blocks, the upper-triangle grid of block pairs is a
+    tiny broadcast table, and each (i, j) tile becomes one equi-join key —
+    so the inherent O(n²) comparison work lands as G(G+1)/2 BALANCED
+    shuffle-partitioned tasks with bounded (n/G)² tile memory, instead of
+    Spark's BroadcastNestedLoopJoin cartesian (which ships one whole side
+    to every executor and OOMs at scale). Output is exact and identical to
+    a brute self-join. Size ``n_blocks`` so n/G rows of (id, vec) fit an
+    executor core's memory; at 100 TB that's G in the thousands.
+
+    Exact low-threshold similarity join is inherently quadratic; for true
+    NEAR-dup thresholds (≥~0.85) use ``embedding_dup_pairs_banded``, which
+    prunes candidates with hyperplane LSH instead of enumerating tiles."""
     base = emb_df.select(F.col(id_col).alias("id"),
                          F.col(vec_col).cast("array<double>").alias("v"))
-    a, b = base.alias("a"), base.alias("b")
-    return (a.join(b, F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    (dot / (norm("a") * norm("b"))).alias("cosine"))
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    grid = emb_df.sparkSession.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "ga int, gb int")
+    # replicate each side along its grid axis (broadcast joins — narrow),
+    # then ONE shuffle on the composite tile key (ga, gb)
+    a = (base.withColumn("ga", blk)
+         .join(F.broadcast(grid), "ga").alias("a"))
+    b = (base.withColumn("gb", blk)
+         .join(F.broadcast(grid), "gb").alias("b"))
+    pairs = (a.join(b, ["ga", "gb"])
+             .filter((F.col("ga") < F.col("gb"))
+                     | (F.col("a.id") < F.col("b.id"))))
+    return (pairs.select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+                _pair_cosine().alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def embedding_dup_pairs_banded(emb_df: DataFrame, threshold: float = 0.95,
+                               n_bands: int = 8, planes_per_band: int = 8,
+                               seed: int = 5, id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """Near-dup pairs via hyperplane-LSH banding — the 100 TB path: each
+    vector gets ``n_bands`` sign-bit bucket ids (one per band of
+    ``planes_per_band`` seeded hyperplanes), candidates are the equi-join
+    on (band, bucket), and candidates are verified with the exact cosine.
+    No cartesian anywhere; recall is the standard LSH amplification
+    1-(1-p^r)^b for p = 1-θ/π. Deterministic end-to-end (planes from
+    splitmix64, ordered-fold dots), so a SQL oracle can replicate the
+    pruning bit-exactly, not just the survivors."""
+    from . import ann
+
+    dim = len(emb_df.select(vec_col).first()[0])
+    plane_sets = [ann.hyperplanes(dim, planes_per_band, seed=seed + 101 * b)
+                  for b in range(n_bands)]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].map(
+                lambda v: np.asarray(v, dtype=np.float64)))
+            ids = pdf[id_col].to_numpy(np.int64)
+            out_id = np.tile(ids, n_bands)
+            out_band = np.repeat(np.arange(n_bands, dtype=np.int32),
+                                 ids.size)
+            out_bkt = np.concatenate([
+                ann.lsh_bucket_of(vecs, plane_sets[b])
+                for b in range(n_bands)])
+            yield pd.DataFrame({"id": out_id, "band": out_band,
+                                "bucket": out_bkt})
+
+    base = emb_df.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).cast("array<double>").alias("v"))
+    banded = (emb_df.select(F.col(id_col), F.col(vec_col))
+              .mapInPandas(gen, "id long, band int, bucket long"))
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (x.join(y, (F.col("x.band") == F.col("y.band"))
+                   & (F.col("x.bucket") == F.col("y.bucket"))
+                   & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct())
+    a = base.withColumnRenamed("id", "id_a").alias("a")
+    b = base.withColumnRenamed("id", "id_b").alias("b")
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", _pair_cosine().alias("cosine"))
             .filter(F.col("cosine") >= threshold))

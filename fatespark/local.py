@@ -298,11 +298,15 @@ class LocalSearchIndex:
     def count_phrase(self, phrase: str, prefix: bool = False,
                      max_expansions: int = 256) -> int:
         """Local twin of ``SearchIndex.count_phrase`` (reference count_hits
-        suffix semantics; tombstone-consistent, uncapped single-token
-        prefix via ``count_prefix`` — see the distributed docstring)."""
+        suffix semantics; tombstone-consistent, single-token prefix counts
+        always exact and uncapped — see the distributed docstring)."""
         live = self.tombstones is not None
-        variants = self._phrase_variants(
-            phrase, max_expansions if prefix else None)
+        cap = max_expansions if prefix else None
+        if prefix and live:
+            tok, _ = ANALYZERS[self.analyzer]
+            if len(tok(ascii_fold(phrase))) == 1:
+                cap = 0  # uncapped: single-token prefix counts stay exact
+        variants = self._phrase_variants(phrase, cap)
         if variants and all(len(v) == 1 for v in variants) and not live:
             if prefix:
                 tok, _ = ANALYZERS[self.analyzer]
@@ -371,14 +375,15 @@ class LocalSearchIndex:
                               kind="mergesort").head(k + offset)
         return out.iloc[offset:][["doc_id", "score"]].reset_index(drop=True)
 
-    def expand_prefix(self, prefix: str, max_terms: int = 256) -> list[str]:
+    def expand_prefix(self, prefix: str,
+                      max_terms: int | None = 256) -> list[str]:
         p = ascii_fold(prefix)
         if not p:
             return []
         hi = p[:-1] + chr(ord(p[-1]) + 1)
         t = self._terms_ix.read_range(p, hi, ["term"])
         terms = sorted({x for x in t["term"] if x.startswith(p)})
-        return terms[:max_terms]
+        return terms if max_terms is None else terms[:max_terms]
 
     def search_prefix(self, prefix: str, k: int = 10, max_terms: int = 256,
                       quantize: int | None = None) -> pd.DataFrame:

@@ -28,8 +28,11 @@ the block row, like the varint codec):
 Width selection per block: evaluate the exact encoded size at three bitlen
 percentiles (NewPFD's ~90% coverage heuristic plus 75% and max) and take the
 cheapest; if plain varint beats the best PFor frame (typical for tail-term
-blocks with a handful of huge doc-id gaps), emit a fallback frame instead —
-so the hybrid is never more than one byte per block worse than varint.
+blocks with a handful of huge doc-id gaps), emit a fallback frame instead.
+The PFor cost estimate is an UPPER bound on the emitted frame size (exact
+header and high-part varints; exception-position deltas bounded by their
+absolute-position varints, exact for block_size <= 128), so an emitted
+hybrid frame is never larger than the varint alternative.
 
 Encode is vectorized across ALL blocks of a batch (grouped reduceat stats,
 width-class-batched bit packing); the only per-block Python is the final
@@ -119,13 +122,23 @@ def pfor_encode_grouped(values: np.ndarray,
                             0, glens - 1)
         cand_b[ci] = nb_sorted[pick]
     n8 = ((glens + 7) // 8) * 8
+    pos_in_grp = np.arange(v.size, dtype=np.int64) - np.repeat(gs, glens)
+    # upper bound on each value's exception-POSITION cost: the positions are
+    # delta-encoded and deltas never exceed the absolute in-block position,
+    # so varint_len(delta) <= varint_len(pos) — exact for block_size <= 128
+    pos_vlen = varint_byte_lengths(pos_in_grp.astype(np.uint64))
     cost = np.empty((len(_PCTS), G), dtype=np.int64)
     for ci in range(len(_PCTS)):
         bv = cand_b[ci][gid]
         excess = np.maximum(nb - bv, 0)
-        # an exception costs its high-part varint + ~1 position byte
-        exc_bytes = np.where(excess > 0, (excess + 6) // 7 + 1, 0)
-        cost[ci] = (2 + n8 * cand_b[ci] // 8
+        is_exc = excess > 0
+        # an exception costs its high-part varint + its position varint
+        exc_bytes = np.where(is_exc, (excess + 6) // 7 + pos_vlen, 0)
+        n_exc_ci = np.add.reduceat(is_exc.astype(np.int64), gs)
+        # header: width byte + exact varint of n_exceptions
+        hdr = 1 + np.maximum((bit_lengths(n_exc_ci.astype(np.uint64)) + 6)
+                             // 7, 1)
+        cost[ci] = (hdr + n8 * cand_b[ci] // 8
                     + np.add.reduceat(exc_bytes, gs))
     best = np.argmin(cost, axis=0)
     b_grp = cand_b[best, np.arange(G)]
@@ -143,7 +156,6 @@ def pfor_encode_grouped(values: np.ndarray,
     n_exc_grp = np.add.reduceat(exc.astype(np.int64), gs)
 
     # ---- packed section: scatter low bits into a global byte stream --------
-    pos_in_grp = np.arange(v.size, dtype=np.int64) - np.repeat(gs, glens)
     pb_len = np.where(use_varint, 0, n8 * b_grp // 8)
     pb_start = np.zeros(G, dtype=np.int64)
     np.cumsum(pb_len[:-1], out=pb_start[1:])

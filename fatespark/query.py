@@ -312,13 +312,18 @@ class SearchIndex:
 
         Tombstone-consistent: with pending deletes the count always goes
         through the (tombstone-filtering) matcher. Single-token prefix
-        counts on a clean index use the exact, uncapped ``count_prefix``
-        aggregation; multi-token prefix counts expand at most
-        ``max_expansions`` dictionary terms (raise it for exhaustive counts
-        over adversarial vocabularies)."""
+        counts are ALWAYS exact and uncapped — clean index via the
+        ``count_prefix`` aggregation, pending deletes via an uncapped
+        dictionary expansion feeding the matcher; multi-token prefix counts
+        expand at most ``max_expansions`` dictionary terms (raise it for
+        exhaustive counts over adversarial vocabularies)."""
         live = self.tombstones is not None
-        variants = self._phrase_variants(
-            phrase, max_expansions if prefix else None)
+        cap = max_expansions if prefix else None
+        if prefix and live:
+            tok, _ = ANALYZERS[self.analyzer]
+            if len(tok(ascii_fold(phrase))) == 1:
+                cap = 0  # uncapped: single-token prefix counts stay exact
+        variants = self._phrase_variants(phrase, cap)
         if variants and all(len(v) == 1 for v in variants) and not live:
             if prefix:  # exact + uncapped: terms-table aggregation
                 tok, _ = ANALYZERS[self.analyzer]
@@ -362,7 +367,12 @@ class SearchIndex:
                     F.col("tf") + F.lit(k1) * norm))
                 s_f = F.when(F.col("field") == f, s_f)
                 score = s_f if score is None else F.coalesce(s_f, score)
+            # drop rows of weight-excluded fields BEFORE aggregating: the
+            # when/coalesce chain yields NULL for them, and groupBy.sum over
+            # an all-NULL group would emit (doc, NULL) rows — the local
+            # reader filters such rows first, and parity requires we match
             agg = (matches.select("doc_id", score.alias("s"))
+                   .where(F.col("s").isNotNull())
                    .groupBy("doc_id").agg(F.sum("s").alias("score")))
             if quantize:
                 qm = float(10 ** quantize)
@@ -436,20 +446,22 @@ def snippets(result: DataFrame, corpus: DataFrame, query: str | list[str],
 
 def _phrase_variants_for(analyzer: str, expand_fn, phrase: str,
                          max_expansions: int | None = None) -> list[list[str]]:
-    """Token sequences to match: just the analyzed phrase, or — prefix
-    mode — one variant per dictionary expansion of the LAST token (the
-    reference's natural suffix semantics: a query is a byte prefix of the
-    suffix from a token start, so earlier tokens are exact and the final
-    token matches as a prefix — ``README.markdown:7-11``). Shared by the
-    distributed and local readers (``expand_fn`` is each reader's
-    dictionary range scan)."""
+    """Token sequences to match: just the analyzed phrase
+    (``max_expansions=None``), or — prefix mode — one variant per dictionary
+    expansion of the LAST token (the reference's natural suffix semantics: a
+    query is a byte prefix of the suffix from a token start, so earlier
+    tokens are exact and the final token matches as a prefix —
+    ``README.markdown:7-11``). ``max_expansions=0`` expands UNCAPPED (exact
+    counts under pending tombstones). Shared by the distributed and local
+    readers (``expand_fn`` is each reader's dictionary range scan)."""
     tok, _ = ANALYZERS[analyzer]
     terms = [ascii_fold(t) for t in tok(ascii_fold(phrase))]
     if not terms:
         return []
     if max_expansions is None:
         return [terms]
-    return [terms[:-1] + [e] for e in expand_fn(terms[-1], max_expansions)]
+    cap = None if max_expansions == 0 else max_expansions
+    return [terms[:-1] + [e] for e in expand_fn(terms[-1], cap)]
 
 
 def _gather_doc_positions(data: dict, cand: np.ndarray,

@@ -205,3 +205,110 @@ class TestIdentifierCount:
         ).collect()}
         for i, c in enumerate(cases):
             assert got[i] == len(identifier_tokens(c or "")), c
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestEmbeddingDedupScale:
+    """The tiled exact join and the LSH-banded scale path (VERDICT r01 #3:
+    no cartesian/BroadcastNestedLoopJoin anywhere in the embedding-dedup
+    plans)."""
+
+    @pytest.fixture(scope="class")
+    def emb50(self, spark):
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(50, 16))
+        vecs[25] = vecs[5] + 0.02 * rng.normal(size=16)   # planted near-dup
+        vecs[40] = vecs[12] + 0.02 * rng.normal(size=16)  # planted near-dup
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        df = spark.createDataFrame(
+            [(i, vecs[i].tolist()) for i in range(50)],
+            "vec_id long, embedding array<double>")
+        return df, vecs
+
+    @staticmethod
+    def _brute_pairs(vecs, threshold):
+        sims = vecs @ vecs.T
+        out = set()
+        for i in range(len(vecs)):
+            for j in range(i + 1, len(vecs)):
+                if sims[i, j] >= threshold:
+                    out.add((i, j))
+        return out
+
+    def test_tiled_equals_bruteforce(self, emb50):
+        df, vecs = emb50
+        got = {(r["id_a"], r["id_b"]) for r in
+               dedup.embedding_dup_pairs(df, threshold=0.4,
+                                         n_blocks=4).collect()}
+        assert got == self._brute_pairs(vecs, 0.4)
+
+    def test_tiled_block_count_invariance(self, emb50):
+        df, _ = emb50
+        one = {(r["id_a"], r["id_b"], round(r["cosine"], 10)) for r in
+               dedup.embedding_dup_pairs(df, 0.4, n_blocks=1).collect()}
+        five = {(r["id_a"], r["id_b"], round(r["cosine"], 10)) for r in
+                dedup.embedding_dup_pairs(df, 0.4, n_blocks=5).collect()}
+        assert one == five
+
+    def test_tiled_plan_has_no_cartesian(self, emb50):
+        df, _ = emb50
+        plan = _physical_plan(dedup.embedding_dup_pairs(df, 0.4, n_blocks=4))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_banded_finds_planted_dups_exactly(self, emb50):
+        df, vecs = emb50
+        got = {(r["id_a"], r["id_b"]) for r in
+               dedup.embedding_dup_pairs_banded(df, threshold=0.95).collect()}
+        true = self._brute_pairs(vecs, 0.95)
+        assert {(5, 25), (12, 40)} <= true
+        # banded candidates are verified with the exact cosine, so output
+        # is a subset of truth; at this threshold recall is ~1
+        assert got == true
+
+    def test_banded_plan_has_no_cartesian(self, emb50):
+        df, _ = emb50
+        plan = _physical_plan(dedup.embedding_dup_pairs_banded(df, 0.95))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestLshVectorIndex:
+    def test_build_probe_and_physical_pruning(self, spark, tmp_path):
+        rng = np.random.default_rng(4)
+        vecs = rng.normal(size=(300, 16))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        df = spark.createDataFrame(
+            [(i, vecs[i].tolist()) for i in range(300)],
+            "vec_id long, embedding array<double>")
+        idx = ann.LshVectorIndex.build(df, str(tmp_path / "lshidx"), dim=16,
+                                       n_planes=6, seed=5)
+        q = vecs[7]
+        got = idx.topk(spark, q.tolist(), k=10, n_probes=16)
+        plan = _physical_plan(got)
+        assert "PartitionFilters" in plan and "lsh_bucket" in plan
+        rows = got.collect()
+        assert rows and rows[0]["vec_id"] == 7  # query finds itself
+        exact = {r["vec_id"] for r in
+                 ann.cosine_topk(df, q.tolist(), k=10).collect()}
+        assert len(exact & {r["vec_id"] for r in rows}) >= 5
+
+    def test_index_probe_matches_adhoc_lsh(self, spark, tmp_path):
+        rng = np.random.default_rng(9)
+        vecs = rng.normal(size=(120, 8))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        df = spark.createDataFrame(
+            [(i, vecs[i].tolist()) for i in range(120)],
+            "vec_id long, embedding array<double>")
+        idx = ann.LshVectorIndex.build(df, str(tmp_path / "idx2"), dim=8,
+                                       n_planes=5, seed=5)
+        q = vecs[3]
+        a = [(r["vec_id"], round(r["cosine"], 9)) for r in
+             idx.topk(spark, q.tolist(), k=8, n_probes=8).collect()]
+        b = [(r["vec_id"], round(r["cosine"], 9)) for r in
+             ann.lsh_topk(df, q.tolist(), k=8, n_planes=5, n_probes=8,
+                          seed=5).collect()]
+        assert a == b

@@ -57,6 +57,22 @@ class TestWeightedPhrase:
             assert a == list(zip(b["doc_id"].tolist(),
                                  b["score"].tolist())), w
 
+    def test_zero_weight_only_field_docs_dropped(self, mf_idx):
+        """A doc matching the phrase ONLY in a zero-weight field must not
+        appear at all (and never with a NULL score) — distributed/local
+        parity (ADVICE r01: the when/coalesce chain left NULL scores)."""
+        idx, loc, pdf, _ = mf_idx
+        # 'title004 alpha' occurs only in the title field of doc 4
+        a = idx.search_phrase("title004 alpha", k=10,
+                              weights=[1.0, 0.0]).collect()
+        assert a == []
+        b = loc.search_phrase("title004 alpha", k=10, weights=[1.0, 0.0])
+        assert len(b) == 0
+        # and no NULL scores leak through on mixed-field matches
+        mixed = idx.search_phrase("alpha beta", k=200,
+                                  weights=[1.0, 0.0]).collect()
+        assert mixed and all(r["score"] is not None for r in mixed)
+
     def test_search_signature_parity(self, mf_idx):
         """Positional (query, k, mode, offset, use_wand, with_url) must mean
         the same thing on both readers."""
@@ -104,6 +120,14 @@ class TestCountConsistency:
         assert idx2.count_phrase("alpha") == \
             base.count_phrase("alpha") - n_alpha_victim
         assert loc2.count_phrase("alpha") == idx2.count_phrase("alpha")
+        # single-token PREFIX counts stay exact under tombstones even with a
+        # tiny expansion cap (uncapped expansion feeds the matcher)
+        n_doc = sum(t.startswith("doc") for v in pdf["body"]
+                    for t in v.split())
+        assert idx2.count_phrase("doc", prefix=True,
+                                 max_expansions=2) == n_doc - 1
+        assert loc2.count_phrase("doc", prefix=True,
+                                 max_expansions=2) == n_doc - 1
 
 
 class TestResumeCodecGuard:
