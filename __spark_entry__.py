@@ -293,23 +293,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
     q["dd_ngram_jaccard"] = dd_ngram_jaccard
 
-    def dd_minhash(spark, sf):  # rows-only check (custom hash fn)
+    def dd_minhash(spark, sf):
         d = _read(spark, sf, "documents")
         return dedup.minhash_dedup_pairs(d, threshold=0.35, num_hashes=64,
                                          bands=16)
     q["dd_minhash"] = dd_minhash
 
-    def dd_simhash(spark, sf):  # rows-only check
+    def dd_simhash(spark, sf):
         d = _read(spark, sf, "documents")
         return dedup.simhash_near_pairs(d, max_hamming=8)
     q["dd_simhash"] = dd_simhash
 
     def dd_embdup(spark, sf):
+        """Exact cosine≥0.4 pairs via the block-tiled equi-join (no
+        BroadcastNestedLoopJoin/cartesian; dedup.embedding_dup_pairs)."""
         e = _read(spark, sf, "embeddings")
         return (dedup.embedding_dup_pairs(e, threshold=0.4)
                 .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
                 .orderBy("id_a", "id_b"))
     q["dd_embdup"] = dd_embdup
+
+    def dd_embdup_banded(spark, sf):
+        """Hyperplane-LSH banded near-dup pairs — the 100 TB path (no
+        all-pairs anywhere). The oracle replicates the banding pruning
+        itself, so the approximate output is hash-checked bit-exactly."""
+        e = _read(spark, sf, "embeddings")
+        return (dedup.embedding_dup_pairs_banded(
+                    e, threshold=0.4, n_bands=16, planes_per_band=4, seed=5)
+                .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+                .orderBy("id_a", "id_b"))
+    q["dd_embdup_banded"] = dd_embdup_banded
 
     # -- similarity search ---------------------------------------------------
     def ann_topk(spark, sf):
@@ -319,11 +332,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("vec_id", F.round("cosine", 4).alias("cosine")))
     q["ann_topk"] = ann_topk
 
-    def ann_lsh_topk(spark, sf):  # rows-only check (approximate by design)
+    def ann_lsh_topk(spark, sf):
+        """LSH-pruned approximate top-k. The DuckDB twin replicates the
+        bucket assignment and probe-set selection bit-exactly (sqloracles:
+        inlined plane literals + ordered fold), so even the approximation
+        is hash-checked, not just row counts."""
         e = _read(spark, sf, "embeddings")
         qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-        return ann.lsh_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10,
-                            n_planes=10, n_probes=128)
+        return (ann.lsh_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10,
+                             n_planes=10, n_probes=128)
+                .select("vec_id", F.round("cosine", 4).alias("cosine")))
     q["ann_lsh_topk"] = ann_lsh_topk
 
     # -- multimodal plumbing (binary columns, JVM hashes) --------------------
@@ -355,17 +373,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _read(spark, sf, "documents").select("doc_id")
         return d.mapInPandas(gen, "doc_id long, payload binary")
 
-    def mm_image_meta(spark, sf):  # rows-only (decode stub not in SQL)
+    def mm_image_meta(spark, sf):
         from fatespark import multimodal as mm
         return mm.image_metadata(_fake_payloads(spark, sf, "image"))
     q["mm_image_meta"] = mm_image_meta
 
-    def mm_audio_meta(spark, sf):  # rows-only
+    def mm_audio_meta(spark, sf):
         from fatespark import multimodal as mm
         return mm.audio_metadata(_fake_payloads(spark, sf, "audio"))
     q["mm_audio_meta"] = mm_audio_meta
 
-    def mm_frame_sample(spark, sf):  # rows-only (row-exploding UDTF shape)
+    def mm_frame_sample(spark, sf):  # row-exploding UDTF shape
         from fatespark import multimodal as mm
         return (mm.sample_frames(_fake_payloads(spark, sf, "video"),
                                  every_n=2)
@@ -797,6 +815,21 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2"""
 
+    # dd_minhash / dd_simhash / ann_lsh_topk / dd_embdup_banded twins are
+    # generated by fatespark.sqloracles: splitmix64/md5 chains as HUGEINT
+    # expressions, hyperplane matrices inlined as float literals with
+    # ordered folds — the PRUNING is replicated bit-exactly, not just the
+    # surviving rows.
+    from fatespark import sqloracles
+    o["dd_minhash"] = sqloracles.minhash_pairs_sql(
+        threshold=0.35, num_hashes=64, k=3, bands=16)
+    o["dd_simhash"] = sqloracles.simhash_pairs_sql(max_hamming=8)
+    o["ann_lsh_topk"] = sqloracles.lsh_topk_sql(
+        dim=64, n_planes=10, n_probes=128, seed=5, k=10)
+    o["dd_embdup_banded"] = sqloracles.banded_embdup_sql(
+        dim=64, threshold=0.4, n_bands=16, planes_per_band=4, seed=5) + \
+        "\nORDER BY id_a, id_b"
+
     # NB: cast to DOUBLE[] — duckdb's list_cosine_similarity on FLOAT[]
     # computes in float32; the engine computes in float64
     o["dd_embdup"] = """
@@ -817,6 +850,31 @@ LIMIT 10"""
     o["mm_binary_meta"] = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha
 FROM documents"""
+
+    # mm_* fake containers are closed-form in doc_id (multimodal.py:35-44),
+    # so the decode pipeline has exact SQL twins:
+    # image: px_i = (i*(2*doc_id+1)) % 251, i in 0..63 (8x8); mean = sum/64
+    # (sum of <2^53 ints is exact in float64; /64 is a power of two -> the
+    # DOUBLE arithmetic matches numpy's mean bit-for-bit)
+    o["mm_image_meta"] = """
+SELECT d.doc_id, 8 AS width, 8 AS height, 64::BIGINT AS n_pixels,
+       sum((t.i * (2 * d.doc_id + 1)) % 251) / 64.0 AS mean_px
+FROM documents d CROSS JOIN generate_series(0, 63) t(i)
+GROUP BY d.doc_id"""
+
+    # audio: s_i = ((i*(doc_id%97+3)) % 2048) - 1024, i in 0..63;
+    # rms = sqrt(sum(s_i^2)/64): integer sum exact, /64 exact, sqrt IEEE
+    o["mm_audio_meta"] = """
+SELECT d.doc_id, 16000 AS sample_rate, 64 AS n_samples,
+       sqrt(sum(((t.i * (d.doc_id % 97 + 3)) % 2048 - 1024)
+                * ((t.i * (d.doc_id % 97 + 3)) % 2048 - 1024)) / 64.0) AS rms
+FROM documents d CROSS JOIN generate_series(0, 63) t(i)
+GROUP BY d.doc_id"""
+
+    # video: 6 4x4 FIMG frames (24 bytes each), every_n=2 -> frames 0/2/4
+    o["mm_frame_sample"] = """
+SELECT doc_id, t.frame_idx, 24 AS frame_bytes
+FROM documents CROSS JOIN (VALUES (0), (2), (4)) t(frame_idx)"""
 
     o["q1_pricing"] = """
 SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,259 @@
+"""DuckDB oracle-SQL generators for the engine's hash-based operators.
+
+Each function returns a complete ANSI-SQL (DuckDB-dialect) query string that
+replicates the corresponding fatespark operator BIT-EXACTLY on the driver's
+parquet tables — including the approximate/pruned parts (LSH banding, probe
+sets), not just the surviving rows. That works because every source of
+randomness in the engine is a deterministic splitmix64/md5 derivation
+(``dedup``, ``ann``), and every float reduction is an ordered left-fold, so
+the SQL can mirror the arithmetic term by term:
+
+- token hashes: first 8 bytes of md5 (``sqlhash.md5_u64``);
+- splitmix64 chains: stepwise lateral aliases (``sqlhash.splitmix64_steps``)
+  with 64-bit wrap-around emulated in HUGEINT;
+- hyperplane dots: the plane matrix is inlined as repr() float literals and
+  the dot is an explicit left-associated chain, matching the engine's
+  ascending-dimension accumulation (``ann.plane_dots``) IEEE-exactly.
+
+These are import-time string builders — no Spark, no DuckDB required here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import sqlhash as sq
+
+_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LO = "abcdefghijklmnopqrstuvwxyz"
+_WS_SQL = r"[ \t\n\r\f\v]+"
+_M = 0x9E3779B97F4A7C15
+_I64MAX = (1 << 63) - 1
+
+# tokenization identical to analysis.whitespace_tokens(ascii_fold(text))
+_TOK_CTE = f"""
+tok AS (
+  SELECT doc_id, translate(t, '{_UP}', '{_LO}') AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}')) AS t
+        FROM documents)
+  WHERE t <> ''
+)"""
+
+_PTOKS_CTE = f"""
+ptoks AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}'),
+                       x -> x <> ''),
+           x -> translate(x, '{_UP}', '{_LO}')) AS toks
+  FROM documents
+)"""
+
+
+def simhash_pairs_sql(max_hamming: int = 8, seed: int = 99) -> str:
+    """Twin of ``dedup.simhash_near_pairs``: seeded-token-hash SimHash,
+    4x16-bit band join, hamming filter. Output (id_a, id_b, hamming)."""
+    seed_c = sq.splitmix64_py(seed)
+    steps, final = sq.splitmix64_steps(
+        sq.xor64("th", sq.u64_lit(seed_c)), "s")
+    return f"""
+WITH {_TOK_CTE},
+tcnt AS (
+  SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term
+),
+th AS (
+  SELECT doc_id, c, {sq.md5_u64('term')} AS th FROM tcnt
+),
+ths AS (
+  SELECT doc_id, c,
+       {sq.select_steps(steps)}
+  FROM th
+),
+bits AS (
+  SELECT doc_id, b.b,
+         CASE WHEN sum(CASE WHEN (({final}) >> b.b) & 1 = 1
+                            THEN c ELSE -c END) > 0
+              THEN (1::HUGEINT << b.b) ELSE 0::HUGEINT END AS bitv
+  FROM ths CROSS JOIN generate_series(0, 63) b(b)
+  GROUP BY doc_id, b.b
+),
+shu AS (
+  SELECT doc_id, sum(bitv)::HUGEINT AS shu FROM bits GROUP BY doc_id
+),
+allsh AS (
+  SELECT d.doc_id, {sq.to_i64('coalesce(s.shu, 0::HUGEINT)')} AS simhash
+  FROM documents d LEFT JOIN shu s USING (doc_id)
+),
+banded AS (
+  SELECT doc_id, simhash,
+         t.b AS band,
+         ((CASE WHEN simhash < 0 THEN simhash::HUGEINT + {sq.U64}::HUGEINT
+                ELSE simhash::HUGEINT END) >> (16 * t.b)) & 65535 AS band_val
+  FROM allsh CROSS JOIN generate_series(0, 3) t(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         x.simhash AS sa, y.simhash AS sb
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
+
+
+def minhash_pairs_sql(threshold: float = 0.35, num_hashes: int = 64,
+                      k: int = 3, bands: int = 16, seed: int = 7,
+                      shingle_seed: int = 1337) -> str:
+    """Twin of ``dedup.minhash_dedup_pairs``: rolling-polynomial k-shingle
+    hashes, per-seed minima, banded candidates, signature-estimate filter.
+    Output (id_a, id_b, jaccard_est). Only k=3 window joins are generated
+    (matches the engine default)."""
+    if k != 3:
+        raise NotImplementedError("SQL twin generated for k=3 only")
+    rows_per_band = num_hashes // bands
+    init = sq.splitmix64_py(shingle_seed)
+    r0 = (init * _M) % sq.U64
+    seeds = [sq.splitmix64_py(i + seed * 0x9E3779B9)
+             for i in range(num_hashes)]
+    seed_rows = ", ".join(f"({i}, {s}::HUGEINT)"
+                          for i, s in enumerate(seeds))
+    w_steps, w_final = sq.splitmix64_steps("r3", "w")
+    m_steps, m_final = sq.splitmix64_steps(sq.xor64("wh", "s.sv"), "m")
+    return f"""
+WITH {_PTOKS_CTE},
+win AS (
+  SELECT doc_id,
+         {sq.md5_u64('toks[i]')} AS h1,
+         {sq.md5_u64('toks[i+1]')} AS h2,
+         {sq.md5_u64('toks[i+2]')} AS h3
+  FROM ptoks, unnest(range(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 3
+),
+wh AS (
+  SELECT doc_id,
+         {sq.add64(sq.u64_lit(r0), 'h1')} AS r1,
+         {sq.add64(sq.mul64('r1', sq.u64_lit(_M)), 'h2')} AS r2,
+         {sq.add64(sq.mul64('r2', sq.u64_lit(_M)), 'h3')} AS r3,
+         {sq.select_steps(w_steps)}
+  FROM win
+),
+mh AS (
+  SELECT doc_id, s.i,
+         {sq.select_steps(m_steps)}
+  FROM (SELECT doc_id, {w_final} AS wh FROM wh)
+  CROSS JOIN (VALUES {seed_rows}) s(i, sv)
+),
+sigv AS (
+  SELECT doc_id, i, min({m_final}) AS mv FROM mh GROUP BY doc_id, i
+),
+sig AS (
+  SELECT d.doc_id, g.i,
+         coalesce({sq.to_i64('s.mv')}, {_I64MAX}) AS v
+  FROM documents d
+  CROSS JOIN generate_series(0, {num_hashes - 1}) g(i)
+  LEFT JOIN sigv s ON s.doc_id = d.doc_id AND s.i = g.i
+),
+bands AS (
+  SELECT doc_id, i // {rows_per_band} AS band, list(v ORDER BY i) AS key
+  FROM sig GROUP BY doc_id, i // {rows_per_band}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / {float(num_hashes)}
+           AS jaccard_est
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, jaccard_est FROM est
+WHERE jaccard_est >= {threshold}"""
+
+
+def _dot_fold(vec_expr: str, plane: np.ndarray) -> str:
+    """Explicit left-associated dot product — IEEE-identical to
+    ``ann.plane_dots``'s ascending-dimension accumulation."""
+    terms = "".join(
+        f" + ({vec_expr}[{d + 1}]::DOUBLE) * {p!r}"
+        for d, p in enumerate(plane.tolist()))
+    return "(0.0" + terms + ")"
+
+
+def bucket_expr(vec_expr: str, planes: np.ndarray) -> str:
+    """Sign-bit bucket id of ``vec_expr`` under ``planes`` — twin of
+    ``ann.lsh_bucket_of`` with the plane matrix inlined as literals."""
+    bits = " + ".join(
+        f"(CASE WHEN {_dot_fold(vec_expr, planes[p])} > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(planes.shape[0]))
+    return f"({bits})"
+
+
+def lsh_topk_sql(dim: int = 64, n_planes: int = 10, n_probes: int = 128,
+                 seed: int = 5, k: int = 10) -> str:
+    """Twin of ``ann.lsh_topk`` for query vector = embeddings[vec_id=0],
+    corpus = vec_id<>0 (the driver query): replicate bucket assignment,
+    probe-set selection (hamming order, ties by bucket id), and the exact
+    cosine top-k over probed buckets. Output (vec_id, cosine r4)."""
+    from . import ann
+    planes = ann.hyperplanes(dim, n_planes, seed)
+    be = bucket_expr("embedding", planes)
+    return f"""
+WITH qb AS (
+  SELECT {be} AS b FROM embeddings WHERE vec_id = 0
+),
+probe AS (
+  SELECT g.b AS b
+  FROM generate_series(0, {(1 << n_planes) - 1}) g(b), qb
+  ORDER BY bit_count(xor(g.b::BIGINT, qb.b::BIGINT)), g.b
+  LIMIT {n_probes}
+),
+cand AS (
+  SELECT vec_id, embedding
+  FROM embeddings
+  WHERE vec_id <> 0 AND {be} IN (SELECT b FROM probe)
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 4) AS cosine
+FROM cand, q
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id
+LIMIT {k}"""
+
+
+def banded_embdup_sql(dim: int = 64, threshold: float = 0.4,
+                      n_bands: int = 16, planes_per_band: int = 4,
+                      seed: int = 5) -> str:
+    """Twin of ``dedup.embedding_dup_pairs_banded``: per-band hyperplane
+    buckets (seed + 101*band), (band, bucket) equi-join candidates, exact
+    cosine verification. Replicates the PRUNING exactly, so the output
+    matches even where banding recall < 1. Output (id_a, id_b, cosine r4)."""
+    from . import ann
+    band_exprs = ", ".join(
+        f"({b}, {bucket_expr('embedding', ann.hyperplanes(dim, planes_per_band, seed=seed + 101 * b))})"
+        for b in range(n_bands))
+    return f"""
+WITH banded AS (
+  SELECT vec_id, t.band, t.bucket
+  FROM embeddings,
+       LATERAL (VALUES {band_exprs}) t(band, bucket)
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.id_a
+JOIN embeddings b ON b.vec_id = c.id_b
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= {threshold}"""
