@@ -41,6 +41,8 @@ QS = {  # the reference-style query set over the documents vocabulary
     "or3": ["batch", "join", "scan"],
     "prefix": "st",
     "phrase": "big data",
+    "phrase3": "row column sort",
+    "hits": ["merge", "scan"],
     "count_terms": ["batch", "scan", "zzz_missing", "merge"],
     "mf": ["batch", "src3"],
 }
@@ -148,6 +150,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _scores(_index(spark, sf).search_phrase(QS["phrase"], k=10,
                                                        quantize=4))
     q["ft_phrase"] = ft_phrase
+
+    def ft_phrase3(spark, sf):
+        """Three-token consecutive phrase (n-token matcher, query.py
+        position-intersection) — oracle is the generalized pos+i join
+        chain."""
+        return _scores(_index(spark, sf).search_phrase(QS["phrase3"], k=10,
+                                                       quantize=4))
+    q["ft_phrase3"] = ft_phrase3
+
+    def ft_hits(spark, sf):
+        """Per-hit enumeration with token-window context — the reference's
+        Hits/Hit#context granularity (lib/suffix_array_reader.rb:19-72):
+        every individual (doc, field, term, position) plus +/-3 tokens of
+        raw text, straight from the index's position lists."""
+        from fatespark.query import hit_contexts
+        idx = _index(spark, sf)
+        hits = idx.find_all(QS["hits"])
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        return (hit_contexts(hits, docs, size=3)
+                .orderBy("doc_id", "field", "position", "term"))
+    q["ft_hits"] = ft_hits
 
     def ft_phrase_prefix(spark, sf):
         """fates' natural suffix semantics: trailing partial token expands
@@ -511,15 +534,28 @@ FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id
 LIMIT {limit} OFFSET {offset}"""
 
 
-def _bm25_phrase_sql(first: str, second: str, prefix: bool = False,
-                     limit: int = 10) -> str:
-    """Top-k BM25 for a TWO-token phrase scored as a pseudo-term: adjacency
-    via zipped unnest + generate_subscripts over the filtered token list
-    (positions = engine token positions); ``prefix=True`` makes the second
-    token a dictionary prefix (the suffix semantics of ft_phrase_prefix).
-    tf = adjacent-pair count, df = matching docs, same float64 expression
-    shape and floor-quantization as ``_bm25_sql``."""
-    cond = (f"b.term LIKE '{second}%'" if prefix else f"b.term = '{second}'")
+def _bm25_phrase_sql(first: str | list[str], second: str | None = None,
+                     prefix: bool = False, limit: int = 10) -> str:
+    """Top-k BM25 for an N-token phrase scored as a pseudo-term: adjacency
+    via a chain of self-joins on pos+i over the zipped unnest +
+    generate_subscripts token list (positions = engine token positions);
+    ``prefix=True`` makes the LAST token a dictionary prefix (the suffix
+    semantics of ft_phrase_prefix). tf = adjacent-run count, df = matching
+    docs, same float64 expression shape and floor-quantization as
+    ``_bm25_sql``. Call with a token list, or (first, second) for the
+    legacy two-token form."""
+    toks = [first, second] if second is not None else list(first)
+    joins = "\n  ".join(
+        f"JOIN ptok t{i} ON t{i}.doc_id = t0.doc_id"
+        f" AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, len(toks)))
+    conds = []
+    for i, t in enumerate(toks):
+        if prefix and i == len(toks) - 1:
+            conds.append(f"t{i}.term LIKE '{t}%'")
+        else:
+            conds.append(f"t{i}.term = '{t}'")
+    where = " AND ".join(conds)
     return f"""
 WITH ptok AS (
   SELECT doc_id, translate(unnest(toks), '{_UP}', '{_LO}') AS term,
@@ -540,10 +576,11 @@ stats AS (
   FROM dls
 ),
 ph AS (
-  SELECT a.doc_id, count(*) AS tf
-  FROM ptok a JOIN ptok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-  WHERE a.term = '{first}' AND {cond}
-  GROUP BY a.doc_id
+  SELECT t0.doc_id, count(*) AS tf
+  FROM ptok t0
+  {joins}
+  WHERE {where}
+  GROUP BY t0.doc_id
 ),
 pstats AS (SELECT count(*) AS df FROM ph),
 scored AS (
@@ -697,6 +734,29 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_prefix"] = _bm25_prefix_sql(QS["prefix"])
     ph_first, ph_second = QS["phrase"].split()
     o["ft_phrase"] = _bm25_phrase_sql(ph_first, ph_second)
+    o["ft_phrase3"] = _bm25_phrase_sql(QS["phrase3"].split())
+
+    hit_terms = ", ".join(f"'{t}'" for t in QS["hits"])
+    o["ft_hits"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}'),
+                     x -> x <> '') AS rtoks
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, 0 AS field,
+         translate(rtoks[i], '{_UP}', '{_LO}') AS term,
+         i - 1 AS position, rtoks
+  FROM base, unnest(range(1, len(rtoks) + 1)) u(i)
+  WHERE translate(rtoks[i], '{_UP}', '{_LO}') IN ({hit_terms})
+)
+SELECT doc_id, field, term, position,
+       array_to_string(rtoks[greatest(position + 1 - 3, 1)
+                             : position + 1 + 3], ' ') AS context
+FROM hits
+ORDER BY doc_id, field, position, term"""
+
     o["ft_phrase_prefix"] = _bm25_phrase_sql(ph_first, ph_second[:-1],
                                              prefix=True)
 

@@ -12,10 +12,9 @@ scales to the full corpus (both produce IDENTICAL results — tested).
 Run ``IndexBuilder.compact_local(spark)`` once after the build to lay down
 the term-range-clustered serving copy (``postings_local/``) — the raw build
 output is hash-partitioned for merge skew, so without the serving copy every
-query scans all row groups. Prefer ``use_wand=False`` here: the vectorized
-exhaustive kernel beats the python-loop WAND cursor walk at
-single-machine-sized posting lists; WAND earns its keep in the distributed
-scorer where head-term lists are orders of magnitude longer.
+query scans all row groups. ``use_wand=True`` uses the same interval-at-a-
+time block-vectorized BMW kernel as the distributed scorer; it pays off once
+the posting lists are long enough that whole blocks prune (head-term ORs).
 
 Reads are row-group pruned via footer min/max statistics collected once at
 open (``_RGIndex``); on the serving copy a point-term lookup touches only
@@ -170,6 +169,44 @@ class LocalSearchIndex:
         if field is not None:
             return by_field.get(field, {}).get("cf", 0)
         return sum(v["cf"] for v in by_field.values())
+
+    def find_all(self, query: str | list[str]) -> pd.DataFrame:
+        """Every hit location (doc_id, field, term, position), 0-based token
+        positions, sorted by (doc_id, field, position, term) — local twin of
+        ``SearchIndex.find_all`` (reference ``Hits`` enumeration,
+        ``lib/suffix_array_reader.rb:45-72``)."""
+        from .query import _decode_with_positions
+        qterms = _fold_terms(query, self.analyzer)
+        present = sorted(set(qterms) & set(self.term_stats(qterms)))
+        frames = [pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                "field": pd.array([], dtype="int32"),
+                                "term": pd.array([], dtype="string"),
+                                "position": pd.array([], dtype="int64")})]
+        if present:
+            pdf = self._post_ix.read(
+                present, ["bucket", "term", "field", "n", "docs", "tfs",
+                          "dls", "poss"])
+            tombs = self.tombstones
+            for (t, fid), g in pdf.groupby(["term", "field"]):
+                d = _decode_with_positions(g, self.codec_name)
+                docs, tfs, poss = d["docs"], d["tfs"], d["poss"]
+                if tombs is not None and docs.size:
+                    j = np.searchsorted(tombs, docs)
+                    hit = j < tombs.size
+                    hit[hit] = tombs[j[hit]] == docs[hit]
+                    if hit.any():
+                        keep = ~hit
+                        poss = poss[np.repeat(keep, tfs)]
+                        docs, tfs = docs[keep], tfs[keep]
+                n = int(tfs.sum())
+                frames.append(pd.DataFrame({
+                    "doc_id": np.repeat(docs, tfs),
+                    "field": np.full(n, int(fid), dtype=np.int32),
+                    "term": pd.array([t] * n, dtype="string"),
+                    "position": poss}))
+        out = pd.concat(frames, ignore_index=True)
+        return out.sort_values(["doc_id", "field", "position", "term"],
+                               kind="mergesort").reset_index(drop=True)
 
     # -- search -------------------------------------------------------------
     def _blocks(self, terms: list[str]) -> pd.DataFrame:

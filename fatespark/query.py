@@ -132,6 +132,57 @@ class SearchIndex:
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], RESULT_SCHEMA)
 
+    # -- per-hit enumeration ---------------------------------------------------
+    def find_all(self, query: str | list[str]) -> DataFrame:
+        """Every individual hit location of the query's terms:
+        (doc_id, field, term, position) with 0-based token positions —
+        the reference's lazy ``Hits``/``Hit`` enumeration granularity
+        (``lib/suffix_array_reader.rb:45-72``) as a DataFrame, so it stays
+        lazy/streamable exactly like the reference's Enumerable. Positions
+        come straight from the index's posting position lists (no corpus
+        re-scan); tombstoned docs are filtered. Attach surrounding text
+        with ``hit_contexts`` (the ``Hit#context`` analogue)."""
+        if not self.store_positions:
+            raise ValueError("index built without positions; find_all "
+                             "disabled")
+        qterms = _fold_terms(query, self.analyzer)
+        stats = self.term_stats(qterms)
+        present = sorted({t for t in qterms if t in stats})
+        if not present:
+            return self.spark.createDataFrame(
+                [], "doc_id long, field int, term string, position long")
+        tombs = self.tombstones
+        codec = self.codec_name
+
+        def enum_hits(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = [pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                  "field": pd.array([], dtype="int32"),
+                                  "term": pd.array([], dtype="string"),
+                                  "position": pd.array([], dtype="int64")})]
+            for (t, fid), g in pdf.groupby(["term", "field"]):
+                d = _decode_with_positions(g, codec)
+                docs, tfs, poss = d["docs"], d["tfs"], d["poss"]
+                if tombs is not None and docs.size:
+                    j = np.searchsorted(tombs, docs)
+                    hit = j < tombs.size
+                    hit[hit] = tombs[j[hit]] == docs[hit]
+                    if hit.any():
+                        keep = ~hit
+                        poss = poss[np.repeat(keep, tfs)]
+                        docs, tfs = docs[keep], tfs[keep]
+                n = int(tfs.sum())
+                outs.append(pd.DataFrame({
+                    "doc_id": np.repeat(docs, tfs),
+                    "field": np.full(n, int(fid), dtype=np.int32),
+                    "term": pd.array([t] * n, dtype="string"),
+                    "position": poss}))
+            return pd.concat(outs, ignore_index=True)
+
+        blocks = self.postings.filter(F.col("term").isin(present)).select(
+            "bucket", "term", "field", "n", "docs", "tfs", "dls", "poss")
+        return blocks.groupBy("bucket").applyInPandas(
+            enum_hits, "doc_id long, field int, term string, position long")
+
     # -- search ----------------------------------------------------------------
     def search(self, query: str | list[str], k: int = 10, mode: str = "AND",
                offset: int = 0, use_wand: bool = False,
@@ -442,6 +493,25 @@ def snippets(result: DataFrame, corpus: DataFrame, query: str | list[str],
         F.substring(F.col(text_col), start.cast("int"), 2 * size))
     joined = corpus.join(F.broadcast(result), id_col)
     return joined.select(id_col, "score", snippet.alias("snippet"))
+
+
+def hit_contexts(hits: DataFrame, corpus: DataFrame, size: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Attach a ±``size``-TOKEN context window around each hit position —
+    ``Hit#context`` (``lib/suffix_array_reader.rb:19-36``) re-addressed from
+    bytes to tokens (the engine's position unit). Pure JVM expressions: the
+    corpus text is tokenized with the same whitespace-split/drop-empties
+    rule as the analyzer, so ``position`` indexes the array directly."""
+    toks = F.filter(F.split(F.col(text_col), r"[ \t\n\r\f\v]+"),
+                    lambda x: x != "")
+    start = F.greatest(F.col("position") + 1 - size, F.lit(1))
+    end = F.least(F.col("position") + 1 + size, F.size(toks))
+    ctx = F.concat_ws(
+        " ", F.slice(toks, start.cast("int"),
+                     (end - start + 1).cast("int")))
+    joined = hits.join(corpus.select(id_col, text_col), id_col)
+    return joined.select(id_col, "field", "term", "position",
+                         ctx.alias("context"))
 
 
 def _phrase_variants_for(analyzer: str, expand_fn, phrase: str,

@@ -20,7 +20,7 @@ requirement).
 
 from __future__ import annotations
 
-import heapq
+
 
 import numpy as np
 
@@ -273,145 +273,88 @@ def score_and(terms, avgdl: float, k: int, qmul: float | None = None):
 
 
 def score_bmw_or(terms: list[TermBlocks], avgdl: float, k: int,
-                 qmul: float | None = None):
-    """Document-at-a-time Block-Max WAND top-k (disjunctive).
+                 qmul: float | None = None,
+                 chunk_intervals: int = 16):
+    """Interval-at-a-time Block-Max WAND top-k (disjunctive), fully
+    block-vectorized — no per-document Python loop.
 
-    Returns exactly the same (doc, score) set as ``score_exhaustive_or`` —
-    full scores are re-summed in ascending term order on full evaluation.
+    The doc-id space is decomposed into ELEMENTARY INTERVALS at the union
+    of all block boundaries, so every block either fully covers an interval
+    or misses it entirely. A difference array over block upper bounds gives
+    each interval's exact score bound in one vectorized pass. Intervals are
+    then evaluated in descending-bound order, a chunk at a time: all docs
+    in a chunk are scored with the same numpy union+searchsorted kernel as
+    ``score_exhaustive_or`` (same ascending-term summation order →
+    bit-identical scores), the running top-k sets the threshold, and as
+    soon as the next interval's bound falls below it the remaining tail —
+    and every block under it — is skipped WHOLESALE, never decoded.
+
+    Returns exactly the same (doc, score) top-k as ``score_exhaustive_or``:
+    pruning uses strict ``bound < theta`` so equal-to-threshold docs, which
+    can still win on the doc-id tie-break, are always evaluated.
     """
-    live = [(pos, t) for pos, t in enumerate(terms) if t.total]
+    live = [t for t in terms if t.total]
     if not live:
         z = np.zeros(0, dtype=np.int64)
         return z, np.zeros(0, dtype=np.float64)
 
-    order_rank = {id(t): pos for pos, t in live}  # ascending-term rank
-    cursors = []  # per live term: [cur_doc, blk_i, in_blk_i, TermBlocks]
-    for _, t in live:
-        d0 = int(t.block(0)[0][0])
-        cursors.append([d0, 0, 0, t])
-    ubs = {id(t): t.term_ub(t.avgdl or avgdl) for _, t in live}
+    # elementary intervals [bounds[j], bounds[j+1]) over block boundaries
+    bounds = np.unique(np.concatenate(
+        [t.first for t in live] + [t.last + 1 for t in live]))
+    m = bounds.size - 1
+    diff = np.zeros(m + 1, dtype=np.float64)
+    for t in live:
+        a = t.avgdl or avgdl
+        tub = t.idf * bm25_part(t.max_tf, t.min_dl, a)
+        s = np.searchsorted(bounds, t.first)
+        e = np.searchsorted(bounds, t.last + 1)
+        np.add.at(diff, s, tub)
+        np.add.at(diff, e, -tub)
+    iub = np.cumsum(diff[:m])
+    cand = np.flatnonzero(iub > 0.0)
+    order = cand[np.argsort(-iub[cand], kind="stable")]
 
-    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of top-k
-
-    def theta() -> float:
-        return heap[0][0] if len(heap) >= k else -1.0
-
-    INF = np.iinfo(np.int64).max
-
-    def advance(c, target: int):
-        """move cursor to first doc >= target"""
-        t: TermBlocks = c[3]
-        bi = c[1]
-        nb = len(t.ns)
-        while bi < nb and t.last[bi] < target:
-            bi += 1
-        if bi >= nb:
-            c[0] = INF
-            return
-        docs_b = t.block(bi)[0]
-        lo = np.searchsorted(docs_b, target) if bi != c[1] else max(
-            np.searchsorted(docs_b, target), c[2])
-        if lo >= docs_b.size:  # target falls in gap past this block
-            bi += 1
-            if bi >= nb:
-                c[0] = INF
-                return
-            docs_b = t.block(bi)[0]
-            lo = 0
-        c[0], c[1], c[2] = int(docs_b[lo]), bi, int(lo)
-
-    while True:
-        cursors.sort(key=lambda c: c[0])
-        if cursors[0][0] == INF:
-            break
-        # pivot: first prefix whose ub sum exceeds theta
-        acc = 0.0
-        pivot = -1
-        for i, c in enumerate(cursors):
-            if c[0] == INF:
-                break
-            acc += ubs[id(c[3])]
-            # >= not >: a doc scoring exactly theta can still enter the
-            # top-k via the doc-id tie-break (rank-identical requirement)
-            if acc >= theta():
-                pivot = i
-                break
-        if pivot < 0:
-            break
-        pivot_doc = cursors[pivot][0]
-        # extend the pivot over cursors sitting on the same doc: they
-        # contribute real score to pivot_doc, so the block-max bound below
-        # must include them or it under-bounds and prunes a true hit
-        while pivot + 1 < len(cursors) and cursors[pivot + 1][0] == pivot_doc:
-            pivot += 1
-        # block-max refinement over the prefix; alongside the bound, compute
-        # how far it stays valid (the skip boundary)
-        bub = 0.0
-        nxt = INF
-        for c in cursors[: pivot + 1]:
-            t: TermBlocks = c[3]
-            bi = c[1]
-            while bi < len(t.ns) and t.last[bi] < pivot_doc:
-                bi += 1
-            if bi >= len(t.ns):
-                continue  # term exhausted beyond pivot_doc
-            if t.first[bi] <= pivot_doc:
-                # block covers pivot_doc: bound holds through its end
-                bub += t.block_ub(bi, t.avgdl or avgdl)
-                nxt = min(nxt, int(t.last[bi]) + 1)
-            else:
-                # pivot_doc in a gap: contributes 0 now, but the bound stops
-                # holding once this term's next block begins
-                nxt = min(nxt, int(t.first[bi]))
-        if bub < theta():  # strict: equal-to-theta docs may win on tie-break
-            # never skip past the next non-prefix cursor's doc either — docs
-            # from there on score terms the prefix bound doesn't cover
-            if pivot + 1 < len(cursors):
-                nxt = min(nxt, int(cursors[pivot + 1][0]))
-            target = max(pivot_doc + 1, nxt if nxt != INF else pivot_doc + 1)
-            for c in cursors[: pivot + 1]:
-                if c[0] < target:
-                    advance(c, target)
+    pool_docs = np.zeros(0, dtype=np.int64)
+    pool_scores = np.zeros(0, dtype=np.float64)
+    theta = -1.0
+    pos = 0
+    while pos < order.size:
+        if iub[order[pos]] < theta:
+            break  # descending order: everything after is below threshold
+        chunk = order[pos:pos + chunk_intervals]
+        pos += chunk_intervals
+        chunk = chunk[iub[chunk] >= theta]  # chunk tail may dip below
+        # gather each term's postings inside the chunk's intervals (each
+        # interval lies inside exactly one block per covering term)
+        parts = []
+        for t in live:
+            d_sl, tf_sl, dl_sl = [], [], []
+            for j in chunk:
+                lo, hi = int(bounds[j]), int(bounds[j + 1])
+                bi = int(np.searchsorted(t.first, lo, side="right")) - 1
+                if bi < 0 or t.last[bi] < lo:
+                    continue
+                docs_b, tfs_b, dls_b = t.block(bi)
+                a0 = int(np.searchsorted(docs_b, lo))
+                b0 = int(np.searchsorted(docs_b, hi))
+                if a0 < b0:
+                    d_sl.append(docs_b[a0:b0])
+                    tf_sl.append(tfs_b[a0:b0])
+                    dl_sl.append(dls_b[a0:b0])
+            if d_sl:
+                parts.append((t, np.concatenate(d_sl),
+                              np.concatenate(tf_sl), np.concatenate(dl_sl)))
+        if not parts:
             continue
-        if all(c[0] == pivot_doc for c in cursors[: pivot + 1]):
-            # full evaluation: sum ALL matching terms in ascending term order
-            contrib = []
-            for c in cursors:
-                if c[0] != pivot_doc:
-                    # later cursors may still contain pivot_doc
-                    if c[0] < pivot_doc:
-                        advance(c, pivot_doc)
-                if c[0] == pivot_doc:
-                    t = c[3]
-                    _, tfs_b, dls_b = t.block(c[1])
-                    s = t.idf * float(bm25_part(int(tfs_b[c[2]]),
-                                                int(dls_b[c[2]]),
-                                                t.avgdl or avgdl))
-                    contrib.append((order_rank[id(t)], s))
-            score = 0.0
-            for _, s in sorted(contrib):
-                score += s
-            if qmul:
-                # quantized theta <= raw score <= ub, so pruning stays sound
-                score = float(np.floor(score * qmul) / qmul)
-            item = (score, -pivot_doc)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
-            for c in cursors:
-                if c[0] == pivot_doc:
-                    advance(c, pivot_doc + 1)
-        else:
-            # move the highest-ub leading cursor up to the pivot doc
-            lead = max((c for c in cursors[:pivot] if c[0] < pivot_doc),
-                       key=lambda c: ubs[id(c[3])], default=None)
-            if lead is None:
-                advance(cursors[pivot], pivot_doc)
-            else:
-                advance(lead, pivot_doc)
-
-    out = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
-    docs = np.array([d for _, d in out], dtype=np.int64)
-    scores = np.array([s for s, _ in out], dtype=np.float64)
-    return docs, scores
+        union = np.unique(np.concatenate([p[1] for p in parts]))
+        sc = np.zeros(union.size, dtype=np.float64)
+        for t, dd, tt, ll in parts:  # ascending term order == exhaustive
+            idx = np.searchsorted(union, dd)
+            sc[idx] += t.idf * bm25_part(tt, ll, t.avgdl or avgdl)
+        sc = _quantize(sc, qmul)
+        pool_docs = np.concatenate([pool_docs, union])
+        pool_scores = np.concatenate([pool_scores, sc])
+        pool_docs, pool_scores = topk_select(pool_docs, pool_scores, k)
+        if pool_docs.size >= k:
+            theta = float(pool_scores[k - 1])
+    return pool_docs, pool_scores

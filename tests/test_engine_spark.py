@@ -167,3 +167,52 @@ class TestPlanShape:
         plan = (idx.postings.filter(F.col("term").isin(["the", "smith"]))
                 ._jdf.queryExecution().executedPlan().toString())
         assert "PushedFilters" in plan and "term" in plan
+
+
+class TestFindAll:
+    """Per-hit enumeration (reference Hits/Hit granularity,
+    lib/suffix_array_reader.rb:45-72): every (doc, position) for each term,
+    straight from the index's position lists."""
+
+    def test_hits_match_oracle_positions(self, built):
+        idx, oracle, _ = built
+        hits = idx.find_all(["the", "smith"]).collect()
+        got = {}
+        for r in hits:
+            got.setdefault(r["term"], {}).setdefault(
+                r["doc_id"], []).append(r["position"])
+        for t in ["the", "smith"]:
+            want = {d: sorted(ps)
+                    for d, ps in oracle.postings.get(t, {}).items()}
+            assert {d: sorted(ps) for d, ps in got.get(t, {}).items()} \
+                == want, t
+
+    def test_local_parity(self, built, tmp_root):
+        from fatespark.local import LocalSearchIndex
+        idx, _, _ = built
+        loc = LocalSearchIndex(str(tmp_root / "idx"))
+        a = sorted((r["doc_id"], r["field"], r["position"], r["term"])
+                   for r in idx.find_all(["the", "smith"]).collect())
+        b = list(loc.find_all(["the", "smith"])[
+            ["doc_id", "field", "position", "term"]].itertuples(
+                index=False, name=None))
+        assert a == sorted(b) and len(a) == len(b)
+
+    def test_contexts_token_window(self, spark, built):
+        from fatespark.query import hit_contexts
+        idx, _, _ = built
+        corpus = pages_df(spark, N_DOCS, partitions=4)
+        docs_keyed = idx.docs.select("doc_id", "url").join(
+            corpus.withColumnRenamed("url", "url"), "url").select(
+            "doc_id", "text")
+        hits = idx.find_all("smith").limit(50)
+        ctx = hit_contexts(hits, docs_keyed, size=2).collect()
+        assert ctx
+        for r in ctx:
+            toks = r["context"].split(" ")
+            assert any(w.lower() == "smith" for w in toks), r["context"]
+            assert len(toks) <= 5  # pos +/- 2 tokens
+
+    def test_missing_term_empty(self, built):
+        idx, _, _ = built
+        assert idx.find_all("zzz_not_there").count() == 0
