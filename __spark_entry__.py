@@ -269,6 +269,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   quantize=4))
     q["ft_stemmed_topk"] = ft_stemmed_topk
 
+    def ft_incremental(spark, sf):
+        """Two-epoch incremental build (streaming.StreamingIndexer chunk
+        path: each micro-batch -> one idempotent build chunk, finalize
+        republishes) must converge to the SAME index as a one-shot batch
+        build — term stats checked against the batch SQL oracle
+        (ft_count_terms' twin)."""
+        from fatespark.streaming import StreamingIndexer
+        tag = _corpus_tag(sf)
+        d = f"/tmp/fatespark_entry_idx/{tag}_inc"
+        docs = _read(spark, sf, "documents")
+        n = docs.count()
+        try:
+            idx = SearchIndex(spark, d)
+            if idx.n_docs != n:
+                raise ValueError("stale index")
+        except Exception:
+            b = IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=1,
+                                            block_size=128))
+            si = StreamingIndexer(b, url_col="doc_id", id_col="doc_id",
+                                  text_col="text", build_id="entry-inc",
+                                  finalize_every=10**9)
+            si.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+            si.process_batch(docs.filter(F.col("doc_id") % 2 != 0), 1)
+            si.finalize(spark)
+            idx = SearchIndex(spark, d)
+        return (idx.terms.filter(F.col("term").isin(QS["count_terms"]))
+                .select("term", "df", "cf").orderBy("term"))
+    q["ft_incremental"] = ft_incremental
+
     # -- text analysis (JVM-side column ops) --------------------------------
     def tx_token_count(spark, sf):
         d = _read(spark, sf, "documents")
@@ -726,6 +755,10 @@ SELECT term, df FROM dfs ORDER BY df DESC, term LIMIT 20"""
     o["ft_count_terms"] = f"""
 WITH {_TOK_CTES}
 SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
+
+    # the incremental (2-epoch chunked) build must converge to the batch
+    # stats — the oracle IS the batch twin
+    o["ft_incremental"] = o["ft_count_terms"]
 
     o["ft_topk_single"] = _bm25_sql(QS["single"], "OR")
     o["ft_topk_and2"] = _bm25_sql(QS["and2"], "AND")
