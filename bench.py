@@ -116,6 +116,11 @@ def main() -> None:
         return idx.search(["the", "smith", "zyzzyva"], k=10, mode="OR",
                           use_wand=True).collect()
 
+    @timed("q_or3_exh", reps=3)
+    def _we():  # same query, exhaustive kernel — the WAND A/B
+        return idx.search(["the", "smith", "zyzzyva"], k=10, mode="OR",
+                          use_wand=False).collect()
+
     @timed("q_prefix", reps=3)
     def _p():
         return idx.search_prefix("fa", k=10).collect()
@@ -184,6 +189,54 @@ def main() -> None:
     def _ann():
         qv = emb.limit(1).collect()[0]["embedding"]
         return ann.cosine_topk(emb, list(qv), k=10).collect()
+
+    @timed("dd_embdup_banded")
+    def _ebd():
+        return dedup.embedding_dup_pairs_banded(
+            emb, threshold=0.9, n_bands=8, planes_per_band=8).count()
+
+    @timed("q_hits", reps=3)
+    def _qh():  # per-hit enumeration throughput (reference Hits granularity)
+        return idx.find_all(["smith", "jones"]).count()
+
+    # -- persisted LSH ANN index: probe cost must NOT scale with corpus ------
+    # deterministic synthetic embeddings at two sizes; same probe at both.
+    # With partitionBy(lsh_bucket) + physical partition pruning the probe
+    # reads ~n_probes/2^n_planes of the corpus, so wall time stays flat.
+    import numpy as np
+    import pandas as pd
+    from fatespark.corpus import splitmix64
+
+    def _synth_emb(n):
+        def gen(batches):
+            for pdf in batches:
+                ids = pdf["id"].to_numpy(np.int64)
+                iidx = (ids[:, None].astype(np.uint64) * np.uint64(64)
+                        + np.arange(64, dtype=np.uint64)[None, :])
+                vecs = (splitmix64(iidx).astype(np.float64)
+                        / np.float64(2**64) - 0.5)
+                yield pd.DataFrame({
+                    "vec_id": ids,
+                    "embedding": [v.astype(np.float32).tolist()
+                                  for v in vecs]})
+        return spark.range(n).repartition(cpus).mapInPandas(
+            gen, "vec_id long, embedding array<float>")
+
+    qv_iidx = np.arange(64, dtype=np.uint64)
+    qv = (splitmix64(qv_iidx).astype(np.float64) / np.float64(2**64)
+          - 0.5).tolist()
+    for sz, tag in ((10_000, "10k"), (100_000, "100k")):
+        lsh_path = f"/tmp/fatespark_bench_lsh_{tag}"
+
+        @timed(f"ann_lsh_build_{tag}")
+        def _lb(sz=sz, lsh_path=lsh_path):
+            return ann.LshVectorIndex.build(_synth_emb(sz), lsh_path,
+                                            dim=64, n_planes=8)
+        lsh_idx = _lb
+
+        @timed(f"ann_lsh_probe_{tag}", reps=3)
+        def _lq(lsh_idx=lsh_idx):
+            return lsh_idx.topk(spark, qv, k=10, n_probes=16).collect()
 
     total = round(sum(times.values()), 4)
     out = {

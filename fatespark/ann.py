@@ -150,19 +150,39 @@ class LshVectorIndex:
         self.seed = seed
         self.id_col = id_col
         self.vec_col = vec_col
+        self._df = None  # memoized reader: partition discovery runs once
 
     @classmethod
     def build(cls, emb_df: DataFrame, path: str, dim: int,
               n_planes: int = 12, seed: int = 5, id_col: str = "vec_id",
               vec_col: str = "embedding") -> "LshVectorIndex":
         idx = cls(path, dim, n_planes, seed, id_col, vec_col)
-        assigned = lsh_assign(emb_df, dim, n_planes, seed, id_col, vec_col)
-        (assigned.select(id_col, vec_col, "lsh_bucket")
+        planes = hyperplanes(dim, n_planes, seed)
+
+        # assign inline (id, vec, bucket in one Arrow pass — no join), then
+        # ONE shuffle keyed on lsh_bucket so each task writes only its own
+        # buckets: ~one file per bucket directory instead of
+        # n_tasks × n_buckets small files
+        def gen(batches):
+            for pdf in batches:
+                vecs = np.stack(pdf[vec_col].map(
+                    lambda v: np.asarray(v, dtype=np.float64)))
+                out = pdf[[id_col, vec_col]].copy()
+                out["lsh_bucket"] = lsh_bucket_of(vecs, planes)
+                yield out
+
+        vec_type = emb_df.schema[vec_col].dataType.simpleString()
+        assigned = emb_df.select(id_col, vec_col).mapInPandas(
+            gen, f"{id_col} long, {vec_col} {vec_type}, lsh_bucket long")
+        n_part = emb_df.sparkSession.sparkContext.defaultParallelism
+        (assigned.repartition(n_part, "lsh_bucket")
          .write.mode("overwrite").partitionBy("lsh_bucket").parquet(path))
         return idx
 
     def _read(self, spark) -> DataFrame:
-        return spark.read.parquet(self.path)
+        if self._df is None:
+            self._df = spark.read.parquet(self.path)
+        return self._df
 
     def topk(self, spark, query_vec, k: int = 10,
              n_probes: int = 8) -> DataFrame:

@@ -460,7 +460,8 @@ def embedding_dup_pairs_banded(emb_df: DataFrame, threshold: float = 0.95,
     base = emb_df.select(F.col(id_col).alias("id"),
                          F.col(vec_col).cast("array<double>").alias("v"))
     banded = (emb_df.select(F.col(id_col), F.col(vec_col))
-              .mapInPandas(gen, "id long, band int, bucket long"))
+              .mapInPandas(gen, "id long, band int, bucket long")
+              .cache())  # both sides of the candidate self-join read it
     x, y = banded.alias("x"), banded.alias("y")
     cand = (x.join(y, (F.col("x.band") == F.col("y.band"))
                    & (F.col("x.bucket") == F.col("y.bucket"))

@@ -81,6 +81,33 @@ def main() -> None:
         "top-k rows).",
         plan_of(idx.search(["smith", "jones"], k=10, mode="AND"))))
 
+    # -- embedding dedup: the tiled exact join must contain NO cartesian ----
+    from fatespark import ann, dedup
+    emb_path = "/root/testdata/sf0.01/embeddings.parquet"
+    if os.path.exists(emb_path):
+        emb = spark.read.parquet(emb_path)
+        tiled = dedup.embedding_dup_pairs(emb, threshold=0.4, n_blocks=4)
+        sections.append((
+            "Dedup: exact embedding pairs via block-tiled equi-join",
+            "The O(n^2) comparison is expressed as a (ga, gb) tile-key "
+            "equi-join (1-bucket-theta): BroadcastHashJoins replicate each "
+            "side along its grid axis, then ONE SortMergeJoin on the tile "
+            "key. No CartesianProduct / BroadcastNestedLoopJoin anywhere "
+            "(also asserted in tests).",
+            plan_of(tiled)))
+
+        lsh_dir = "/tmp/fatespark_explain_lsh"
+        if not os.path.exists(lsh_dir):
+            ann.LshVectorIndex.build(emb, lsh_dir, dim=64, n_planes=6)
+        lsh = ann.LshVectorIndex(lsh_dir, dim=64, n_planes=6)
+        qv = emb.limit(1).collect()[0]["embedding"]
+        sections.append((
+            "ANN: persisted LSH index probe (physical partition pruning)",
+            "The probe's lsh_bucket IN (...) filter lands in the scan's "
+            "PartitionFilters — non-probed lsh_bucket= directories are "
+            "never read, so probe cost is independent of corpus size.",
+            plan_of(lsh.topk(spark, list(qv), k=10, n_probes=8))))
+
     docs_path = "/root/testdata/sf0.01"
     if os.path.exists(os.path.join(docs_path, "orders.parquet")):
         o = spark.read.parquet(os.path.join(docs_path, "orders.parquet"))
