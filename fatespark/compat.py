@@ -101,6 +101,27 @@ class FatesIndex:
         return [[r["doc_id"], fields_of.get(r["doc_id"], []),
                  float(r["score"]) if ranked else 0.0] for r in rows]
 
+    # -- per-hit enumeration (SuffixArrayReader#find_all -> Hits,
+    # lib/suffix_array_reader.rb:127-137; Hit#context :19-36) --------------
+    def find_hits(self, query: str, context_size: int | None = None,
+                  text_col: str = "text") -> DataFrame:
+        """Every individual hit location as a lazy DataFrame
+        (doc_id, field, term, position[, context]) — the reference's
+        ``Hits`` enumeration. Positions are token-indexed (the engine's
+        addressing unit; the reference's are byte offsets into its single
+        fulltext stream). ``context_size`` adds ±N tokens of surrounding
+        raw text per hit, the ``Hit#context`` analogue; requires the source
+        ``corpus``."""
+        hits = self.idx.find_all(query)
+        if context_size is None:
+            return hits
+        if self.corpus is None:
+            raise ValueError("context requires the source corpus DataFrame")
+        from .query import hit_contexts
+        docs = self.corpus.select(F.col(self.id_col).alias("doc_id"),
+                                  F.col(text_col).alias("text"))
+        return hit_contexts(hits, docs, size=context_size)
+
     def _fields_of(self, doc_ids: list[int]) -> dict[int, list]:
         if self.corpus is None or not doc_ids or not self.field_cols:
             return {}

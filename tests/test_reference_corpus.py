@@ -160,3 +160,25 @@ def test_fates_api_veneer_on_reference_corpus(ref, spark, tmp_root):
         assert fields == [by_id.loc[pk, "last"], by_id.loc[pk, "first"]]
     # pagination window identity (lib/fates.rb:53-84)
     assert fi.fulltext_find("Smith", 5, 5) == got[5:]
+
+
+def test_find_hits_enumeration_matches_oracle(ref, spark, tmp_root):
+    """Reference Hits granularity (SuffixArrayReader#find_all,
+    lib/suffix_array_reader.rb:127-137) through the veneer: one row per
+    individual occurrence, exact-token addressing, across both fields."""
+    from fatespark.compat import FatesIndex
+    _, pdf = ref
+    fi = FatesIndex(spark, str(tmp_root / "reference_contacts_idx"),
+                    id_col="id")
+    hits = fi.find_hits("Smith").collect()
+    want = sum(t.lower() == "smith"
+               for col in ("last", "first")
+               for v in pdf[col]
+               for t in _TOKEN.findall(str(v)))
+    assert len(hits) == want
+    # field addressing: last_name is field 0, first_name field 1
+    # (fates.rake:49 order); 'smith' is a surname in this corpus
+    assert {r["field"] for r in hits} <= {0, 1}
+    assert sum(r["field"] == 0 for r in hits) == sum(
+        t.lower() == "smith" for v in pdf["last"]
+        for t in _TOKEN.findall(str(v)))
