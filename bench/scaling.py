@@ -98,18 +98,33 @@ def main() -> None:
             "overwrite").parquet(corpus_path)
         spark.stop()
 
+    # FATESPARK_SCALE_REPS > 1 runs the level list repeatedly (interleaved
+    # in time) and keeps each level's BEST throughput: on this sandbox a
+    # sustained-load host-throttling phase can slow one multi-minute level
+    # 2-5x while its pair partner runs in a healthy window, which corrupts
+    # the ratio in either direction. Interleaving + best-of samples every
+    # level in (approximately) the same host state. Absolute seconds remain
+    # host-phase dependent; the RATIO is the protected quantity.
+    reps = int(os.environ.get("FATESPARK_SCALE_REPS", "1"))
     levels: dict[int, dict] = {}
-    for cpus in sorted({c for p in PAIRS for c in p}):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run", str(cpus),
-             corpus_path],
-            capture_output=True, text=True, cwd=REPO, check=False)
-        for line in out.stdout.splitlines():
-            if line.startswith("LEVEL "):
-                levels[cpus] = json.loads(line[6:])
-        if cpus not in levels:
-            sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
-            raise SystemExit(f"level {cpus} failed")
+    for rep in range(reps):
+        for cpus in sorted({c for p in PAIRS for c in p}):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run",
+                 str(cpus), corpus_path],
+                capture_output=True, text=True, cwd=REPO, check=False)
+            got = None
+            for line in out.stdout.splitlines():
+                if line.startswith("LEVEL "):
+                    got = json.loads(line[6:])
+            if got is None:
+                if cpus in levels:
+                    continue  # keep earlier rep's sample
+                sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+                raise SystemExit(f"level {cpus} failed")
+            if cpus not in levels or \
+                    got["docs_per_sec"] > levels[cpus]["docs_per_sec"]:
+                levels[cpus] = got
 
     pairs = []
     for lo_c, hi_c in PAIRS:
