@@ -126,3 +126,56 @@ class TestStreamingTermStats:
         assert len(got) == len(exp)
         for t, (df, cf) in exp.items():
             assert got[t] == (df, cf), t
+
+
+class TestIndexStream:
+    def test_readstream_build_converges_to_batch(self, spark, tmp_root):
+        """End-to-end Structured Streaming build: a real file-source
+        readStream (maxFilesPerTrigger=1 -> one chunk per micro-batch)
+        through index_stream + finalize must produce the same index as a
+        one-shot batch build of the full corpus — counts, stats, and a
+        ranked query compared directly."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from fatespark.build import BuildConfig, IndexBuilder
+        from fatespark.corpus import pages_pandas
+        from fatespark.query import SearchIndex
+        from fatespark.streaming import index_stream
+
+        src = str(tmp_root / "istream_src")
+        for lo in (0, 400):
+            pdf = pages_pandas(np.arange(lo, lo + 400))
+            pdf["doc_id"] = np.arange(lo, lo + 400, dtype=np.int64)
+            (spark.createDataFrame(pdf[["doc_id", "url", "text"]])
+             .coalesce(1).write.mode("append").parquet(src))
+
+        sdir = str(tmp_root / "istream_idx")
+        stream = (spark.readStream.schema("doc_id long, url string, text string")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        b = IndexBuilder(sdir, BuildConfig(n_buckets=4, salt_bits=1))
+        q, sink = index_stream(
+            stream, b, checkpoint_dir=str(tmp_root / "istream_ckpt"),
+            url_col="url", id_col="doc_id",
+            finalize_every=10 ** 9, trigger={"availableNow": True})
+        q.awaitTermination(180)
+        sink.finalize(spark)
+        assert sink._epochs_done == 2  # two files -> two chunks
+
+        bdir = str(tmp_root / "istream_batch_idx")
+        full = spark.read.parquet(src)
+        IndexBuilder(bdir, BuildConfig(n_buckets=4, salt_bits=1)).build(
+            spark, full, id_col="doc_id", url_col="url", build_id="batch")
+
+        si = SearchIndex(spark, sdir)
+        bi = SearchIndex(spark, bdir)
+        assert si.n_docs == bi.n_docs == 800
+        assert si.avgdl == bi.avgdl
+        for t in ("the", "smith", "fat_entry"):
+            assert si.count(t) == bi.count(t), t
+            assert si.count_occurrences(t) == bi.count_occurrences(t), t
+        a = [(r["doc_id"], r["score"]) for r in
+             si.search(["the", "smith"], k=10, mode="AND").collect()]
+        c = [(r["doc_id"], r["score"]) for r in
+             bi.search(["the", "smith"], k=10, mode="AND").collect()]
+        assert a == c and len(a) == 10
