@@ -122,6 +122,10 @@ def lsh_topk(emb_df: DataFrame, query_vec, k: int = 10, dim: int | None = None,
     repeated queries build an ``LshVectorIndex`` once instead."""
     qv = np.asarray(query_vec, dtype=np.float64)
     dim = dim or qv.size
+    if qv.size != dim:
+        # probe_buckets hashes with planes of the QUERY's dim; a mismatch
+        # would silently probe a different hash family than the corpus
+        raise ValueError(f"query dim {qv.size} != index dim {dim}")
     probe = probe_buckets(qv, n_planes, n_probes, seed)
     assigned = lsh_assign(emb_df, dim, n_planes, seed, id_col, vec_col)
     cand = assigned.filter(F.col("lsh_bucket").isin(probe))
@@ -189,7 +193,9 @@ class LshVectorIndex:
         """Probe-pruned exact top-k over the persisted buckets. The
         ``lsh_bucket IN (...)`` filter lands in the scan's PartitionFilters
         (asserted in tests) — non-probed partitions are never read."""
-        probe = probe_buckets(np.asarray(query_vec, dtype=np.float64),
-                              self.n_planes, n_probes, self.seed)
+        qv = np.asarray(query_vec, dtype=np.float64)
+        if qv.size != self.dim:
+            raise ValueError(f"query dim {qv.size} != index dim {self.dim}")
+        probe = probe_buckets(qv, self.n_planes, n_probes, self.seed)
         cand = self._read(spark).filter(F.col("lsh_bucket").isin(probe))
         return cosine_topk(cand, query_vec, k, self.id_col, self.vec_col)

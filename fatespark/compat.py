@@ -111,15 +111,26 @@ class FatesIndex:
         addressing unit; the reference's are byte offsets into its single
         fulltext stream). ``context_size`` adds ±N tokens of surrounding
         raw text per hit, the ``Hit#context`` analogue; requires the source
-        ``corpus``."""
+        ``corpus``. On a multi-field index each hit's context comes from
+        ITS field's column (positions index per-field token streams)."""
         hits = self.idx.find_all(query)
         if context_size is None:
             return hits
         if self.corpus is None:
             raise ValueError("context requires the source corpus DataFrame")
+        from functools import reduce
+
         from .query import hit_contexts
-        docs = self.corpus.select(F.col(self.id_col).alias("doc_id"),
-                                  F.col(text_col).alias("text"))
+        if self.field_cols:
+            docs = reduce(lambda a, b: a.unionByName(b), [
+                self.corpus.select(
+                    F.col(self.id_col).alias("doc_id"),
+                    F.lit(i).cast("int").alias("field"),
+                    F.col(c).cast("string").alias("text"))
+                for i, c in enumerate(self.field_cols)])
+        else:
+            docs = self.corpus.select(F.col(self.id_col).alias("doc_id"),
+                                      F.col(text_col).alias("text"))
         return hit_contexts(hits, docs, size=context_size)
 
     def _fields_of(self, doc_ids: list[int]) -> dict[int, list]:

@@ -428,7 +428,8 @@ def embedding_dup_pairs(emb_df: DataFrame, threshold: float = 0.95,
 def embedding_dup_pairs_banded(emb_df: DataFrame, threshold: float = 0.95,
                                n_bands: int = 8, planes_per_band: int = 8,
                                seed: int = 5, id_col: str = "vec_id",
-                               vec_col: str = "embedding") -> DataFrame:
+                               vec_col: str = "embedding",
+                               dim: int | None = None) -> DataFrame:
     """Near-dup pairs via hyperplane-LSH banding — the 100 TB path: each
     vector gets ``n_bands`` sign-bit bucket ids (one per band of
     ``planes_per_band`` seeded hyperplanes), candidates are the equi-join
@@ -439,7 +440,12 @@ def embedding_dup_pairs_banded(emb_df: DataFrame, threshold: float = 0.95,
     pruning bit-exactly, not just the survivors."""
     from . import ann
 
-    dim = len(emb_df.select(vec_col).first()[0])
+    if dim is None:  # inference costs an eager job; pass dim= to skip it
+        row = emb_df.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError("cannot infer vector dim from an empty "
+                             "DataFrame; pass dim= explicitly")
+        dim = len(row[0])
     plane_sets = [ann.hyperplanes(dim, planes_per_band, seed=seed + 101 * b)
                   for b in range(n_bands)]
 

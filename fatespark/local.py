@@ -175,35 +175,20 @@ class LocalSearchIndex:
         positions, sorted by (doc_id, field, position, term) — local twin of
         ``SearchIndex.find_all`` (reference ``Hits`` enumeration,
         ``lib/suffix_array_reader.rb:45-72``)."""
-        from .query import _decode_with_positions
+        from .query import _hit_frames
+        if not bool(self.meta.get("store_positions", True)):
+            raise ValueError("index built without positions; find_all "
+                             "disabled")
         qterms = _fold_terms(query, self.analyzer)
         present = sorted(set(qterms) & set(self.term_stats(qterms)))
-        frames = [pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
-                                "field": pd.array([], dtype="int32"),
-                                "term": pd.array([], dtype="string"),
-                                "position": pd.array([], dtype="int64")})]
+        frames = _hit_frames(pd.DataFrame(
+            {"term": pd.array([], dtype="string"),
+             "field": pd.array([], dtype="int64")}), self.codec_name, None)
         if present:
             pdf = self._post_ix.read(
                 present, ["bucket", "term", "field", "n", "docs", "tfs",
                           "dls", "poss"])
-            tombs = self.tombstones
-            for (t, fid), g in pdf.groupby(["term", "field"]):
-                d = _decode_with_positions(g, self.codec_name)
-                docs, tfs, poss = d["docs"], d["tfs"], d["poss"]
-                if tombs is not None and docs.size:
-                    j = np.searchsorted(tombs, docs)
-                    hit = j < tombs.size
-                    hit[hit] = tombs[j[hit]] == docs[hit]
-                    if hit.any():
-                        keep = ~hit
-                        poss = poss[np.repeat(keep, tfs)]
-                        docs, tfs = docs[keep], tfs[keep]
-                n = int(tfs.sum())
-                frames.append(pd.DataFrame({
-                    "doc_id": np.repeat(docs, tfs),
-                    "field": np.full(n, int(fid), dtype=np.int32),
-                    "term": pd.array([t] * n, dtype="string"),
-                    "position": poss}))
+            frames = _hit_frames(pdf, self.codec_name, self.tombstones)
         out = pd.concat(frames, ignore_index=True)
         return out.sort_values(["doc_id", "field", "position", "term"],
                                kind="mergesort").reset_index(drop=True)
@@ -338,11 +323,9 @@ class LocalSearchIndex:
         suffix semantics; tombstone-consistent, single-token prefix counts
         always exact and uncapped — see the distributed docstring)."""
         live = self.tombstones is not None
-        cap = max_expansions if prefix else None
-        if prefix and live:
-            tok, _ = ANALYZERS[self.analyzer]
-            if len(tok(ascii_fold(phrase))) == 1:
-                cap = 0  # uncapped: single-token prefix counts stay exact
+        from .query import _phrase_count_cap
+        cap = _phrase_count_cap(self.analyzer, phrase, prefix, live,
+                                max_expansions)
         variants = self._phrase_variants(phrase, cap)
         if variants and all(len(v) == 1 for v in variants) and not live:
             if prefix:

@@ -155,28 +155,8 @@ class SearchIndex:
         codec = self.codec_name
 
         def enum_hits(pdf: pd.DataFrame) -> pd.DataFrame:
-            outs = [pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
-                                  "field": pd.array([], dtype="int32"),
-                                  "term": pd.array([], dtype="string"),
-                                  "position": pd.array([], dtype="int64")})]
-            for (t, fid), g in pdf.groupby(["term", "field"]):
-                d = _decode_with_positions(g, codec)
-                docs, tfs, poss = d["docs"], d["tfs"], d["poss"]
-                if tombs is not None and docs.size:
-                    j = np.searchsorted(tombs, docs)
-                    hit = j < tombs.size
-                    hit[hit] = tombs[j[hit]] == docs[hit]
-                    if hit.any():
-                        keep = ~hit
-                        poss = poss[np.repeat(keep, tfs)]
-                        docs, tfs = docs[keep], tfs[keep]
-                n = int(tfs.sum())
-                outs.append(pd.DataFrame({
-                    "doc_id": np.repeat(docs, tfs),
-                    "field": np.full(n, int(fid), dtype=np.int32),
-                    "term": pd.array([t] * n, dtype="string"),
-                    "position": poss}))
-            return pd.concat(outs, ignore_index=True)
+            return pd.concat(_hit_frames(pdf, codec, tombs),
+                             ignore_index=True)
 
         blocks = self.postings.filter(F.col("term").isin(present)).select(
             "bucket", "term", "field", "n", "docs", "tfs", "dls", "poss")
@@ -369,11 +349,8 @@ class SearchIndex:
         expand at most ``max_expansions`` dictionary terms (raise it for
         exhaustive counts over adversarial vocabularies)."""
         live = self.tombstones is not None
-        cap = max_expansions if prefix else None
-        if prefix and live:
-            tok, _ = ANALYZERS[self.analyzer]
-            if len(tok(ascii_fold(phrase))) == 1:
-                cap = 0  # uncapped: single-token prefix counts stay exact
+        cap = _phrase_count_cap(self.analyzer, phrase, prefix, live,
+                                max_expansions)
         variants = self._phrase_variants(phrase, cap)
         if variants and all(len(v) == 1 for v in variants) and not live:
             if prefix:  # exact + uncapped: terms-table aggregation
@@ -495,13 +472,47 @@ def snippets(result: DataFrame, corpus: DataFrame, query: str | list[str],
     return joined.select(id_col, "score", snippet.alias("snippet"))
 
 
+def _hit_frames(pdf: pd.DataFrame, codec: str, tombs) -> list[pd.DataFrame]:
+    """Per-(term, field) hit-enumeration frames (doc_id, field, term,
+    position) from a posting-block pandas frame, tombstone-filtered —
+    SHARED by SearchIndex.find_all and LocalSearchIndex.find_all so the
+    two readers stay structurally identical, not just test-identical."""
+    outs = [pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                          "field": pd.array([], dtype="int32"),
+                          "term": pd.array([], dtype="string"),
+                          "position": pd.array([], dtype="int64")})]
+    for (t, fid), g in pdf.groupby(["term", "field"]):
+        d = _decode_with_positions(g, codec)
+        docs, tfs, poss = d["docs"], d["tfs"], d["poss"]
+        if tombs is not None and docs.size:
+            j = np.searchsorted(tombs, docs)
+            hit = j < tombs.size
+            hit[hit] = tombs[j[hit]] == docs[hit]
+            if hit.any():
+                keep = ~hit
+                poss = poss[np.repeat(keep, tfs)]
+                docs, tfs = docs[keep], tfs[keep]
+        n = int(tfs.sum())
+        outs.append(pd.DataFrame({
+            "doc_id": np.repeat(docs, tfs),
+            "field": np.full(n, int(fid), dtype=np.int32),
+            "term": pd.array([t] * n, dtype="string"),
+            "position": poss}))
+    return outs
+
+
 def hit_contexts(hits: DataFrame, corpus: DataFrame, size: int = 3,
                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Attach a ±``size``-TOKEN context window around each hit position —
     ``Hit#context`` (``lib/suffix_array_reader.rb:19-36``) re-addressed from
     bytes to tokens (the engine's position unit). Pure JVM expressions: the
     corpus text is tokenized with the same whitespace-split/drop-empties
-    rule as the analyzer, so ``position`` indexes the array directly."""
+    rule as the analyzer, so ``position`` indexes the array directly.
+
+    Multi-field: positions index each FIELD's own token stream, so for a
+    multi-field index pass a long-format corpus with a ``field`` column
+    (one row per (doc, field) with that field's text) — the join then keys
+    on (doc_id, field) and each hit slices the right stream."""
     toks = F.filter(F.split(F.col(text_col), r"[ \t\n\r\f\v]+"),
                     lambda x: x != "")
     start = F.greatest(F.col("position") + 1 - size, F.lit(1))
@@ -509,9 +520,28 @@ def hit_contexts(hits: DataFrame, corpus: DataFrame, size: int = 3,
     ctx = F.concat_ws(
         " ", F.slice(toks, start.cast("int"),
                      (end - start + 1).cast("int")))
-    joined = hits.join(corpus.select(id_col, text_col), id_col)
+    if "field" in corpus.columns:
+        joined = hits.join(corpus.select(id_col, "field", text_col),
+                           [id_col, "field"])
+    else:
+        joined = hits.join(corpus.select(id_col, text_col), id_col)
     return joined.select(id_col, "field", "term", "position",
                          ctx.alias("context"))
+
+
+def _phrase_count_cap(analyzer: str, phrase: str, prefix: bool, live: bool,
+                      max_expansions: int) -> int | None:
+    """Expansion cap for count_phrase, shared by BOTH readers: None (no
+    prefix expansion), the caller's cap, or 0 = UNCAPPED — a single-token
+    prefix count on a live (tombstoned) index must expand exhaustively so
+    the count stays exact (the clean-index path aggregates the terms table
+    instead and never expands)."""
+    cap = max_expansions if prefix else None
+    if prefix and live:
+        tok, _ = ANALYZERS[analyzer]
+        if len(tok(ascii_fold(phrase))) == 1:
+            cap = 0
+    return cap
 
 
 def _phrase_variants_for(analyzer: str, expand_fn, phrase: str,

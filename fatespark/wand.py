@@ -302,15 +302,21 @@ def score_bmw_or(terms: list[TermBlocks], avgdl: float, k: int,
     bounds = np.unique(np.concatenate(
         [t.first for t in live] + [t.last + 1 for t in live]))
     m = bounds.size - 1
-    diff = np.zeros(m + 1, dtype=np.float64)
+    # interval bounds accumulate POSITIVE block ubs per term, in the same
+    # ascending-term order the scorer sums contributions. No +/- difference
+    # array: cancellation there can round an interval's bound BELOW a
+    # boundary doc's float score (tf==max_tf, dl==min_dl) and wrongly prune
+    # an exact-theta tie. Positive same-order accumulation is elementwise
+    # >= the doc sum under IEEE monotonicity, so the bound is sound — and
+    # bit-exact on the boundary case.
+    iub = np.zeros(m, dtype=np.float64)
     for t in live:
         a = t.avgdl or avgdl
         tub = t.idf * bm25_part(t.max_tf, t.min_dl, a)
         s = np.searchsorted(bounds, t.first)
         e = np.searchsorted(bounds, t.last + 1)
-        np.add.at(diff, s, tub)
-        np.add.at(diff, e, -tub)
-    iub = np.cumsum(diff[:m])
+        for bi in range(s.size):
+            iub[s[bi]:e[bi]] += tub[bi]
     cand = np.flatnonzero(iub > 0.0)
     order = cand[np.argsort(-iub[cand], kind="stable")]
 

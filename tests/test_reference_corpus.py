@@ -182,3 +182,24 @@ def test_find_hits_enumeration_matches_oracle(ref, spark, tmp_root):
     assert sum(r["field"] == 0 for r in hits) == sum(
         t.lower() == "smith" for v in pdf["last"]
         for t in _TOKEN.findall(str(v)))
+
+
+def test_find_hits_context_per_field(ref, spark, tmp_root):
+    """Hit#context on a MULTI-FIELD veneer index: each hit's context must
+    come from its own field's column (per-field token streams)."""
+    from fatespark.compat import FatesIndex
+    _, pdf = ref
+    sdf = spark.createDataFrame(
+        pdf.rename(columns={"last": "last_name", "first": "first_name"}))
+    fi = FatesIndex(spark, str(tmp_root / "reference_contacts_idx"),
+                    corpus=sdf, id_col="id",
+                    field_cols=["last_name", "first_name"])
+    rows = fi.find_hits("Smith", context_size=1).limit(200).collect()
+    assert rows
+    by_id = pdf.set_index("id")
+    for r in rows:
+        col = ["last", "first"][r["field"]]
+        src = str(by_id.loc[r["doc_id"], col])
+        # context tokens are a slice of THAT field's token stream
+        assert r["context"] in src or all(
+            t in src.split() for t in r["context"].split()), (r, src)
