@@ -371,7 +371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         itself, so the approximate output is hash-checked bit-exactly."""
         e = _read(spark, sf, "embeddings")
         return (dedup.embedding_dup_pairs_banded(
-                    e, threshold=0.4, n_bands=16, planes_per_band=4, seed=5)
+                    e, threshold=0.4, n_bands=16, planes_per_band=4, seed=5,
+                    dim=64)
                 .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
                 .orderBy("id_a", "id_b"))
     q["dd_embdup_banded"] = dd_embdup_banded

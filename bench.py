@@ -193,7 +193,8 @@ def main() -> None:
     @timed("dd_embdup_banded")
     def _ebd():
         return dedup.embedding_dup_pairs_banded(
-            emb, threshold=0.9, n_bands=8, planes_per_band=8).count()
+            emb, threshold=0.9, n_bands=8, planes_per_band=8,
+            dim=64).count()
 
     @timed("q_hits", reps=3)
     def _qh():  # per-hit enumeration throughput (reference Hits granularity)
