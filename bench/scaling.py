@@ -31,7 +31,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PAIRS = [(4, 16), (8, 32)]
+# FATESPARK_SCALE_PAIRS="4:16,8:32" overrides which N->4N pairs run
+_pairs_env = os.environ.get("FATESPARK_SCALE_PAIRS", "")
+PAIRS = ([tuple(int(x) for x in p.split(":")) for p in _pairs_env.split(",")]
+         if _pairs_env else [(4, 16), (8, 32)])
 
 
 def run_level(cpus: int, corpus_path: str) -> None:
