@@ -324,12 +324,20 @@ def score_bmw_or(terms: list[TermBlocks], avgdl: float, k: int,
     pool_scores = np.zeros(0, dtype=np.float64)
     theta = -1.0
     pos = 0
+    ch = chunk_intervals
     while pos < order.size:
         if iub[order[pos]] < theta:
             break  # descending order: everything after is below threshold
-        chunk = order[pos:pos + chunk_intervals]
-        pos += chunk_intervals
-        chunk = chunk[iub[chunk] >= theta]  # chunk tail may dip below
+        chunk = order[pos:pos + ch]
+        pos += ch
+        kept = chunk[iub[chunk] >= theta]  # chunk tail may dip below
+        # adaptive ramp: when pruning isn't biting (whole chunk survives),
+        # double the chunk so the no-headroom case degenerates to a few
+        # big exhaustive batches instead of hundreds of bookkeeping rounds;
+        # reset to fine granularity the moment the threshold starts cutting
+        ch = min(ch * 2, 4096) if kept.size == chunk.size \
+            else chunk_intervals
+        chunk = kept
         # gather each term's postings inside the chunk's intervals (each
         # interval lies inside exactly one block per covering term)
         parts = []
