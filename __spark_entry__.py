@@ -794,6 +794,66 @@ ORDER BY doc_id, field, position, term"""
     o["ft_phrase_prefix"] = _bm25_phrase_sql(ph_first, ph_second[:-1],
                                              prefix=True)
 
+    # ft_stemmed_topk: DuckDB re-runs the WHOLE stemming pipeline in SQL —
+    # sqlstem.porter_stages_sql is a second Porter implementation (CTE chain,
+    # cv-form via list_reduce) validated against the Porter goldens; the
+    # query stems are themselves derived in-SQL from the vstem mapping, so
+    # no Python value reaches the oracle.
+    from fatespark.sqlstem import porter_stages_sql
+    stem_qs = ", ".join(f"'{t}'" for t in ["merges", "scanning"])
+    o["ft_stemmed_topk"] = f"""
+WITH rawtok AS (
+  SELECT doc_id, translate(t, '{_UP}', '{_LO}') AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+stemsrc AS (  -- corpus vocab + the query literals (stemmed the same way)
+  SELECT term FROM rawtok
+  UNION SELECT unnest([{stem_qs}]) AS term
+),
+{porter_stages_sql("stemsrc")},
+tok AS (
+  SELECT r.doc_id, v.stem AS term FROM rawtok r JOIN vstem v USING (term)
+),
+dls AS (
+  SELECT d.doc_id, coalesce(x.dl, 0) AS dl
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id) x USING (doc_id)
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dls
+),
+tfs AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+),
+dfs AS (
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM tfs GROUP BY term
+),
+qs AS (SELECT DISTINCT stem FROM vstem WHERE term IN ({stem_qs})),
+contrib AS (
+  SELECT tfs.doc_id, tfs.term,
+         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tfs.tf * {_K1P1} / (tfs.tf + {_K1} *
+            ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS s
+  FROM tfs
+  JOIN dfs USING (term)
+  JOIN dls ON dls.doc_id = tfs.doc_id
+  CROSS JOIN stats
+  WHERE tfs.term IN (SELECT stem FROM qs)
+),
+scored AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                     (acc, x) -> acc + x) AS score
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
+FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
+
     o["ft_topk_paged"] = _bm25_sql(QS["or2"], "OR", limit=5, offset=5)
     o["ft_local_topk"] = _bm25_sql(QS["or2"], "OR")  # same oracle as or2
     o["ft_pfor_topk"] = _bm25_sql(QS["and2"], "AND")  # codec-transparent
