@@ -298,6 +298,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("term", "df", "cf").orderBy("term"))
     q["ft_incremental"] = ft_incremental
 
+    def ft_snapshot_travel(spark, sf):
+        """Snapshot time travel through a build -> delete -> vacuum history
+        (fatespark.snapshots): snap 1 = full corpus, snap 2 = tombstoned
+        view (stale stats, deleted docs masked), snap 3 = post-vacuum
+        (stats rebuilt over survivors). One BM25 top-10 per snapshot,
+        side-by-side — the Iceberg VERSION AS OF read path, oracle-checked
+        per snapshot semantics."""
+        import shutil
+        from fatespark import snapshots as snapmod
+        tag = _corpus_tag(sf)
+        d = f"/tmp/fatespark_entry_idx/{tag}_tt"
+        docs = _read(spark, sf, "documents")
+        n = docs.count()
+        try:
+            idx = SearchIndex(spark, d)
+            if idx.n_docs != docs.filter(F.col("doc_id") % 7 != 0).count() \
+                    or snapmod.current_id(d) != 3:
+                raise ValueError("stale index")
+        except Exception:
+            shutil.rmtree(d, ignore_errors=True)
+            b = IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=1))
+            b.build(spark, docs, id_col="doc_id", url_col="doc_id",
+                    text_col="text", build_id="tt")               # snap 1
+            b.delete_docs(spark, docs.filter(F.col("doc_id") % 7 == 0))
+            b.vacuum(spark, build_id="tt-vacuum")   # snap 2 (delete), 3
+        out = None
+        for sid in (1, 2, 3):
+            r = (SearchIndex(spark, d, snapshot_id=sid)
+                 .search(QS["or2"], k=10, mode="OR", quantize=4)
+                 .select(F.lit(sid).alias("snap"), "doc_id", "score"))
+            out = r if out is None else out.unionByName(r)
+        return out
+    q["ft_snapshot_travel"] = ft_snapshot_travel
+
     # -- text analysis (JVM-side column ops) --------------------------------
     def tx_token_count(spark, sf):
         d = _read(spark, sf, "documents")
@@ -498,17 +532,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
 
-_TOK_CTES = f"""
+def _tok_ctes(src: str = "documents") -> str:
+    """The shared tokenize/stats CTE block over an arbitrary source relation
+    (``src`` may be a subquery — used by the time-travel oracle to rebuild
+    stats over the surviving-docs view)."""
+    return f"""
 tok AS (
   SELECT doc_id, translate(t, '{_UP}', '{_LO}') AS term
   FROM (SELECT doc_id,
                unnest(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}')) AS t
-        FROM documents)
+        FROM {src})
   WHERE t <> ''
 ),
 dls AS (
   SELECT d.doc_id, coalesce(x.dl, 0) AS dl
-  FROM documents d LEFT JOIN (
+  FROM {src} d LEFT JOIN (
     SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id) x USING (doc_id)
 ),
 stats AS (
@@ -526,10 +564,17 @@ dfs AS (
 )"""
 
 
+_TOK_CTES = _tok_ctes()
+
+
 def _bm25_sql(terms: list[str], mode: str, limit: int = 10,
-              offset: int = 0) -> str:
+              offset: int = 0, src: str = "documents",
+              where_scored: str | None = None) -> str:
     """Top-10 BM25 with explicit ascending-term summation order (float64
-    parity with the engine)."""
+    parity with the engine). ``src`` re-bases the corpus (time-travel oracle:
+    post-vacuum stats over survivors); ``where_scored`` filters scored docs
+    WITHOUT re-basing stats (tombstone semantics: stale df/avgdl, masked
+    results)."""
     terms = sorted(set(terms))
     in_list = ", ".join(f"'{t}'" for t in terms)
     per_term = ",\n      ".join(
@@ -538,8 +583,9 @@ def _bm25_sql(terms: list[str], mode: str, limit: int = 10,
     add_chain = " + ".join(f"coalesce(s_{i}, 0.0)" for i in range(len(terms)))
     having = (f"HAVING count(DISTINCT term) = {len(terms)}"
               if mode == "AND" else "")
+    wsc = f"WHERE {where_scored} " if where_scored else ""
     return f"""
-WITH {_TOK_CTES},
+WITH {_tok_ctes(src)},
 contrib AS (
   SELECT tfs.doc_id, tfs.term,
          ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
@@ -560,7 +606,7 @@ scored AS (
   SELECT doc_id, {add_chain} AS score FROM per_doc
 )
 SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
-FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id
+FROM scored {wsc}ORDER BY floor(score * 10000.0) DESC, doc_id
 LIMIT {limit} OFFSET {offset}"""
 
 
@@ -853,6 +899,20 @@ scored AS (
 )
 SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
 FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
+
+    # time travel: each snapshot's semantics re-derived independently —
+    # snap 1 full corpus; snap 2 full-corpus STATS with deleted docs masked
+    # after scoring (tombstone staleness is part of the contract); snap 3
+    # stats re-based on survivors (vacuum re-finalize)
+    survivors = "(SELECT * FROM documents WHERE doc_id % 7 <> 0)"
+    tt_parts = [
+        ("1", _bm25_sql(QS["or2"], "OR")),
+        ("2", _bm25_sql(QS["or2"], "OR", where_scored="doc_id % 7 <> 0")),
+        ("3", _bm25_sql(QS["or2"], "OR", src=survivors)),
+    ]
+    o["ft_snapshot_travel"] = "\nUNION ALL\n".join(
+        f"SELECT {sid} AS snap, doc_id, score FROM ({sql}\n)"
+        for sid, sql in tt_parts)
 
     o["ft_topk_paged"] = _bm25_sql(QS["or2"], "OR", limit=5, offset=5)
     o["ft_local_topk"] = _bm25_sql(QS["or2"], "OR")  # same oracle as or2

@@ -209,6 +209,12 @@ class IndexBuilder:
         # all-JVM docs pipeline (regexp_count doc length per field, no Python
         # round trip); corpus stats ride along on the write job via
         # Observation. docs.dls[i] = token count of field i.
+        # committed snapshots are immutable: a chunk about to be rebuilt is
+        # archived (same-fs rename), not clobbered, so older snapshots stay
+        # readable until snapshots.expire
+        from . import snapshots as _snap
+        _snap.archive(self.index_dir, [f"docs/chunk={chunk_id}",
+                                       f"postings/chunk={chunk_id}"])
         obs = Observation(f"docs_{build_id}_{chunk_id}")
         per_field = [doclen_col(c, a) for c, a in zip(fcols, anas)]
         docs = (chunk_df
@@ -316,9 +322,13 @@ class IndexBuilder:
 
     def _finalize(self, spark: SparkSession, *, build_id: str,
                   n_chunks: int, n_fields: int = 1,
-                  codec: str | None = None) -> None:
+                  codec: str | None = None,
+                  operation: str = "build") -> None:
         cfg = self.config
         codec = codec or cfg.codec
+        from . import snapshots as _snap
+        # prior published terms/meta/stats belong to the previous snapshot
+        _snap.archive(self.index_dir, ["terms", "meta", "field_stats"])
         blocks = spark.read.parquet(self._p("postings"))
         terms = (blocks.groupBy("term", "field")
                  .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"),
@@ -348,8 +358,11 @@ class IndexBuilder:
             "store_positions": cfg.store_positions, "codec": codec,
             "build_id": build_id, "n_chunks": n_chunks,
         }])
-        # publish marker: written last, required by SearchIndex.load
+        # publish marker: written last, required by SearchIndex.load; the
+        # snapshot commit (Iceberg-commit analogue) follows it and pins the
+        # exact physical paths of this published state for time travel
         _write_local_parquet(meta, self._p("meta"), mode="overwrite")
+        _snap.commit(self.index_dir, operation, build_id)
 
     # -- deletes + vacuum ---------------------------------------------------
     def delete_docs(self, spark: SparkSession, doc_ids) -> None:
@@ -366,6 +379,10 @@ class IndexBuilder:
         pdf = pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
                             "ts": float(time.time())})
         _write_local_parquet(pdf, self._p("tombstones"))
+        # a delete is a commit: same data paths as the parent snapshot plus
+        # the enlarged tombstone set (time travel to the parent un-deletes)
+        from . import snapshots as _snap
+        _snap.commit(self.index_dir, "delete")
 
     def tombstones(self) -> "pd.Series | None":
         t = _read_local_parquet(self._p("tombstones"))
@@ -406,18 +423,20 @@ class IndexBuilder:
             self._p("docs_new"))
 
         nf = self.meta_n_fields(spark)
-        # swap in the rewritten chunkless dirs (Iceberg snapshot commit on a
-        # real deployment); chunk-level lineage belongs to the old builds, so
-        # manifest/metrics/tombstones reset and stats re-finalize from data
+        # swap in the rewritten chunkless dirs; the replaced state is
+        # ARCHIVED, not deleted — older snapshots (including the pre-vacuum
+        # tombstoned view and its chunk lineage) stay time-travel-readable
+        # until snapshots.expire. postings_local is a derived serving copy,
+        # re-creatable via compact_local, so it is simply dropped.
+        from . import snapshots as _snap
+        _snap.archive(self.index_dir, ["postings", "docs", "tombstones",
+                                       "manifest", "bucket_metrics"])
         for name in ("postings", "docs"):
-            shutil.rmtree(self._p(name))
             os.rename(self._p(f"{name}_new"), self._p(name))
-        for name in ("manifest", "bucket_metrics", "tombstones",
-                     "postings_local"):
-            shutil.rmtree(self._p(name), ignore_errors=True)
+        shutil.rmtree(self._p("postings_local"), ignore_errors=True)
 
         self._finalize(spark, build_id=build_id, n_chunks=1, n_fields=nf,
-                       codec=mc)
+                       codec=mc, operation="vacuum")
         agg = spark.read.parquet(self._p("postings")).agg(
             F.sum("n"), F.count("*")).collect()[0]
         return {"dropped": int(drop.size), "postings": int(agg[0] or 0),

@@ -57,12 +57,32 @@ def _term_blocks_from_pdf(g: pd.DataFrame, idf: float, avgdl: float = 0.0,
 
 
 class SearchIndex:
-    """Reader over an index directory produced by ``IndexBuilder``."""
+    """Reader over an index directory produced by ``IndexBuilder``.
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    Time travel: ``snapshot_id=`` pins a committed snapshot from the
+    snapshot log, ``as_of=`` (unix ts) picks the last snapshot at or before
+    that time (snapshots.resolve) — the Iceberg ``VERSION AS OF`` /
+    ``TIMESTAMP AS OF`` read semantics. Default: the current published
+    state (and ``self.snapshot_id`` reports its id when a log exists)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, *,
+                 snapshot_id: int | None = None,
+                 as_of: float | None = None):
         self.spark = spark
         self.index_dir = index_dir
-        meta = spark.read.parquet(f"{index_dir}/meta").collect()
+        self._paths: dict[str, list[str]] | None = None
+        self.snapshot_id: int | None = None
+        if snapshot_id is not None or as_of is not None:
+            from . import snapshots as _snap
+            self.snapshot_id, self._paths = _snap.resolve(
+                index_dir, snapshot_id=snapshot_id, as_of=as_of)
+
+        def src(name: str) -> list[str]:
+            if self._paths is not None:
+                return self._paths.get(name, [])
+            return [f"{index_dir}/{name}"]
+
+        meta = spark.read.parquet(*src("meta")).collect()
         if not meta:
             raise FileNotFoundError(f"no published index at {index_dir}")
         m = meta[0].asDict()
@@ -77,19 +97,30 @@ class SearchIndex:
         # per-field avgdl (BM25F normalization); pre-field_stats indexes fall
         # back to the corpus avgdl for their single field
         try:
-            fs = spark.read.parquet(f"{index_dir}/field_stats").collect()
+            fs = spark.read.parquet(*src("field_stats")).collect()
             self.field_avgdl = {int(r["field"]): float(r["avgdl"])
                                 for r in fs}
         except Exception:
             self.field_avgdl = {0: self.avgdl}
-        self.postings = spark.read.parquet(f"{index_dir}/postings")
-        self.docs = spark.read.parquet(f"{index_dir}/docs")
-        self.terms = spark.read.parquet(f"{index_dir}/terms")
+        self.postings = spark.read.parquet(*src("postings"))
+        self.docs = spark.read.parquet(*src("docs"))
+        self.terms = spark.read.parquet(*src("terms"))
         self._has_field = "field" in self.terms.columns
         # tombstoned deletes (pre-vacuum): excluded from every search result;
-        # df/avgdl stats stay stale until IndexBuilder.vacuum (documented)
-        from .build import _read_local_parquet
-        t = _read_local_parquet(f"{index_dir}/tombstones")
+        # df/avgdl stats stay stale until IndexBuilder.vacuum (documented).
+        # Snapshot reads pin the tombstone FILE SET of that commit, so a
+        # travel to a pre-delete snapshot un-deletes.
+        if self._paths is not None:
+            files = self._paths.get("tombstones", [])
+            if files:
+                import pyarrow.parquet as pq
+                t = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                              ignore_index=True)
+            else:
+                t = None
+        else:
+            from .build import _read_local_parquet
+            t = _read_local_parquet(f"{index_dir}/tombstones")
         self.tombstones = np.sort(t["doc_id"].to_numpy(np.int64)) \
             if t is not None and not t.empty else None
 

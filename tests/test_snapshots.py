@@ -1,0 +1,111 @@
+"""Snapshot commits + time travel over the index-directory seam
+(fatespark.snapshots): every publish/delete/vacuum is a retained, immutable
+snapshot; readers pin one by id or timestamp; expire reclaims archives.
+The Iceberg commit model the build docstring promises, demonstrated."""
+
+import pytest
+
+from fatespark import snapshots as snap
+from fatespark.build import BuildConfig, IndexBuilder
+from fatespark.corpus import pages_df
+from fatespark.query import SearchIndex
+
+
+@pytest.fixture()
+def built(spark, tmp_path):
+    d = str(tmp_path / "snap_idx")
+    b = IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=1))
+    b.build(spark, pages_df(spark, 1500, partitions=4), build_id="s1")
+    return b, d
+
+
+def _top(idx, terms, k=10, mode="OR"):
+    return [r["doc_id"] for r in idx.search(terms, k=k, mode=mode).collect()]
+
+
+def test_build_commits_snapshot(spark, built):
+    _, d = built
+    h = snap.history(d)
+    assert list(h["operation"]) == ["build"]
+    assert snap.current_id(d) == 1
+    idx = SearchIndex(spark, d, snapshot_id=1)
+    assert idx.snapshot_id == 1
+    assert _top(idx, ["the", "smith"]) == _top(SearchIndex(spark, d),
+                                               ["the", "smith"])
+
+
+def test_delete_commit_and_travel_back(spark, built):
+    b, d = built
+    before = _top(SearchIndex(spark, d), ["the", "smith"], mode="AND")
+    b.delete_docs(spark, before[:3])
+    assert list(snap.history(d)["operation"]) == ["build", "delete"]
+
+    cur = SearchIndex(spark, d)  # current: deletes applied
+    assert not set(before[:3]) & set(_top(cur, ["the", "smith"], mode="AND"))
+    old = SearchIndex(spark, d, snapshot_id=1)  # pre-delete: un-deleted
+    assert old.tombstones is None
+    assert _top(old, ["the", "smith"], mode="AND") == before
+
+
+def test_vacuum_keeps_prevacuum_snapshot_readable(spark, built):
+    b, d = built
+    idx0 = SearchIndex(spark, d)
+    victims = _top(idx0, ["the"], k=4)
+    before = _top(idx0, ["smith", "jones"], k=15)
+    n0 = idx0.n_docs
+    b.delete_docs(spark, victims)
+    b.vacuum(spark)
+    ops = list(snap.history(d)["operation"])
+    assert ops == ["build", "delete", "vacuum"]
+
+    cur = SearchIndex(spark, d)
+    assert cur.n_docs == n0 - len(victims)
+    # snapshot 1: full pre-delete corpus, original stats and results
+    old = SearchIndex(spark, d, snapshot_id=1)
+    assert old.n_docs == n0
+    assert _top(old, ["smith", "jones"], k=15) == before
+    # snapshot 2: tombstoned view (same postings, victims masked)
+    tomb = SearchIndex(spark, d, snapshot_id=2)
+    assert tomb.n_docs == n0  # stats stale by design pre-vacuum
+    assert sorted(tomb.tombstones) == sorted(victims)
+    assert not set(victims) & set(_top(tomb, ["the"], k=10))
+
+
+def test_as_of_timestamp_resolution(spark, built):
+    b, d = built
+    log = snap.read_log(d)
+    t_build = float(log["ts"].iloc[0])
+    b.delete_docs(spark, _top(SearchIndex(spark, d), ["the"], k=2))
+    assert SearchIndex(spark, d, as_of=t_build).snapshot_id == 1
+    assert SearchIndex(spark, d, as_of=t_build + 1e9).snapshot_id == 2
+    with pytest.raises(KeyError):
+        snap.resolve(d, as_of=t_build - 10.0)
+
+
+def test_rebuild_archives_prior_chunks(spark, built):
+    b, d = built
+    first = _top(SearchIndex(spark, d), ["the", "smith"])
+    # rebuild the same dir from a different corpus: same chunk ids would
+    # clobber snapshot 1's data without the archive step
+    b.build(spark, pages_df(spark, 900, partitions=2, seed=7),
+            build_id="s2")
+    assert snap.current_id(d) == 2
+    idx1 = SearchIndex(spark, d, snapshot_id=1)
+    assert idx1.n_docs == 1500
+    assert _top(idx1, ["the", "smith"]) == first
+    assert SearchIndex(spark, d).n_docs == 900
+
+
+def test_expire_reclaims_and_invalidates(spark, built):
+    b, d = built
+    b.delete_docs(spark, _top(SearchIndex(spark, d), ["the"], k=2))
+    b.vacuum(spark)
+    got = snap.expire(d, keep_last=1)
+    assert got["expired"] == 2 and got["freed_dirs"] >= 1
+    # current still reads; expired snapshots now fail loudly
+    assert SearchIndex(spark, d).n_docs > 0
+    with pytest.raises((KeyError, FileNotFoundError)):
+        SearchIndex(spark, d, snapshot_id=1)
+    # live current snapshot still resolvable by id
+    sid = snap.current_id(d)
+    assert SearchIndex(spark, d, snapshot_id=sid).snapshot_id == sid
