@@ -41,13 +41,15 @@ class _RGIndex:
     Spark-free analogue of the reference's sampled inline-suffix index
     loaded by its reader at open (``lib/suffix_array_reader.rb:176-191``)."""
 
-    def __init__(self, path: str, key: str):
+    def __init__(self, path: str | list[str], key: str):
         import pyarrow.parquet as pq
         self.key = key
         self.files: list = []
         self.spans: list[tuple[int, int, str, str]] = []  # file, rg, lo, hi
-        for f in sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
-                                  recursive=True)):
+        roots = [path] if isinstance(path, str) else list(path)
+        for f in sorted(f for r in roots
+                        for f in glob.glob(os.path.join(r, "**", "*.parquet"),
+                                           recursive=True)):
             pf = pq.ParquetFile(f)
             fi = len(self.files)
             self.files.append(pf)
@@ -98,11 +100,29 @@ class _RGIndex:
 
 
 class LocalSearchIndex:
-    """Spark-free reader over an ``IndexBuilder`` directory."""
+    """Spark-free reader over an ``IndexBuilder`` directory.
 
-    def __init__(self, index_dir: str):
+    Time travel mirrors the distributed reader: ``snapshot_id=`` /
+    ``as_of=`` resolve physical paths through the same snapshot log
+    (``snapshots.resolve`` — pure local parquet, still no Spark jobs)."""
+
+    def __init__(self, index_dir: str, *, snapshot_id: int | None = None,
+                 as_of: float | None = None):
         import pyarrow.parquet as pq
-        metas = sorted(glob.glob(os.path.join(index_dir, "meta", "*.parquet")))
+        self._paths: dict[str, list[str]] | None = None
+        self.snapshot_id: int | None = None
+        if snapshot_id is not None or as_of is not None:
+            from . import snapshots as _snap
+            self.snapshot_id, self._paths = _snap.resolve(
+                index_dir, snapshot_id=snapshot_id, as_of=as_of)
+
+        def src(name: str) -> list[str]:
+            if self._paths is not None:
+                return self._paths.get(name, [])
+            return [os.path.join(index_dir, name)]
+
+        metas = sorted(f for d in src("meta")
+                       for f in glob.glob(os.path.join(d, "*.parquet")))
         if not metas:
             raise FileNotFoundError(f"no published index at {index_dir}")
         m = pq.read_table(metas[-1]).to_pandas().iloc[0].to_dict()
@@ -112,16 +132,19 @@ class LocalSearchIndex:
         self.analyzer = m["analyzer"]
         self.codec_name = str(m.get("codec") or "varint")
         self.meta = m
-        fsp = sorted(glob.glob(os.path.join(index_dir, "field_stats",
-                                            "*.parquet")))
+        fsp = sorted(f for d in src("field_stats")
+                     for f in glob.glob(os.path.join(d, "*.parquet")))
         if fsp:
             fs = pq.read_table(fsp[-1]).to_pandas()
             self.field_avgdl = {int(r.field): float(r.avgdl)
                                 for r in fs.itertuples()}
         else:
             self.field_avgdl = {0: self.avgdl}
-        tombs = sorted(glob.glob(os.path.join(index_dir, "tombstones",
-                                              "*.parquet")))
+        if self._paths is not None:  # snapshot pins the tombstone FILE set
+            tombs = self._paths.get("tombstones", [])
+        else:
+            tombs = sorted(glob.glob(os.path.join(index_dir, "tombstones",
+                                                  "*.parquet")))
         if tombs:
             import pyarrow.parquet as _pq
             ids = np.concatenate([
@@ -130,17 +153,22 @@ class LocalSearchIndex:
             self.tombstones = np.sort(ids.astype(np.int64))
         else:
             self.tombstones = None
-        self._terms_ix = _RGIndex(os.path.join(index_dir, "terms"), "term")
+        self._terms_ix = _RGIndex(src("terms"), "term")
         # prefer the term-range-clustered serving copy (IndexBuilder.
         # compact_local): the raw build output is hash-partitioned for merge
         # skew, so its per-file term min/max spans ~everything and the skip
-        # index cannot prune
-        post = os.path.join(index_dir, "postings_local")
-        if not glob.glob(os.path.join(post, "**", "*.parquet"),
-                         recursive=True):
+        # index cannot prune. Snapshot reads pin the committed postings
+        # paths directly (the serving copy tracks only the current state).
+        post: str | list[str] = os.path.join(index_dir, "postings_local")
+        if self._paths is not None:
+            post = self._paths.get("postings", [])
+        elif not glob.glob(os.path.join(post, "**", "*.parquet"),
+                           recursive=True):
             post = os.path.join(index_dir, "postings")
         self._post_ix = _RGIndex(post, "term")
-        self._docs_dir = os.path.join(index_dir, "docs")
+        self._docs_dir: str | list[str] = (
+            self._paths.get("docs", []) if self._paths is not None
+            else os.path.join(index_dir, "docs"))
 
     # -- stats --------------------------------------------------------------
     def term_stats(self, terms: list[str]) -> dict[str, dict]:
@@ -207,7 +235,12 @@ class LocalSearchIndex:
         import pyarrow.compute as pc
         if not doc_ids:
             return {}
-        t = ds.dataset(self._docs_dir, format="parquet").to_table(
+        dirs = (self._docs_dir if isinstance(self._docs_dir, list)
+                else [self._docs_dir])
+        files = sorted(f for d in dirs
+                       for f in glob.glob(os.path.join(d, "**", "*.parquet"),
+                                          recursive=True))
+        t = ds.dataset(files, format="parquet").to_table(
             columns=["doc_id", "url"],
             filter=pc.field("doc_id").isin(list(doc_ids)))
         return dict(zip(t["doc_id"].to_pylist(), t["url"].to_pylist()))

@@ -96,6 +96,47 @@ def test_rebuild_archives_prior_chunks(spark, built):
     assert SearchIndex(spark, d).n_docs == 900
 
 
+def test_local_reader_time_travel_parity(spark, built):
+    from fatespark.local import LocalSearchIndex
+    b, d = built
+    victims = _top(SearchIndex(spark, d), ["the"], k=3)
+    b.delete_docs(spark, victims)
+    b.vacuum(spark)
+    for sid in (1, 2, 3):
+        dist = SearchIndex(spark, d, snapshot_id=sid)
+        loc = LocalSearchIndex(d, snapshot_id=sid)
+        assert loc.snapshot_id == sid
+        assert loc.n_docs == dist.n_docs
+        got = loc.search(["the", "smith"], k=10, mode="OR",
+                         with_url=True)
+        exp = dist.search(["the", "smith"], k=10, mode="OR",
+                          with_url=True).toPandas()
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert got["score"].tolist() == exp["score"].tolist()
+        assert got["url"].tolist() == exp["url"].tolist()
+
+
+def test_streaming_epochs_are_snapshots(spark, tmp_path):
+    """finalize_every=1 publishes one snapshot per micro-batch epoch —
+    time travel steps back through stream progress."""
+    from fatespark.streaming import StreamingIndexer
+    d = str(tmp_path / "stream_snap_idx")
+    b = IndexBuilder(d, BuildConfig(n_buckets=2, salt_bits=0))
+    si = StreamingIndexer(b, build_id="ep", finalize_every=1)
+    corpus = pages_df(spark, 800, partitions=2)
+    from pyspark.sql import functions as F
+    half = F.pmod(F.xxhash64(F.col("url")), 2)  # == doc_id parity
+    si.process_batch(corpus.filter(half == 0), 0)
+    si.process_batch(corpus.filter(half == 1), 1)
+    h = snap.history(d)
+    assert len(h) == 2 and set(h["operation"]) == {"build"}
+    e1 = SearchIndex(spark, d, snapshot_id=1)
+    e2 = SearchIndex(spark, d, snapshot_id=2)
+    assert e2.n_docs == 800 and 0 < e1.n_docs < 800
+    # epoch-1 snapshot only knows even-parity docs (doc_id = xxhash64(url))
+    assert all(i % 2 == 0 for i in _top(e1, ["the", "smith"]))
+
+
 def test_expire_reclaims_and_invalidates(spark, built):
     b, d = built
     b.delete_docs(spark, _top(SearchIndex(spark, d), ["the"], k=2))
