@@ -105,6 +105,20 @@ def index_stats(index_dir: str, top_terms: int = 10) -> dict:
                                           "*.parquet")))
     out["pending_tombstones"] = sum(
         pq.ParquetFile(f).metadata.num_rows for f in tombs)
+
+    # snapshot history (snapshots.py): what time travel can reach, and how
+    # much retired data the archive holds until snapshots.expire
+    from . import snapshots as _snap
+    log = _snap.read_log(index_dir)
+    if log is not None:
+        out["snapshots"] = {
+            "current_id": int(log["snapshot_id"].max()),
+            "n": int(len(log)),
+            "operations": [
+                {"id": int(r.snapshot_id), "op": str(r.operation),
+                 "ts": float(r.ts)} for r in log.itertuples()],
+            "archive_bytes": _du(os.path.join(index_dir, _snap.ARCHIVE)),
+        }
     return out
 
 

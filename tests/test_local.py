@@ -132,3 +132,5 @@ def test_index_stats_diagnostics(pages_idx, tmp_root):
     assert s["chunks"]["done"] == 1
     assert s["pending_tombstones"] == 0
     assert s["bucket_skew"]["max_over_mean"] < 2.0
+    assert s["snapshots"]["current_id"] == s["snapshots"]["n"] >= 1
+    assert s["snapshots"]["operations"][-1]["op"] in ("build", "vacuum")
