@@ -412,15 +412,21 @@ class IndexBuilder:
         merged = merge_segments(pseudo, block_size=cfg.block_size,
                                 on_duplicate=cfg.on_duplicate,
                                 drop_docs=drop, in_codec=mc, out_codec=mc)
-        merged.write.mode("overwrite").parquet(self._p("postings_new"))
+        # consolidated output lives under the RESERVED chunk id -1: the
+        # layout stays uniformly partitioned, so post-vacuum incremental
+        # builds (streaming epochs are always >= 0) append cleanly without
+        # colliding with or mixing into the consolidated segment
+        merged.write.mode("overwrite").parquet(
+            self._p("postings_new/chunk=-1"))
 
         docs = spark.read.parquet(self._p("docs"))
         keep_docs = docs
         if drop.size:
             ids_df = spark.createDataFrame(pd.DataFrame({"doc_id": drop}))
             keep_docs = docs.join(F.broadcast(ids_df), "doc_id", "left_anti")
-        keep_docs.select(docs.columns).write.mode("overwrite").parquet(
-            self._p("docs_new"))
+        out_cols = [c for c in docs.columns if c != "chunk"]
+        keep_docs.select(out_cols).write.mode("overwrite").parquet(
+            self._p("docs_new/chunk=-1"))
 
         nf = self.meta_n_fields(spark)
         # swap in the rewritten chunkless dirs; the replaced state is

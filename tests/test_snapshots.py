@@ -137,6 +137,31 @@ def test_streaming_epochs_are_snapshots(spark, tmp_path):
     assert all(i % 2 == 0 for i in _top(e1, ["the", "smith"]))
 
 
+def test_incremental_build_after_vacuum(spark, built):
+    """Vacuum consolidates into the reserved chunk=-1, so later incremental
+    chunks (streaming epochs >= 0) append cleanly: uniform partitioned
+    layout, no collision with the consolidated segment."""
+    from fatespark.streaming import StreamingIndexer
+    b, d = built
+    idx0 = SearchIndex(spark, d)
+    victims = _top(idx0, ["the"], k=3)
+    n0 = idx0.n_docs
+    b.delete_docs(spark, victims)
+    b.vacuum(spark)
+
+    extra = pages_df(spark, 400, partitions=2, seed=11)
+    si = StreamingIndexer(b, build_id="post-vac", finalize_every=1)
+    si.process_batch(extra, 0)
+
+    idx = SearchIndex(spark, d)
+    assert idx.n_docs == n0 - len(victims) + 400
+    assert not set(victims) & set(_top(idx, ["the"], k=20))
+    ops = list(snap.history(d)["operation"])
+    assert ops == ["build", "delete", "vacuum", "build"]
+    # consolidated segment still reachable pre-append
+    assert SearchIndex(spark, d, snapshot_id=3).n_docs == n0 - len(victims)
+
+
 def test_expire_reclaims_and_invalidates(spark, built):
     b, d = built
     b.delete_docs(spark, _top(SearchIndex(spark, d), ["the"], k=2))
