@@ -180,6 +180,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                              max_expansions=4096, quantize=4))
     q["ft_phrase_prefix"] = ft_phrase_prefix
 
+    def ft_first_match(spark, sf):
+        """k=1 LIMIT shortcut (reference ``Hits#first`` / T6): the plan
+        bottoms out in CollectLimit over the per-bucket scorer."""
+        return _scores(_index(spark, sf).search(QS["or2"], k=1, mode="OR",
+                                                quantize=4))
+    q["ft_first_match"] = ft_first_match
+
     def ft_topk_paged(spark, sf):  # pagination (lib/fates.rb:53-84 parity)
         return _scores(_index(spark, sf).search(QS["or2"], k=5, mode="OR",
                                                 offset=5, quantize=4))
@@ -914,6 +921,7 @@ FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
         f"SELECT {sid} AS snap, doc_id, score FROM ({sql}\n)"
         for sid, sql in tt_parts)
 
+    o["ft_first_match"] = _bm25_sql(QS["or2"], "OR", limit=1)
     o["ft_topk_paged"] = _bm25_sql(QS["or2"], "OR", limit=5, offset=5)
     o["ft_local_topk"] = _bm25_sql(QS["or2"], "OR")  # same oracle as or2
     o["ft_pfor_topk"] = _bm25_sql(QS["and2"], "AND")  # codec-transparent
