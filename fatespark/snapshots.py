@@ -19,6 +19,15 @@ collapses into the catalog's own snapshot/commit machinery (build.py module
 docstring); here the log itself is the same local-parquet append used by the
 manifest, so commits are one tiny file write — no Spark job.
 
+Concurrency contract: ONE writer per index directory (the same contract the
+build/vacuum machinery already has); any number of readers. A reader that
+resolved a snapshot keeps working through archives because data paths are
+only ever renamed, never rewritten; a writer crash between an archive and
+its follow-up commit can leave the newest snapshot pointing at a moved path
+— resolve() then fails loudly and the standard resume (rebuild chunk +
+re-finalize) publishes a fresh, consistent snapshot. On Iceberg the
+catalog's atomic swap removes even that window.
+
 Reference analogue: fates publishes via tmpdir + ``File.rename`` and keeps
 no history (``lib/fragment_writer.rb:22-26,45-52``); retained snapshots +
 time travel are target-new per the north rule's Iceberg deployment model.
