@@ -397,6 +397,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.simhash_near_pairs(d, max_hamming=8)
     q["dd_simhash"] = dd_simhash
 
+    def dd_clusters(spark, sf):
+        """Connected-components clustering over the minhash near-dup pairs
+        (dedup.dup_clusters: distributed min-label propagation + pointer
+        jumping); singletons covered via ids_df. The DuckDB twin re-derives
+        the same pairs AND walks them with a recursive CTE, so the whole
+        pipeline pairs→components is value-hash checked."""
+        d = _read(spark, sf, "documents")
+        pairs = dedup.minhash_dedup_pairs(d, threshold=0.35, num_hashes=64,
+                                          bands=16)
+        return (dedup.dup_clusters(pairs, ids_df=d.select("doc_id"))
+                .select("id", "cluster_id", "cluster_size")
+                .orderBy("id"))
+    q["dd_clusters"] = dd_clusters
+
     def dd_embdup(spark, sf):
         """Exact cosine≥0.4 pairs via the block-tiled equi-join (no
         BroadcastNestedLoopJoin/cartesian; dedup.embedding_dup_pairs)."""
@@ -1046,6 +1060,9 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2"""
     o["dd_minhash"] = sqloracles.minhash_pairs_sql(
         threshold=0.35, num_hashes=64, k=3, bands=16)
     o["dd_simhash"] = sqloracles.simhash_pairs_sql(max_hamming=8)
+    o["dd_clusters"] = sqloracles.clusters_sql(
+        sqloracles.minhash_pairs_sql(threshold=0.35, num_hashes=64, k=3,
+                                     bands=16)) + "\nORDER BY id"
     o["ann_lsh_topk"] = sqloracles.lsh_topk_sql(
         dim=64, n_planes=10, n_probes=128, seed=5, k=10)
     o["dd_embdup_banded"] = sqloracles.banded_embdup_sql(

@@ -479,3 +479,85 @@ def embedding_dup_pairs_banded(emb_df: DataFrame, threshold: float = 0.95,
     return (cand.join(a, "id_a").join(b, "id_b")
             .select("id_a", "id_b", _pair_cosine().alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(pairs_df: DataFrame, ids_df: DataFrame | None = None,
+                 id_a: str = "id_a", id_b: str = "id_b",
+                 max_iters: int = 64) -> DataFrame:
+    """Connected components over a duplicate-pair edge list — the step after
+    every candidate generator above (minhash/simhash/embedding pairs are
+    PAIRS; dedup policy needs CLUSTERS: keep one doc per component).
+
+    Returns (id, cluster_id, cluster_size) where cluster_id is the minimum
+    id in the component; keep-one-per-cluster is then
+    ``filter(id == cluster_id)``. ``ids_df`` (one column, any name) adds
+    corpus ids with no dup edges as singleton clusters so the output covers
+    the whole corpus, not just docs that appear in some pair.
+
+    Distributed Pregel-style min-label propagation with POINTER JUMPING:
+    each round (a) every node takes the min label over its neighbors — one
+    shuffle join + hash-agg — and (b) labels shortcut through their current
+    root (label <- label(label)), which collapses label chains geometrically,
+    so rounds are O(log diameter) rather than O(diameter) — the same
+    shortcutting GraphX's connectedComponents Pregel loop relies on. Each
+    round materializes via localCheckpoint (lineage stays O(1), a crashed
+    round recomputes one join, and AQE re-plans every round on the true,
+    shrinking sizes). Dup graphs at corpus scale are huge in components but
+    tiny in diameter (near-clique bundles of mirrors), so rounds is small —
+    fail-loud at ``max_iters`` rather than silently emitting a half-merged
+    labeling. Reference has no analogue (single-machine fates never
+    clusters; keep-policy is the caller's); target-new for the 100 TB
+    dedup pipeline, alongside [exact_dedup]'s fingerprint groups.
+    """
+    pairs = (pairs_df.select(F.col(id_a).cast("long").alias("src"),
+                             F.col(id_b).cast("long").alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    if ids_df is not None:
+        extra = ids_df.select(
+            F.col(ids_df.columns[0]).cast("long").alias("id"))
+        nodes = nodes.union(extra).distinct()
+    edges = edges.localCheckpoint(eager=True)  # reused every round
+    labels = (nodes.select("id", F.col("id").alias("label"))
+              .localCheckpoint(eager=True))
+
+    for _ in range(max_iters):
+        # (a) neighbor-min: tightest label visible across each node's edges
+        prop = (edges.join(labels.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("label").alias("nbr_min")))
+        stepped = (labels.join(prop, "id", "left")
+                   .select("id", F.least(
+                       "label", F.coalesce("nbr_min", "label"))
+                       .alias("label")))
+        # (b) pointer jump: label <- label(label); labels are node ids, so
+        # the root lookup is a self-join (left: a root's own row is absent
+        # only transiently, coalesce keeps it)
+        root = stepped.select(F.col("id").alias("label"),
+                              F.col("label").alias("root_label"))
+        jumped = (stepped.join(root, "label", "left")
+                  .select("id", F.coalesce("root_label", "label")
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+        changed = (jumped.join(labels.withColumnRenamed("label", "old"),
+                               "id")
+                   .filter(F.col("label") != F.col("old")).count())
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds — "
+            "pathological edge list (labels still moving)")
+
+    out = labels.select("id", F.col("label").alias("cluster_id"))
+    sizes = out.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return out.join(sizes, "cluster_id").select(
+        "id", "cluster_id", "cluster_size")

@@ -257,3 +257,31 @@ JOIN embeddings a ON a.vec_id = c.id_a
 JOIN embeddings b ON b.vec_id = c.id_b
 WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                              b.embedding::DOUBLE[]) >= {threshold}"""
+
+
+def clusters_sql(pairs_sql: str, ids_table: str = "documents",
+                 id_col: str = "doc_id") -> str:
+    """Twin of ``dedup.dup_clusters`` over any pair-producing oracle query:
+    connected components as a recursive CTE — seed every corpus id with
+    itself, walk the symmetrized edge list to a fixpoint (UNION dedups, so
+    the recursion terminates), then min-reachable-id per node is exactly
+    the engine's min-label component id. Output
+    (id, cluster_id, cluster_size) covering all of ``ids_table``."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  {pairs_sql}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT {id_col}, {id_col} FROM {ids_table}
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT l.id, l.cluster_id, sz.cluster_size
+FROM lab l JOIN sz USING (cluster_id)"""

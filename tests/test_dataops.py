@@ -312,3 +312,85 @@ class TestLshVectorIndex:
              ann.lsh_topk(df, q.tolist(), k=8, n_planes=5, n_probes=8,
                           seed=5).collect()]
         assert a == b
+
+
+class TestDupClusters:
+    """dedup.dup_clusters: distributed connected components over pair lists,
+    checked against a driver-side union-find on the same edges."""
+
+    @staticmethod
+    def _uf_components(pairs, ids):
+        parent = {i: i for i in ids}
+        for a, b in pairs:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min id per component = cluster id
+        comp = {}
+        for x in parent:
+            r = find(x)
+            comp[r] = min(comp.get(r, r), x)
+        return {x: comp[find(x)] for x in parent}
+
+    def _check(self, spark, pairs, ids=None, max_iters=64):
+        pdf = spark.createDataFrame(
+            pairs or [(0, 0)], "id_a long, id_b long")
+        if not pairs:
+            pdf = pdf.filter("id_a < 0")
+        ids_df = (spark.createDataFrame([(i,) for i in ids], "doc_id long")
+                  if ids is not None else None)
+        got_rows = dedup.dup_clusters(
+            pdf, ids_df=ids_df, max_iters=max_iters).collect()
+        got = {r["id"]: r["cluster_id"] for r in got_rows}
+        want = self._uf_components(pairs, ids or [])
+        assert got == want
+        # sizes are consistent with the labeling
+        from collections import Counter
+        sz = Counter(got.values())
+        for r in got_rows:
+            assert r["cluster_size"] == sz[r["cluster_id"]]
+
+    def test_cliques_chain_and_singletons(self, spark):
+        pairs = [(1, 2), (2, 3),            # chain component -> 1
+                 (10, 11), (11, 10),        # dup + reversed edges
+                 (20, 21), (21, 22), (20, 22),  # triangle
+                 (30, 30)]                  # self-loop only: singleton
+        self._check(spark, pairs, ids=[1, 2, 3, 10, 11, 20, 21, 22,
+                                       30, 40, 41])  # 40, 41 isolated
+
+    def test_long_chain_converges_fast(self, spark):
+        # worst-case diameter: a 64-node path; pointer jumping must get
+        # there in O(log n) rounds, far under this max_iters cap
+        pairs = [(i, i + 1) for i in range(63)]
+        self._check(spark, pairs, max_iters=12)
+
+    def test_empty_pairs_all_singletons(self, spark):
+        self._check(spark, [], ids=[5, 6, 7])
+
+    def test_random_graphs_match_union_find(self, spark):
+        rng = np.random.default_rng(42)
+        for trial in range(3):
+            n = int(rng.integers(10, 40))
+            m = int(rng.integers(0, 60))
+            pairs = [(int(a), int(b)) for a, b in
+                     rng.integers(0, n, size=(m, 2))]
+            pairs = [(a, b) for a, b in pairs]
+            self._check(spark, pairs, ids=list(range(n)))
+
+    def test_keep_one_per_cluster(self, spark):
+        pairs = [(1, 2), (2, 3), (7, 8)]
+        pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+        keep = (dedup.dup_clusters(pdf)
+                .filter(F.col("id") == F.col("cluster_id"))
+                .select("id").collect())
+        assert sorted(r["id"] for r in keep) == [1, 7]
