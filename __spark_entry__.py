@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from fatespark.build import BuildConfig, IndexBuilder
 from fatespark.query import SearchIndex
-from fatespark import ann, dedup, textops
+from fatespark import ann, dedup, sqlhash, textops
 from fatespark.oracle import B, K1
 
 # ---------------------------------------------------------------------------
@@ -372,6 +372,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("doc_id",
                         textops.lang_pred_col("text").alias("lang_pred"))
     q["tx_langid"] = tx_langid
+
+    # -- deterministic sampling / split assignment --------------------------
+    def tx_split_assign(spark, sf):
+        """Stable train/val/test assignment (sampling.assign_splits):
+        md5-keyed, partition- and engine-independent, so the DuckDB twin
+        reproduces every label bit-exactly (sqlhash.md5_bucket60)."""
+        from fatespark import sampling
+        d = _read(spark, sf, "documents")
+        return (sampling.assign_splits(
+                    d, {"train": 0.9, "val": 0.05, "test": 0.05},
+                    key_col="doc_id", seed="split")
+                .select("doc_id", "split"))
+    q["tx_split_assign"] = tx_split_assign
+
+    def tx_stratified_sample(spark, sf):
+        """Deterministic per-language downsample (sampling.
+        stratified_sample): keep fraction varies by stratum, membership
+        depends only on (seed, doc_id) — exact same rows on any cluster."""
+        from fatespark import sampling
+        d = _read(spark, sf, "documents")
+        return (sampling.stratified_sample(
+                    d, "lang", {"en": 0.3, "zh": 1.0, "es": 0.6},
+                    default=0.1, key_col="doc_id", seed="sample")
+                .select("doc_id", "lang"))
+    q["tx_stratified_sample"] = tx_stratified_sample
 
     # -- dedup ---------------------------------------------------------------
     def dd_exact_groups(spark, sf):
@@ -1030,6 +1055,21 @@ FROM documents"""
     o["tx_fingerprint"] = _FP_SQL
     o["tx_quality"] = _QUALITY_SQL
     o["tx_langid"] = _LANG_SQL
+
+    _split_b = sqlhash.md5_bucket60("doc_id", "split", 1_000_000)
+    o["tx_split_assign"] = f"""
+SELECT doc_id,
+       CASE WHEN {_split_b} < 900000 THEN 'train'
+            WHEN {_split_b} < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
+
+    _samp_b = sqlhash.md5_bucket60("doc_id", "sample", 1_000_000)
+    o["tx_stratified_sample"] = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_samp_b} < CASE lang WHEN 'en' THEN 300000 WHEN 'zh' THEN 1000000
+                            WHEN 'es' THEN 600000 ELSE 100000 END"""
 
     o["dd_exact_groups"] = f"""
 WITH fp AS ({_FP_SQL})

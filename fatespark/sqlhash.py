@@ -103,3 +103,15 @@ def splitmix64_py(x: int) -> int:
 def md5_u64_py(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8],
                           "big")
+
+
+def md5_bucket60(key_expr: str, seed: str, buckets: int) -> str:
+    """SQL twin of ``sampling.bucket_col``: first 60 bits (15 hex nibbles)
+    of md5(seed ':' key) mod buckets, as BIGINT. ``key_expr`` is any SQL
+    expression; it is cast to VARCHAR like Spark's cast('string')."""
+    h = (f"list_reduce(list_prepend(0::HUGEINT, list_transform("
+         f"string_split(substr(md5('{seed}:' || ({key_expr})::VARCHAR), "
+         f"1, 15), ''), "
+         f"c -> (strpos('0123456789abcdef', c) - 1)::HUGEINT)), "
+         f"(acc, v) -> acc * 16 + v)")
+    return f"CAST(({h}) % {buckets} AS BIGINT)"

@@ -394,3 +394,81 @@ class TestDupClusters:
                 .filter(F.col("id") == F.col("cluster_id"))
                 .select("id").collect())
         assert sorted(r["id"] for r in keep) == [1, 7]
+
+
+class TestSampling:
+    """sampling: deterministic md5-keyed splits / stratified sampling —
+    membership must depend only on (seed, key), never on partitioning."""
+
+    @staticmethod
+    def _bucket_py(seed, key, buckets=1_000_000):
+        import hashlib
+        h = int(hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:15], 16)
+        return h % buckets
+
+    def test_bucket_matches_python_md5(self, spark):
+        from fatespark import sampling
+        df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+        got = {r["doc_id"]: r["b"] for r in df.select(
+            "doc_id", sampling.bucket_col("doc_id", seed="s7").alias("b"))
+            .collect()}
+        for i in range(200):
+            assert got[i] == self._bucket_py("s7", i)
+
+    def test_bucket_matches_duckdb_twin(self, spark):
+        import duckdb
+        from fatespark import sampling, sqlhash
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT range AS doc_id FROM range(100)")
+        dd = dict(con.execute(
+            f"SELECT doc_id, {sqlhash.md5_bucket60('doc_id', 'sx', 997)} "
+            "FROM t").fetchall())
+        df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+        sp = {r["doc_id"]: r["b"] for r in df.select(
+            "doc_id", sampling.bucket_col("doc_id", seed="sx", buckets=997)
+            .alias("b")).collect()}
+        assert sp == {k: int(v) for k, v in dd.items()}
+
+    def test_split_assignment_stable_under_repartition(self, spark):
+        from fatespark import sampling
+        df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        a = dict(sampling.assign_splits(df, w).select(
+            "doc_id", "split").collect())
+        b = dict(sampling.assign_splits(df.repartition(13), w).select(
+            "doc_id", "split").collect())
+        assert a == b
+        # ratio sanity on 500 keys
+        from collections import Counter
+        c = Counter(a.values())
+        assert c["train"] > c["val"] and c["train"] > c["test"]
+        assert set(c) == {"train", "val", "test"}
+
+    def test_split_weights_validated(self, spark):
+        from fatespark import sampling
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        with pytest.raises(ValueError):
+            sampling.assign_splits(df, {"train": 0.5, "val": 0.1})
+
+    def test_stratified_sample_exact_by_key(self, spark):
+        from fatespark import sampling
+        rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        frac = {"en": 0.5, "de": 1.0}
+        kept = sorted(r["doc_id"] for r in sampling.stratified_sample(
+            df, "lang", frac, default=0.0).collect())
+        want = [i for i, lang in rows
+                if self._bucket_py("sample", i) <
+                int(frac.get(lang, 0.0) * 1_000_000)]
+        assert kept == want
+        assert all(lang != "zh" for i, lang in rows if i in set(kept))
+
+    def test_shuffle_order_deterministic_and_spread(self, spark):
+        from fatespark import sampling
+        df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+        o1 = [r["doc_id"] for r in df.orderBy(
+            sampling.shuffle_order_col("doc_id"), "doc_id").collect()]
+        o2 = [r["doc_id"] for r in df.repartition(7).orderBy(
+            sampling.shuffle_order_col("doc_id"), "doc_id").collect()]
+        assert o1 == o2
+        assert o1 != sorted(o1)  # actually shuffled, not storage order
