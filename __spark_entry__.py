@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from fatespark.build import BuildConfig, IndexBuilder
 from fatespark.query import SearchIndex
-from fatespark import ann, dedup, sqlhash, textops
+from fatespark import ann, dedup, sqlhash, sqloracles, textops
 from fatespark.oracle import B, K1
 
 # ---------------------------------------------------------------------------
@@ -397,6 +397,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     default=0.1, key_col="doc_id", seed="sample")
                 .select("doc_id", "lang"))
     q["tx_stratified_sample"] = tx_stratified_sample
+
+    def tx_pii_mask(spark, sf):
+        """PII scrub (textops.pii_mask_col/pii_count_cols). The synthetic
+        corpus has no PII, so the query plants doc_id-derived emails /
+        phones / IPs into each document first — the oracle synthesizes the
+        SAME text, so every regex is actually exercised and value-hash
+        checked, not vacuously green on zero matches."""
+        d = _read(spark, sf, "documents")
+        doc = F.col("doc_id").cast("string")
+        planted = F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" user"), doc, F.lit("@example.com +1 555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"),
+                   4, "0"),
+            F.lit(" at 10."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".0.1 ok"))
+        counts = textops.pii_count_cols(planted)
+        return d.select(
+            "doc_id", textops.pii_mask_col(planted).alias("masked"),
+            *[c.alias(n) for n, c in counts.items()])
+    q["tx_pii_mask"] = tx_pii_mask
+
+    def tx_source_stats(spark, sf):
+        """Per-source corpus rollup (the per-domain view a webtext pipeline
+        curates by): doc counts, token totals, integer-quantized quality
+        mass, language spread. All-integer aggregates so the value hash is
+        order-independent (no float sum across partitions)."""
+        d = _read(spark, sf, "documents")
+        q10k = F.floor(textops.quality_score_col("text") * 10000)
+        return (d.groupBy("source").agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum(textops.token_count_col("text")).cast("long")
+                     .alias("total_tokens"),
+                    F.sum(q10k).cast("long").alias("sum_q10k"),
+                    F.countDistinct("lang").alias("n_langs"))
+                .orderBy("source"))
+    q["tx_source_stats"] = tx_source_stats
 
     # -- dedup ---------------------------------------------------------------
     def dd_exact_groups(spark, sf):
@@ -1071,6 +1109,37 @@ FROM documents
 WHERE {_samp_b} < CASE lang WHEN 'en' THEN 300000 WHEN 'zh' THEN 1000000
                             WHEN 'es' THEN 600000 ELSE 100000 END"""
 
+    _pii_src = ("coalesce(text, '') || ' user' || doc_id::VARCHAR || "
+                "'@example.com +1 555-' || "
+                "lpad((doc_id % 10000)::VARCHAR, 4, '0') || "
+                "' at 10.' || (doc_id % 256)::VARCHAR || '.0.1 ok'")
+    o["tx_pii_mask"] = f"""
+SELECT doc_id,
+       {sqloracles.pii_mask_sql('t')} AS masked,
+       {', '.join(sqloracles.pii_count_sql('t'))}
+FROM (SELECT doc_id, {_pii_src} AS t FROM documents)"""
+
+    _q10k_sql = _QUALITY_SQL.replace("* 10000) / 10000 AS quality",
+                                     "* 10000)::BIGINT AS q10k")
+    assert "q10k" in _q10k_sql, "quality SQL surgery anchor moved"
+    o["tx_source_stats"] = f"""
+WITH q AS ({_q10k_sql}),
+tok AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}'),
+                         x -> x <> '')) AS ntok
+  FROM documents)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(t.ntok) AS BIGINT) AS total_tokens,
+       CAST(sum(q.q10k) AS BIGINT) AS sum_q10k,
+       count(DISTINCT d.lang) AS n_langs
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN tok t ON t.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source"""
+
     o["dd_exact_groups"] = f"""
 WITH fp AS ({_FP_SQL})
 SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
@@ -1096,7 +1165,6 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2"""
     # expressions, hyperplane matrices inlined as float literals with
     # ordered folds — the PRUNING is replicated bit-exactly, not just the
     # surviving rows.
-    from fatespark import sqloracles
     o["dd_minhash"] = sqloracles.minhash_pairs_sql(
         threshold=0.35, num_hashes=64, k=3, bands=16)
     o["dd_simhash"] = sqloracles.simhash_pairs_sql(max_hamming=8)

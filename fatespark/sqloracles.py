@@ -285,3 +285,27 @@ lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
 sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
 SELECT l.id, l.cluster_id, sz.cluster_size
 FROM lab l JOIN sz USING (cluster_id)"""
+
+
+def pii_mask_sql(text_expr: str) -> str:
+    """Twin of ``textops.pii_mask_col``: the same pattern chain, applied in
+    the same order, with DuckDB's 'g' flag matching Spark's replace-all
+    default. Patterns avoid alternation/lookaround so Java-regex and RE2
+    agree match-for-match (see textops.PII_PATTERNS)."""
+    from fatespark.textops import PII_PATTERNS
+    e = f"coalesce({text_expr}, '')"
+    for _, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        e = f"regexp_replace({e}, '{p}', '{repl}', 'g')"
+    return e
+
+
+def pii_count_sql(text_expr: str) -> list[str]:
+    """Twin of ``textops.pii_count_cols``: one ``n_<kind>`` projection per
+    pattern via regexp_extract_all length (DuckDB's regexp count)."""
+    from fatespark.textops import PII_PATTERNS
+    e = f"coalesce({text_expr}, '')"
+    return [
+        f"len(regexp_extract_all({e}, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    ]

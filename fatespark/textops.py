@@ -133,3 +133,48 @@ def lang_pred_col(text_col: str):
     return (F.when(cyrillic_ratio_col(text_col) > 0.3, F.lit("ru"))
             .when(de > en, F.lit("de"))
             .otherwise(F.lit("en")))
+
+
+# ---------------------------------------------------------------------------
+# PII masking
+# ---------------------------------------------------------------------------
+# Patterns are deliberately restricted to constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB oracle): character
+# classes, bounded greedy quantifiers, ASCII \b — no alternation whose
+# leftmost-first (Java) vs leftmost-longest (RE2) order could diverge, no
+# lookaround (RE2 has none). Masking order matters (a credit card number
+# contains phone-shaped digit runs): email, card, ssn, ip, then phone.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b", "<CARD>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -]?[0-9]{0,4}\b",
+     "<PHONE>"),
+]
+
+
+def pii_mask_col(text_col):
+    """Mask emails / card numbers / SSNs / IPv4s / phone numbers with typed
+    placeholder tokens — a chain of JVM ``regexp_replace`` (whole-stage
+    codegen, replaces ALL occurrences), applied in ``PII_PATTERNS`` order.
+    Exact SQL twin: ``sqloracles.pii_mask_sql``. Reference analogue: none;
+    target-new for the training-data pipeline (pre-training corpora must be
+    scrubbed at ingest, so this has to run at full-corpus scan speed)."""
+    c = text_col if not isinstance(text_col, str) else \
+        F.coalesce(F.col(text_col), F.lit(""))
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_count_cols(text_col: str) -> dict:
+    """Per-kind match counts (pre-masking), e.g. to route high-PII docs to
+    quarantine instead of masking. Counts are taken on the ORIGINAL text,
+    each kind independently of the others (unlike masking, where earlier
+    replacements can consume later patterns' matches — same in the SQL
+    twin)."""
+    t = text_col if not isinstance(text_col, str) else \
+        F.coalesce(F.col(text_col), F.lit(""))
+    return {f"n_{name}": F.regexp_count(t, F.lit(pat))
+            for name, pat, _ in PII_PATTERNS}

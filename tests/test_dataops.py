@@ -472,3 +472,62 @@ class TestSampling:
             sampling.shuffle_order_col("doc_id"), "doc_id").collect()]
         assert o1 == o2
         assert o1 != sorted(o1)  # actually shuffled, not storage order
+
+
+class TestPiiMask:
+    """textops.pii_mask_col / pii_count_cols vs the DuckDB RE2 twins — the
+    risk is Java-regex/RE2 divergence, so fuzz both engines on texts built
+    from PII-shaped fragments plus adversarial near-misses."""
+
+    FRAGMENTS = [
+        "bob.smith+tag@ex-a.co.uk", "a@b.cc", "x@y", "@nope", "a@@b.com",
+        "1234 5678 9012 3456", "1234-5678-9012-3456", "1234 5678 9012",
+        "123-45-6789", "123-456-789", "12-345-6789",
+        "10.0.255.1", "999.999.999.999", "1.2.3", "1.2.3.4.5",
+        "+44 20 7946 0958", "+1 555-0100", "+999 12 345", "+1x555",
+        "plain words", "v1.2.3.4rc", "a.b.c.d", "price $5,300.00",
+    ]
+
+    def _fuzz_texts(self, n=60):
+        rng = np.random.default_rng(7)
+        out = []
+        for _ in range(n):
+            k = int(rng.integers(1, 6))
+            parts = [self.FRAGMENTS[int(i)] for i in
+                     rng.integers(0, len(self.FRAGMENTS), size=k)]
+            out.append(" ".join(parts))
+        return out
+
+    def test_mask_and_counts_match_duckdb(self, spark):
+        import duckdb
+        import pandas as pd
+        from fatespark import sqloracles
+        texts = self._fuzz_texts()
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string")
+        counts = textops.pii_count_cols("text")
+        sp = (df.select("id", textops.pii_mask_col("text").alias("masked"),
+                        *[c.alias(n) for n, c in counts.items()])
+              .toPandas().sort_values("id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"id": range(len(texts)),
+                                        "text": texts}))
+        dd = con.sql(
+            f"SELECT id, {sqloracles.pii_mask_sql('text')} AS masked, "
+            + ", ".join(sqloracles.pii_count_sql('text'))
+            + " FROM t ORDER BY id").df()
+        pd.testing.assert_frame_equal(sp, dd, check_dtype=False)
+
+    def test_masks_expected_tokens(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail a@b.cc card 1111 2222 3333 4444 ip 10.0.0.1 "
+                 "call +44 20 7946 0958 ssn 123-45-6789")],
+            "id long, text string")
+        got = df.select(textops.pii_mask_col("text").alias("m")).first()["m"]
+        assert got == ("mail <EMAIL> card <CARD> ip <IP> "
+                       "call <PHONE> ssn <SSN>")
+
+    def test_null_text_masks_to_empty(self, spark):
+        df = spark.createDataFrame([(1, None)], "id long, text string")
+        assert df.select(
+            textops.pii_mask_col("text").alias("m")).first()["m"] == ""
