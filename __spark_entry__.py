@@ -180,6 +180,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                              max_expansions=4096, quantize=4))
     q["ft_phrase_prefix"] = ft_phrase_prefix
 
+    def ft_not(spark, sf):
+        """Boolean exclusion ('merge scan -join'): docs containing the
+        NOT-term drop BEFORE per-bucket top-k, so ranks back-fill
+        (SearchIndex.search exclude=; bucket-local exclusion, no extra
+        shuffle)."""
+        return _scores(_index(spark, sf).search(QS["or2"], k=10, mode="OR",
+                                                quantize=4,
+                                                exclude=["join"]))
+    q["ft_not"] = ft_not
+
     def ft_first_match(spark, sf):
         """k=1 LIMIT shortcut (reference ``Hits#first`` / T6): the plan
         bottoms out in CollectLimit over the per-bucket scorer."""
@@ -895,6 +905,10 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_topk_and2"] = _bm25_sql(QS["and2"], "AND")
     o["ft_topk_or2"] = _bm25_sql(QS["or2"], "OR")
     o["ft_topk_or3_wand"] = _bm25_sql(QS["or3"], "OR")
+    o["ft_not"] = _bm25_sql(
+        QS["or2"], "OR",
+        where_scored="doc_id NOT IN (SELECT doc_id FROM tfs "
+                     "WHERE term = 'join')")
     o["ft_prefix"] = _bm25_prefix_sql(QS["prefix"])
     ph_first, ph_second = QS["phrase"].split()
     o["ft_phrase"] = _bm25_phrase_sql(ph_first, ph_second)

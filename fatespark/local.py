@@ -248,32 +248,51 @@ class LocalSearchIndex:
     def search(self, query: str | list[str], k: int = 10, mode: str = "AND",
                offset: int = 0, use_wand: bool = False,
                with_url: bool = False, quantize: int | None = None,
-               weights: list[float] | None = None) -> pd.DataFrame:
+               weights: list[float] | None = None,
+               exclude: str | list[str] | None = None) -> pd.DataFrame:
         """Identical semantics and results to ``SearchIndex.search`` (same
         kernels, same per-bucket scoring, same (score DESC, doc_id ASC)
-        total order); returns a pandas DataFrame (doc_id, score)."""
+        total order); returns a pandas DataFrame (doc_id, score).
+        ``exclude`` mirrors the distributed reader: NOT-terms whose docs
+        are dropped before per-bucket top-k selection."""
         qterms = _fold_terms(query, self.analyzer)
         stats = self.term_stats(qterms)
         present = [t for t in qterms if t in stats]
         if not present or (mode == "AND" and len(present) < len(qterms)):
             return _empty_result()
+        xterms = _fold_terms(exclude, self.analyzer) if exclude else []
+        xstats = self.term_stats(xterms) if xterms else {}
+        xpresent = sorted({t for t in xterms if t in xstats})
         w = list(weights) if weights is not None else [1.0] * self.n_fields
         idfs = {(t, f): w[f] * idf_fn(self.n_docs, st["df"])
                 for t in present for f, st in stats[t].items()
                 if f < len(w) and w[f] != 0.0}
-        pdf = self._blocks(present)
+        pdf = self._blocks(present + xpresent)
         qmul = float(10 ** quantize) if quantize else None
         k_local = k + offset
+        xset = frozenset(xpresent)
         parts = []
         for _, bpdf in pdf.groupby("bucket"):
+            bucket_drop = self.tombstones
+            if xset:
+                xmask = bpdf["term"].isin(xset)
+                xpdf, bpdf = bpdf[xmask], bpdf[~xmask]
+                xparts = [_term_blocks_from_pdf(g, 0.0, self.avgdl,
+                                                self.codec_name)
+                          .decode_all()[0]
+                          for _, g in xpdf.groupby(["term", "field"])]
+                if xparts:
+                    excl = np.unique(np.concatenate(xparts))
+                    bucket_drop = (excl if bucket_drop is None
+                                   else np.union1d(bucket_drop, excl))
             by_tf = {(t, int(f)): _term_blocks_from_pdf(
                         g, idfs[(t, int(f))],
                         self.field_avgdl.get(int(f), self.avgdl),
                         self.codec_name)
                      for (t, f), g in bpdf.groupby(["term", "field"])
                      if (t, int(f)) in idfs}
-            if self.tombstones is not None:
-                by_tf = {k: tb.without_docs(self.tombstones)
+            if bucket_drop is not None:
+                by_tf = {k: tb.without_docs(bucket_drop)
                          for k, tb in by_tf.items()}
                 by_tf = {k: tb for k, tb in by_tf.items() if tb.total}
             terms_here = {t for t, _ in by_tf}

@@ -198,7 +198,8 @@ class SearchIndex:
     def search(self, query: str | list[str], k: int = 10, mode: str = "AND",
                offset: int = 0, use_wand: bool = False,
                with_url: bool = False, quantize: int | None = None,
-               weights: list[float] | None = None) -> DataFrame:
+               weights: list[float] | None = None,
+               exclude: str | list[str] | None = None) -> DataFrame:
         """Top-k BM25. Returns DataFrame (doc_id, score[, url]) in total
         order (score DESC, doc_id ASC), sliced [offset, offset+k).
 
@@ -206,6 +207,14 @@ class SearchIndex:
         reference's weighted-field ranking (``lib/fates.rb:65``) upgraded to
         a weighted sum of per-field BM25 with per-field length
         normalization. AND means: every query term in at least one field.
+
+        ``exclude`` lists NOT-terms: any document containing one (in ANY
+        field) is removed BEFORE per-bucket top-k selection, so ranks
+        back-fill correctly — '-term' query semantics. Buckets are
+        doc-disjoint, so each bucket's exclusion set is derived entirely
+        from that bucket's own posting streams: no broadcast, no extra
+        shuffle, the exclude terms simply ride the same postings scan.
+        Exclude terms absent from the dictionary are no-ops.
 
         ``quantize=d`` floor-quantizes scores to d decimals BEFORE ranking
         (both locally and globally) so that cross-engine 1-ULP differences
@@ -216,13 +225,16 @@ class SearchIndex:
         present = [t for t in qterms if t in stats]
         if not present or (mode == "AND" and len(present) < len(qterms)):
             return self._empty()
+        xterms = _fold_terms(exclude, self.analyzer) if exclude else []
+        xstats = self.term_stats(xterms) if xterms else {}
+        xpresent = sorted({t for t in xterms if t in xstats})
         w = list(weights) if weights is not None else [1.0] * self.n_fields
         # (term, field) -> field_weight * idf — the stream's full scalar
         idfs = {(t, f): w[f] * idf_fn(self.n_docs, st["df"])
                 for t in present for f, st in stats[t].items()
                 if f < len(w) and w[f] != 0.0}
         scored = self._score_buckets(present, idfs, k + offset, mode, use_wand,
-                                     quantize)
+                                     quantize, exclude_terms=xpresent)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k + offset)
         if offset:
             out = out.offset(offset)
@@ -230,7 +242,8 @@ class SearchIndex:
 
     def _score_buckets(self, terms: list[str], idfs: dict[tuple, float],
                        k_local: int, mode: str, use_wand: bool,
-                       quantize: int | None = None) -> DataFrame:
+                       quantize: int | None = None,
+                       exclude_terms: list[str] | None = None) -> DataFrame:
         avgdl = self.avgdl
         favg = dict(self.field_avgdl)
         n_query = len(terms)
@@ -238,15 +251,28 @@ class SearchIndex:
 
         drop = self.tombstones
         codec = self.codec_name
+        xset = frozenset(exclude_terms or [])
 
         def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+            bucket_drop = drop
+            if xset:
+                xmask = pdf["term"].isin(xset)
+                xpdf, pdf = pdf[xmask], pdf[~xmask]
+                xparts = [_term_blocks_from_pdf(g, 0.0, avgdl, codec)
+                          .decode_all()[0]
+                          for _, g in xpdf.groupby(["term", "field"])]
+                if xparts:
+                    excl = np.unique(np.concatenate(xparts))
+                    bucket_drop = (excl if bucket_drop is None
+                                   else np.union1d(bucket_drop, excl))
             # one TermBlocks per (term, field) stream, ascending order
             by_tf = {(t, int(f)): _term_blocks_from_pdf(
                         g, idfs[(t, int(f))], favg.get(int(f), avgdl), codec)
                      for (t, f), g in pdf.groupby(["term", "field"])
                      if (t, int(f)) in idfs}
-            if drop is not None:
-                by_tf = {k: tb.without_docs(drop) for k, tb in by_tf.items()}
+            if bucket_drop is not None:
+                by_tf = {k: tb.without_docs(bucket_drop)
+                         for k, tb in by_tf.items()}
                 by_tf = {k: tb for k, tb in by_tf.items() if tb.total}
             terms_here = {t for t, _ in by_tf}
             if mode == "AND" and len(terms_here) < n_query:
@@ -267,7 +293,9 @@ class SearchIndex:
 
         # column-prune before the Arrow hop: the scorer never reads positions
         # (poss is the largest column in the index)
-        blocks = self.postings.filter(F.col("term").isin(terms)).select(
+        scan_terms = terms + [t for t in (exclude_terms or [])
+                              if t not in terms]
+        blocks = self.postings.filter(F.col("term").isin(scan_terms)).select(
             "bucket", "term", "field", "n", "first_doc", "last_doc", "max_tf",
             "min_dl", "docs", "tfs", "dls")
         return blocks.groupBy("bucket").applyInPandas(scorer, RESULT_SCHEMA)

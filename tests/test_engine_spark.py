@@ -216,3 +216,63 @@ class TestFindAll:
     def test_missing_term_empty(self, built):
         idx, _, _ = built
         assert idx.find_all("zzz_not_there").count() == 0
+
+
+class TestExclusion:
+    """search(exclude=[...]): NOT-terms drop docs BEFORE per-bucket top-k,
+    so ranks back-fill — checked against the pure-Python oracle filtered on
+    its own postings."""
+
+    def _expected(self, oracle, q, mode, exclude, k=10):
+        banned = set()
+        for t in exclude:
+            banned |= set(oracle.postings.get(t, {}))
+        full = oracle.search(q, k=oracle.n_docs, mode=mode)
+        return [r for r in full if r[0] not in banned][:k]
+
+    @pytest.mark.parametrize("q,mode,ex", [
+        ("the smith", "OR", ["jones"]),
+        ("smith jones", "AND", ["the"]),
+        ("smith", "OR", ["smith"]),          # self-exclusion -> empty
+        ("the of and", "OR", ["smith", "brown"]),
+    ])
+    def test_matches_filtered_oracle(self, built, q, mode, ex):
+        idx, oracle, _ = built
+        got = _got(idx.search(q, k=10, mode=mode, exclude=ex))
+        assert got == self._expected(oracle, q, mode, ex)
+
+    def test_backfill_still_fills_k(self, built):
+        idx, oracle, _ = built
+        got = _got(idx.search("the", k=10, mode="OR", exclude=["smith"]))
+        banned = set(oracle.postings.get("smith", {}))
+        assert len(got) == 10
+        assert not banned & {d for d, _ in got}
+        # and these are NOT simply the unexcluded prefix of the plain top-10
+        plain = _got(idx.search("the", k=10, mode="OR"))
+        assert got != plain
+
+    def test_missing_exclude_term_is_noop(self, built):
+        idx, _, _ = built
+        a = _got(idx.search("the smith", k=10, mode="OR"))
+        b = _got(idx.search("the smith", k=10, mode="OR",
+                            exclude=["zzz_not_in_corpus"]))
+        assert a == b
+
+    def test_wand_path_with_exclusion(self, built):
+        idx, oracle, _ = built
+        q, ex = "the of smith", ["jones"]
+        exh = _got(idx.search(q, k=10, mode="OR", exclude=ex,
+                              use_wand=False))
+        wand = _got(idx.search(q, k=10, mode="OR", exclude=ex,
+                               use_wand=True))
+        assert wand == exh == self._expected(oracle, q, "OR", ex)
+
+    def test_local_reader_parity(self, built, tmp_root):
+        from fatespark.local import LocalSearchIndex
+        idx, _, _ = built
+        loc = LocalSearchIndex(str(tmp_root / "idx"))
+        q, ex = ["the", "smith"], ["jones", "brown"]
+        a = _got(idx.search(q, k=10, mode="OR", exclude=ex))
+        b = [(int(r.doc_id), float(r.score)) for r in
+             loc.search(q, k=10, mode="OR", exclude=ex).itertuples()]
+        assert a == b
