@@ -197,6 +197,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                 quantize=4))
     q["ft_first_match"] = ft_first_match
 
+    def ft_facets(spark, sf):
+        """Facet panel over ALL matching docs (not top-k): per-(lang,
+        source) matching-doc counts for the or2 query — bucket-local
+        unscored match (doc-id streams only) -> join -> hash agg
+        (query.facet_counts)."""
+        from fatespark.query import facet_counts
+        idx = _index(spark, sf)
+        docs = _read(spark, sf, "documents")
+        return facet_counts(idx, docs, QS["or2"], ["lang", "source"],
+                            mode="OR")
+    q["ft_facets"] = ft_facets
+
     def ft_topk_paged(spark, sf):  # pagination (lib/fates.rb:53-84 parity)
         return _scores(_index(spark, sf).search(QS["or2"], k=5, mode="OR",
                                                 offset=5, quantize=4))
@@ -355,6 +367,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("doc_id",
                         textops.token_count_col("text").alias("n_tokens"))
     q["tx_token_count"] = tx_token_count
+
+    def tx_bpe_count(spark, sf):
+        """BPE-ish pre-tokenizer segment count (GPT-2 pretokenize shape,
+        ASCII-restricted; textops.BPE_RE) — the scan-speed proxy for
+        per-doc BPE token cost corpus budgeting uses."""
+        d = _read(spark, sf, "documents")
+        return d.select("doc_id",
+                        textops.bpe_token_count_col("text").alias("n_bpe"))
+    q["tx_bpe_count"] = tx_bpe_count
 
     def tx_identifier_count(spark, sf):
         d = _read(spark, sf, "documents")
@@ -1097,6 +1118,21 @@ SELECT doc_id,
        len(list_filter(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}'),
                        x -> x <> '')) AS n_tokens
 FROM documents"""
+
+    _bpe_pat = textops.BPE_RE.replace("'", "''")
+    o["tx_bpe_count"] = f"""
+SELECT doc_id,
+       len(regexp_extract_all(coalesce(text, ''), '{_bpe_pat}')) AS n_bpe
+FROM documents"""
+
+    facet_terms = ", ".join(f"'{t}'" for t in QS["or2"])
+    o["ft_facets"] = f"""
+WITH {_TOK_CTES},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({facet_terms}))
+SELECT d.lang, d.source, count(*) AS n_docs
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.lang, d.source
+ORDER BY d.lang, d.source"""
 
     o["tx_identifier_count"] = """
 SELECT doc_id,

@@ -221,6 +221,24 @@ class LocalSearchIndex:
         return out.sort_values(["doc_id", "field", "position", "term"],
                                kind="mergesort").reset_index(drop=True)
 
+    def matching_docs(self, query: str | list[str],
+                      mode: str = "OR") -> pd.DataFrame:
+        """Sorted (doc_id) frame of every live doc matching the boolean
+        query — local twin of ``SearchIndex.matching_docs``, same shared
+        kernel (``query._matched_ids``), doc-id streams only."""
+        from .query import _matched_ids
+        qterms = sorted(set(_fold_terms(query, self.analyzer)))
+        empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64")})
+        if not qterms:
+            return empty
+        present = sorted(set(qterms) & set(self.term_stats(qterms)))
+        if not present or (mode == "AND" and len(present) < len(qterms)):
+            return empty
+        pdf = self._post_ix.read(present, ["bucket", "term", "n", "docs"])
+        need_all = frozenset(present) if mode == "AND" else None
+        out = _matched_ids(pdf, self.codec_name, self.tombstones, need_all)
+        return pd.DataFrame({"doc_id": np.sort(out)})
+
     # -- search -------------------------------------------------------------
     def _blocks(self, terms: list[str]) -> pd.DataFrame:
         return self._post_ix.read(

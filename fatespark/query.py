@@ -194,6 +194,37 @@ class SearchIndex:
         return blocks.groupBy("bucket").applyInPandas(
             enum_hits, "doc_id long, field int, term string, position long")
 
+    def matching_docs(self, query: str | list[str],
+                      mode: str = "OR") -> DataFrame:
+        """Every live document matching the boolean query, as a (doc_id)
+        DataFrame — OR: any term in any field; AND: every term (each in at
+        least one field). Decodes ONLY the doc-id streams (column pruning
+        keeps tf/dl/position bytes out of the scan entirely), and the
+        distinct is bucket-local: buckets are doc-disjoint by construction,
+        so no global distinct shuffle is ever needed. This is the
+        unscored-match primitive facet counting and filtered exports build
+        on (the reference's unranked ``find_all`` doc set,
+        ``lib/fates.rb:73-81``, minus the per-hit granularity)."""
+        qterms = sorted(set(_fold_terms(query, self.analyzer)))
+        if not qterms:
+            return self.spark.createDataFrame([], "doc_id long")
+        stats = self.term_stats(qterms)
+        present = [t for t in qterms if t in stats]
+        if not present or (mode == "AND" and len(present) < len(qterms)):
+            return self.spark.createDataFrame([], "doc_id long")
+        codec = self.codec_name
+        tombs = self.tombstones
+        need_all = frozenset(present) if mode == "AND" else None
+
+        def match_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"doc_id": _matched_ids(pdf, codec, tombs, need_all)})
+
+        blocks = self.postings.filter(F.col("term").isin(present)).select(
+            "bucket", "term", "n", "docs")
+        return blocks.groupBy("bucket").applyInPandas(
+            match_bucket, "doc_id long")
+
     # -- search ----------------------------------------------------------------
     def search(self, query: str | list[str], k: int = 10, mode: str = "AND",
                offset: int = 0, use_wand: bool = False,
@@ -586,6 +617,55 @@ def hit_contexts(hits: DataFrame, corpus: DataFrame, size: int = 3,
         joined = hits.join(corpus.select(id_col, text_col), id_col)
     return joined.select(id_col, "field", "term", "position",
                          ctx.alias("context"))
+
+
+def _matched_ids(pdf: pd.DataFrame, codec: str, tombs,
+                 need_all: frozenset | None) -> np.ndarray:
+    """Sorted unique live doc_ids matching the boolean query within one
+    doc-disjoint posting frame: per-term field-union, then AND-intersection
+    (``need_all`` = required term set) or OR-union; tombstones dropped.
+    Decodes doc-id streams only. SHARED by ``SearchIndex.matching_docs``
+    and ``LocalSearchIndex.matching_docs`` (reader parity)."""
+    c = get_codec(codec)
+    per_term: dict[str, np.ndarray] = {}
+    for t, g in pdf.groupby("term"):
+        docs = np.concatenate(
+            [c.decode_ids(bb, int(n)) for bb, n in zip(g["docs"], g["n"])])
+        per_term[t] = np.unique(docs)  # fields unioned, sorted
+    if not per_term:
+        return np.zeros(0, dtype=np.int64)
+    if need_all is not None:
+        if not need_all.issubset(per_term):
+            return np.zeros(0, dtype=np.int64)
+        out = None
+        for t in sorted(need_all):
+            out = per_term[t] if out is None else \
+                np.intersect1d(out, per_term[t], assume_unique=True)
+    else:
+        out = np.unique(np.concatenate(list(per_term.values())))
+    if tombs is not None and out.size:
+        j = np.searchsorted(tombs, out)
+        hit = j < tombs.size
+        hit[hit] = tombs[j[hit]] == out[hit]
+        out = out[~hit]
+    return out.astype(np.int64, copy=False)
+
+
+def facet_counts(index: "SearchIndex", corpus: DataFrame,
+                 query: str | list[str], facet_cols: list[str],
+                 mode: str = "OR", id_col: str = "doc_id") -> DataFrame:
+    """Matching-document counts per facet value (e.g. per lang / source)
+    for a boolean query — the search-engine facet panel, computed over ALL
+    matching docs, not just top-k. Plan: bucket-local unscored match
+    (``SearchIndex.matching_docs``) -> equi-join to the corpus facet
+    columns -> hash aggregate; AQE broadcasts the matched-ids side when the
+    query is selective, and the aggregate is partial+final so each facet
+    value costs one row per shuffle partition at any corpus size."""
+    matched = index.matching_docs(query, mode)
+    return (corpus.select(id_col, *facet_cols)
+            .join(matched.withColumnRenamed("doc_id", id_col), id_col)
+            .groupBy(*facet_cols).agg(F.count("*").alias("n_docs"))
+            .orderBy(*facet_cols))
 
 
 def _phrase_count_cap(analyzer: str, phrase: str, prefix: bool, live: bool,

@@ -40,6 +40,34 @@ def token_count_col(text_col: str):
 
 IDENT_RE = "[A-Za-z_][A-Za-z0-9_]*"
 
+# GPT-2-style pre-tokenizer segmentation (BPE-ish), restricted to constructs
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB): ASCII
+# classes only (\p{L} unicode tables can differ by engine version), no
+# lookahead (RE2 has none — the original GPT-2 pattern's trailing
+# ``\s+(?!\S)`` branch is dropped), and although this DOES use alternation,
+# both engines pick branches leftmost-first (RE2's default is Perl-like,
+# not POSIX leftmost-longest), verified by the cross-engine tests. Segments
+# tile the input exactly: contraction suffix | optional-space letter run |
+# optional-space digit run | optional-space other-symbol run | whitespace
+# run.
+BPE_RE = ("'(?:s|t|re|ve|m|ll|d)"
+          "| ?[A-Za-z]+"
+          "| ?[0-9]+"
+          "| ?[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]+"
+          "|[ \\t\\n\\r\\f\\x0B]+")
+
+
+def bpe_token_count_col(text_col: str):
+    """Count of BPE-ish pre-tokenizer segments (GPT-2 pretokenize shape):
+    the standard first-stage split a byte-pair encoder runs before merges,
+    so this is the scan-speed proxy for "how many BPE tokens will this doc
+    cost" that corpus budgeting pipelines use. Pure JVM ``regexp_count``
+    (whole-stage codegen); exact DuckDB twin via ``regexp_extract_all``
+    over the same pattern. Reference analogue: none (target-new
+    training-data op)."""
+    return F.regexp_count(F.coalesce(F.col(text_col), F.lit("")),
+                          F.lit(BPE_RE))
+
 
 def identifier_count_col(text_col: str):
     """Count of identifier tokens — the JVM twin of the reference's

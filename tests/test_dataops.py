@@ -531,3 +531,43 @@ class TestPiiMask:
         df = spark.createDataFrame([(1, None)], "id long, text string")
         assert df.select(
             textops.pii_mask_col("text").alias("m")).first()["m"] == ""
+
+
+class TestBpeCount:
+    """BPE-ish pre-tokenizer segment count: Spark (Java regex), DuckDB
+    (RE2) and Python re must agree match-for-match, and the segments must
+    tile the input exactly (no gaps, no overlaps)."""
+
+    CASES = [
+        "Hello world, it's 2026!  multi  space\tand\nnewlines",
+        "don't stop-me now... 3.14 x_y+z",
+        "", "   ", "weird''quotes'", "a'sb", "CamelCase123abc",
+        "кириллица mixed ascii", "I'll we've they'd s't",
+        "tab\tsep\tvals 000 a1b2", None,
+    ]
+
+    def test_cross_engine_counts(self, spark):
+        import re
+        import duckdb
+        pat = textops.BPE_RE
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.CASES)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["n"] for r in df.select(
+            "doc_id",
+            textops.bpe_token_count_col("text").alias("n")).collect()}
+        for i, t in enumerate(self.CASES):
+            s = t or ""
+            n_py = len(re.findall(pat, s))
+            n_dk = duckdb.sql(
+                "select len(regexp_extract_all(?, ?))",
+                params=[s, pat]).fetchone()[0]
+            assert got[i] == n_py == n_dk, (i, t)
+
+    def test_segments_tile_input(self):
+        import re
+        pat = textops.BPE_RE
+        for t in self.CASES:
+            s = t or ""
+            assert sum(len(m.group(0))
+                       for m in re.finditer(pat, s)) == len(s), t

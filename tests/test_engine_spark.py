@@ -276,3 +276,50 @@ class TestExclusion:
         b = [(int(r.doc_id), float(r.score)) for r in
              loc.search(q, k=10, mode="OR", exclude=ex).itertuples()]
         assert a == b
+
+
+class TestMatchingDocs:
+    """Unscored boolean match sets + facet counts (query.matching_docs /
+    facet_counts) against the pure-Python oracle's posting doc sets."""
+
+    def _oracle_docs(self, oracle, terms, mode):
+        sets = [set(oracle.postings.get(t, {})) for t in terms]
+        if mode == "AND":
+            out = set.intersection(*sets) if all(sets) else set()
+        else:
+            out = set.union(*sets)
+        return sorted(out)
+
+    def test_or_matches_oracle(self, built):
+        idx, oracle, _ = built
+        got = sorted(r["doc_id"] for r in
+                     idx.matching_docs(["the", "smith"], "OR").collect())
+        assert got == self._oracle_docs(oracle, ["the", "smith"], "OR")
+
+    def test_and_matches_oracle(self, built):
+        idx, oracle, _ = built
+        got = sorted(r["doc_id"] for r in
+                     idx.matching_docs(["the", "smith"], "AND").collect())
+        assert got == self._oracle_docs(oracle, ["the", "smith"], "AND")
+
+    def test_and_with_absent_term_is_empty(self, built):
+        idx, _, _ = built
+        assert idx.matching_docs(["the", "nosuchterm"], "AND").count() == 0
+
+    def test_no_terms_is_empty(self, built):
+        idx, _, _ = built
+        assert idx.matching_docs([], "OR").count() == 0
+
+    def test_facet_counts(self, built, spark):
+        from fatespark.query import facet_counts
+        idx, oracle, _ = built
+        corpus = idx.docs.select("doc_id").withColumn(
+            "grp", F.pmod(F.col("doc_id"), F.lit(3)).cast("int"))
+        got = {r["grp"]: r["n_docs"] for r in
+               facet_counts(idx, corpus, ["the", "smith"], ["grp"],
+                            mode="OR").collect()}
+        exp_docs = self._oracle_docs(oracle, ["the", "smith"], "OR")
+        exp = {}
+        for d in exp_docs:
+            exp[d % 3] = exp.get(d % 3, 0) + 1
+        assert got == exp

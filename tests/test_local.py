@@ -134,3 +134,14 @@ def test_index_stats_diagnostics(pages_idx, tmp_root):
     assert s["bucket_skew"]["max_over_mean"] < 2.0
     assert s["snapshots"]["current_id"] == s["snapshots"]["n"] >= 1
     assert s["snapshots"]["operations"][-1]["op"] in ("build", "vacuum")
+
+
+def test_matching_docs_matches_distributed(pages_idx):
+    dist, loc = pages_idx
+    for terms, mode in [(["the", "smith"], "OR"), (["the", "smith"], "AND"),
+                        (["smith", "nosuchterm"], "AND"),
+                        (["nosuchterm"], "OR")]:
+        a = sorted(r["doc_id"] for r in
+                   dist.matching_docs(terms, mode).collect())
+        b = loc.matching_docs(terms, mode)["doc_id"].tolist()
+        assert a == b, (terms, mode)
