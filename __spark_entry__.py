@@ -546,6 +546,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("vec_id", F.round("cosine", 4).alias("cosine")))
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    def ann_ivf_topk(spark, sf):
+        """IVF-pruned approximate top-k over a PERSISTED index (trained
+        deterministic k-means codebook, vectors written partitionBy cell,
+        probes prune physically). The DuckDB twin replicates the whole
+        training + probe selection bit-exactly (sqloracles.ivf_topk_sql),
+        so the approximation itself is hash-checked."""
+        import shutil
+        tag = _corpus_tag(sf)
+        d = f"/tmp/fatespark_entry_idx/{tag}_ivf"
+        e = _read(spark, sf, "embeddings")
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        corpus = e.filter(F.col("vec_id") != 0)
+        n = corpus.count()
+        idx = ann.IvfVectorIndex(d, dim=64, n_centroids=8, n_iters=2,
+                                 seed="ivf")
+        try:
+            if idx._read(spark).count() != n:
+                raise ValueError("stale index")
+        except Exception:
+            shutil.rmtree(d, ignore_errors=True)
+            idx = ann.IvfVectorIndex.build(corpus, d, dim=64, n_centroids=8,
+                                           n_iters=2, seed="ivf")
+        return (idx.topk(spark, list(qv), k=10, n_probes=3)
+                .select("vec_id", F.round("cosine", 4).alias("cosine")))
+    q["ann_ivf_topk"] = ann_ivf_topk
+
     # -- multimodal plumbing (binary columns, JVM hashes) --------------------
     def mm_binary_meta(spark, sf):
         d = _read(spark, sf, "documents")
@@ -1223,6 +1249,8 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2"""
                                      bands=16)) + "\nORDER BY id"
     o["ann_lsh_topk"] = sqloracles.lsh_topk_sql(
         dim=64, n_planes=10, n_probes=128, seed=5, k=10)
+    o["ann_ivf_topk"] = sqloracles.ivf_topk_sql(
+        dim=64, n_centroids=8, n_iters=2, n_probes=3, seed="ivf", k=10)
     o["dd_embdup_banded"] = sqloracles.banded_embdup_sql(
         dim=64, threshold=0.4, n_bands=16, planes_per_band=4, seed=5) + \
         "\nORDER BY id_a, id_b"

@@ -239,6 +239,23 @@ def main() -> None:
         def _lq(lsh_idx=lsh_idx):
             return lsh_idx.topk(spark, qv, k=10, n_probes=16).collect()
 
+    # IVF (trained coarse quantizer): build includes the k-means pass, so
+    # it costs ~n_iters+1 assignment scans vs LSH's single hash pass;
+    # probes should match LSH's flat-in-corpus-size profile
+    for sz, tag in ((10_000, "10k"), (100_000, "100k")):
+        ivf_path = f"/tmp/fatespark_bench_ivf_{tag}"
+
+        @timed(f"ann_ivf_build_{tag}")
+        def _ib(sz=sz, ivf_path=ivf_path):
+            return ann.IvfVectorIndex.build(
+                _synth_emb(sz), ivf_path, dim=64,
+                n_centroids=max(8, sz // 2500), n_iters=2)
+        ivf_idx = _ib
+
+        @timed(f"ann_ivf_probe_{tag}", reps=3)
+        def _iq(ivf_idx=ivf_idx):
+            return ivf_idx.topk(spark, qv, k=10, n_probes=3).collect()
+
     total = round(sum(times.values()), 4)
     out = {
         "metric": "fatespark index-build + BM25 query suite",

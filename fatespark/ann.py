@@ -199,3 +199,213 @@ class LshVectorIndex:
         probe = probe_buckets(qv, self.n_planes, n_probes, self.seed)
         cand = self._read(spark).filter(F.col("lsh_bucket").isin(probe))
         return cosine_topk(cand, query_vec, k, self.id_col, self.vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index: deterministic k-means coarse quantizer
+# ---------------------------------------------------------------------------
+# The second scale path next to LSH: train a small centroid codebook with a
+# fixed number of Lloyd iterations, persist vectors partitioned by nearest
+# centroid, probe the n_probes nearest cells per query. Training is
+# bit-deterministic — reproducible across runs, partitionings, numpy and
+# SQL — because every quantity is EXACT in float64:
+#   - vectors are quantized to integers q_i = floor(v_i * 4096);
+#   - centroids are quantized to the 1/1024 grid
+#     (c_i = floor(sum(q)*1024/n)/1024), so each distance term
+#     (q_i - c_i)^2 has an integer numerator < 2**46 over denominator
+#     2**20, and a 64-term sum stays < 2**53 — no rounding anywhere, so
+#     SUMMATION ORDER CANNOT MATTER (numpy axis-sum, SQL chain, any
+#     shuffle order all agree bit-wise);
+#   - seeds are the n_centroids ids with the smallest md5("{seed}:{id}")
+#     hex strings (same lowercase-hex ordering in Spark and DuckDB);
+#   - argmin ties break by ascending centroid id (np.argmin first-hit ==
+#     SQL ORDER BY dist, cid).
+# The per-iteration plan is one narrow pass: mapInPandas computes each
+# batch's assignments AND its per-cell partial component sums (map-side
+# combine), so the shuffle that follows carries n_partitions x n_cells
+# tiny rows, never the vectors.
+
+IVF_QUANT = 4096.0    # vector grid: floor(v * 4096), exact for float32
+IVF_CQUANT = 1024.0   # centroid grid: floor(mean * 1024) / 1024
+
+
+def _ivf_quant(vecs: np.ndarray) -> np.ndarray:
+    return np.floor(vecs.astype(np.float64) * IVF_QUANT)
+
+
+def _ivf_nearest(qv: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """First-hit argmin cell per row of integer-grid ``qv`` against
+    grid-quantized ``cent`` — exact float64 arithmetic (see module note),
+    so any evaluation order gives the same cells."""
+    # (B, nc) squared distances; both operands exact in float64
+    d2 = ((qv[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1)
+
+
+def ivf_train(emb_df: DataFrame, dim: int, n_centroids: int = 8,
+              n_iters: int = 2, seed: str = "ivf", id_col: str = "vec_id",
+              vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic distributed Lloyd: returns the float64
+    (n_centroids, dim) codebook on the 1/1024 grid. Each iteration is ONE
+    narrow Arrow pass emitting per-batch partial sums (map-side combine)
+    plus a tiny final aggregate — the corpus is never shuffled."""
+    spark = emb_df.sparkSession
+    src = emb_df.select(F.col(id_col).alias("__id"),
+                        F.col(vec_col).cast("array<double>").alias("__v"))
+    src = src.persist()
+    try:
+        key = F.md5(F.concat(F.lit(f"{seed}:"),
+                             F.col("__id").cast("string")))
+        seeds = (src.withColumn("__k", key).orderBy("__k", "__id")
+                 .limit(n_centroids).collect())
+        if not seeds:
+            raise ValueError("cannot train IVF on an empty corpus")
+        cent = _ivf_quant(np.array([r["__v"] for r in seeds],
+                                   dtype=np.float64))
+        for _ in range(n_iters):
+            c = cent  # bind for the closure
+
+            def partial_sums(batches):
+                acc_s = np.zeros((c.shape[0], dim), dtype=np.float64)
+                acc_n = np.zeros(c.shape[0], dtype=np.int64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    qv = _ivf_quant(np.stack(pdf["__v"].map(
+                        lambda v: np.asarray(v, dtype=np.float64))))
+                    cid = _ivf_nearest(qv, c)
+                    np.add.at(acc_s, cid, qv)
+                    np.add.at(acc_n, cid, 1)
+                live = np.nonzero(acc_n)[0]
+                yield pd.DataFrame({
+                    "cid": live.astype(np.int32),
+                    "n": acc_n[live],
+                    "s": [acc_s[i].astype(np.int64) for i in live]})
+
+            def reduce_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+                s = np.stack(pdf["s"].map(
+                    lambda v: np.asarray(v, dtype=np.int64))).sum(axis=0)
+                return pd.DataFrame({"cid": pdf["cid"].iloc[:1],
+                                     "n": [int(pdf["n"].sum())],
+                                     "s": [s]})
+
+            # per-cell reduce of the tiny partials (n_partitions x n_cells
+            # rows): integer sums are exact at any order, and a grouped
+            # pandas reduce sidesteps the plan-compile cost a 64-expression
+            # wide aggregate would pay every iteration
+            rows = (src.select("__v").mapInPandas(
+                        partial_sums, "cid int, n long, s array<long>")
+                    .groupBy("cid").applyInPandas(
+                        reduce_cell, "cid int, n long, s array<long>")
+                    .collect())
+            nxt = cent.copy()  # empty cells keep their previous centroid
+            for r in rows:
+                s = np.asarray(r["s"], dtype=np.float64)
+                nxt[r["cid"]] = np.floor(s * IVF_CQUANT
+                                         / float(r["n"])) / IVF_CQUANT
+            cent = nxt
+        return cent
+    finally:
+        src.unpersist()
+
+
+def ivf_assign(emb_df: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, vec, ivf_cid): nearest-centroid cell per vector — same
+    quantize/distance/tie rules as training, one narrow Arrow pass."""
+    c = centroids
+    vec_type = emb_df.schema[vec_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qv = _ivf_quant(np.stack(pdf[vec_col].map(
+                lambda v: np.asarray(v, dtype=np.float64))))
+            out = pdf[[id_col, vec_col]].copy()
+            out["ivf_cid"] = _ivf_nearest(qv, c).astype(np.int32)
+            yield out
+
+    return emb_df.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, {vec_col} {vec_type}, ivf_cid int")
+
+
+def ivf_probe_cells(query_vec, centroids: np.ndarray,
+                    n_probes: int = 3) -> list[int]:
+    """The n_probes nearest cells to the QUANTIZED query, driver-side —
+    same exact arithmetic as the distributed assignment and the SQL twin;
+    ties by ascending cid."""
+    qq = _ivf_quant(np.asarray(query_vec, dtype=np.float64))[None, :]
+    d2 = ((qq[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)[0]
+    order = np.lexsort((np.arange(centroids.shape[0]), d2))
+    return order[:n_probes].tolist()
+
+
+class IvfVectorIndex:
+    """Persisted IVF index: the codebook is trained once, vectors are
+    written ``partitionBy(ivf_cid)``, and each query reads only its probed
+    cells (PartitionFilters prune physically) then scores exact cosine
+    within them — per-query cost is O(corpus × n_probes / n_centroids),
+    independent of total corpus size when n_centroids scales with the
+    corpus. Complements ``LshVectorIndex``: IVF adapts its cells to the
+    data distribution (better recall on clustered corpora), LSH is
+    oblivious (no training pass). The codebook lives next to the data in an
+    underscore-prefixed file Spark's parquet discovery ignores."""
+
+    def __init__(self, path: str, dim: int, n_centroids: int = 8,
+                 n_iters: int = 2, seed: str = "ivf",
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.path = path
+        self.dim = dim
+        self.n_centroids = n_centroids
+        self.n_iters = n_iters
+        self.seed = seed
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._df = None
+        self._cent = None
+
+    @property
+    def _cent_path(self) -> str:
+        import os
+        return os.path.join(self.path, "_ivf_centroids.parquet")
+
+    @classmethod
+    def build(cls, emb_df: DataFrame, path: str, dim: int,
+              n_centroids: int = 8, n_iters: int = 2, seed: str = "ivf",
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "IvfVectorIndex":
+        idx = cls(path, dim, n_centroids, n_iters, seed, id_col, vec_col)
+        cent = ivf_train(emb_df, dim, n_centroids, n_iters, seed,
+                         id_col, vec_col)
+        assigned = ivf_assign(emb_df, cent, id_col, vec_col)
+        n_part = emb_df.sparkSession.sparkContext.defaultParallelism
+        (assigned.repartition(min(n_part, n_centroids), "ivf_cid")
+         .write.mode("overwrite").partitionBy("ivf_cid").parquet(path))
+        pd.DataFrame({"cid": range(n_centroids),
+                      "carr": [c.tolist() for c in cent]}
+                     ).to_parquet(idx._cent_path, index=False)
+        idx._cent = cent
+        return idx
+
+    def centroids(self) -> np.ndarray:
+        if self._cent is None:
+            pdf = pd.read_parquet(self._cent_path).sort_values("cid")
+            self._cent = np.stack(
+                pdf["carr"].map(lambda c: np.asarray(c, dtype=np.float64)))
+        return self._cent
+
+    def _read(self, spark) -> DataFrame:
+        if self._df is None:
+            self._df = spark.read.parquet(self.path)
+        return self._df
+
+    def topk(self, spark, query_vec, k: int = 10,
+             n_probes: int = 3) -> DataFrame:
+        qv = np.asarray(query_vec, dtype=np.float64)
+        if qv.size != self.dim:
+            raise ValueError(f"query dim {qv.size} != index dim {self.dim}")
+        probe = ivf_probe_cells(qv, self.centroids(), n_probes)
+        cand = self._read(spark).filter(F.col("ivf_cid").isin(probe))
+        return cosine_topk(cand, query_vec, k, self.id_col, self.vec_col)

@@ -309,3 +309,88 @@ def pii_count_sql(text_expr: str) -> list[str]:
         f"len(regexp_extract_all({e}, '{pat}'))::BIGINT AS n_{name}"
         for name, pat, _ in PII_PATTERNS
     ]
+
+
+def _ivf_dist_chain(v: str, c: str, dim: int) -> str:
+    """Squared-L2 chain over 1-indexed SQL arrays. Both operands live on
+    the engine's exact grids (vectors: integers; centroids: 1/1024 grid),
+    so every term and partial sum is exact in float64 — any summation
+    order, numpy's included, gives the same bits (``ann._ivf_nearest``)."""
+    terms = "".join(
+        f" + (({v}[{d + 1}]) - ({c}[{d + 1}]))"
+        f" * (({v}[{d + 1}]) - ({c}[{d + 1}]))"
+        for d in range(dim))
+    return "(0.0" + terms + ")"
+
+
+def ivf_topk_sql(dim: int = 64, n_centroids: int = 8, n_iters: int = 2,
+                 n_probes: int = 3, seed: str = "ivf", k: int = 10) -> str:
+    """Twin of ``ann.IvfVectorIndex`` for query vector = embeddings[vec_id=0],
+    corpus = vec_id<>0 (the driver query): replicates the WHOLE training —
+    md5-ordered seeding, ``n_iters`` unrolled Lloyd iterations over
+    floor(v*4096) quantized vectors with 1/1024-grid centroids (all
+    distance arithmetic exact in float64, so aggregation order cannot
+    matter), nearest-cell assignment with (dist, cid) ties, probe-cell
+    selection, and the exact cosine top-k over probed cells. The PRUNING is replicated bit-exactly, not just the output."""
+    # centroid grid: floor((sum * 1024) / n) / 1024 — sum and *1024 are
+    # exact doubles, so the one rounding (the division) is shared bit-wise
+    # with the engine's numpy floor(s * 1024 / n) / 1024
+    mean_list = ", ".join(
+        f"floor(sum(qv[{d + 1}]) * 1024.0 / count(*)) / 1024.0"
+        for d in range(dim))
+    ctes = [f"""qv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * 4096.0)) AS qv
+  FROM embeddings WHERE vec_id <> 0
+),
+c0 AS (
+  SELECT (row_number() OVER (
+            ORDER BY md5('{seed}:' || vec_id::VARCHAR), vec_id) - 1)::INT
+           AS cid,
+         qv AS carr
+  FROM qv
+  ORDER BY md5('{seed}:' || vec_id::VARCHAR), vec_id
+  LIMIT {n_centroids}
+)"""]
+    for i in range(1, n_iters + 1):
+        dist = _ivf_dist_chain("v.qv", "c.carr", dim)
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT v.vec_id, v.qv, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM qv v CROSS JOIN c{i - 1} c) WHERE rn = 1
+),
+c{i} AS (
+  SELECT p.cid, coalesce(u.carr, p.carr) AS carr
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT cid, [{mean_list}] AS carr
+    FROM a{i} GROUP BY cid) u USING (cid)
+)""")
+    cn = f"c{n_iters}"
+    dist_q = _ivf_dist_chain("qq.qq", "c.carr", dim)
+    dist_f = _ivf_dist_chain("v.qv", "c.carr", dim)
+    ctes.append(f"""qq AS (
+  SELECT list_transform(embedding::DOUBLE[], x -> floor(x * 4096.0)) AS qq
+  FROM embeddings WHERE vec_id = 0
+),
+probe AS (
+  SELECT c.cid FROM {cn} c, qq
+  ORDER BY {dist_q}, c.cid LIMIT {n_probes}
+),
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist_f}, c.cid) AS rn
+    FROM qv v CROSS JOIN {cn} c) WHERE rn = 1
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)""")
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4)
+         AS cosine
+FROM embeddings e JOIN af ON af.vec_id = e.vec_id, q
+WHERE af.cid IN (SELECT cid FROM probe)
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+LIMIT {k}"""

@@ -571,3 +571,67 @@ class TestBpeCount:
             s = t or ""
             assert sum(len(m.group(0))
                        for m in re.finditer(pat, s)) == len(s), t
+
+
+class TestIvfVectorIndex:
+    """IVF coarse quantizer: deterministic training, physical partition
+    pruning, probe-widening recall, and exact parity between the persisted
+    probe path and a from-scratch retrain (bit-determinism)."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rng = np.random.default_rng(11)
+        centers = rng.normal(size=(4, 16)) * 3
+        vecs = np.concatenate([c + rng.normal(size=(60, 16))
+                               for c in centers])
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        df = spark.createDataFrame(
+            [(i, vecs[i].astype(np.float32).tolist())
+             for i in range(len(vecs))],
+            "vec_id long, embedding array<float>")
+        return df, vecs
+
+    def test_train_is_deterministic(self, corpus):
+        df, _ = corpus
+        a = ann.ivf_train(df.repartition(7), 16, n_centroids=4, n_iters=2)
+        b = ann.ivf_train(df.repartition(2), 16, n_centroids=4, n_iters=2)
+        assert np.array_equal(a, b)  # bit-identical across partitionings
+
+    def test_build_probe_and_physical_pruning(self, spark, tmp_path,
+                                              corpus):
+        df, vecs = corpus
+        idx = ann.IvfVectorIndex.build(df, str(tmp_path / "ivfidx"),
+                                       dim=16, n_centroids=4, n_iters=2)
+        q = vecs[7].astype(np.float32).astype(np.float64)
+        got = idx.topk(spark, q.tolist(), k=10, n_probes=1)
+        plan = _physical_plan(got)
+        assert "PartitionFilters" in plan and "ivf_cid" in plan
+        rows = got.collect()
+        assert rows and rows[0]["vec_id"] == 7  # query finds itself
+        # all-cells probe degenerates to exact brute force
+        full = [(r["vec_id"], round(r["cosine"], 9)) for r in
+                idx.topk(spark, q.tolist(), k=10, n_probes=4).collect()]
+        exact = [(r["vec_id"], round(r["cosine"], 9)) for r in
+                 ann.cosine_topk(df, q.tolist(), k=10).collect()]
+        assert full == exact
+
+    def test_reopened_index_probes_identically(self, spark, tmp_path,
+                                               corpus):
+        df, vecs = corpus
+        path = str(tmp_path / "ivfidx2")
+        built = ann.IvfVectorIndex.build(df, path, dim=16, n_centroids=4,
+                                         n_iters=2)
+        reopened = ann.IvfVectorIndex(path, dim=16, n_centroids=4,
+                                      n_iters=2)
+        q = vecs[3].astype(np.float32).astype(np.float64).tolist()
+        a = [(r["vec_id"], round(r["cosine"], 9)) for r in
+             built.topk(spark, q, k=8, n_probes=2).collect()]
+        b = [(r["vec_id"], round(r["cosine"], 9)) for r in
+             reopened.topk(spark, q, k=8, n_probes=2).collect()]
+        assert a == b
+        assert np.array_equal(built.centroids(), reopened.centroids())
+
+    def test_empty_corpus_raises(self, spark):
+        df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="empty"):
+            ann.ivf_train(df, 4, n_centroids=2)
