@@ -190,6 +190,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                 exclude=["join"]))
     q["ft_not"] = ft_not
 
+    def ft_query_string(spark, sf):
+        """Web-search query-string surface (querylang.parse_query/execute):
+        'merge scan -join' parses to terms+exclusion and routes into the
+        SAME search(exclude=) call as ft_not — shares its oracle, proving
+        the string syntax end-to-end."""
+        from fatespark.querylang import execute
+        return _scores(execute(_index(spark, sf), "merge scan -join",
+                               k=10, mode="OR", quantize=4))
+    q["ft_query_string"] = ft_query_string
+
     def ft_first_match(spark, sf):
         """k=1 LIMIT shortcut (reference ``Hits#first`` / T6): the plan
         bottoms out in CollectLimit over the per-bucket scorer."""
@@ -1059,6 +1069,7 @@ FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
         f"SELECT {sid} AS snap, doc_id, score FROM ({sql}\n)"
         for sid, sql in tt_parts)
 
+    o["ft_query_string"] = o["ft_not"]  # same semantics via the parser
     o["ft_first_match"] = _bm25_sql(QS["or2"], "OR", limit=1)
     o["ft_topk_paged"] = _bm25_sql(QS["or2"], "OR", limit=5, offset=5)
     o["ft_local_topk"] = _bm25_sql(QS["or2"], "OR")  # same oracle as or2

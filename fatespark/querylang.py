@@ -1,0 +1,148 @@
+"""Web-search query-string language over the engine's query surface.
+
+The reference takes raw query strings (``rake fates:search QUERY=...``,
+``tasks/fates.rake:67-129``; ``Model.fulltext_find(query)``,
+``lib/fates.rb:53``) with suffix semantics handled by ``compat.FatesIndex``.
+This module adds the boolean string syntax a web-search user expects —
+target-new, composed entirely from existing engine primitives so every
+parsed form keeps its oracle-checked scoring:
+
+    merge scan          two terms (mode-controlled AND/OR)
+    -join               exclusion: docs containing the term are dropped
+                        BEFORE top-k (rank back-fill; ``search(exclude=)``)
+    st*                 prefix: dictionary range-expansion to OR-terms
+    -st*                excluded prefix: the expansion joins the NOT-set
+    "big data"          quoted phrase (positions-verified adjacency)
+    "big dat"*          phrase-prefix (fates' natural suffix semantics)
+
+Terms and prefixes compose freely with exclusions in ONE ``search()`` call
+(prefix atoms are just dictionary expansions, so no extra scoring path).
+A quoted phrase is scored by the phrase matcher as a pseudo-term and cannot
+be mixed with other positive atoms in one ranked query — the engine scores
+phrases and term-bags with different df statistics, and silently summing
+them would be a new (un-oracled) ranking function; ``execute`` raises
+``UnsupportedQueryError`` for mixes instead of guessing.
+
+Works against BOTH readers (``SearchIndex`` and ``LocalSearchIndex`` share
+the ``expand_prefix`` / ``search`` / ``search_phrase`` /
+``search_phrase_prefix`` surface).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class QuerySyntaxError(ValueError):
+    pass
+
+
+class UnsupportedQueryError(ValueError):
+    pass
+
+
+@dataclass
+class ParsedQuery:
+    terms: list[str] = field(default_factory=list)
+    prefixes: list[str] = field(default_factory=list)
+    phrase: str | None = None
+    phrase_prefix: bool = False
+    exclude_terms: list[str] = field(default_factory=list)
+    exclude_prefixes: list[str] = field(default_factory=list)
+
+
+def parse_query(q: str) -> ParsedQuery:
+    """Split a query string into atoms. Quoting is the only grouping; a
+    ``-`` immediately before an atom negates it; a trailing ``*`` on a bare
+    term (or directly after a closing quote) makes it a prefix."""
+    out = ParsedQuery()
+    i, n = 0, len(q)
+    while i < n:
+        if q[i].isspace():
+            i += 1
+            continue
+        neg = False
+        if q[i] == "-" and i + 1 < n and not q[i + 1].isspace():
+            neg = True
+            i += 1
+        if i < n and q[i] == '"':
+            j = q.find('"', i + 1)
+            if j < 0:
+                raise QuerySyntaxError(f"unterminated quote at {i}: {q!r}")
+            body = q[i + 1:j]
+            i = j + 1
+            starred = i < n and q[i] == "*"
+            if starred:
+                i += 1
+            if not body.strip():
+                continue
+            if neg:
+                raise UnsupportedQueryError(
+                    "phrase exclusion (-\"...\") is not supported")
+            if out.phrase is not None:
+                raise UnsupportedQueryError(
+                    "multiple phrases in one query are not supported")
+            out.phrase = body.strip()
+            out.phrase_prefix = starred
+            continue
+        j = i
+        while j < n and not q[j].isspace():
+            j += 1
+        tok = q[i:j]
+        i = j
+        starred = tok.endswith("*") and len(tok) > 1
+        if starred:
+            tok = tok[:-1]
+        if "*" in tok:
+            raise QuerySyntaxError(f"embedded '*' in {tok!r} (only a "
+                                   "trailing '*' is a prefix)")
+        if not tok:
+            continue
+        bucket = (
+            (out.exclude_prefixes if starred else out.exclude_terms)
+            if neg else (out.prefixes if starred else out.terms))
+        bucket.append(tok)
+    if out.phrase is not None and (out.terms or out.prefixes):
+        raise UnsupportedQueryError(
+            "mixing a quoted phrase with other positive atoms is not "
+            "supported (phrase and term-bag scores use different df "
+            "statistics)")
+    if out.phrase is not None and (out.exclude_terms or
+                                   out.exclude_prefixes):
+        raise UnsupportedQueryError(
+            "exclusions are not supported alongside a quoted phrase")
+    if (out.phrase is None and not out.terms and not out.prefixes):
+        if out.exclude_terms or out.exclude_prefixes:
+            raise UnsupportedQueryError(
+                "purely negative queries are not supported")
+    return out
+
+
+def execute(index, q: str | ParsedQuery, k: int = 10, mode: str = "OR",
+            offset: int = 0, max_expansions: int = 256, **kw):
+    """Run a query string against either reader. Positive terms + expanded
+    prefixes score as one term-bag ``search()`` (one job, one plan);
+    excluded prefixes expand into the NOT-set; a lone quoted phrase routes
+    to the phrase matcher. Extra ``**kw`` (quantize, weights, use_wand,
+    with_url) pass through to the underlying call."""
+    spec = parse_query(q) if isinstance(q, str) else q
+    if spec.phrase is not None:
+        if spec.phrase_prefix:
+            return index.search_phrase_prefix(
+                spec.phrase, k=k, offset=offset,
+                max_expansions=max_expansions, **kw)
+        return index.search_phrase(spec.phrase, k=k, offset=offset, **kw)
+    terms = list(spec.terms)
+    for p in spec.prefixes:
+        terms.extend(index.expand_prefix(p, max_expansions))
+    excl = list(spec.exclude_terms)
+    for p in spec.exclude_prefixes:
+        excl.extend(index.expand_prefix(p, max_expansions))
+    if not terms:
+        # every positive atom expanded to nothing -> no matches by
+        # definition; reuse the reader's empty-result shape
+        return index.search(["\x00nosuchterm"], k=k, mode=mode)
+    # a term appearing in both sets is a contradiction under AND and a
+    # no-op-with-masking under OR; exclusion wins (web-search convention)
+    return index.search(sorted(set(terms)), k=k, mode=mode, offset=offset,
+                        exclude=sorted(set(excl)) or None, **kw)

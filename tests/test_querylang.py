@@ -1,0 +1,95 @@
+"""Query-string language: parse goldens + execution must be EXACTLY the
+underlying engine call it routes to (same kernels, same oracle coverage)."""
+
+import pytest
+
+from fatespark.build import BuildConfig, IndexBuilder
+from fatespark.corpus import pages_df
+from fatespark.local import LocalSearchIndex
+from fatespark.query import SearchIndex
+from fatespark.querylang import (ParsedQuery, QuerySyntaxError,
+                                 UnsupportedQueryError, execute, parse_query)
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_root):
+    d = str(tmp_root / "querylang_idx")
+    IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=1)).build(
+        spark, pages_df(spark, 3000, partitions=4), build_id="ql")
+    return SearchIndex(spark, d), LocalSearchIndex(d)
+
+
+class TestParse:
+    def test_terms_prefixes_excludes(self):
+        p = parse_query('merge scan -join st* -xy*')
+        assert p == ParsedQuery(terms=["merge", "scan"], prefixes=["st"],
+                                exclude_terms=["join"],
+                                exclude_prefixes=["xy"])
+
+    def test_phrase(self):
+        p = parse_query('  "big data"  ')
+        assert p.phrase == "big data" and not p.phrase_prefix
+
+    def test_phrase_prefix(self):
+        p = parse_query('"big dat"*')
+        assert p.phrase == "big dat" and p.phrase_prefix
+
+    def test_lone_hyphen_is_a_term(self):
+        # '-' not followed by an atom char is just a token
+        assert parse_query("a - b").terms == ["a", "-", "b"]
+
+    def test_errors(self):
+        with pytest.raises(QuerySyntaxError):
+            parse_query('"unterminated')
+        with pytest.raises(QuerySyntaxError):
+            parse_query("mid*dle")
+        with pytest.raises(UnsupportedQueryError):
+            parse_query('-"no phrase exclusion"')
+        with pytest.raises(UnsupportedQueryError):
+            parse_query('"a b" extra')
+        with pytest.raises(UnsupportedQueryError):
+            parse_query("-onlynegative")
+
+
+def _rows(df):
+    if hasattr(df, "collect"):
+        return [(r["doc_id"], r["score"]) for r in df.collect()]
+    return list(zip(df["doc_id"].tolist(), df["score"].tolist()))
+
+
+class TestExecute:
+    def test_terms_route_to_search(self, idx):
+        dist, _ = idx
+        got = _rows(execute(dist, "the smith", k=10, mode="AND"))
+        want = _rows(dist.search(["smith", "the"], k=10, mode="AND"))
+        assert got == want and got
+
+    def test_exclusion(self, idx):
+        dist, _ = idx
+        got = _rows(execute(dist, "smith -the", k=10, mode="OR"))
+        want = _rows(dist.search(["smith"], k=10, mode="OR",
+                                 exclude=["the"]))
+        assert got == want
+
+    def test_prefix_expands_into_the_same_call(self, idx):
+        dist, _ = idx
+        got = _rows(execute(dist, "sm*", k=10, mode="OR"))
+        want = _rows(dist.search_prefix("sm", k=10))
+        assert got == want and got
+
+    def test_phrase_routes_to_phrase_matcher(self, idx):
+        dist, _ = idx
+        got = _rows(execute(dist, '"the smith"', k=10))
+        want = _rows(dist.search_phrase("the smith", k=10))
+        assert got == want
+
+    def test_no_matching_atoms_is_empty(self, idx):
+        dist, _ = idx
+        assert _rows(execute(dist, "zzzznope*", k=10, mode="OR")) == []
+
+    def test_local_parity(self, idx):
+        dist, loc = idx
+        for q in ["the smith", "smith -the", "sm* -jones", '"the smith"']:
+            a = _rows(execute(dist, q, k=10, mode="OR"))
+            b = _rows(execute(loc, q, k=10, mode="OR"))
+            assert a == b, q
