@@ -43,6 +43,7 @@ QS = {  # the reference-style query set over the documents vocabulary
     "phrase": "big data",
     "phrase3": "row column sort",
     "hits": ["merge", "scan"],
+    "near": ["merge", "scan"],
     "count_terms": ["batch", "scan", "zzz_missing", "merge"],
     "mf": ["batch", "src3"],
 }
@@ -171,6 +172,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (hit_contexts(hits, docs, size=3)
                 .orderBy("doc_id", "field", "position", "term"))
     q["ft_hits"] = ft_hits
+
+    def ft_near(spark, sf):
+        """Proximity search: both terms within a 3-token window (unordered
+        span), ranked by conjunctive BM25 of the individual terms
+        (SearchIndex.search_near — window test runs bucket-local over the
+        index position lists, no corpus scan)."""
+        return _scores(_index(spark, sf).search_near(QS["near"], slop=3,
+                                                     k=10, quantize=4))
+    q["ft_near"] = ft_near
+
+    def ft_batch(spark, sf):
+        """Batched query-log replay (SearchIndex.search_many): three OR
+        queries answered from ONE postings scan — per-(term,field) streams
+        decoded once per bucket, scored per query, one window rank for the
+        global per-query top-k. Per-query results are rank- and
+        score-identical to individual search() calls."""
+        res = _index(spark, sf).search_many(
+            {"q_single": QS["single"], "q_or2": QS["or2"],
+             "q_or3": QS["or3"]},
+            k=10, mode="OR", quantize=4)
+        return res.select("query_id", "doc_id", "score", "rank")
+    q["ft_batch"] = ft_batch
 
     def ft_phrase_prefix(spark, sf):
         """fates' natural suffix semantics: trailing partial token expands
@@ -477,6 +500,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("source"))
     q["tx_source_stats"] = tx_source_stats
 
+    def tx_curate(spark, sf):
+        """Composed curation pipeline (fatespark.curate.curate_corpus):
+        quality gate -> language allow-list -> exact dedup keep -> stable
+        split assignment, one declarative plan (filters prune the single
+        fingerprint shuffle; split is a pure hash expression)."""
+        from fatespark.curate import curate_corpus
+        d = _read(spark, sf, "documents")
+        return (curate_corpus(d, min_quality=0.25,
+                              langs=["en", "de", "es"])
+                .orderBy("doc_id"))
+    q["tx_curate"] = tx_curate
+
     # -- dedup ---------------------------------------------------------------
     def dd_exact_groups(spark, sf):
         d = _read(spark, sf, "documents")
@@ -720,7 +755,8 @@ _TOK_CTES = _tok_ctes()
 
 def _bm25_sql(terms: list[str], mode: str, limit: int = 10,
               offset: int = 0, src: str = "documents",
-              where_scored: str | None = None) -> str:
+              where_scored: str | None = None,
+              extra_ctes: str = "") -> str:
     """Top-10 BM25 with explicit ascending-term summation order (float64
     parity with the engine). ``src`` re-bases the corpus (time-travel oracle:
     post-vacuum stats over survivors); ``where_scored`` filters scored docs
@@ -735,8 +771,9 @@ def _bm25_sql(terms: list[str], mode: str, limit: int = 10,
     having = (f"HAVING count(DISTINCT term) = {len(terms)}"
               if mode == "AND" else "")
     wsc = f"WHERE {where_scored} " if where_scored else ""
+    xc = f"{extra_ctes}," if extra_ctes else ""
     return f"""
-WITH {_tok_ctes(src)},
+WITH {xc}{_tok_ctes(src)},
 contrib AS (
   SELECT tfs.doc_id, tfs.term,
          ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
@@ -966,6 +1003,45 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
         QS["or2"], "OR",
         where_scored="doc_id NOT IN (SELECT doc_id FROM tfs "
                      "WHERE term = 'join')")
+    # batched search: each query's twin is the single-query BM25 SQL with a
+    # rank column; the batch is their union (same quantized total order)
+    batch_specs = [("q_single", QS["single"]), ("q_or2", QS["or2"]),
+                   ("q_or3", QS["or3"])]
+    o["ft_batch"] = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS query_id, doc_id, score,\n"
+        f"       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)"
+        f" AS rank\nFROM ({_bm25_sql(terms, 'OR')}\n)"
+        for qid, terms in batch_specs)
+
+    # proximity: a window of span <= slop exists iff some occurrence s has
+    # every term within [s.pos, s.pos + slop] — the engine kernel's exact
+    # witness condition (query._near_match_docs), re-stated as self-joins
+    near_slop = 3
+    near_terms = sorted(set(QS["near"]))
+    near_in = ", ".join(f"'{t}'" for t in near_terms)
+    near_joins = "\n  ".join(
+        f"JOIN nptok w{i} ON w{i}.doc_id = s.doc_id AND w{i}.term = '{t}'"
+        f" AND w{i}.pos BETWEEN s.pos AND s.pos + {near_slop}"
+        for i, t in enumerate(near_terms))
+    near_ctes = f"""nptok AS (
+  SELECT doc_id, translate(unnest(toks), '{_UP}', '{_LO}') AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                 '{_WS_SQL}'),
+                           x -> x <> '') AS toks
+        FROM documents)
+),
+prox AS (
+  SELECT DISTINCT s.doc_id
+  FROM nptok s
+  {near_joins}
+  WHERE s.term IN ({near_in})
+)"""
+    o["ft_near"] = _bm25_sql(
+        QS["near"], "AND", extra_ctes=near_ctes,
+        where_scored="doc_id IN (SELECT doc_id FROM prox)")
+
     o["ft_prefix"] = _bm25_prefix_sql(QS["prefix"])
     ph_first, ph_second = QS["phrase"].split()
     o["ft_phrase"] = _bm25_phrase_sql(ph_first, ph_second)
@@ -1226,6 +1302,23 @@ JOIN q ON q.doc_id = d.doc_id
 JOIN tok t ON t.doc_id = d.doc_id
 GROUP BY d.source
 ORDER BY d.source"""
+
+    _cur_b = sqlhash.md5_bucket60("doc_id", "split", 1_000_000)
+    o["tx_curate"] = f"""
+WITH q AS ({_QUALITY_SQL}),
+fp AS ({_FP_SQL}),
+pass AS (
+  SELECT d.doc_id, d.lang, q.quality, fp.fingerprint
+  FROM documents d JOIN q USING (doc_id) JOIN fp USING (doc_id)
+  WHERE q.quality >= 0.25 AND d.lang IN ('en', 'de', 'es')
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY fingerprint)
+SELECT p.doc_id, p.lang, p.quality,
+       CASE WHEN {_cur_b} < 900000 THEN 'train'
+            WHEN {_cur_b} < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM pass p JOIN keep USING (doc_id)
+ORDER BY p.doc_id"""
 
     o["dd_exact_groups"] = f"""
 WITH fp AS ({_FP_SQL})

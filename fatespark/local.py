@@ -431,6 +431,70 @@ class LocalSearchIndex:
             return _empty_result()
         return self._score_phrase_rows(m, k, offset, quantize, weights)
 
+    def search_near(self, query: str | list[str], slop: int, k: int = 10,
+                    offset: int = 0, quantize: int | None = None,
+                    weights: list[float] | None = None) -> pd.DataFrame:
+        """Proximity (SLOP) search — local twin of
+        ``SearchIndex.search_near``: same shared window kernel
+        (``query._near_match_docs``), same restricted conjunctive BM25
+        (``TermBlocks.keep_docs`` + ``score_and``), identical results."""
+        from .query import _decode_with_positions, _near_match_docs
+        if not bool(self.meta.get("store_positions", True)):
+            raise ValueError("index built without positions; proximity "
+                             "search disabled")
+        qterms = _fold_terms(query, self.analyzer)
+        stats = self.term_stats(qterms)
+        if not qterms or any(t not in stats for t in qterms):
+            return _empty_result()
+        uniq = list(qterms)
+        w = list(weights) if weights is not None else [1.0] * self.n_fields
+        idfs = {(t, f): w[f] * idf_fn(self.n_docs, st["df"])
+                for t in uniq for f, st in stats[t].items()
+                if f < len(w) and w[f] != 0.0}
+        pdf = self._post_ix.read(uniq, ["bucket", "term", "field", "n",
+                                        "first_doc", "last_doc", "max_tf",
+                                        "min_dl", "docs", "tfs", "dls",
+                                        "poss"])
+        qmul = float(10 ** quantize) if quantize else None
+        k_local, sl = k + offset, int(slop)
+        parts = []
+        for _, bpdf in pdf.groupby("bucket"):
+            allowed = []
+            for _fid, fpdf in bpdf.groupby("field"):
+                data = {t: _decode_with_positions(g, self.codec_name)
+                        for t, g in fpdf.groupby("term")}
+                if any(t not in data for t in uniq):
+                    continue
+                m = _near_match_docs(data, uniq, sl, self.tombstones)
+                if m.size:
+                    allowed.append(m)
+            if not allowed:
+                continue
+            keep = np.unique(np.concatenate(allowed))
+            by_tf = {(t, int(f)): _term_blocks_from_pdf(
+                        g, idfs[(t, int(f))],
+                        self.field_avgdl.get(int(f), self.avgdl),
+                        self.codec_name)
+                     for (t, f), g in bpdf.groupby(["term", "field"])
+                     if (t, int(f)) in idfs}
+            by_tf = {kk: tb.keep_docs(keep) for kk, tb in by_tf.items()}
+            by_tf = {kk: tb for kk, tb in by_tf.items() if tb.total}
+            terms_here = {t for t, _ in by_tf}
+            if len(terms_here) < len(uniq):
+                continue
+            keys = sorted(by_tf)
+            groups = [[by_tf[kk] for kk in keys if kk[0] == t]
+                      for t in sorted(terms_here)]
+            docs, scores = score_and(groups, self.avgdl, k_local, qmul)
+            parts.append(pd.DataFrame({"doc_id": docs, "score": scores}))
+        if not parts:
+            return _empty_result()
+        allp = pd.concat(parts, ignore_index=True)
+        allp = allp.sort_values(["score", "doc_id"],
+                                ascending=[False, True],
+                                kind="mergesort").head(k_local)
+        return allp.iloc[offset:][["doc_id", "score"]].reset_index(drop=True)
+
     def _score_phrase_rows(self, m: pd.DataFrame, k: int, offset: int,
                            quantize: int | None = None,
                            weights: list[float] | None = None) -> pd.DataFrame:

@@ -271,6 +271,87 @@ class SearchIndex:
             out = out.offset(offset)
         return self._join_url(out) if with_url else out
 
+    def search_many(self, queries: dict[str, str | list[str]], k: int = 10,
+                    mode: str = "AND", quantize: int | None = None,
+                    use_wand: bool = False) -> DataFrame:
+        """Batched top-k: N queries answered from ONE postings scan —
+        (query_id, doc_id, score, rank) with rank 1..k per query in the
+        same (score DESC, doc_id ASC) total order as ``search``.
+
+        This is the shape a query log replay / offline relevance eval runs
+        at cluster scale: the scan term set is the UNION of all queries'
+        terms, each (term, field) posting stream is decoded ONCE per bucket
+        (TermBlocks caches the decode) and re-scored per query, so B
+        queries sharing a vocabulary cost ~one query's scan plus B cheap
+        scoring passes. The global per-query top-k is one window rank over
+        n_buckets x k x B rows — no per-query Spark job, no per-query
+        shuffle. Semantics per query are IDENTICAL to ``search(query, k,
+        mode)`` (tested)."""
+        from pyspark.sql import Window
+        folded = {qid: _fold_terms(qv, self.analyzer)
+                  for qid, qv in queries.items()}
+        all_terms = sorted({t for v in folded.values() for t in v})
+        out_schema = "query_id string, doc_id long, score double"
+        if not all_terms:
+            return self.spark.createDataFrame([], out_schema + ", rank int")
+        stats = self.term_stats(all_terms)
+        live: dict[str, list[str]] = {}
+        for qid, terms in folded.items():
+            present = [t for t in terms if t in stats]
+            if present and not (mode == "AND" and len(present) < len(terms)):
+                live[qid] = present
+        if not live:
+            return self.spark.createDataFrame([], out_schema + ", rank int")
+        scan_terms = sorted({t for v in live.values() for t in v})
+        idfs = {(t, f): idf_fn(self.n_docs, st["df"])
+                for t in scan_terms for f, st in stats[t].items()}
+        avgdl, favg = self.avgdl, dict(self.field_avgdl)
+        drop, codec = self.tombstones, self.codec_name
+        qmul = float(10 ** quantize) if quantize else None
+        qlist = sorted(live.items())
+
+        def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+            by_tf = {(t, int(f)): _term_blocks_from_pdf(
+                        g, idfs[(t, int(f))], favg.get(int(f), avgdl), codec)
+                     for (t, f), g in pdf.groupby(["term", "field"])}
+            if drop is not None:
+                by_tf = {kk: tb.without_docs(drop) for kk, tb in by_tf.items()}
+                by_tf = {kk: tb for kk, tb in by_tf.items() if tb.total}
+            keys = sorted(by_tf)
+            frames = []
+            for qid, qterms in qlist:
+                sub = [kk for kk in keys if kk[0] in qterms]
+                terms_here = {t for t, _ in sub}
+                if mode == "AND":
+                    if len(terms_here) < len(qterms):
+                        continue
+                    groups = [[by_tf[kk] for kk in sub if kk[0] == t]
+                              for t in sorted(terms_here)]
+                    docs, scores = score_and(groups, avgdl, k, qmul)
+                elif use_wand:
+                    docs, scores = score_bmw_or([by_tf[kk] for kk in sub],
+                                                avgdl, k, qmul)
+                else:
+                    docs, scores = score_exhaustive_or(
+                        [by_tf[kk] for kk in sub], avgdl, k, qmul)
+                if len(docs):
+                    frames.append(pd.DataFrame(
+                        {"query_id": qid, "doc_id": docs, "score": scores}))
+            if not frames:
+                return pd.DataFrame({"query_id": pd.array([], dtype=str),
+                                     "doc_id": pd.array([], dtype="int64"),
+                                     "score": pd.array([], dtype="float64")})
+            return pd.concat(frames, ignore_index=True)
+
+        blocks = self.postings.filter(F.col("term").isin(scan_terms)).select(
+            "bucket", "term", "field", "n", "first_doc", "last_doc",
+            "max_tf", "min_dl", "docs", "tfs", "dls")
+        scored = blocks.groupBy("bucket").applyInPandas(scorer, out_schema)
+        wspec = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                       F.asc("doc_id"))
+        return (scored.withColumn("rank", F.row_number().over(wspec))
+                .filter(F.col("rank") <= k))
+
     def _score_buckets(self, terms: list[str], idfs: dict[tuple, float],
                        k_local: int, mode: str, use_wand: bool,
                        quantize: int | None = None,
@@ -423,6 +504,82 @@ class SearchIndex:
             return self._empty()
         return self._score_phrase_matches(m, k, offset, with_url, quantize,
                                           weights)
+
+    def search_near(self, query: str | list[str], slop: int, k: int = 10,
+                    offset: int = 0, with_url: bool = False,
+                    quantize: int | None = None,
+                    weights: list[float] | None = None) -> DataFrame:
+        """Proximity (SLOP) search: documents where ALL query terms co-occur
+        within a token window of span <= ``slop`` (unordered; span = max
+        position - min position) in at least one field, ranked by the
+        standard conjunctive BM25 of the individual terms — proximity as a
+        match constraint, term statistics as the rank. ``slop=1`` on a
+        two-term query accepts both orders of adjacency; ``search_phrase``
+        is the ordered/consecutive special case.
+
+        The reference answers this shape by walking suffix-array hit
+        positions (``lib/suffix_array_reader.rb:45-72`` exposes every match
+        offset); here the window test runs bucket-locally over the index's
+        position lists (``_near_match_docs``: exact minimal-covering-window
+        semantics, vectorized searchsorted over composite doc/pos keys) and
+        only window-matching docs enter scoring — one postings scan, no
+        corpus access, no extra shuffle (buckets stay doc-disjoint)."""
+        if not self.store_positions:
+            raise ValueError("index built without positions; proximity "
+                             "search disabled")
+        qterms = _fold_terms(query, self.analyzer)
+        stats = self.term_stats(qterms)
+        if any(t not in stats for t in qterms) or not qterms:
+            return self._empty()
+        uniq = list(qterms)                        # already sorted distinct
+        w = list(weights) if weights is not None else [1.0] * self.n_fields
+        idfs = {(t, f): w[f] * idf_fn(self.n_docs, st["df"])
+                for t in uniq for f, st in stats[t].items()
+                if f < len(w) and w[f] != 0.0}
+        avgdl, favg = self.avgdl, dict(self.field_avgdl)
+        tombs, codec = self.tombstones, self.codec_name
+        qmul = float(10 ** quantize) if quantize else None
+        k_local, n_query, sl = k + offset, len(uniq), int(slop)
+
+        def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                  "score": pd.array([], dtype="float64")})
+            allowed = []
+            for _fid, fpdf in pdf.groupby("field"):
+                data = {t: _decode_with_positions(g, codec)
+                        for t, g in fpdf.groupby("term")}
+                if any(t not in data for t in uniq):
+                    continue
+                m = _near_match_docs(data, uniq, sl, tombs)
+                if m.size:
+                    allowed.append(m)
+            if not allowed:
+                return empty
+            keep = np.unique(np.concatenate(allowed))
+            by_tf = {(t, int(f)): _term_blocks_from_pdf(
+                        g, idfs[(t, int(f))], favg.get(int(f), avgdl), codec)
+                     for (t, f), g in pdf.groupby(["term", "field"])
+                     if (t, int(f)) in idfs}
+            by_tf = {kk: tb.keep_docs(keep) for kk, tb in by_tf.items()}
+            by_tf = {kk: tb for kk, tb in by_tf.items() if tb.total}
+            terms_here = {t for t, _ in by_tf}
+            if len(terms_here) < n_query:
+                return empty
+            keys = sorted(by_tf)
+            groups = [[by_tf[kk] for kk in keys if kk[0] == t]
+                      for t in sorted(terms_here)]
+            docs, scores = score_and(groups, avgdl, k_local, qmul)
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        blocks = self.postings.filter(F.col("term").isin(uniq)).select(
+            "bucket", "term", "field", "n", "first_doc", "last_doc",
+            "max_tf", "min_dl", "docs", "tfs", "dls", "poss")
+        scored = blocks.groupBy("bucket").applyInPandas(scorer, RESULT_SCHEMA)
+        out = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
+               .limit(k + offset))
+        if offset:
+            out = out.offset(offset)
+        return self._join_url(out) if with_url else out
 
     def count_phrase(self, phrase: str, prefix: bool = False,
                      max_expansions: int = 256) -> int:
@@ -751,6 +908,48 @@ def _match_variant_rows(data: dict, v: list[str],
     dls = data[v[0]]["dls"][idx0]
     return pd.DataFrame({"doc_id": docs, "tf": tf.astype(np.int64),
                          "dl": dls.astype(np.int64)})
+
+
+def _near_match_docs(data: dict, terms: list[str], slop: int,
+                     tombs: np.ndarray | None) -> np.ndarray:
+    """Sorted doc ids (one decoded bucket-field frame) containing ALL the
+    distinct ``terms`` within some token window of span <= ``slop``
+    (max position - min position, unordered) — reference proximity over a
+    suffix array, re-expressed over position lists.
+
+    Exact and fully vectorized: a qualifying window exists iff some
+    occurrence position p (of any term) has, for EVERY term t, an
+    occurrence at next_t(p) <= p + slop — the minimal covering window's
+    leftmost element witnesses it. Each next_t is one ``searchsorted``
+    over composite ``(doc_rank << 32) | pos`` keys, so the check is
+    O(occurrences x terms x log) with no per-doc Python loop."""
+    tu = sorted(set(terms))
+    cand = data[tu[0]]["docs"]
+    for t in tu[1:]:
+        cand = np.intersect1d(cand, data[t]["docs"], assume_unique=True)
+    if tombs is not None and cand.size:
+        cand = cand[~np.isin(cand, tombs)]
+    if cand.size == 0:
+        return cand.astype(np.int64, copy=False)
+    keys = {}
+    for t in tu:
+        kt, _ = _gather_doc_positions(data[t], cand, 0)
+        keys[t] = kt                      # rank asc, pos asc => sorted
+    starts = np.sort(np.concatenate(list(keys.values())))
+    ok = np.ones(starts.size, dtype=bool)
+    pos_mask = np.int64(0xFFFFFFFF)
+    for t in tu:
+        kt = keys[t]
+        idx = np.searchsorted(kt, starts)
+        nxt = kt[np.minimum(idx, kt.size - 1)] if kt.size else starts
+        in_doc = (idx < kt.size) & \
+            ((nxt >> np.int64(32)) == (starts >> np.int64(32)))
+        gap = (nxt & pos_mask) - (starts & pos_mask)
+        ok &= in_doc & (gap <= slop)
+    if not ok.any():
+        return np.zeros(0, dtype=np.int64)
+    ranks = np.unique(starts[ok] >> np.int64(32))
+    return cand[ranks].astype(np.int64, copy=False)
 
 
 def _variants_match_rows(data: dict, variants: list[list[str]],

@@ -195,6 +195,19 @@ class TermBlocks:
         return TermBlocks.from_arrays(self.idf, docs[keep], tfs[keep],
                                       dls[keep], avgdl=self.avgdl)
 
+    def keep_docs(self, keep_sorted: np.ndarray) -> "TermBlocks":
+        """Copy of this stream restricted to the (sorted int64) doc ids —
+        the positive twin of ``without_docs``, used by proximity search to
+        score only window-matching documents."""
+        docs, tfs, dls = self.decode_all()
+        j = np.searchsorted(keep_sorted, docs)
+        hit = j < keep_sorted.size
+        hit[hit] = keep_sorted[j[hit]] == docs[hit]
+        if hit.all():
+            return self
+        return TermBlocks.from_arrays(self.idf, docs[hit], tfs[hit],
+                                      dls[hit], avgdl=self.avgdl)
+
     def block_ub(self, i: int, avgdl: float | None = None) -> float:
         a = self.avgdl if avgdl is None else avgdl
         return self.idf * float(bm25_part(self.max_tf[i], self.min_dl[i], a))
