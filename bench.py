@@ -133,6 +133,16 @@ def main() -> None:
     def _pp():
         return idx.search_phrase_prefix("big arr", k=10).collect()
 
+    @timed("q_near", reps=3)
+    def _nr():  # proximity: same tokens as q_phrase, unordered 4-window
+        return idx.search_near(["big", "array"], slop=4, k=10).collect()
+
+    @timed("q_batch3", reps=3)
+    def _qb():  # 3 queries, one postings scan (vs 3x the single-query cost)
+        return idx.search_many(
+            {"a": ["smith", "jones"], "b": ["the"], "c": ["big", "array"]},
+            k=10, mode="OR").collect()
+
     # variance-free size metrics (host contention moves seconds, not bytes)
     import glob as _glob
     post_bytes = sum(os.path.getsize(f) for f in _glob.glob(

@@ -14,6 +14,8 @@ parsed form keeps its oracle-checked scoring:
     -st*                excluded prefix: the expansion joins the NOT-set
     "big data"          quoted phrase (positions-verified adjacency)
     "big dat"*          phrase-prefix (fates' natural suffix semantics)
+    "big data"~3        proximity: all quoted terms within a token window
+                        of span <= 3 (unordered; ``search_near``)
 
 Terms and prefixes compose freely with exclusions in ONE ``search()`` call
 (prefix atoms are just dictionary expansions, so no extra scoring path).
@@ -47,6 +49,7 @@ class ParsedQuery:
     prefixes: list[str] = field(default_factory=list)
     phrase: str | None = None
     phrase_prefix: bool = False
+    slop: int | None = None
     exclude_terms: list[str] = field(default_factory=list)
     exclude_prefixes: list[str] = field(default_factory=list)
 
@@ -74,6 +77,17 @@ def parse_query(q: str) -> ParsedQuery:
             starred = i < n and q[i] == "*"
             if starred:
                 i += 1
+            slop = None
+            if not starred and i < n and q[i] == "~":
+                j2 = i + 1
+                while j2 < n and q[j2].isdigit():
+                    j2 += 1
+                if j2 == i + 1:
+                    raise QuerySyntaxError(
+                        f"'~' must be followed by a slop number at {i}: "
+                        f"{q!r}")
+                slop = int(q[i + 1:j2])
+                i = j2
             if not body.strip():
                 continue
             if neg:
@@ -84,6 +98,7 @@ def parse_query(q: str) -> ParsedQuery:
                     "multiple phrases in one query are not supported")
             out.phrase = body.strip()
             out.phrase_prefix = starred
+            out.slop = slop
             continue
         j = i
         while j < n and not q[j].isspace():
@@ -127,6 +142,9 @@ def execute(index, q: str | ParsedQuery, k: int = 10, mode: str = "OR",
     with_url) pass through to the underlying call."""
     spec = parse_query(q) if isinstance(q, str) else q
     if spec.phrase is not None:
+        if spec.slop is not None:
+            return index.search_near(spec.phrase, spec.slop, k=k,
+                                     offset=offset, **kw)
         if spec.phrase_prefix:
             return index.search_phrase_prefix(
                 spec.phrase, k=k, offset=offset,

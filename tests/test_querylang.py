@@ -34,6 +34,12 @@ class TestParse:
         p = parse_query('"big dat"*')
         assert p.phrase == "big dat" and p.phrase_prefix
 
+    def test_slop(self):
+        p = parse_query('"big data"~3')
+        assert p.phrase == "big data" and p.slop == 3
+        assert not p.phrase_prefix
+        assert parse_query('"a b"').slop is None
+
     def test_lone_hyphen_is_a_term(self):
         # '-' not followed by an atom char is just a token
         assert parse_query("a - b").terms == ["a", "-", "b"]
@@ -49,6 +55,8 @@ class TestParse:
             parse_query('"a b" extra')
         with pytest.raises(UnsupportedQueryError):
             parse_query("-onlynegative")
+        with pytest.raises(QuerySyntaxError):
+            parse_query('"a b"~')
 
 
 def _rows(df):
@@ -83,13 +91,20 @@ class TestExecute:
         want = _rows(dist.search_phrase("the smith", k=10))
         assert got == want
 
+    def test_slop_routes_to_search_near(self, idx):
+        dist, _ = idx
+        got = _rows(execute(dist, '"the smith"~4', k=10))
+        want = _rows(dist.search_near("the smith", 4, k=10))
+        assert got == want
+
     def test_no_matching_atoms_is_empty(self, idx):
         dist, _ = idx
         assert _rows(execute(dist, "zzzznope*", k=10, mode="OR")) == []
 
     def test_local_parity(self, idx):
         dist, loc = idx
-        for q in ["the smith", "smith -the", "sm* -jones", '"the smith"']:
+        for q in ["the smith", "smith -the", "sm* -jones", '"the smith"',
+                  '"the smith"~4']:
             a = _rows(execute(dist, q, k=10, mode="OR"))
             b = _rows(execute(loc, q, k=10, mode="OR"))
             assert a == b, q
