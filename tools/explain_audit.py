@@ -81,6 +81,39 @@ def main() -> None:
         "top-k rows).",
         plan_of(idx.search(["smith", "jones"], k=10, mode="AND"))))
 
+    sections.append((
+        "Query: proximity top-k (search_near)",
+        "Same shape as the BM25 top-k plan plus the poss column in the "
+        "scan's ReadSchema (the window test needs positions). Window match "
+        "+ restricted scoring happen inside the ONE per-bucket "
+        "FlatMapGroupsInPandas — no extra shuffle, global merge still "
+        "TakeOrderedAndProject over bucket-local top-k rows.",
+        plan_of(idx.search_near(["smith", "jones"], slop=4, k=10))))
+
+    sections.append((
+        "Query: batched multi-query top-k (search_many)",
+        "ONE postings scan of the union term set (PushedFilters In(term, "
+        "...)), one per-bucket scorer emitting (query_id, doc_id, score) "
+        "for every query, then a single Window row_number partitioned by "
+        "query_id for the global per-query top-k — B queries, one scan, "
+        "one shuffle (the window exchange over n_buckets x k x B rows).",
+        plan_of(idx.search_many({"a": ["smith"], "b": ["jones", "the"]},
+                                k=10, mode="OR"))))
+
+    docs_p = "/root/testdata/sf0.01/documents.parquet"
+    if os.path.exists(docs_p):
+        from fatespark.curate import curate_corpus
+        cur = curate_corpus(spark.read.parquet(docs_p), min_quality=0.25,
+                            langs=["en", "de"])
+        sections.append((
+            "Curation pipeline (curate_corpus)",
+            "Quality + language predicates evaluate in the scan stage "
+            "(WholeStageCodegen Filter over the parquet scan; lang IN "
+            "pushes down), ONE hashAggregate exchange on fingerprint for "
+            "the dedup keep-set, LeftSemi join back, split label as a pure "
+            "projection — the whole pipeline is one scan + one shuffle.",
+            plan_of(cur)))
+
     # -- embedding dedup: the tiled exact join must contain NO cartesian ----
     from fatespark import ann, dedup
     emb_path = "/root/testdata/sf0.01/embeddings.parquet"
