@@ -96,6 +96,25 @@ def _index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     return idx
 
 
+def _mf_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    """Two-field (text, source) index, cached per sf_dir — shared by the
+    weighted-field and filtered-search driver queries."""
+    tag = _corpus_tag(sf_dir)
+    d = f"/tmp/fatespark_entry_idx/{tag}_mf"
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    try:
+        idx = SearchIndex(spark, d)
+        if idx.n_docs != n or idx.n_fields != 2:
+            raise ValueError("stale index")
+    except Exception:
+        IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=0)).build(
+            spark, docs, id_col="doc_id", url_col="doc_id",
+            text_cols=["text", "source"], build_id="entry-mf")
+        idx = SearchIndex(spark, d)
+    return idx
+
+
 def _scores(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "score")
 
@@ -271,22 +290,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_multifield_topk(spark, sf):
         """Weighted two-field BM25 (text w=1, source w=2) — the reference's
         weighted-field ranking upgraded (lib/fates.rb:65)."""
-        tag = _corpus_tag(sf)
-        d = f"/tmp/fatespark_entry_idx/{tag}_mf"
-        docs = _read(spark, sf, "documents")
-        n = docs.count()
-        try:
-            idx = SearchIndex(spark, d)
-            if idx.n_docs != n or idx.n_fields != 2:
-                raise ValueError("stale index")
-        except Exception:
-            IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=0)).build(
-                spark, docs, id_col="doc_id", url_col="doc_id",
-                text_cols=["text", "source"], build_id="entry-mf")
-            idx = SearchIndex(spark, d)
-        return _scores(idx.search(QS["mf"], k=10, mode="OR",
-                                  weights=[1.0, 2.0], quantize=4))
+        return _scores(_mf_index(spark, sf).search(
+            QS["mf"], k=10, mode="OR", weights=[1.0, 2.0], quantize=4))
     q["ft_multifield_topk"] = ft_multifield_topk
+
+    def ft_filtered(spark, sf):
+        """Index-side metadata filter (filters-as-postings): score 'batch'
+        over the text field only, restricted to docs whose source FIELD
+        contains 'src3' — the filter stream rides the same postings scan
+        and restricts bucket-locally before top-k; no doc-table join
+        (SearchIndex.search filter_terms/filter_field)."""
+        return _scores(_mf_index(spark, sf).search(
+            QS["single"], k=10, mode="OR", weights=[1.0, 0.0],
+            filter_terms=["src3"], filter_field=1, quantize=4))
+    q["ft_filtered"] = ft_filtered
 
     def ft_pfor_topk(spark, sf):
         """Same AND query as ft_topk_and2 over an index built with the
@@ -1003,6 +1020,17 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
         QS["or2"], "OR",
         where_scored="doc_id NOT IN (SELECT doc_id FROM tfs "
                      "WHERE term = 'join')")
+    # filtered search: text-field BM25 (weights [1,0] on the 2-field index
+    # == the single-field formula) restricted to docs whose source field
+    # tokenizes to contain 'src3'
+    o["ft_filtered"] = _bm25_sql(
+        QS["single"], "OR",
+        where_scored=(
+            "doc_id IN (SELECT doc_id FROM ("
+            "SELECT doc_id, translate(unnest(regexp_split_to_array("
+            f"coalesce(source, ''), '{_WS_SQL}')), '{_UP}', '{_LO}') AS t "
+            "FROM documents) WHERE t = 'src3')"))
+
     # batched search: each query's twin is the single-query BM25 SQL with a
     # rank column; the batch is their union (same quantized total order)
     batch_specs = [("q_single", QS["single"]), ("q_or2", QS["or2"]),

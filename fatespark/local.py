@@ -267,12 +267,16 @@ class LocalSearchIndex:
                offset: int = 0, use_wand: bool = False,
                with_url: bool = False, quantize: int | None = None,
                weights: list[float] | None = None,
-               exclude: str | list[str] | None = None) -> pd.DataFrame:
+               exclude: str | list[str] | None = None,
+               filter_terms: str | list[str] | None = None,
+               filter_field: int | None = None) -> pd.DataFrame:
         """Identical semantics and results to ``SearchIndex.search`` (same
         kernels, same per-bucket scoring, same (score DESC, doc_id ASC)
         total order); returns a pandas DataFrame (doc_id, score).
         ``exclude`` mirrors the distributed reader: NOT-terms whose docs
-        are dropped before per-bucket top-k selection."""
+        are dropped before per-bucket top-k selection. ``filter_terms`` /
+        ``filter_field`` mirror the index-side metadata filter (IN-list
+        restriction before top-k, no score contribution)."""
         qterms = _fold_terms(query, self.analyzer)
         stats = self.term_stats(qterms)
         present = [t for t in qterms if t in stats]
@@ -281,16 +285,35 @@ class LocalSearchIndex:
         xterms = _fold_terms(exclude, self.analyzer) if exclude else []
         xstats = self.term_stats(xterms) if xterms else {}
         xpresent = sorted({t for t in xterms if t in xstats})
+        fterms = _fold_terms(filter_terms, self.analyzer) if filter_terms \
+            else []
+        fstats = self.term_stats(fterms) if fterms else {}
+        fpresent = sorted({t for t in fterms if t in fstats})
+        if fterms and not fpresent:
+            return _empty_result()
         w = list(weights) if weights is not None else [1.0] * self.n_fields
         idfs = {(t, f): w[f] * idf_fn(self.n_docs, st["df"])
                 for t in present for f, st in stats[t].items()
                 if f < len(w) and w[f] != 0.0}
-        pdf = self._blocks(present + xpresent)
+        pdf = self._blocks(sorted(set(present + xpresent + fpresent)))
         qmul = float(10 ** quantize) if quantize else None
         k_local = k + offset
         xset = frozenset(xpresent)
+        fset = frozenset(fpresent)
         parts = []
         for _, bpdf in pdf.groupby("bucket"):
+            allowed = None
+            if fset:
+                fmask = bpdf["term"].isin(fset)
+                if filter_field is not None:
+                    fmask &= bpdf["field"] == filter_field
+                fparts = [_term_blocks_from_pdf(g, 0.0, self.avgdl,
+                                                self.codec_name)
+                          .decode_all()[0]
+                          for _, g in bpdf[fmask].groupby(["term", "field"])]
+                if not fparts:
+                    continue
+                allowed = np.unique(np.concatenate(fparts))
             bucket_drop = self.tombstones
             if xset:
                 xmask = bpdf["term"].isin(xset)
@@ -311,6 +334,10 @@ class LocalSearchIndex:
                      if (t, int(f)) in idfs}
             if bucket_drop is not None:
                 by_tf = {k: tb.without_docs(bucket_drop)
+                         for k, tb in by_tf.items()}
+                by_tf = {k: tb for k, tb in by_tf.items() if tb.total}
+            if allowed is not None:
+                by_tf = {k: tb.keep_docs(allowed)
                          for k, tb in by_tf.items()}
                 by_tf = {k: tb for k, tb in by_tf.items() if tb.total}
             terms_here = {t for t, _ in by_tf}

@@ -230,7 +230,9 @@ class SearchIndex:
                offset: int = 0, use_wand: bool = False,
                with_url: bool = False, quantize: int | None = None,
                weights: list[float] | None = None,
-               exclude: str | list[str] | None = None) -> DataFrame:
+               exclude: str | list[str] | None = None,
+               filter_terms: str | list[str] | None = None,
+               filter_field: int | None = None) -> DataFrame:
         """Top-k BM25. Returns DataFrame (doc_id, score[, url]) in total
         order (score DESC, doc_id ASC), sliced [offset, offset+k).
 
@@ -250,7 +252,17 @@ class SearchIndex:
         ``quantize=d`` floor-quantizes scores to d decimals BEFORE ranking
         (both locally and globally) so that cross-engine 1-ULP differences
         (e.g. a different libm ln) cannot flip near-tied ranks — used by the
-        DuckDB-oracle driver checks; default is exact float64."""
+        DuckDB-oracle driver checks; default is exact float64.
+
+        ``filter_terms`` (with optional ``filter_field``) is an INDEX-SIDE
+        metadata filter: a doc must contain at least one filter term (in
+        ``filter_field`` if given, else any field) to be scored — IN-list
+        semantics, e.g. lang IN ('en','de') against a lang field indexed
+        as unscored metadata. The filter streams ride the same postings
+        scan and restrict bucket-locally BEFORE per-bucket top-k (ranks
+        back-fill), so a filtered query costs one scan and touches no
+        doc-table join — the scalable faceted-search design (filters as
+        postings). Filter terms contribute NO score."""
         qterms = _fold_terms(query, self.analyzer)
         stats = self.term_stats(qterms)
         present = [t for t in qterms if t in stats]
@@ -259,13 +271,21 @@ class SearchIndex:
         xterms = _fold_terms(exclude, self.analyzer) if exclude else []
         xstats = self.term_stats(xterms) if xterms else {}
         xpresent = sorted({t for t in xterms if t in xstats})
+        fterms = _fold_terms(filter_terms, self.analyzer) if filter_terms \
+            else []
+        fstats = self.term_stats(fterms) if fterms else {}
+        fpresent = sorted({t for t in fterms if t in fstats})
+        if fterms and not fpresent:
+            return self._empty()   # filter matches no dictionary term
         w = list(weights) if weights is not None else [1.0] * self.n_fields
         # (term, field) -> field_weight * idf — the stream's full scalar
         idfs = {(t, f): w[f] * idf_fn(self.n_docs, st["df"])
                 for t in present for f, st in stats[t].items()
                 if f < len(w) and w[f] != 0.0}
         scored = self._score_buckets(present, idfs, k + offset, mode, use_wand,
-                                     quantize, exclude_terms=xpresent)
+                                     quantize, exclude_terms=xpresent,
+                                     required_terms=fpresent or None,
+                                     required_field=filter_field)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k + offset)
         if offset:
             out = out.offset(offset)
@@ -355,7 +375,9 @@ class SearchIndex:
     def _score_buckets(self, terms: list[str], idfs: dict[tuple, float],
                        k_local: int, mode: str, use_wand: bool,
                        quantize: int | None = None,
-                       exclude_terms: list[str] | None = None) -> DataFrame:
+                       exclude_terms: list[str] | None = None,
+                       required_terms: list[str] | None = None,
+                       required_field: int | None = None) -> DataFrame:
         avgdl = self.avgdl
         favg = dict(self.field_avgdl)
         n_query = len(terms)
@@ -364,8 +386,25 @@ class SearchIndex:
         drop = self.tombstones
         codec = self.codec_name
         xset = frozenset(exclude_terms or [])
+        fset = frozenset(required_terms or [])
+        ffield = required_field
 
         def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                  "score": pd.array([], dtype="float64")})
+            allowed = None
+            if fset:
+                fmask = pdf["term"].isin(fset)
+                if ffield is not None:
+                    fmask &= pdf["field"] == ffield
+                # filter streams are NOT removed from pdf: a term may both
+                # filter and score (it scores only if it is in idfs)
+                fparts = [_term_blocks_from_pdf(g, 0.0, avgdl, codec)
+                          .decode_all()[0]
+                          for _, g in pdf[fmask].groupby(["term", "field"])]
+                if not fparts:
+                    return empty
+                allowed = np.unique(np.concatenate(fparts))
             bucket_drop = drop
             if xset:
                 xmask = pdf["term"].isin(xset)
@@ -384,6 +423,10 @@ class SearchIndex:
                      if (t, int(f)) in idfs}
             if bucket_drop is not None:
                 by_tf = {k: tb.without_docs(bucket_drop)
+                         for k, tb in by_tf.items()}
+                by_tf = {k: tb for k, tb in by_tf.items() if tb.total}
+            if allowed is not None:
+                by_tf = {k: tb.keep_docs(allowed)
                          for k, tb in by_tf.items()}
                 by_tf = {k: tb for k, tb in by_tf.items() if tb.total}
             terms_here = {t for t, _ in by_tf}
@@ -407,6 +450,8 @@ class SearchIndex:
         # (poss is the largest column in the index)
         scan_terms = terms + [t for t in (exclude_terms or [])
                               if t not in terms]
+        scan_terms += [t for t in (required_terms or [])
+                       if t not in scan_terms]
         blocks = self.postings.filter(F.col("term").isin(scan_terms)).select(
             "bucket", "term", "field", "n", "first_doc", "last_doc", "max_tf",
             "min_dl", "docs", "tfs", "dls")

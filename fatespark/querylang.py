@@ -16,6 +16,10 @@ parsed form keeps its oracle-checked scoring:
     "big dat"*          phrase-prefix (fates' natural suffix semantics)
     "big data"~3        proximity: all quoted terms within a token window
                         of span <= 3 (unordered; ``search_near``)
+    source:src3         field filter: docs whose named field contains the
+                        value (index-side restriction, ``search(
+                        filter_terms=, filter_field=)``; field names map
+                        via ``execute(field_names=...)``)
 
 Terms and prefixes compose freely with exclusions in ONE ``search()`` call
 (prefix atoms are just dictionary expansions, so no extra scoring path).
@@ -52,6 +56,7 @@ class ParsedQuery:
     slop: int | None = None
     exclude_terms: list[str] = field(default_factory=list)
     exclude_prefixes: list[str] = field(default_factory=list)
+    filters: list[tuple[str, str]] = field(default_factory=list)  # (field, value)
 
 
 def parse_query(q: str) -> ParsedQuery:
@@ -113,6 +118,13 @@ def parse_query(q: str) -> ParsedQuery:
                                    "trailing '*' is a prefix)")
         if not tok:
             continue
+        if ":" in tok[1:-1]:  # field filter — ':' strictly interior
+            if neg or starred:
+                raise UnsupportedQueryError(
+                    f"field filters cannot be negated or prefixed: {tok!r}")
+            fname, _, fval = tok.partition(":")
+            out.filters.append((fname, fval))
+            continue
         bucket = (
             (out.exclude_prefixes if starred else out.exclude_terms)
             if neg else (out.prefixes if starred else out.terms))
@@ -126,20 +138,27 @@ def parse_query(q: str) -> ParsedQuery:
                                    out.exclude_prefixes):
         raise UnsupportedQueryError(
             "exclusions are not supported alongside a quoted phrase")
+    if out.phrase is not None and out.filters:
+        raise UnsupportedQueryError(
+            "field filters are not supported alongside a quoted phrase")
     if (out.phrase is None and not out.terms and not out.prefixes):
-        if out.exclude_terms or out.exclude_prefixes:
+        if out.exclude_terms or out.exclude_prefixes or out.filters:
             raise UnsupportedQueryError(
-                "purely negative queries are not supported")
+                "purely negative or filter-only queries are not supported")
     return out
 
 
 def execute(index, q: str | ParsedQuery, k: int = 10, mode: str = "OR",
-            offset: int = 0, max_expansions: int = 256, **kw):
+            offset: int = 0, max_expansions: int = 256,
+            field_names: dict[str, int] | None = None, **kw):
     """Run a query string against either reader. Positive terms + expanded
     prefixes score as one term-bag ``search()`` (one job, one plan);
     excluded prefixes expand into the NOT-set; a lone quoted phrase routes
-    to the phrase matcher. Extra ``**kw`` (quantize, weights, use_wand,
-    with_url) pass through to the underlying call."""
+    to the phrase matcher. ``field:value`` atoms become the index-side
+    metadata filter (``filter_terms``/``filter_field``) — ``field_names``
+    maps names to index field ids; all filters must target ONE field (the
+    engine restriction is per-field). Extra ``**kw`` (quantize, weights,
+    use_wand, with_url) pass through to the underlying call."""
     spec = parse_query(q) if isinstance(q, str) else q
     if spec.phrase is not None:
         if spec.slop is not None:
@@ -150,6 +169,23 @@ def execute(index, q: str | ParsedQuery, k: int = 10, mode: str = "OR",
                 spec.phrase, k=k, offset=offset,
                 max_expansions=max_expansions, **kw)
         return index.search_phrase(spec.phrase, k=k, offset=offset, **kw)
+    fterms, ffield = None, None
+    if spec.filters:
+        names = field_names or {}
+        fids = set()
+        vals = []
+        for fname, fval in spec.filters:
+            if fname not in names:
+                raise UnsupportedQueryError(
+                    f"unknown filter field {fname!r} (known: "
+                    f"{sorted(names)})")
+            fids.add(names[fname])
+            vals.append(fval)
+        if len(fids) > 1:
+            raise UnsupportedQueryError(
+                "filters across multiple fields are not supported in one "
+                "query (one filter field per search)")
+        fterms, ffield = vals, fids.pop()
     terms = list(spec.terms)
     for p in spec.prefixes:
         terms.extend(index.expand_prefix(p, max_expansions))
@@ -163,4 +199,5 @@ def execute(index, q: str | ParsedQuery, k: int = 10, mode: str = "OR",
     # a term appearing in both sets is a contradiction under AND and a
     # no-op-with-masking under OR; exclusion wins (web-search convention)
     return index.search(sorted(set(terms)), k=k, mode=mode, offset=offset,
-                        exclude=sorted(set(excl)) or None, **kw)
+                        exclude=sorted(set(excl)) or None,
+                        filter_terms=fterms, filter_field=ffield, **kw)

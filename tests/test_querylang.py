@@ -34,6 +34,13 @@ class TestParse:
         p = parse_query('"big dat"*')
         assert p.phrase == "big dat" and p.phrase_prefix
 
+    def test_field_filter(self):
+        p = parse_query('batch source:src3 lang:en')
+        assert p.terms == ["batch"]
+        assert p.filters == [("source", "src3"), ("lang", "en")]
+        # ':' must be strictly interior — edge colons stay ordinary terms
+        assert parse_query("a: :b :").terms == ["a:", ":b", ":"]
+
     def test_slop(self):
         p = parse_query('"big data"~3')
         assert p.phrase == "big data" and p.slop == 3
@@ -57,6 +64,12 @@ class TestParse:
             parse_query("-onlynegative")
         with pytest.raises(QuerySyntaxError):
             parse_query('"a b"~')
+        with pytest.raises(UnsupportedQueryError):
+            parse_query('-source:src3')
+        with pytest.raises(UnsupportedQueryError):
+            parse_query('"a b" source:src3')
+        with pytest.raises(UnsupportedQueryError):
+            parse_query('source:src3')   # filter-only
 
 
 def _rows(df):
@@ -90,6 +103,23 @@ class TestExecute:
         got = _rows(execute(dist, '"the smith"', k=10))
         want = _rows(dist.search_phrase("the smith", k=10))
         assert got == want
+
+    def test_field_filter_routes_to_filtered_search(self, idx):
+        dist, loc = idx
+        got = _rows(execute(dist, "the source:smith", k=10,
+                            field_names={"source": 0}))
+        want = _rows(dist.search(["the"], k=10, mode="OR",
+                                 filter_terms=["smith"], filter_field=0))
+        assert got == want and got
+        # local reader parity through the same string
+        lgot = _rows(execute(loc, "the source:smith", k=10,
+                             field_names={"source": 0}))
+        assert lgot == got
+        with pytest.raises(UnsupportedQueryError):
+            execute(dist, "the nosuch:x", k=10, field_names={"source": 0})
+        with pytest.raises(UnsupportedQueryError):
+            execute(dist, "the a:x b:y", k=10,
+                    field_names={"a": 0, "b": 1})
 
     def test_slop_routes_to_search_near(self, idx):
         dist, _ = idx
