@@ -34,6 +34,8 @@ _K1P1 = repr(K1 + 1.0)
 _1MB = repr(1.0 - B)
 _B = repr(B)
 
+_NOW_TS = 1700000000  # fixed "now" for the recency rescorer (reproducible)
+
 QS = {  # the reference-style query set over the documents vocabulary
     "single": ["batch"],
     "and2": ["batch", "join"],
@@ -248,6 +250,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _scores(_index(spark, sf).search(QS["or2"], k=1, mode="OR",
                                                 quantize=4))
     q["ft_first_match"] = ft_first_match
+
+    def ft_recency(spark, sf):
+        """Recency-decayed re-ranking (rescore.recency_topk): exact BM25
+        top-50 window, boosted by 2^(-age_days/30) from a deterministic
+        per-doc crawl timestamp, re-ranked to top-10. The rescoring join
+        broadcasts the 50-row candidate set — the corpus is never
+        shuffled. (The documents fixture carries no timestamp; the driver
+        derives one from doc_id so the operator is exercised end-to-end —
+        the engine API takes any timestamp/epoch column, e.g. warc_ts.)"""
+        from fatespark.rescore import recency_topk
+        idx = _index(spark, sf)
+        meta = _read(spark, sf, "documents").select(
+            "doc_id", (F.lit(_NOW_TS) - (F.col("doc_id") % 365)
+                       * 86400).alias("ts"))
+        return recency_topk(idx, meta, QS["or2"], half_life_days=30.0,
+                            now_ts=_NOW_TS, ts_col="ts", k=10, pool=50,
+                            mode="OR", quantize=4)
+    q["ft_recency"] = ft_recency
+
+    def ft_collapse(spark, sf):
+        """Diversity-capped top-k / site collapsing (rescore.collapsed_topk):
+        at most 2 results per source within the exact BM25 top-50 window,
+        re-ranked to top-10 — the window function runs over 50 rows, never
+        the corpus."""
+        from fatespark.rescore import collapsed_topk
+        idx = _index(spark, sf)
+        docs = _read(spark, sf, "documents")
+        return collapsed_topk(idx, docs, QS["or2"], group_col="source",
+                              per_group=2, k=10, pool=50, mode="OR",
+                              quantize=4)
+    q["ft_collapse"] = ft_collapse
 
     def ft_facets(spark, sf):
         """Facet panel over ALL matching docs (not top-k): per-(lang,
@@ -1040,6 +1073,38 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
         f"       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)"
         f" AS rank\nFROM ({_bm25_sql(terms, 'OR')}\n)"
         for qid, terms in batch_specs)
+
+    # recency rescoring: candidate pool = exact quantized BM25 top-50 (the
+    # engine's search total order), boosted by the identical float64
+    # expression shape (2^(-age_days/half_life)), re-quantized, re-ranked
+    o["ft_recency"] = f"""
+SELECT c.doc_id,
+       floor((c.score * pow(2.0, -((({float(_NOW_TS)!r} - CAST(m.ts AS DOUBLE))
+                                    / 86400.0) / 30.0))) * 10000.0)
+       / 10000.0 AS score
+FROM ({_bm25_sql(QS["or2"], "OR", limit=50)}
+) c
+JOIN (SELECT doc_id, {_NOW_TS} - (doc_id % 365) * 86400 AS ts
+      FROM documents) m USING (doc_id)
+ORDER BY score DESC, doc_id
+LIMIT 10"""
+
+    # site collapsing: window rank per source over the same exact top-50
+    # window, cap 2 per group, global re-rank
+    o["ft_collapse"] = f"""
+SELECT doc_id, source, score, grp_rank
+FROM (
+  SELECT j.doc_id, j.source, j.score,
+         CAST(row_number() OVER (PARTITION BY j.source
+                                 ORDER BY j.score DESC, j.doc_id) AS INT)
+         AS grp_rank
+  FROM (SELECT c.doc_id, d.source, c.score
+        FROM ({_bm25_sql(QS["or2"], "OR", limit=50)}
+        ) c JOIN documents d USING (doc_id)) j
+) r
+WHERE grp_rank <= 2
+ORDER BY score DESC, doc_id
+LIMIT 10"""
 
     # proximity: a window of span <= slop exists iff some occurrence s has
     # every term within [s.pos, s.pos + slop] — the engine kernel's exact

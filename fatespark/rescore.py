@@ -1,0 +1,95 @@
+"""Second-pass rescoring over a BM25 candidate window.
+
+The web-search pattern the reference cannot express (fates ranks purely by
+match count over a suffix array, ``lib/fates.rb:60-71``): retrieve a
+candidate pool of the top ``pool`` documents by BM25, then re-rank that
+bounded window with a document-level signal — recency decay, or a
+per-group diversity cap ("site collapsing"). Both are *rescoring-window*
+semantics, the same contract as Lucene's rescorer / Elasticsearch
+``rescore``: exact within the window, and the window itself is the exact
+global BM25 top-``pool`` (SearchIndex.search's total order).
+
+Scale shape: the expensive part is the first-pass ``search()`` (one
+postings scan, per-bucket top-k, tiny global merge). The rescoring pass
+touches only ``pool`` rows: the candidate set is broadcast into a join
+against the document-metadata table, so the metadata scan is pruned by the
+broadcast hash join (no shuffle of the corpus, no second postings scan).
+At 10^12 docs the metadata side is the Iceberg doc table; the join reads
+only the (doc_id, signal) columns and AQE turns it into a broadcast join
+exactly as written here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["recency_topk", "collapsed_topk"]
+
+
+def _quantize(col, quantize: int | None):
+    if quantize is None:
+        return col
+    mul = float(10 ** quantize)
+    return F.floor(col * mul) / mul
+
+
+def recency_topk(index, meta: DataFrame, query, *, half_life_days: float,
+                 now_ts: int, ts_col: str = "warc_ts", k: int = 10,
+                 pool: int = 100, mode: str = "OR",
+                 quantize: int | None = None,
+                 use_wand: bool = False) -> DataFrame:
+    """Top-k by recency-decayed BM25: ``score * 2^(-age_days/half_life)``.
+
+    ``meta`` must carry (doc_id, ``ts_col``) where ``ts_col`` is a
+    timestamp or epoch-seconds column (crawl time — ``warc_ts`` on the
+    Common-Crawl-shaped corpus). ``now_ts`` is epoch seconds "now"; passed
+    explicitly (never wall clock) so results are reproducible.
+
+    Exact within the BM25 top-``pool`` window. Because the decay factor is
+    ≤ 1, any document whose BM25 score is below the final boosted top-k
+    threshold can never enter the top-k — so with ``pool`` large enough
+    that the pool's floor BM25 is below ``k``-th boosted score, the window
+    result equals the full-corpus result; the caller controls the
+    exactness/cost trade-off, as in Lucene's rescorer.
+    """
+    cand = index.search(query, k=pool, mode=mode, quantize=quantize,
+                        use_wand=use_wand)
+    ts = F.col(ts_col)
+    # timestamp -> epoch seconds; already-numeric columns pass through
+    if dict(meta.dtypes).get(ts_col) in ("timestamp", "timestamp_ntz",
+                                         "date"):
+        ts = ts.cast("long")
+    age_days = (F.lit(float(now_ts)) - ts.cast("double")) / F.lit(86400.0)
+    decay = F.pow(F.lit(2.0), -(age_days / F.lit(float(half_life_days))))
+    j = (meta.select("doc_id", decay.alias("_decay"))
+         .join(F.broadcast(cand), "doc_id"))
+    boosted = _quantize(F.col("score") * F.col("_decay"), quantize)
+    return (j.select("doc_id", boosted.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))
+
+
+def collapsed_topk(index, meta: DataFrame, query, *, group_col: str,
+                   per_group: int = 1, k: int = 10, pool: int = 100,
+                   mode: str = "OR", quantize: int | None = None,
+                   use_wand: bool = False) -> DataFrame:
+    """Diversity-capped top-k ("site collapsing"): at most ``per_group``
+    results per value of ``group_col`` (host, source, dup-cluster id, …),
+    ranked by BM25 within the exact top-``pool`` window.
+
+    Returns (doc_id, ``group_col``, score, grp_rank) in global
+    (score DESC, doc_id ASC) order; ``grp_rank`` is the 1-based rank of
+    the doc within its group. The window function runs over ``pool`` rows
+    only — the per-group partitioning never touches the corpus.
+    """
+    cand = index.search(query, k=pool, mode=mode, quantize=quantize,
+                        use_wand=use_wand)
+    j = meta.select("doc_id", group_col).join(F.broadcast(cand), "doc_id")
+    w = Window.partitionBy(group_col).orderBy(F.desc("score"),
+                                              F.asc("doc_id"))
+    return (j.withColumn("grp_rank", F.row_number().over(w))
+            .filter(F.col("grp_rank") <= per_group)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", group_col, "score", "grp_rank"))

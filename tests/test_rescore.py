@@ -1,0 +1,140 @@
+"""Rescoring-window operators: recency decay and per-group collapsing.
+
+Both re-rank the exact BM25 top-``pool`` window (rescore.py); parity is
+checked against a brute-force pandas re-implementation over the full
+corpus with pool == corpus size (window exactness), plus window-semantics
+checks at small pool.
+"""
+
+import math
+
+import pandas as pd
+import pytest
+
+from fatespark.build import BuildConfig, IndexBuilder
+from fatespark.query import SearchIndex
+from fatespark.rescore import collapsed_topk, recency_topk
+
+NOW = 1_700_000_000
+# doc_id, text, age_days, group
+DOCS = [
+    (1, "apple banana cherry", 0, "g1"),
+    (2, "apple apple banana", 10, "g1"),
+    (3, "banana cherry cherry date", 400, "g2"),
+    (4, "apple banana banana banana", 30, "g2"),
+    (5, "cherry date elder", 5, "g3"),
+    (6, "apple cherry", 90, "g3"),
+    (7, "banana banana apple cherry", 365, "g1"),
+    (8, "apple date", 1, "g2"),
+    (9, "elder fig grape", 50, "g3"),
+    (10, "apple banana cherry date", 200, "g1"),
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_root):
+    d = str(tmp_root / "rescore_idx")
+    df = spark.createDataFrame([(i, t) for i, t, _, _ in DOCS],
+                               "doc_id long, text string")
+    IndexBuilder(d, BuildConfig(n_buckets=2, salt_bits=0)).build(
+        spark, df, id_col="doc_id", url_col="doc_id", text_col="text",
+        build_id="rescore")
+    meta = spark.createDataFrame(
+        [(i, NOW - age * 86400, grp) for i, _, age, grp in DOCS],
+        "doc_id long, ts long, grp string")
+    return SearchIndex(spark, d), meta
+
+
+def _bm25_all(idx, terms, mode="OR"):
+    rows = idx.search(terms, k=100, mode=mode).collect()
+    return {r["doc_id"]: r["score"] for r in rows}
+
+
+class TestRecency:
+    def test_full_window_equals_brute_force(self, built):
+        idx, meta = built
+        terms, hl = ["apple", "banana"], 30.0
+        scores = _bm25_all(idx, terms)
+        ages = {i: age for i, _, age, _ in DOCS}
+        want = sorted(
+            ((i, s * math.pow(2.0, -(ages[i] / hl)))
+             for i, s in scores.items()),
+            key=lambda x: (-x[1], x[0]))[:5]
+        got = recency_topk(idx, meta, terms, half_life_days=hl, now_ts=NOW,
+                           ts_col="ts", k=5, pool=100).collect()
+        assert [r["doc_id"] for r in got] == [i for i, _ in want]
+        for r, (_, s) in zip(got, want):
+            assert r["score"] == pytest.approx(s, rel=1e-12)
+
+    def test_fresh_doc_outranks_stale_higher_bm25(self, built):
+        idx, meta = built
+        # doc 3 ('banana cherry cherry date', 400 days old) has high cherry
+        # tf but decays to ~0; any fresh cherry doc must outrank it
+        got = recency_topk(idx, meta, ["cherry"], half_life_days=30.0,
+                           now_ts=NOW, ts_col="ts", k=3, pool=100).collect()
+        assert got[0]["doc_id"] != 3
+        assert 3 not in [r["doc_id"] for r in got]
+
+    def test_window_semantics(self, built):
+        idx, meta = built
+        # pool=2: only the BM25 top-2 are eligible, whatever their age
+        pool2 = recency_topk(idx, meta, ["apple"], half_life_days=30.0,
+                             now_ts=NOW, ts_col="ts", k=2, pool=2).collect()
+        top2_bm25 = sorted(_bm25_all(idx, ["apple"]).items(),
+                           key=lambda x: (-x[1], x[0]))[:2]
+        assert {r["doc_id"] for r in pool2} == {i for i, _ in top2_bm25}
+
+    def test_timestamp_column(self, built, spark):
+        idx, meta = built
+        from pyspark.sql import functions as F
+        tsm = meta.select("doc_id",
+                          F.timestamp_seconds("ts").alias("warc_ts"))
+        a = recency_topk(idx, tsm, ["apple"], half_life_days=30.0,
+                         now_ts=NOW, k=5, pool=100).collect()
+        b = recency_topk(idx, meta, ["apple"], half_life_days=30.0,
+                         now_ts=NOW, ts_col="ts", k=5, pool=100).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == \
+               [(r["doc_id"], r["score"]) for r in b]
+
+
+class TestCollapse:
+    def test_full_window_equals_brute_force(self, built):
+        idx, meta = built
+        terms, cap = ["apple", "banana", "cherry"], 1
+        scores = _bm25_all(idx, terms)
+        grp = {i: g for i, _, _, g in DOCS}
+        pdf = pd.DataFrame(
+            [(i, grp[i], s) for i, s in scores.items()],
+            columns=["doc_id", "grp", "score"]).sort_values(
+            ["score", "doc_id"], ascending=[False, True])
+        pdf["rank"] = pdf.groupby("grp").cumcount() + 1
+        want = pdf[pdf["rank"] <= cap].head(3)
+        got = collapsed_topk(idx, meta, terms, group_col="grp",
+                             per_group=cap, k=3, pool=100).collect()
+        assert [r["doc_id"] for r in got] == list(want["doc_id"])
+        assert [r["grp_rank"] for r in got] == list(want["rank"])
+        # cap respected
+        seen = [r["grp"] for r in got]
+        assert len(seen) == len(set(seen))
+
+    def test_cap_two(self, built):
+        idx, meta = built
+        got = collapsed_topk(idx, meta, ["apple", "banana", "cherry"],
+                             group_col="grp", per_group=2, k=10,
+                             pool=100).collect()
+        counts: dict[str, int] = {}
+        for r in got:
+            counts[r["grp"]] = counts.get(r["grp"], 0) + 1
+        assert all(v <= 2 for v in counts.values())
+        # global order preserved
+        ss = [r["score"] for r in got]
+        assert ss == sorted(ss, reverse=True)
+
+    def test_uncapped_matches_search(self, built):
+        idx, meta = built
+        terms = ["apple", "banana"]
+        got = collapsed_topk(idx, meta, terms, group_col="grp",
+                             per_group=100, k=5, pool=100).collect()
+        base = idx.search(terms, k=5).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == \
+               [(r["doc_id"], r["score"]) for r in base]
