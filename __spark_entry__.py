@@ -244,6 +244,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                k=10, mode="OR", quantize=4))
     q["ft_query_string"] = ft_query_string
 
+    def ft_suggest(spark, sf):
+        """Spell suggestion / did-you-mean (suggest.suggest): SymSpell
+        deletion banding over the term dictionary — candidates come from
+        an equi-join on single-deletion band keys (complete for edit
+        distance <= 1, plus all adjacent transpositions at depth 1; every
+        pair exact-verified with levenshtein), ranked (dist ASC, df DESC).
+        No all-pairs comparison anywhere."""
+        from fatespark.suggest import suggest
+        return suggest(_index(spark, sf), ["bacth", "scann", "sow"],
+                       k=5,
+                       max_edit=2)
+    q["ft_suggest"] = ft_suggest
+
     def ft_first_match(spark, sf):
         """k=1 LIMIT shortcut (reference ``Hits#first`` / T6): the plan
         bottoms out in CollectLimit over the per-bucket scorer."""
@@ -1105,6 +1118,42 @@ FROM (
 WHERE grp_rank <= 2
 ORDER BY score DESC, doc_id
 LIMIT 10"""
+
+    # spell suggestion: the oracle replicates the deletion banding itself
+    # (band keys from BOTH sides, equi-join, exact levenshtein verify) so
+    # the candidate-generation semantics — including depth-1's partial
+    # distance-2 recall — are part of what is checked
+    _sugg_variants = ("list_distinct(list_append("
+                      "list_transform(range(1, length({c}) + 1), "
+                      "i -> substr({c}, 1, i - 1) || substr({c}, i + 1)), "
+                      "{c}))")
+    o["ft_suggest"] = f"""
+WITH {_TOK_CTES},
+dvar AS (
+  SELECT term, df,
+         unnest({_sugg_variants.format(c="term")}) AS variant
+  FROM dfs
+),
+qv AS (
+  SELECT qterm, unnest({_sugg_variants.format(c="qterm")}) AS variant
+  FROM (VALUES ('bacth'), ('scann'), ('sow')) q(qterm)
+),
+cand AS (
+  SELECT DISTINCT qterm, term, df FROM qv JOIN dvar USING (variant)
+),
+scored AS (
+  SELECT qterm, term AS suggestion,
+         levenshtein(qterm, term) AS dist, df
+  FROM cand
+  WHERE levenshtein(qterm, term) <= 2
+)
+SELECT qterm, suggestion, dist, df, rank
+FROM (SELECT *, CAST(row_number() OVER (
+        PARTITION BY qterm
+        ORDER BY dist ASC, df DESC, suggestion ASC) AS INT) AS rank
+      FROM scored) r
+WHERE rank <= 5
+ORDER BY qterm, rank"""
 
     # proximity: a window of span <= slop exists iff some occurrence s has
     # every term within [s.pos, s.pos + slop] — the engine kernel's exact
