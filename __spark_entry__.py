@@ -257,6 +257,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        max_edit=2)
     q["ft_suggest"] = ft_suggest
 
+    def ft_mlt(spark, sf):
+        """More-like-this (mlt.more_like_this): top-10 docs most similar
+        to seed doc 7 — disjunctive BM25 over the seed's top-5 tf-idf
+        terms, seed excluded. One pushed-down seed fetch + one pruned
+        terms-table IN-list + one ordinary postings-scan search."""
+        from fatespark.mlt import more_like_this
+        idx = _index(spark, sf)
+        docs = _read(spark, sf, "documents")
+        return more_like_this(idx, docs, 7, k=10, m=5, quantize=4)
+    q["ft_mlt"] = ft_mlt
+
     def ft_first_match(spark, sf):
         """k=1 LIMIT shortcut (reference ``Hits#first`` / T6): the plan
         bottoms out in CollectLimit over the per-bucket scorer."""
@@ -1118,6 +1129,40 @@ FROM (
 WHERE grp_rank <= 2
 ORDER BY score DESC, doc_id
 LIMIT 10"""
+
+    # more-like-this: the oracle derives the seed's top-5 tf*idf terms
+    # itself (no Python value reaches the SQL), then scores them with the
+    # ordered-fold BM25 (ascending-term summation, same as the engine)
+    o["ft_mlt"] = f"""
+WITH {_TOK_CTES},
+seedw AS (
+  SELECT tfs.term,
+         CAST(tfs.tf AS DOUBLE)
+         * ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+  FROM tfs JOIN dfs USING (term) CROSS JOIN stats
+  WHERE tfs.doc_id = 7
+),
+mlt AS (SELECT term FROM seedw ORDER BY w DESC, term LIMIT 5),
+contrib AS (
+  SELECT tfs.doc_id, tfs.term,
+         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tfs.tf * {_K1P1} / (tfs.tf + {_K1} *
+            ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS s
+  FROM tfs
+  JOIN dfs USING (term)
+  JOIN dls ON dls.doc_id = tfs.doc_id
+  CROSS JOIN stats
+  WHERE tfs.term IN (SELECT term FROM mlt)
+),
+scored AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                     (acc, x) -> acc + x) AS score
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
+FROM scored WHERE doc_id <> 7
+ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
 
     # spell suggestion: the oracle replicates the deletion banding itself
     # (band keys from BOTH sides, equi-join, exact levenshtein verify) so
