@@ -574,6 +574,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("source"))
     q["tx_source_stats"] = tx_source_stats
 
+    def tx_collocations(spark, sf):
+        """Bigram collocations by PMI (textops.collocations_df): phrase
+        discovery / tokenizer-vocabulary curation statistics. Adjacency is
+        a narrow per-doc array transform (no positional self-join); two
+        hash aggs + two count joins; min-count guard against PMI's
+        low-frequency blow-up."""
+        d = _read(spark, sf, "documents")
+        return textops.collocations_df(d, min_count=20, k=20, quantize=4)
+    q["tx_collocations"] = tx_collocations
+
     def tx_curate(spark, sf):
         """Composed curation pipeline (fatespark.curate.curate_corpus):
         quality gate -> language allow-list -> exact dedup keep -> stable
@@ -1489,6 +1499,41 @@ JOIN q ON q.doc_id = d.doc_id
 JOIN tok t ON t.doc_id = d.doc_id
 GROUP BY d.source
 ORDER BY d.source"""
+
+    o["tx_collocations"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(coalesce(text, ''),
+                                             '{_WS_SQL}'), x -> x <> ''),
+           x -> translate(x, '{_UP}', '{_LO}')) AS toks
+  FROM documents
+),
+ucnt AS (
+  SELECT t, count(*) AS n
+  FROM (SELECT unnest(toks) AS t FROM base) GROUP BY t
+),
+utot AS (SELECT CAST(sum(n) AS DOUBLE) AS u FROM ucnt),
+bcnt AS (
+  SELECT a, b, count(*) AS n_ab
+  FROM (SELECT toks[i] AS a, toks[i + 1] AS b
+        FROM base, unnest(range(1, len(toks))) r(i)
+        WHERE len(toks) >= 2)
+  GROUP BY a, b HAVING count(*) >= 20
+),
+btot AS (
+  SELECT CAST(sum(len(toks) - 1) AS DOUBLE) AS bgt
+  FROM base WHERE len(toks) >= 2
+)
+SELECT bcnt.a, bcnt.b, bcnt.n_ab,
+       floor(ln((CAST(n_ab AS DOUBLE) * u * u)
+                / (bgt * CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)))
+             * 10000.0) / 10000.0 AS pmi
+FROM bcnt
+JOIN ucnt na ON na.t = bcnt.a
+JOIN ucnt nb ON nb.t = bcnt.b
+CROSS JOIN utot CROSS JOIN btot
+ORDER BY pmi DESC, a, b LIMIT 20"""
 
     _cur_b = sqlhash.md5_bucket60("doc_id", "split", 1_000_000)
     o["tx_curate"] = f"""

@@ -206,3 +206,52 @@ def pii_count_cols(text_col: str) -> dict:
         F.coalesce(F.col(text_col), F.lit(""))
     return {f"n_{name}": F.regexp_count(t, F.lit(pat))
             for name, pat, _ in PII_PATTERNS}
+
+
+def collocations_df(df, text_col: str = "text", min_count: int = 5,
+                    k: int = 20, quantize: int = 4):
+    """Top-``k`` bigram collocations by pointwise mutual information —
+    the corpus-statistics operator behind phrase discovery / tokenizer
+    vocabulary curation. PMI(a,b) = ln(p(a,b) / (p(a)p(b))) with
+    p(a,b) = n_ab/total_bigrams and p(x) = n_x/total_unigrams; pairs below
+    ``min_count`` are dropped (the standard guard against PMI's
+    low-frequency blow-up). Returns (a, b, n_ab, pmi) ordered by
+    (quantized pmi DESC, a, b).
+
+    Scale shape: bigrams come from a narrow per-doc array transform (NO
+    positional self-join — adjacency is local to the token array), then
+    exactly two hash aggregations (unigrams by term, bigrams by pair) and
+    two shuffle joins of bigram counts against the unigram counts; the
+    two 1-row totals broadcast. All JVM expressions, whole-stage codegen.
+    """
+    toks = F.transform(tokens_col(text_col),
+                       lambda x: F.translate(x, UPPER, LOWER))
+    base = (df.select(toks.alias("toks"))
+            .filter(F.size("toks") >= 1))
+    uni = (base.select(F.explode("toks").alias("t"))
+           .groupBy("t").agg(F.count("*").alias("n")))
+    big = (base.filter(F.size("toks") >= 2)
+           .select(F.explode(F.expr(
+               "transform(sequence(1, size(toks) - 1), "
+               "i -> struct(toks[i - 1] AS a, toks[i] AS b))")).alias("p"))
+           .select("p.a", "p.b")
+           .groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+           .filter(F.col("n_ab") >= min_count))
+    u_total = uni.agg(F.sum("n").alias("u")).select(
+        F.col("u").cast("double").alias("u"))
+    # PMI totals are over ALL bigrams, not the min_count survivors
+    b_total = base.filter(F.size("toks") >= 2).agg(
+        (F.sum(F.size("toks") - 1)).alias("bg")).select(
+        F.col("bg").cast("double").alias("bg"))
+    ua = uni.select(F.col("t").alias("a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("t").alias("b"), F.col("n").alias("n_b"))
+    j = (big.join(ua, "a").join(ub, "b")
+         .crossJoin(F.broadcast(u_total)).crossJoin(F.broadcast(b_total)))
+    num = (F.col("n_ab").cast("double") * F.col("u") * F.col("u"))
+    den = (F.col("bg") * F.col("n_a").cast("double")
+           * F.col("n_b").cast("double"))
+    mul = float(10 ** quantize)
+    pmi = F.floor(F.log(num / den) * mul) / mul
+    return (j.select("a", "b", "n_ab", pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+            .limit(k))

@@ -635,3 +635,45 @@ class TestIvfVectorIndex:
         df = spark.createDataFrame([], "vec_id long, embedding array<float>")
         with pytest.raises(ValueError, match="empty"):
             ann.ivf_train(df, 4, n_centroids=2)
+
+
+class TestCollocations:
+    def test_brute_force_parity(self, spark):
+        docs = [(1, "new york new york city"), (2, "New York is big"),
+                (3, "big data big data big data"), (4, "solo"),
+                (5, None), (6, "")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {(r["a"], r["b"]): (r["n_ab"], r["pmi"])
+               for r in textops.collocations_df(df, min_count=2,
+                                                k=100).collect()}
+        # brute force
+        import math
+        from collections import Counter
+        uni, big = Counter(), Counter()
+        bg_total = 0
+        for _, t in docs:
+            toks = [x.lower() for x in (t or "").split() if x]
+            uni.update(toks)
+            big.update(zip(toks, toks[1:]))
+            bg_total += max(len(toks) - 1, 0)
+        u_total = sum(uni.values())
+        want = {}
+        for (a, b), n_ab in big.items():
+            if n_ab < 2:
+                continue
+            pmi = math.log((n_ab * float(u_total) * u_total)
+                           / (float(bg_total) * uni[a] * uni[b]))
+            want[(a, b)] = (n_ab, math.floor(pmi * 10000) / 10000)
+        assert got == want
+
+    def test_no_cross_doc_bigrams(self, spark):
+        df = spark.createDataFrame([(1, "alpha"), (2, "beta")] * 3,
+                                   "doc_id long, text string")
+        assert textops.collocations_df(df, min_count=1, k=10).count() == 0
+
+    def test_min_count_and_k(self, spark):
+        df = spark.createDataFrame(
+            [(i, "x y" if i % 2 else "p q") for i in range(10)],
+            "doc_id long, text string")
+        rows = textops.collocations_df(df, min_count=5, k=1).collect()
+        assert len(rows) == 1 and rows[0]["n_ab"] == 5
