@@ -138,3 +138,28 @@ class TestCollapse:
         base = idx.search(terms, k=5).collect()
         assert [(r["doc_id"], r["score"]) for r in got] == \
                [(r["doc_id"], r["score"]) for r in base]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPlans:
+    """Scale-shape assertions: the rescoring join must broadcast the
+    candidate window, never shuffle or nested-loop the corpus side."""
+
+    def test_recency_broadcasts_candidates(self, built):
+        idx, meta = built
+        p = _plan(recency_topk(idx, meta, ["apple"], half_life_days=30.0,
+                               now_ts=NOW, ts_col="ts", k=5, pool=50))
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_collapse_broadcasts_candidates(self, built):
+        idx, meta = built
+        p = _plan(collapsed_topk(idx, meta, ["apple"], group_col="grp",
+                                 per_group=1, k=5, pool=50))
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p

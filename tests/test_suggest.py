@@ -87,3 +87,13 @@ def test_persisted_variants_path(built, tmp_root, spark):
     a = suggest(built, ["scam"], k=5, max_edit=2).collect()
     b = suggest(built, ["scam"], k=5, max_edit=2, variants=pre).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_plan_is_banded_equi_join(built):
+    """The candidate generator must be a broadcast equi-join on the band
+    key — no all-pairs comparison of query terms against the dictionary."""
+    p = suggest(built, ["scam"], k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
