@@ -100,8 +100,42 @@ def main() -> None:
         plan_of(idx.search_many({"a": ["smith"], "b": ["jones", "the"]},
                                 k=10, mode="OR"))))
 
+    from fatespark.rescore import recency_topk
+    from fatespark.suggest import suggest
+    meta = idx.docs.select(
+        "doc_id", (F.lit(1_700_000_000) - (F.col("doc_id") % 365)
+                   * 86400).alias("ts"))
+    sections.append((
+        "Query: recency rescoring window (recency_topk)",
+        "The candidate top-pool result is BROADCAST into the join against "
+        "the doc-metadata side — BroadcastHashJoin, corpus never shuffled; "
+        "decay + re-rank touch pool rows only (TakeOrderedAndProject).",
+        plan_of(recency_topk(idx, meta, ["smith"], half_life_days=30.0,
+                             now_ts=1_700_000_000, ts_col="ts", k=10,
+                             pool=100))))
+
+    sections.append((
+        "Query: spell suggestion (SymSpell deletion banding)",
+        "Dictionary deletion variants are a generate/explode projection "
+        "over the terms-table scan (JVM higher-order functions, no "
+        "Python); the query-side variants BROADCAST into an equi-join on "
+        "the band key. No CartesianProduct / BroadcastNestedLoopJoin — "
+        "fuzzy matching without an all-pairs comparison.",
+        plan_of(suggest(idx, ["smiht"], k=5, max_edit=2))))
+
     docs_p = "/root/testdata/sf0.01/documents.parquet"
     if os.path.exists(docs_p):
+        from fatespark.textops import collocations_df
+        sections.append((
+            "Text: PMI collocations (collocations_df)",
+            "Bigram adjacency is a per-doc array transform inside the scan "
+            "stage projection (NO positional self-join); two "
+            "HashAggregates (unigrams, bigrams) each with partial_count "
+            "map-side combine, two count equi-joins; the two 1-row totals "
+            "attach as BroadcastNestedLoopJoin Cross with a SINGLE-row "
+            "build side (a constant, not a data-sized nested loop).",
+            plan_of(collocations_df(spark.read.parquet(docs_p),
+                                    min_count=5, k=20))))
         from fatespark.curate import curate_corpus
         cur = curate_corpus(spark.read.parquet(docs_p), min_quality=0.25,
                             langs=["en", "de"])
