@@ -168,6 +168,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                        quantize=4))
     q["ft_prefix"] = ft_prefix
 
+    def ft_wildcard(spark, sf):
+        """Infix/wildcard search (wildcard.search_wildcard): '*par*' is
+        banded by dictionary trigrams (candidates must contain ALL the
+        pattern's literal-run trigrams — Lucene/Cox trigram-index design,
+        no full-dictionary regex scan), exact-verified, then scored as an
+        ordinary OR-BM25 expansion like search_prefix."""
+        from fatespark.wildcard import search_wildcard
+        return _scores(search_wildcard(_index(spark, sf), "*par*", k=10,
+                                       quantize=4))
+    q["ft_wildcard"] = ft_wildcard
+
     def ft_phrase(spark, sf):
         return _scores(_index(spark, sf).search_phrase(QS["phrase"], k=10,
                                                        quantize=4))
@@ -942,15 +953,16 @@ SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
 FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT {limit}"""
 
 
-def _bm25_prefix_sql(prefix: str) -> str:
-    """Prefix expansion in SQL: per-doc sum over matching terms must follow
-    ascending term order — emulated with an ORDER BY inside a per-term list
-    and fold via list_aggregate? DuckDB lacks ordered float fold; instead use
-    the fact that the engine sums contributions ascending by term: emulate
-    with a recursive-free trick — per-(doc,term) contributions summed via
-    sum() would be order-unspecified, so aggregate by building the ordered
-    list and reducing left-to-right with list_reduce (DuckDB preserves list
-    order from list(s ORDER BY term))."""
+def _bm25_like_sql(like: str) -> str:
+    """Dictionary-expansion BM25 in SQL (prefix OR wildcard): per-doc sum
+    over matching terms must follow ascending term order — emulated with an
+    ORDER BY inside a per-term list and fold via list_aggregate? DuckDB
+    lacks ordered float fold; instead use the fact that the engine sums
+    contributions ascending by term: emulate with a recursive-free trick —
+    per-(doc,term) contributions summed via sum() would be
+    order-unspecified, so aggregate by building the ordered list and
+    reducing left-to-right with list_reduce (DuckDB preserves list order
+    from list(s ORDER BY term))."""
     return f"""
 WITH {_TOK_CTES},
 contrib AS (
@@ -960,7 +972,7 @@ contrib AS (
             ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS s
   FROM tfs JOIN dfs USING (term) JOIN dls ON dls.doc_id = tfs.doc_id
   CROSS JOIN stats
-  WHERE tfs.term LIKE '{prefix}%'
+  WHERE tfs.term LIKE '{like}'
 ),
 scored AS (
   SELECT doc_id,
@@ -970,6 +982,10 @@ scored AS (
 )
 SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
 FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
+
+
+def _bm25_prefix_sql(prefix: str) -> str:
+    return _bm25_like_sql(prefix + "%")
 
 
 _QUALITY_SQL = f"""
@@ -1240,6 +1256,7 @@ prox AS (
         where_scored="doc_id IN (SELECT doc_id FROM prox)")
 
     o["ft_prefix"] = _bm25_prefix_sql(QS["prefix"])
+    o["ft_wildcard"] = _bm25_like_sql("%par%")
     ph_first, ph_second = QS["phrase"].split()
     o["ft_phrase"] = _bm25_phrase_sql(ph_first, ph_second)
     o["ft_phrase3"] = _bm25_phrase_sql(QS["phrase3"].split())
