@@ -279,6 +279,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return more_like_this(idx, docs, 7, k=10, m=5, quantize=4)
     q["ft_mlt"] = ft_mlt
 
+    def ft_boost(spark, sf):
+        """Per-term query boost ('batch join^2', Lucene ^ semantics): the
+        boosted term's score contribution is multiplied query-time — the
+        per-stream scalar becomes (weight*idf)*boost, nothing in the index
+        changes. Routed through the query-string parser
+        (querylang: term^N syntax -> search(boosts=))."""
+        from fatespark.querylang import execute
+        return _scores(execute(_index(spark, sf), "batch join^2",
+                               k=10, mode="OR", quantize=4))
+    q["ft_boost"] = ft_boost
+
     def ft_first_match(spark, sf):
         """k=1 LIMIT shortcut (reference ``Hits#first`` / T6): the plan
         bottoms out in CollectLimit over the per-bucket scorer."""
@@ -851,7 +862,8 @@ _TOK_CTES = _tok_ctes()
 def _bm25_sql(terms: list[str], mode: str, limit: int = 10,
               offset: int = 0, src: str = "documents",
               where_scored: str | None = None,
-              extra_ctes: str = "") -> str:
+              extra_ctes: str = "",
+              boosts: dict[str, float] | None = None) -> str:
     """Top-10 BM25 with explicit ascending-term summation order (float64
     parity with the engine). ``src`` re-bases the corpus (time-travel oracle:
     post-vacuum stats over survivors); ``where_scored`` filters scored docs
@@ -867,11 +879,19 @@ def _bm25_sql(terms: list[str], mode: str, limit: int = 10,
               if mode == "AND" else "")
     wsc = f"WHERE {where_scored} " if where_scored else ""
     xc = f"{extra_ctes}," if extra_ctes else ""
+    # term boost: the engine's per-stream scalar is (weight*idf)*boost —
+    # replicate the association exactly ((ln * CASE) * tf-part); boost 1.0
+    # multiplies bit-identically
+    bexpr = ""
+    if boosts:
+        whens = " ".join(f"WHEN '{t}' THEN {float(v)!r}"
+                         for t, v in sorted(boosts.items()))
+        bexpr = f" * CASE tfs.term {whens} ELSE 1.0 END"
     return f"""
 WITH {xc}{_tok_ctes(src)},
 contrib AS (
   SELECT tfs.doc_id, tfs.term,
-         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         (ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)){bexpr})
          * (tfs.tf * {_K1P1} / (tfs.tf + {_K1} *
             ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS s
   FROM tfs
@@ -1096,6 +1116,8 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_incremental"] = o["ft_count_terms"]
 
     o["ft_topk_single"] = _bm25_sql(QS["single"], "OR")
+    o["ft_boost"] = _bm25_sql(["batch", "join"], "OR",
+                              boosts={"join": 2.0})
     o["ft_topk_and2"] = _bm25_sql(QS["and2"], "AND")
     o["ft_topk_or2"] = _bm25_sql(QS["or2"], "OR")
     o["ft_topk_or3_wand"] = _bm25_sql(QS["or3"], "OR")

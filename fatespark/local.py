@@ -269,7 +269,8 @@ class LocalSearchIndex:
                weights: list[float] | None = None,
                exclude: str | list[str] | None = None,
                filter_terms: str | list[str] | None = None,
-               filter_field: int | None = None) -> pd.DataFrame:
+               filter_field: int | None = None,
+               boosts: dict[str, float] | None = None) -> pd.DataFrame:
         """Identical semantics and results to ``SearchIndex.search`` (same
         kernels, same per-bucket scoring, same (score DESC, doc_id ASC)
         total order); returns a pandas DataFrame (doc_id, score).
@@ -292,7 +293,10 @@ class LocalSearchIndex:
         if fterms and not fpresent:
             return _empty_result()
         w = list(weights) if weights is not None else [1.0] * self.n_fields
+        bmap = {ascii_fold(bt): float(bv)
+                for bt, bv in (boosts or {}).items()}
         idfs = {(t, f): w[f] * idf_fn(self.n_docs, st["df"])
+                * bmap.get(t, 1.0)
                 for t in present for f, st in stats[t].items()
                 if f < len(w) and w[f] != 0.0}
         pdf = self._blocks(sorted(set(present + xpresent + fpresent)))

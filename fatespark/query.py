@@ -232,9 +232,16 @@ class SearchIndex:
                weights: list[float] | None = None,
                exclude: str | list[str] | None = None,
                filter_terms: str | list[str] | None = None,
-               filter_field: int | None = None) -> DataFrame:
+               filter_field: int | None = None,
+               boosts: dict[str, float] | None = None) -> DataFrame:
         """Top-k BM25. Returns DataFrame (doc_id, score[, url]) in total
         order (score DESC, doc_id ASC), sliced [offset, offset+k).
+
+        ``boosts`` multiplies a term's score contribution (Lucene
+        ``term^2`` semantics): the per-stream scalar becomes
+        ``(weight * idf) * boost`` — a query-time knob only, nothing in
+        the index changes. Keys are folded like query terms; absent keys
+        boost 1.0.
 
         ``weights`` gives one multiplier per field (default 1.0 each) — the
         reference's weighted-field ranking (``lib/fates.rb:65``) upgraded to
@@ -278,8 +285,12 @@ class SearchIndex:
         if fterms and not fpresent:
             return self._empty()   # filter matches no dictionary term
         w = list(weights) if weights is not None else [1.0] * self.n_fields
-        # (term, field) -> field_weight * idf — the stream's full scalar
+        bmap = {ascii_fold(bt): float(bv)
+                for bt, bv in (boosts or {}).items()}
+        # (term, field) -> field_weight * idf * boost — the stream's full
+        # scalar (unboosted terms multiply by exactly 1.0: bit-identical)
         idfs = {(t, f): w[f] * idf_fn(self.n_docs, st["df"])
+                * bmap.get(t, 1.0)
                 for t in present for f, st in stats[t].items()
                 if f < len(w) and w[f] != 0.0}
         scored = self._score_buckets(present, idfs, k + offset, mode, use_wand,

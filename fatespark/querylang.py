@@ -16,6 +16,9 @@ parsed form keeps its oracle-checked scoring:
     "big dat"*          phrase-prefix (fates' natural suffix semantics)
     "big data"~3        proximity: all quoted terms within a token window
                         of span <= 3 (unordered; ``search_near``)
+    join^2              term boost: the term's score contribution is
+                        multiplied (Lucene ``^`` semantics; bare positive
+                        terms only — ``search(boosts=)``)
     source:src3         field filter: docs whose named field contains the
                         value (index-side restriction, ``search(
                         filter_terms=, filter_field=)``; field names map
@@ -57,6 +60,7 @@ class ParsedQuery:
     exclude_terms: list[str] = field(default_factory=list)
     exclude_prefixes: list[str] = field(default_factory=list)
     filters: list[tuple[str, str]] = field(default_factory=list)  # (field, value)
+    boosts: dict[str, float] = field(default_factory=dict)  # term -> mult
 
 
 def parse_query(q: str) -> ParsedQuery:
@@ -118,6 +122,20 @@ def parse_query(q: str) -> ParsedQuery:
                                    "trailing '*' is a prefix)")
         if not tok:
             continue
+        boost = None
+        if "^" in tok[1:]:
+            body, _, bs = tok.rpartition("^")
+            try:
+                boost = float(bs)
+            except ValueError:
+                raise QuerySyntaxError(
+                    f"'^' must be followed by a number in {tok!r}")
+            if boost <= 0.0:
+                raise QuerySyntaxError(f"boost must be > 0 in {tok!r}")
+            tok = body
+        if boost is not None and (neg or starred or ":" in tok[1:-1]):
+            raise UnsupportedQueryError(
+                f"boosts apply to bare positive terms only: {tok!r}")
         if ":" in tok[1:-1]:  # field filter — ':' strictly interior
             if neg or starred:
                 raise UnsupportedQueryError(
@@ -129,6 +147,8 @@ def parse_query(q: str) -> ParsedQuery:
             (out.exclude_prefixes if starred else out.exclude_terms)
             if neg else (out.prefixes if starred else out.terms))
         bucket.append(tok)
+        if boost is not None:
+            out.boosts[tok] = boost
     if out.phrase is not None and (out.terms or out.prefixes):
         raise UnsupportedQueryError(
             "mixing a quoted phrase with other positive atoms is not "
@@ -200,4 +220,5 @@ def execute(index, q: str | ParsedQuery, k: int = 10, mode: str = "OR",
     # no-op-with-masking under OR; exclusion wins (web-search convention)
     return index.search(sorted(set(terms)), k=k, mode=mode, offset=offset,
                         exclude=sorted(set(excl)) or None,
-                        filter_terms=fterms, filter_field=ffield, **kw)
+                        filter_terms=fterms, filter_field=ffield,
+                        boosts=spec.boosts or None, **kw)

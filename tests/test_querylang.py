@@ -138,3 +138,59 @@ class TestExecute:
             a = _rows(execute(dist, q, k=10, mode="OR"))
             b = _rows(execute(loc, q, k=10, mode="OR"))
             assert a == b, q
+
+
+class TestBoosts:
+    def test_parse_boost(self):
+        p = parse_query("batch join^2 scan^0.5")
+        assert p.terms == ["batch", "join", "scan"]
+        assert p.boosts == {"join": 2.0, "scan": 0.5}
+
+    def test_parse_boost_errors(self):
+        import pytest as _pt
+        from fatespark.querylang import (QuerySyntaxError,
+                                         UnsupportedQueryError)
+        with _pt.raises(QuerySyntaxError):
+            parse_query("join^x")
+        with _pt.raises(QuerySyntaxError):
+            parse_query("join^0")
+        with _pt.raises(UnsupportedQueryError):
+            parse_query("-join^2")
+        with _pt.raises(QuerySyntaxError):  # '*' not trailing once ^2 ends it
+            parse_query("jo*^2")
+        # a lone '^'-leading token is a term, not a boost
+        assert parse_query("^2").terms == ["^2"]
+
+    def test_boost_one_is_identity(self, idx):
+        sidx, _ = idx
+        a = execute(sidx, "the smith^1", k=10, mode="OR").collect()
+        b = execute(sidx, "the smith", k=10, mode="OR").collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == \
+               [(r["doc_id"], r["score"]) for r in b]
+
+    def test_boost_scales_contribution(self, idx):
+        sidx, _ = idx
+        # single-term query: boosting the only term scales every score
+        base = {r["doc_id"]: r["score"]
+                for r in execute(sidx, "smith", k=10).collect()}
+        boosted = {r["doc_id"]: r["score"]
+                   for r in execute(sidx, "smith^2", k=10).collect()}
+        assert set(base) == set(boosted)
+        for d, s in base.items():
+            assert boosted[d] == s * 2.0
+
+    def test_boost_changes_ranking(self, idx):
+        sidx, _ = idx
+        a = [r["doc_id"] for r in
+             execute(sidx, "smith jones", k=10, mode="OR").collect()]
+        b = [r["doc_id"] for r in
+             execute(sidx, "smith jones^8", k=10, mode="OR").collect()]
+        assert a != b  # a big boost must reorder a two-term OR
+
+    def test_local_parity(self, idx):
+        sidx, loc = idx
+        a = execute(sidx, "smith jones^2", k=10, mode="OR",
+                    quantize=4).collect()
+        b = execute(loc, "smith jones^2", k=10, mode="OR", quantize=4)
+        assert [(r["doc_id"], r["score"]) for r in a] == \
+               list(zip(b["doc_id"].tolist(), b["score"].tolist()))
