@@ -606,6 +606,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textops.collocations_df(d, min_count=20, k=20, quantize=4)
     q["tx_collocations"] = tx_collocations
 
+    def tx_surprisal(spark, sf):
+        """Per-doc mean token surprisal under the corpus unigram model
+        (textops.unigram_surprisal_df) — the CCNet/C4-style LM quality
+        signal with the corpus as the model. Per-doc float sums fold in
+        ascending term order (partition-independent, oracle-replicable)."""
+        d = _read(spark, sf, "documents")
+        return (textops.unigram_surprisal_df(d, quantize=4)
+                .orderBy("doc_id"))
+    q["tx_surprisal"] = tx_surprisal
+
     def tx_curate(spark, sf):
         """Composed curation pipeline (fatespark.curate.curate_corpus):
         quality gate -> language allow-list -> exact dedup keep -> stable
@@ -1573,6 +1583,37 @@ JOIN ucnt na ON na.t = bcnt.a
 JOIN ucnt nb ON nb.t = bcnt.b
 CROSS JOIN utot CROSS JOIN btot
 ORDER BY pmi DESC, a, b LIMIT 20"""
+
+    o["tx_surprisal"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(coalesce(text, ''),
+                                             '{_WS_SQL}'), x -> x <> ''),
+           x -> translate(x, '{_UP}', '{_LO}')) AS toks
+  FROM documents
+),
+tfx AS (
+  SELECT doc_id, t, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM base) GROUP BY doc_id, t
+),
+freq AS (SELECT t, CAST(sum(tf) AS BIGINT) AS n FROM tfx GROUP BY t),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tt FROM freq),
+contrib AS (
+  SELECT doc_id, t, tf,
+         CAST(tf AS DOUBLE) * (- ln(CAST(n AS DOUBLE) / tt)) AS s
+  FROM tfx JOIN freq USING (t) CROSS JOIN tot
+),
+agg AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0.0, list(s ORDER BY t)),
+                     (acc, x) -> acc + x) AS ssum,
+         CAST(sum(tf) AS BIGINT) AS ntok
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, ntok,
+       floor(ssum / CAST(ntok AS DOUBLE) * 10000.0) / 10000.0 AS surprisal
+FROM agg ORDER BY doc_id"""
 
     _cur_b = sqlhash.md5_bucket60("doc_id", "split", 1_000_000)
     o["tx_curate"] = f"""

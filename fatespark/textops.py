@@ -255,3 +255,43 @@ def collocations_df(df, text_col: str = "text", min_count: int = 5,
     return (j.select("a", "b", "n_ab", pmi.alias("pmi"))
             .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
             .limit(k))
+
+
+def unigram_surprisal_df(df, id_col: str = "doc_id",
+                         text_col: str = "text", quantize: int = 4):
+    """Per-document mean token surprisal under the corpus unigram model:
+    ``-(1/ntok) * sum_t tf_t * ln(n_t / T)`` — the CCNet/C4-style
+    language-model quality signal (rare-token-heavy docs score high,
+    boilerplate scores low) with the corpus itself as the model. Returns
+    (``id_col``, ntok, surprisal) for docs with >= 1 token.
+
+    Float determinism: the per-doc sum folds contributions in ascending
+    term order (array_sort + aggregate, JVM-side) so the result is
+    partition-independent and exactly reproducible by the DuckDB oracle's
+    ordered list_reduce — the same discipline as the BM25 kernels.
+
+    Scale shape: one hash agg for the frequency table (vocab-sized), one
+    shuffle join of per-doc term counts against it, one per-doc agg; the
+    1-row total broadcasts. No Python anywhere.
+    """
+    toks = F.transform(tokens_col(text_col),
+                       lambda x: F.translate(x, UPPER, LOWER))
+    base = (df.select(F.col(id_col), toks.alias("toks"))
+            .filter(F.size("toks") >= 1))
+    tf = (base.select(id_col, F.explode("toks").alias("t"))
+          .groupBy(id_col, "t").agg(F.count("*").alias("tf")))
+    freq = tf.groupBy("t").agg(F.sum("tf").alias("n"))
+    total = freq.agg(F.sum("n").alias("tt")).select(
+        F.col("tt").cast("double").alias("tt"))
+    s = (F.col("tf").cast("double")
+         * -F.log(F.col("n").cast("double") / F.col("tt")))
+    j = (tf.join(freq, "t").crossJoin(F.broadcast(total))
+         .select(id_col, "t", "tf", s.alias("s")))
+    mul = float(10 ** quantize)
+    agg = (j.groupBy(id_col).agg(
+        F.aggregate(F.array_sort(F.collect_list(F.struct("t", "s"))),
+                    F.lit(0.0), lambda acc, x: acc + x["s"]).alias("ssum"),
+        F.sum("tf").alias("ntok")))
+    surp = F.floor(F.col("ssum") / F.col("ntok").cast("double") * mul) / mul
+    return agg.select(id_col, F.col("ntok").cast("long").alias("ntok"),
+                      surp.alias("surprisal"))

@@ -677,3 +677,48 @@ class TestCollocations:
             "doc_id long, text string")
         rows = textops.collocations_df(df, min_count=5, k=1).collect()
         assert len(rows) == 1 and rows[0]["n_ab"] == 5
+
+
+class TestSurprisal:
+    def test_brute_force_parity(self, spark):
+        import math
+        from collections import Counter
+        docs = [(1, "the the the"), (2, "rare words here"), (3, ""),
+                (4, None), (5, "The rare")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: (r["ntok"], r["surprisal"]) for r in
+               textops.unigram_surprisal_df(df).collect()}
+        freq = Counter()
+        per_doc = {}
+        for i, t in docs:
+            toks = [x.lower() for x in (t or "").split() if x]
+            if toks:
+                per_doc[i] = toks
+                freq.update(toks)
+        total = float(sum(freq.values()))
+        want = {}
+        for i, toks in per_doc.items():
+            tf = Counter(toks)
+            ssum = 0.0
+            for t in sorted(tf):  # ascending-term fold, like the engine
+                ssum += float(tf[t]) * -math.log(freq[t] / total)
+            want[i] = (len(toks),
+                       math.floor(ssum / float(len(toks)) * 10000) / 10000)
+        assert got == want
+        assert 3 not in got and 4 not in got  # empty docs excluded
+
+    def test_boilerplate_scores_lower(self, spark):
+        rows = [(i, "common common common") for i in range(20)]
+        rows.append((99, "unique singleton tokens"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["surprisal"] for r in
+               textops.unigram_surprisal_df(df).collect()}
+        assert out[99] > out[0]
+
+    def test_partition_independence(self, spark):
+        rows = [(i, f"tok{i % 7} tok{i % 3} shared") for i in range(50)]
+        df1 = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, textops.unigram_surprisal_df(df1).collect()))
+        b = sorted(map(tuple, textops.unigram_surprisal_df(
+            df1.repartition(13)).collect()))
+        assert a == b
