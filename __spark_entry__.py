@@ -290,6 +290,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                k=10, mode="OR", quantize=4))
     q["ft_boost"] = ft_boost
 
+    def ft_synonyms(spark, sf):
+        """Query-time synonym expansion (querylang execute(synonyms=)):
+        'merge' expands to the OR-bag {merge, join} — each synonym scores
+        independently with its own df, so the ranking function stays the
+        oracle-checked BM25 bag (twin: plain 2-term OR)."""
+        from fatespark.querylang import execute
+        return _scores(execute(_index(spark, sf), "merge", k=10, mode="OR",
+                               synonyms={"merge": ["join"]}, quantize=4))
+    q["ft_synonyms"] = ft_synonyms
+
     def ft_first_match(spark, sf):
         """k=1 LIMIT shortcut (reference ``Hits#first`` / T6): the plan
         bottoms out in CollectLimit over the per-bucket scorer."""
@@ -1128,6 +1138,7 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_topk_single"] = _bm25_sql(QS["single"], "OR")
     o["ft_boost"] = _bm25_sql(["batch", "join"], "OR",
                               boosts={"join": 2.0})
+    o["ft_synonyms"] = _bm25_sql(["merge", "join"], "OR")
     o["ft_topk_and2"] = _bm25_sql(QS["and2"], "AND")
     o["ft_topk_or2"] = _bm25_sql(QS["or2"], "OR")
     o["ft_topk_or3_wand"] = _bm25_sql(QS["or3"], "OR")

@@ -143,6 +143,44 @@ def main() -> None:
             {"a": ["smith", "jones"], "b": ["the"], "c": ["big", "array"]},
             k=10, mode="OR").collect()
 
+    # -- round-2 query features over the same index --------------------------
+    from fatespark.suggest import suggest as _suggest
+    from fatespark.wildcard import search_wildcard as _swc
+    from fatespark.mlt import more_like_this as _mlt
+    from fatespark.rescore import collapsed_topk as _ct, recency_topk as _rt
+
+    @timed("q_suggest", reps=3)
+    def _sg():  # SymSpell banding over the full dictionary, 2 query terms
+        return _suggest(idx, ["smiht", "jnoes"], k=5, max_edit=2).collect()
+
+    @timed("q_wildcard", reps=3)
+    def _wc():  # trigram-banded infix over the dictionary + OR scoring
+        return _swc(idx, "*mit*", k=10).collect()
+
+    mlt_corpus = corpus.withColumn("doc_id", F.xxhash64("url"))
+    mlt_seed = int(idx.docs.select("doc_id").first()["doc_id"])
+
+    @timed("q_mlt", reps=3)
+    def _ml():  # seed fetch + df lookup + ordinary OR search
+        return _mlt(idx, mlt_corpus, mlt_seed, k=10, m=4).collect()
+
+    meta_ts = corpus.select(
+        F.xxhash64("url").alias("doc_id"),
+        F.col("warc_ts").cast("long").alias("ts"))
+
+    @timed("q_recency", reps=3)
+    def _rc():  # rescoring window: broadcast 100-row candidate join
+        return _rt(idx, meta_ts, ["smith", "jones"], half_life_days=30.0,
+                   now_ts=1_700_000_000, ts_col="ts", k=10,
+                   pool=100).collect()
+
+    meta_lang = corpus.select(F.xxhash64("url").alias("doc_id"), "lang")
+
+    @timed("q_collapse", reps=3)
+    def _cg():  # diversity cap per lang within the top-100 window
+        return _ct(idx, meta_lang, ["smith", "jones"], group_col="lang",
+                   per_group=3, k=10, pool=100).collect()
+
     # variance-free size metrics (host contention moves seconds, not bytes)
     import glob as _glob
     post_bytes = sum(os.path.getsize(f) for f in _glob.glob(
@@ -190,6 +228,17 @@ def main() -> None:
     def _mh():
         return dedup.minhash_dedup_pairs(docs, threshold=0.35,
                                          num_hashes=64, bands=16).count()
+
+    from fatespark import textops as _textops
+
+    @timed("tx_colloc_200k")
+    def _co():  # PMI bigrams over the full 200k-page corpus (~22M tokens)
+        return _textops.collocations_df(corpus, min_count=50, k=20).collect()
+
+    @timed("tx_surprisal_200k")
+    def _su():  # corpus-LM surprisal over the same 200k pages
+        return _textops.unigram_surprisal_df(
+            corpus.select(F.xxhash64("url").alias("doc_id"), "text")).count()
 
     @timed("dd_exact")
     def _ex():

@@ -170,7 +170,8 @@ def parse_query(q: str) -> ParsedQuery:
 
 def execute(index, q: str | ParsedQuery, k: int = 10, mode: str = "OR",
             offset: int = 0, max_expansions: int = 256,
-            field_names: dict[str, int] | None = None, **kw):
+            field_names: dict[str, int] | None = None,
+            synonyms: dict[str, list[str]] | None = None, **kw):
     """Run a query string against either reader. Positive terms + expanded
     prefixes score as one term-bag ``search()`` (one job, one plan);
     excluded prefixes expand into the NOT-set; a lone quoted phrase routes
@@ -207,6 +208,17 @@ def execute(index, q: str | ParsedQuery, k: int = 10, mode: str = "OR",
                 "query (one filter field per search)")
         fterms, ffield = vals, fids.pop()
     terms = list(spec.terms)
+    if synonyms:
+        # query-time synonym expansion: each synonym joins the term bag and
+        # scores independently with its own df (plain OR-bag semantics —
+        # the oracle-checked ranking function, no new score math). Under
+        # AND the original terms stay required; synonyms are extra
+        # evidence, so they expand only in OR mode.
+        if mode != "OR":
+            raise UnsupportedQueryError(
+                "synonym expansion is OR-bag semantics; use mode='OR'")
+        for t in spec.terms:
+            terms.extend(synonyms.get(t, ()))
     for p in spec.prefixes:
         terms.extend(index.expand_prefix(p, max_expansions))
     excl = list(spec.exclude_terms)

@@ -194,3 +194,29 @@ class TestBoosts:
         b = execute(loc, "smith jones^2", k=10, mode="OR", quantize=4)
         assert [(r["doc_id"], r["score"]) for r in a] == \
                list(zip(b["doc_id"].tolist(), b["score"].tolist()))
+
+
+class TestSynonyms:
+    def test_expands_to_or_bag(self, idx):
+        sidx, loc = idx
+        a = _rows(execute(sidx, "smith", k=10, mode="OR",
+                          synonyms={"smith": ["jones"]}))
+        b = _rows(sidx.search(["jones", "smith"], k=10, mode="OR"))
+        assert a == b and a
+        # local reader too
+        la = _rows(execute(loc, "smith", k=10, mode="OR",
+                           synonyms={"smith": ["jones"]}))
+        assert la == a
+
+    def test_unknown_term_no_op(self, idx):
+        sidx, _ = idx
+        a = _rows(execute(sidx, "smith", k=10, mode="OR",
+                          synonyms={"other": ["jones"]}))
+        b = _rows(sidx.search(["smith"], k=10, mode="OR"))
+        assert a == b
+
+    def test_and_mode_raises(self, idx):
+        sidx, _ = idx
+        with pytest.raises(UnsupportedQueryError):
+            execute(sidx, "smith", k=10, mode="AND",
+                    synonyms={"smith": ["jones"]})
