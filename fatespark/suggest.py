@@ -74,8 +74,17 @@ def suggest(index, qterms: list[str], *, k: int = 5, max_edit: int = 2,
     instead of recomputing the expansion.
     """
     spark = index.spark
-    dvar = variants if variants is not None else \
-        dictionary_variants(index.terms)
+    # length-window prune BEFORE expansion/probe: |len(a)-len(b)| <= dist,
+    # so terms outside [min_qlen - max_edit, max_qlen + max_edit] can never
+    # verify — pushes a cheap predicate into the terms scan and cuts the
+    # deletion expansion to a sliver of the vocabulary
+    qlens = [len(q) for q in qterms if q]
+    lo, hi = min(qlens) - max_edit, max(qlens) + max_edit
+    if variants is not None:
+        dvar = variants.filter(F.length("term").between(lo, hi))
+    else:
+        dvar = dictionary_variants(
+            index.terms.filter(F.length("term").between(lo, hi)))
     qrows = [(q, v) for q in dict.fromkeys(qterms)
              for v in deletion_variants(q)]
     qv = spark.createDataFrame(qrows, "qterm string, variant string")
