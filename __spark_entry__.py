@@ -626,6 +626,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["tx_surprisal"] = tx_surprisal
 
+    def tx_distinct_sketch(spark, sf):
+        """KMV distinct-count sketch (sketch.kmv_distinct_df): estimated
+        distinct token bigrams per language from the k=256 smallest
+        md5-60bit hash points — the mergeable cardinality sketch for
+        'distinct X per shard' questions without a count(DISTINCT)
+        shuffle of the values. Deterministic: the estimator is one scalar
+        float expression over the k-th minimum."""
+        from fatespark.sketch import kmv_distinct_df
+        d = _read(spark, sf, "documents")
+        toks = F.transform(
+            F.filter(F.split(F.coalesce(F.col("text"), F.lit("")),
+                             textops.WS_RE), lambda x: x != F.lit("")),
+            lambda x: F.translate(x, _UP, _LO))
+        pairs = (d.select("lang", toks.alias("toks"))
+                 .filter(F.size("toks") >= 2)
+                 .select("lang", F.explode(F.expr(
+                     "transform(sequence(1, size(toks) - 1), "
+                     "i -> concat(toks[i - 1], ' ', toks[i]))"))
+                     .alias("bigram")))
+        return kmv_distinct_df(pairs, "lang", "bigram", k=256)
+    q["tx_distinct_sketch"] = tx_distinct_sketch
+
     def tx_curate(spark, sf):
         """Composed curation pipeline (fatespark.curate.curate_corpus):
         quality gate -> language allow-list -> exact dedup keep -> stable
@@ -1625,6 +1647,41 @@ agg AS (
 SELECT doc_id, ntok,
        floor(ssum / CAST(ntok AS DOUBLE) * 10000.0) / 10000.0 AS surprisal
 FROM agg ORDER BY doc_id"""
+
+    _kmv_h = sqlhash.md5_bucket60("bigram", "kmv", 1 << 60)
+    _kmv_lit = repr(float(255 * (1 << 60)))
+    o["tx_distinct_sketch"] = f"""
+WITH base AS (
+  SELECT lang,
+         list_transform(
+           list_filter(regexp_split_to_array(coalesce(text, ''),
+                                             '{_WS_SQL}'), x -> x <> ''),
+           x -> translate(x, '{_UP}', '{_LO}')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT lang, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM base, unnest(range(1, len(toks))) r(i)
+  WHERE len(toks) >= 2
+),
+hashes AS (
+  SELECT DISTINCT lang, {_kmv_h} AS h FROM pairs
+),
+ranked AS (
+  SELECT lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h ASC) AS r
+  FROM hashes
+),
+st AS (
+  SELECT lang, count(*) AS n_kept,
+         max(CASE WHEN r = 256 THEN h END) AS kth
+  FROM ranked WHERE r <= 256 GROUP BY lang
+)
+SELECT lang, CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+            ELSE floor({_kmv_lit} / CAST(kth AS DOUBLE)) END AS BIGINT)
+       AS est_distinct
+FROM st ORDER BY lang"""
 
     _cur_b = sqlhash.md5_bucket60("doc_id", "split", 1_000_000)
     o["tx_curate"] = f"""
