@@ -350,6 +350,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             mode="OR")
     q["ft_facets"] = ft_facets
 
+    def ft_histogram(spark, sf):
+        """Time-histogram facet over ALL matches (query.facet_counts over
+        a derived epoch-week bucket): matching-doc counts per crawl week
+        for the or2 query — the date-histogram aggregation of a search
+        dashboard, same unscored-match + hash-agg plan as ft_facets."""
+        from fatespark.query import facet_counts
+        idx = _index(spark, sf)
+        docs = _read(spark, sf, "documents").select(
+            "doc_id", F.floor((F.lit(_NOW_TS) - (F.col("doc_id") % 365)
+                               * 86400) / 604800).alias("week"))
+        return facet_counts(idx, docs, QS["or2"], ["week"], mode="OR")
+    q["ft_histogram"] = ft_histogram
+
     def ft_topk_paged(spark, sf):  # pagination (lib/fates.rb:53-84 parity)
         return _scores(_index(spark, sf).search(QS["or2"], k=5, mode="OR",
                                                 offset=5, quantize=4))
@@ -1525,6 +1538,17 @@ SELECT d.lang, d.source, count(*) AS n_docs
 FROM documents d JOIN m USING (doc_id)
 GROUP BY d.lang, d.source
 ORDER BY d.lang, d.source"""
+
+    hist_terms = ", ".join(f"'{t}'" for t in QS["or2"])
+    o["ft_histogram"] = f"""
+WITH {_TOK_CTES},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({hist_terms}))
+SELECT CAST(floor(({_NOW_TS} - (d.doc_id % 365) * 86400) / 604800)
+            AS BIGINT) AS week,
+       count(*) AS n_docs
+FROM documents d JOIN m USING (doc_id)
+GROUP BY week
+ORDER BY week"""
 
     o["tx_identifier_count"] = """
 SELECT doc_id,
