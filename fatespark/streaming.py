@@ -143,6 +143,66 @@ def streaming_term_stats(stream_df: DataFrame, *,
         timeoutConf=GroupStateTimeout.NoTimeout)
 
 
+def streaming_kmv_distinct(stream_df: DataFrame, group_col: str,
+                           value_col: str, *, k: int = 256,
+                           seed: str = "kmv"):
+    """Incrementally-maintained KMV distinct-count sketch over a stream via
+    ``applyInPandasWithState`` — the streaming twin of
+    ``sketch.kmv_distinct_df`` ("distinct urls per domain while the crawl
+    is still landing").
+
+    The state per group is exactly the batch sketch's mergeable state: the
+    k smallest distinct 60-bit hash points seen so far (bounded — ~2 KB per
+    group at k=256 regardless of stream length). Each micro-batch hashes
+    its values JVM-side (same ``kmv_hash_col`` primitive, so the stream
+    estimate is bit-identical to a batch recompute over the union of all
+    batches), set-unions them into the state, and emits the updated
+    ``(group, n_kept, est_distinct)`` row in update mode. Both outputs are
+    monotone in stream progress, so "latest" per group == max per group.
+
+    Scale shape: the shuffle key is ``group_col`` — state is partitioned
+    across executors by group, and a head-group's state is still only k
+    longs; no per-value state growth, no rescan of prior batches.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .sketch import _SPACE, kmv_hash_col
+
+    hashed = stream_df.select(
+        F.col(group_col).cast("string").alias("g"),
+        kmv_hash_col(value_col, seed).alias("h"))
+
+    def update(key, pdfs, state):
+        minima = list(state.get[0]) if state.exists else []
+        seen = set(minima)
+        for pdf in pdfs:
+            seen.update(int(h) for h in pdf["h"])
+        minima = sorted(seen)[:k]
+        state.update((minima,))
+        n = len(minima)
+        if n < k:
+            est = float(n)
+        else:
+            # bit-matches the batch estimator: floor(double((k-1)*SPACE) /
+            # double(kth)) — IEEE754 double division on both sides
+            est = float(math.floor(float((k - 1) * _SPACE)
+                                   / float(minima[-1])))
+        yield pd.DataFrame({"g": [key[0]], "n_kept": [n],
+                            "est_distinct": [int(est)]})
+
+    return hashed.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType="g string, n_kept long, est_distinct long",
+        stateStructType="minima array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout).withColumnRenamed(
+            "g", group_col)
+
+
 def index_stream(stream_df: DataFrame, builder: IndexBuilder, *,
                  checkpoint_dir: str, url_col: str = "url",
                  id_col: str | None = None, text_col: str = "text",

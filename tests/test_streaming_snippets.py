@@ -128,6 +128,57 @@ class TestStreamingTermStats:
             assert got[t] == (df, cf), t
 
 
+class TestStreamingKmv:
+    def test_stream_sketch_matches_batch_sketch(self, spark, tmp_root):
+        """Two micro-batches of (domain, url) rows through the stateful KMV
+        operator must end at exactly the batch sketch of the unioned rows —
+        same n_kept, same est_distinct, per group."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from fatespark.sketch import kmv_distinct_df
+        from fatespark.streaming import streaming_kmv_distinct
+
+        src = str(tmp_root / "kmv_src")
+        # batch 0: groups a (300 distinct) and b (50 distinct)
+        # batch 1: more of a (overlapping + new), b duplicates only
+        batches = [
+            pd.DataFrame({"g": ["a"] * 300 + ["b"] * 50,
+                          "v": [f"u{i}" for i in range(300)]
+                          + [f"w{i}" for i in range(50)]}),
+            pd.DataFrame({"g": ["a"] * 200 + ["b"] * 50,
+                          "v": [f"u{i}" for i in range(150, 350)]
+                          + [f"w{i}" for i in range(50)]}),
+        ]
+        for pdf in batches:
+            (spark.createDataFrame(pdf).coalesce(1)
+             .write.mode("append").parquet(src))
+
+        stream = (spark.readStream.schema("g string, v string")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        out = streaming_kmv_distinct(stream, "g", "v", k=128)
+        q = (out.writeStream.format("memory").queryName("kmv_stream")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_root / "kmv_ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        # n_kept and est_distinct are monotone -> latest == max per group
+        got = {r["g"]: (r["n_kept"], r["est"]) for r in
+               (spark.table("kmv_stream").groupBy("g")
+                .agg(F.max("n_kept").alias("n_kept"),
+                     F.max("est_distinct").alias("est"))).collect()}
+
+        full = spark.read.parquet(src)
+        exp = {r["g"]: (r["n_kept"], r["est_distinct"]) for r in
+               kmv_distinct_df(full, "g", "v", k=128).collect()}
+        assert got == exp
+        # group a crossed k=128 (350 distinct) -> estimator branch;
+        # group b stayed below (50 distinct) -> exact branch
+        assert exp["b"] == (50, 50)
+        assert exp["a"][0] == 128
+
+
 class TestIndexStream:
     def test_readstream_build_converges_to_batch(self, spark, tmp_root):
         """End-to-end Structured Streaming build: a real file-source
