@@ -255,6 +255,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                k=10, mode="OR", quantize=4))
     q["ft_query_string"] = ft_query_string
 
+    def ft_fuzzy(spark, sf):
+        """Fuzzy web-search ('mergs~1 joib~1'): each typo expands to its
+        complete Levenshtein<=1 dictionary neighborhood via SymSpell
+        deletion banding (suggest.expand_fuzzy — band equi-join + exact
+        verify, no vocabulary scan), and the expansions score as one
+        OR-BM25 term bag. Oracle: levenshtein() over the DuckDB token
+        dictionary feeding the same ascending-term score fold."""
+        from fatespark.querylang import execute
+        return _scores(execute(_index(spark, sf), "mergs~1 joib~1",
+                               k=10, mode="OR", quantize=4))
+    q["ft_fuzzy"] = ft_fuzzy
+
     def ft_suggest(spark, sf):
         """Spell suggestion / did-you-mean (suggest.suggest): SymSpell
         deletion banding over the term dictionary — candidates come from
@@ -1028,9 +1040,10 @@ SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
 FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT {limit}"""
 
 
-def _bm25_like_sql(like: str) -> str:
-    """Dictionary-expansion BM25 in SQL (prefix OR wildcard): per-doc sum
-    over matching terms must follow ascending term order — emulated with an
+def _bm25_pred_sql(term_pred: str) -> str:
+    """Dictionary-expansion BM25 in SQL (prefix, wildcard, or fuzzy —
+    any term predicate): per-doc sum over matching terms must follow
+    ascending term order — emulated with an
     ORDER BY inside a per-term list and fold via list_aggregate? DuckDB
     lacks ordered float fold; instead use the fact that the engine sums
     contributions ascending by term: emulate with a recursive-free trick —
@@ -1047,7 +1060,7 @@ contrib AS (
             ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS s
   FROM tfs JOIN dfs USING (term) JOIN dls ON dls.doc_id = tfs.doc_id
   CROSS JOIN stats
-  WHERE tfs.term LIKE '{like}'
+  WHERE {term_pred}
 ),
 scored AS (
   SELECT doc_id,
@@ -1057,6 +1070,10 @@ scored AS (
 )
 SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
 FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
+
+
+def _bm25_like_sql(like: str) -> str:
+    return _bm25_pred_sql(f"tfs.term LIKE '{like}'")
 
 
 def _bm25_prefix_sql(prefix: str) -> str:
@@ -1438,6 +1455,10 @@ FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
         for sid, sql in tt_parts)
 
     o["ft_query_string"] = o["ft_not"]  # same semantics via the parser
+    # fuzzy OR bag: union of the two typos' exact distance-1 neighborhoods
+    o["ft_fuzzy"] = _bm25_pred_sql(
+        "(levenshtein(tfs.term, 'mergs') <= 1"
+        " OR levenshtein(tfs.term, 'joib') <= 1)")
     o["ft_first_match"] = _bm25_sql(QS["or2"], "OR", limit=1)
     o["ft_topk_paged"] = _bm25_sql(QS["or2"], "OR", limit=5, offset=5)
     o["ft_local_topk"] = _bm25_sql(QS["or2"], "OR")  # same oracle as or2

@@ -577,6 +577,50 @@ class LocalSearchIndex:
             return _empty_result()
         return self.search(terms, k=k, mode="OR", quantize=quantize)
 
+    def expand_fuzzy(self, term: str, max_edit: int = 1,
+                     max_terms: int = 256) -> list[str]:
+        """Dictionary terms within Levenshtein distance 1 of ``term`` —
+        reader-parity twin of ``suggest.expand_fuzzy``. An edit anywhere
+        in the term defeats the sorted-term skip index (a substitution at
+        position 0 lands anywhere in the dictionary), so this reads the
+        term column of the compact serving copy once — driver-local by
+        design, same budget class as the reader's other dictionary scans —
+        then length-window prunes and exact-verifies the sliver. Same
+        ``max_terms`` cap order as the distributed path (distance ASC, df
+        DESC, term ASC)."""
+        if max_edit != 1:
+            raise ValueError("expand_fuzzy supports max_edit=1 only")
+        q = ascii_fold(term)
+        if not q:
+            return []
+        t = self._terms_ix.read_range("", "\U0010ffff", ["term", "df"])
+        best: dict[str, int] = {}
+        for s, df in zip(t["term"], t["df"]):
+            if abs(len(s) - len(q)) <= 1 and _within_edit1(q, s):
+                if int(df) > best.get(s, -1):
+                    best[s] = int(df)
+        ordered = sorted(best.items(),
+                         key=lambda x: (x[0] != q, -x[1], x[0]))
+        return sorted(s for s, _ in ordered[:max_terms])
+
+
+def _within_edit1(a: str, b: str) -> bool:
+    """Exact Levenshtein(a, b) <= 1 without the full DP (equal, one
+    substitution, or one insert/delete)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
 
 def _empty_result() -> pd.DataFrame:
     return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),

@@ -744,6 +744,14 @@ class SearchIndex:
         return self.search(terms, k=k, mode="OR", with_url=with_url,
                            quantize=quantize)
 
+    def expand_fuzzy(self, term: str, max_edit: int = 1,
+                     max_terms: int = 256) -> list[str]:
+        """Dictionary terms within Levenshtein distance 1 (``term~1``) via
+        SymSpell deletion banding — see ``suggest.expand_fuzzy``."""
+        from .suggest import expand_fuzzy
+        return expand_fuzzy(self, term, max_edit=max_edit,
+                            max_terms=max_terms)
+
     # -- misc ------------------------------------------------------------------
     def _join_url(self, result: DataFrame) -> DataFrame:
         ids = [r["doc_id"] for r in result.select("doc_id").collect()]

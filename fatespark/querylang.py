@@ -16,6 +16,10 @@ parsed form keeps its oracle-checked scoring:
     "big dat"*          phrase-prefix (fates' natural suffix semantics)
     "big data"~3        proximity: all quoted terms within a token window
                         of span <= 3 (unordered; ``search_near``)
+    joib~1              fuzzy term: dictionary terms within Levenshtein
+                        distance 1 join the OR bag (complete deletion-band
+                        expansion, ``suggest.expand_fuzzy``; ``~0`` is the
+                        exact term)
     join^2              term boost: the term's score contribution is
                         multiplied (Lucene ``^`` semantics; bare positive
                         terms only — ``search(boosts=)``)
@@ -61,6 +65,7 @@ class ParsedQuery:
     exclude_prefixes: list[str] = field(default_factory=list)
     filters: list[tuple[str, str]] = field(default_factory=list)  # (field, value)
     boosts: dict[str, float] = field(default_factory=dict)  # term -> mult
+    fuzzy: list[tuple[str, int]] = field(default_factory=list)  # (term, max_edit)
 
 
 def parse_query(q: str) -> ParsedQuery:
@@ -136,6 +141,20 @@ def parse_query(q: str) -> ParsedQuery:
         if boost is not None and (neg or starred or ":" in tok[1:-1]):
             raise UnsupportedQueryError(
                 f"boosts apply to bare positive terms only: {tok!r}")
+        if "~" in tok[1:]:  # fuzzy term (Lucene term~N); '~' strictly after
+            body, _, ds = tok.rpartition("~")
+            if not ds.isdigit():
+                raise QuerySyntaxError(
+                    f"'~' must be followed by an edit distance in {tok!r}")
+            if neg or starred or boost is not None or ":" in body[1:-1]:
+                raise UnsupportedQueryError(
+                    f"fuzzy applies to bare positive terms only: {tok!r}")
+            dist = int(ds)
+            if dist == 0:
+                out.terms.append(body)
+            else:
+                out.fuzzy.append((body, dist))
+            continue
         if ":" in tok[1:-1]:  # field filter — ':' strictly interior
             if neg or starred:
                 raise UnsupportedQueryError(
@@ -149,7 +168,7 @@ def parse_query(q: str) -> ParsedQuery:
         bucket.append(tok)
         if boost is not None:
             out.boosts[tok] = boost
-    if out.phrase is not None and (out.terms or out.prefixes):
+    if out.phrase is not None and (out.terms or out.prefixes or out.fuzzy):
         raise UnsupportedQueryError(
             "mixing a quoted phrase with other positive atoms is not "
             "supported (phrase and term-bag scores use different df "
@@ -161,7 +180,8 @@ def parse_query(q: str) -> ParsedQuery:
     if out.phrase is not None and out.filters:
         raise UnsupportedQueryError(
             "field filters are not supported alongside a quoted phrase")
-    if (out.phrase is None and not out.terms and not out.prefixes):
+    if (out.phrase is None and not out.terms and not out.prefixes
+            and not out.fuzzy):
         if out.exclude_terms or out.exclude_prefixes or out.filters:
             raise UnsupportedQueryError(
                 "purely negative or filter-only queries are not supported")
@@ -221,6 +241,11 @@ def execute(index, q: str | ParsedQuery, k: int = 10, mode: str = "OR",
             terms.extend(synonyms.get(t, ()))
     for p in spec.prefixes:
         terms.extend(index.expand_prefix(p, max_expansions))
+    for t, d in spec.fuzzy:
+        # complete distance-<=1 dictionary neighborhood (includes the term
+        # itself when it exists); expansions join the OR bag like prefixes
+        terms.extend(index.expand_fuzzy(t, max_edit=d,
+                                        max_terms=max_expansions))
     excl = list(spec.exclude_terms)
     for p in spec.exclude_prefixes:
         excl.extend(index.expand_prefix(p, max_expansions))

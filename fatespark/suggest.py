@@ -32,7 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["deletion_variants", "dictionary_variants", "suggest"]
+__all__ = ["deletion_variants", "dictionary_variants", "expand_fuzzy",
+           "suggest"]
 
 # term + every single-character deletion, deduplicated — pure JVM
 _VARIANTS_EXPR = (
@@ -99,3 +100,32 @@ def suggest(index, qterms: list[str], *, k: int = 5, max_edit: int = 2,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .orderBy("qterm", "rank"))
+
+
+def expand_fuzzy(index, term: str, *, max_edit: int = 1,
+                 max_terms: int = 256,
+                 variants: DataFrame | None = None) -> list[str]:
+    """Dictionary terms within Levenshtein distance ``max_edit`` of
+    ``term`` (Lucene ``term~N`` fuzzy-query expansion) — the query-time
+    twin of ``suggest``: same deletion-band candidate generation, same
+    exact-distance verify, returned as the sorted expansion set for an
+    OR-BM25 term bag (like ``expand_prefix``).
+
+    Only ``max_edit=1`` is offered: depth-1 banding is COMPLETE there, so
+    the expansion equals the exact ``levenshtein(dict_term, term) <= 1``
+    set and fuzzy ranking stays oracle-checkable. At distance 2 the band
+    is a documented partial generator — fine for "did you mean" ranking,
+    wrong for a scoring expansion where silent recall loss would silently
+    change results.
+
+    ``max_terms`` caps a pathological neighborhood (cap order: distance
+    ASC, df DESC, term ASC — keep the corrections that match the most
+    docs), mirroring ``expand_prefix``'s ``max_terms``.
+    """
+    if max_edit != 1:
+        raise ValueError(
+            "expand_fuzzy supports max_edit=1 only (depth-1 deletion "
+            "banding is complete there; distance-2 recall would need "
+            "depth-2 bands)")
+    s = suggest(index, [term], k=max_terms, max_edit=1, variants=variants)
+    return sorted({r["suggestion"] for r in s.collect()})

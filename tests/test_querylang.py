@@ -220,3 +220,63 @@ class TestSynonyms:
         with pytest.raises(UnsupportedQueryError):
             execute(sidx, "smith", k=10, mode="AND",
                     synonyms={"smith": ["jones"]})
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class TestFuzzy:
+    def test_parse_fuzzy(self):
+        p = parse_query("smth~1 scan")
+        assert p.fuzzy == [("smth", 1)] and p.terms == ["scan"]
+        # ~0 is just the exact term
+        assert parse_query("scan~0").terms == ["scan"]
+        assert parse_query("scan~0").fuzzy == []
+
+    def test_parse_fuzzy_errors(self):
+        with pytest.raises(QuerySyntaxError):
+            parse_query("merge~x")
+        with pytest.raises(UnsupportedQueryError):
+            parse_query("-smth~1")
+        with pytest.raises(UnsupportedQueryError):
+            parse_query("smth~1^2")
+
+    def test_expansion_is_the_exact_neighborhood(self, idx):
+        """Deletion-band expansion == brute-force levenshtein<=1 over the
+        whole vocabulary (completeness at distance 1), on both readers."""
+        dist, loc = idx
+        vocab = [r["term"] for r in
+                 dist.terms.select("term").distinct().collect()]
+        for q in ("smth", "smith", "jone"):
+            want = sorted({t for t in vocab if _lev(t, q) <= 1})
+            assert dist.expand_fuzzy(q) == want, q
+            assert loc.expand_fuzzy(q) == want, q
+        assert "smith" in dist.expand_fuzzy("smth")
+
+    def test_execute_scores_as_or_bag(self, idx):
+        dist, _ = idx
+        got = _rows(execute(dist, "smth~1", k=10))
+        want = _rows(dist.search(dist.expand_fuzzy("smth"), k=10,
+                                 mode="OR"))
+        assert got == want and got
+
+    def test_local_parity(self, idx):
+        dist, loc = idx
+        a = _rows(execute(dist, "smth~1 jone~1", k=10, mode="OR"))
+        b = _rows(execute(loc, "smth~1 jone~1", k=10, mode="OR"))
+        assert a == b and a
+
+    def test_max_edit_above_one_rejected(self, idx):
+        dist, loc = idx
+        with pytest.raises(ValueError):
+            dist.expand_fuzzy("smith", max_edit=2)
+        with pytest.raises(ValueError):
+            loc.expand_fuzzy("smith", max_edit=2)
