@@ -219,34 +219,49 @@ def collocations_df(df, text_col: str = "text", min_count: int = 5,
     (quantized pmi DESC, a, b).
 
     Scale shape: bigrams come from a narrow per-doc array transform (NO
-    positional self-join — adjacency is local to the token array), then
-    exactly two hash aggregations (unigrams by term, bigrams by pair) and
-    two shuffle joins of bigram counts against the unigram counts; the
-    two 1-row totals broadcast. All JVM expressions, whole-stage codegen.
+    positional self-join — adjacency is local to the token array). Every
+    token emits ONE pair row (a=tok[i], b=tok[i+1], b NULL for a doc's
+    last token), and a single ``rollup(a, b)`` computes bigram counts,
+    unigram counts, AND the token total in ONE shuffle (Expand + partial
+    hash agg) — a naive three-branch plan re-tokenizes the corpus three
+    times because Catalyst does not share subplans across DataFrame
+    branches. The rollup output (the corpus n-gram statistics table,
+    distinct-bigram-sized, NOT corpus-sized) is persisted so the derived
+    unigram/bigram/total reads and the count joins hit it instead of
+    re-scanning the corpus. All JVM expressions, whole-stage codegen.
     """
+    from pyspark import StorageLevel
     toks = F.transform(tokens_col(text_col),
                        lambda x: F.translate(x, UPPER, LOWER))
-    base = (df.select(toks.alias("toks"))
-            .filter(F.size("toks") >= 1))
-    uni = (base.select(F.explode("toks").alias("t"))
-           .groupBy("t").agg(F.count("*").alias("n")))
-    big = (base.filter(F.size("toks") >= 2)
-           .select(F.explode(F.expr(
-               "transform(sequence(1, size(toks) - 1), "
-               "i -> struct(toks[i - 1] AS a, toks[i] AS b))")).alias("p"))
-           .select("p.a", "p.b")
-           .groupBy("a", "b").agg(F.count("*").alias("n_ab"))
-           .filter(F.col("n_ab") >= min_count))
-    u_total = uni.agg(F.sum("n").alias("u")).select(
-        F.col("u").cast("double").alias("u"))
-    # PMI totals are over ALL bigrams, not the min_count survivors
-    b_total = base.filter(F.size("toks") >= 2).agg(
-        (F.sum(F.size("toks") - 1)).alias("bg")).select(
-        F.col("bg").cast("double").alias("bg"))
-    ua = uni.select(F.col("t").alias("a"), F.col("n").alias("n_a"))
-    ub = uni.select(F.col("t").alias("b"), F.col("n").alias("n_b"))
+    pairs = (df.select(toks.alias("toks"))
+             .filter(F.size("toks") >= 1)
+             .select(F.explode(F.expr(
+                 "transform(sequence(1, size(toks)), "
+                 "i -> struct(toks[i - 1] AS a, CASE WHEN i < size(toks) "
+                 "THEN toks[i] END AS b))")).alias("p"))
+             .select("p.a", "p.b"))
+    # gid: 0 = (a, b) group, 1 = (a) group, 3 = grand total. A (a, NULL)
+    # group at gid=0 is a real last-token row, not a rollup margin.
+    cube = (pairs.rollup("a", "b")
+            .agg(F.count("*").alias("n"), F.grouping_id().alias("gid"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    uni = cube.filter(F.col("gid") == 1).select("a", F.col("n").alias("n_u"))
+    big = (cube.filter((F.col("gid") == 0) & F.col("b").isNotNull()
+                       & (F.col("n") >= min_count))
+           .select("a", "b", F.col("n").alias("n_ab")))
+    # u_total = all tokens; bigram total = tokens minus each doc's last
+    # token (the b-NULL rows) — both fall out of the same rollup
+    totals = (cube.groupBy()
+              .agg(F.sum(F.when(F.col("gid") == 3, F.col("n"))).alias("u"),
+                   F.sum(F.when((F.col("gid") == 0) & F.col("b").isNull(),
+                                F.col("n"))).alias("nlast"))
+              .select(F.col("u").cast("double").alias("u"),
+                      (F.col("u") - F.col("nlast")).cast("double")
+                      .alias("bg")))
+    ua = uni.select(F.col("a"), F.col("n_u").alias("n_a"))
+    ub = uni.select(F.col("a").alias("b"), F.col("n_u").alias("n_b"))
     j = (big.join(ua, "a").join(ub, "b")
-         .crossJoin(F.broadcast(u_total)).crossJoin(F.broadcast(b_total)))
+         .crossJoin(F.broadcast(totals)))
     num = (F.col("n_ab").cast("double") * F.col("u") * F.col("u"))
     den = (F.col("bg") * F.col("n_a").cast("double")
            * F.col("n_b").cast("double"))
@@ -270,16 +285,24 @@ def unigram_surprisal_df(df, id_col: str = "doc_id",
     partition-independent and exactly reproducible by the DuckDB oracle's
     ordered list_reduce — the same discipline as the BM25 kernels.
 
-    Scale shape: one hash agg for the frequency table (vocab-sized), one
-    shuffle join of per-doc term counts against it, one per-doc agg; the
-    1-row total broadcasts. No Python anywhere.
+    Scale shape: ONE corpus tokenize pass builds the per-doc term counts
+    (the postings-equivalent table), persisted — the frequency table, the
+    corpus total, and the scoring join all derive from it, where the naive
+    three-branch plan would re-tokenize the corpus for each (Catalyst does
+    not share subplans across DataFrame branches; the index build
+    materializes this same table for the same reason). Then one hash agg
+    for the frequency table (vocab-sized), one shuffle join of per-doc
+    term counts against it, one per-doc agg; the 1-row total broadcasts.
+    No Python anywhere.
     """
+    from pyspark import StorageLevel
     toks = F.transform(tokens_col(text_col),
                        lambda x: F.translate(x, UPPER, LOWER))
     base = (df.select(F.col(id_col), toks.alias("toks"))
             .filter(F.size("toks") >= 1))
     tf = (base.select(id_col, F.explode("toks").alias("t"))
-          .groupBy(id_col, "t").agg(F.count("*").alias("tf")))
+          .groupBy(id_col, "t").agg(F.count("*").alias("tf"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     freq = tf.groupBy("t").agg(F.sum("tf").alias("n"))
     total = freq.agg(F.sum("n").alias("tt")).select(
         F.col("tt").cast("double").alias("tt"))
