@@ -131,7 +131,11 @@ class TermBlocks:
         if not len(self.ns):
             z = np.zeros(0, dtype=np.int64)
             return z, z, z
-        if self.enc_docs is not None and not self._cache:
+        # bulk decode even when some blocks were already decoded into the
+        # block cache (the BMW chunk rounds warm it before a wholesale
+        # bail-out): ONE vectorized decode of everything beats assembling
+        # thousands of per-block python decodes by ~20x
+        if self.enc_docs is not None:
             from .codec import _u64_to_i64_ordered, segmented_cumsum_u64
             total = self.total
             starts = np.zeros(len(self.ns), dtype=np.int64)
@@ -155,6 +159,35 @@ class TermBlocks:
             docs, tfs, dls = docs[o], tfs[o], dls[o]
         self._all = (docs, tfs, dls)
         return self._all
+
+    def decode_blocks(self, sel: np.ndarray):
+        """(docs, tfs, dls) for the selected block indices only — the
+        block-skipping bulk path: ONE vectorized multi-buffer decode over
+        just those blocks (a term's blocks are doc-disjoint and
+        first-sorted, so the concat is already doc-sorted)."""
+        if sel.size == len(self.ns):
+            return self.decode_all()
+        if not sel.size:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
+        if self.enc_docs is None:  # re-blocked: everything is in the cache
+            parts = [self.block(int(i)) for i in sel]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]),
+                    np.concatenate([p[2] for p in parts]))
+        from .codec import _u64_to_i64_ordered, segmented_cumsum_u64
+        ns = self.ns[sel]
+        total = int(ns.sum())
+        starts = np.zeros(ns.size, dtype=np.int64)
+        np.cumsum(ns[:-1], out=starts[1:])
+        d_gaps = self.codec.decode_concat([self.enc_docs[i] for i in sel],
+                                          ns, total)
+        docs = _u64_to_i64_ordered(segmented_cumsum_u64(d_gaps, starts))
+        tfs = self.codec.decode_concat([self.enc_tfs[i] for i in sel],
+                                       ns, total).astype(np.int64)
+        dls = self.codec.decode_concat([self.enc_dls[i] for i in sel],
+                                       ns, total).astype(np.int64)
+        return docs, tfs, dls
 
     @classmethod
     def from_arrays(cls, idf: float, docs: np.ndarray, tfs: np.ndarray,
@@ -294,13 +327,14 @@ def score_bmw_or(terms: list[TermBlocks], avgdl: float, k: int,
     The doc-id space is decomposed into ELEMENTARY INTERVALS at the union
     of all block boundaries, so every block either fully covers an interval
     or misses it entirely. A difference array over block upper bounds gives
-    each interval's exact score bound in one vectorized pass. Intervals are
-    then evaluated in descending-bound order, a chunk at a time: all docs
-    in a chunk are scored with the same numpy union+searchsorted kernel as
+    each interval's exact score bound in one vectorized pass. A short
+    PRELUDE evaluates the best-bound intervals (``chunk_intervals`` at a
+    time) with the same numpy union+searchsorted kernel as
     ``score_exhaustive_or`` (same ascending-term summation order →
-    bit-identical scores), the running top-k sets the threshold, and as
-    soon as the next interval's bound falls below it the remaining tail —
-    and every block under it — is skipped WHOLESALE, never decoded.
+    bit-identical scores) until the running top-k sets the threshold; the
+    FINISH is then one block-skipping bulk pass — only blocks that
+    intersect an interval whose bound survives the threshold are decoded
+    at all, everything under it is skipped WHOLESALE.
 
     Returns exactly the same (doc, score) top-k as ``score_exhaustive_or``:
     pruning uses strict ``bound < theta`` so equal-to-threshold docs, which
@@ -323,13 +357,19 @@ def score_bmw_or(terms: list[TermBlocks], avgdl: float, k: int,
     # >= the doc sum under IEEE monotonicity, so the bound is sound — and
     # bit-exact on the boundary case.
     iub = np.zeros(m, dtype=np.float64)
+    ivstart = bounds[:m]
     for t in live:
         a = t.avgdl or avgdl
         tub = t.idf * bm25_part(t.max_tf, t.min_dl, a)
-        s = np.searchsorted(bounds, t.first)
-        e = np.searchsorted(bounds, t.last + 1)
-        for bi in range(s.size):
-            iub[s[bi]:e[bi]] += tub[bi]
+        # a term's blocks are doc-disjoint, and intervals are elementary
+        # (no block boundary inside one), so each interval is covered by at
+        # most ONE of the term's blocks — find it by binary search instead
+        # of a Python loop over blocks. One add per (term, interval), in
+        # the same ascending-term order as before: bit-identical bounds.
+        cand = np.searchsorted(t.first, ivstart, side="right") - 1
+        covered = cand >= 0
+        covered[covered] = t.last[cand[covered]] >= ivstart[covered]
+        iub[covered] += tub[cand[covered]]
     cand = np.flatnonzero(iub > 0.0)
     order = cand[np.argsort(-iub[cand], kind="stable")]
 
@@ -337,40 +377,69 @@ def score_bmw_or(terms: list[TermBlocks], avgdl: float, k: int,
     pool_scores = np.zeros(0, dtype=np.float64)
     theta = -1.0
     pos = 0
-    ch = chunk_intervals
     while pos < order.size:
-        if iub[order[pos]] < theta:
-            break  # descending order: everything after is below threshold
-        chunk = order[pos:pos + ch]
-        pos += ch
-        kept = chunk[iub[chunk] >= theta]  # chunk tail may dip below
-        # adaptive ramp: when pruning isn't biting (whole chunk survives),
-        # double the chunk so the no-headroom case degenerates to a few
-        # big exhaustive batches instead of hundreds of bookkeeping rounds;
-        # reset to fine granularity the moment the threshold starts cutting
-        ch = min(ch * 2, 4096) if kept.size == chunk.size \
-            else chunk_intervals
-        chunk = kept
-        # gather each term's postings inside the chunk's intervals (each
-        # interval lies inside exactly one block per covering term)
-        parts = []
-        for t in live:
-            d_sl, tf_sl, dl_sl = [], [], []
-            for j in chunk:
-                lo, hi = int(bounds[j]), int(bounds[j + 1])
-                bi = int(np.searchsorted(t.first, lo, side="right")) - 1
-                if bi < 0 or t.last[bi] < lo:
+        if theta >= 0.0:
+            # WHOLESALE FINISH (block-skipping): the prelude rounds set the
+            # threshold from the best-bound intervals; from here,
+            # fine-grained interval stepping costs Python bookkeeping PER
+            # SURVIVING INTERVAL (measured 2-2.6x over the exhaustive
+            # numpy kernel on head-term queries where most intervals
+            # survive). Instead, select exactly the blocks that intersect
+            # a surviving interval (vectorized reduceat-style count over
+            # the survival flags) and bulk-decode ONLY those — blocks all
+            # of whose intervals fall below theta are skipped wholesale,
+            # never decoded, which is the Block-Max-WAND win. Pruning is
+            # strict (`< theta`), so exact-theta ties are evaluated; docs
+            # in sub-theta intervals inside a selected block are scored
+            # harmlessly (their score is bounded below theta and cannot
+            # displace the top-k); prelude docs that reappear are merged
+            # with max at the pool update (see below), so nothing is ever
+            # counted twice or downgraded by a partially-covered re-score.
+            remaining = order[pos:]
+            surv = remaining[iub[remaining] >= theta]
+            pos = order.size
+            if not surv.size:
+                break
+            flags = np.zeros(m, dtype=bool)
+            flags[surv] = True
+            cnt = np.zeros(m + 1, dtype=np.int64)
+            cnt[1:] = np.cumsum(flags)
+            parts = []
+            for t in live:
+                s = np.searchsorted(bounds, t.first)
+                e = np.searchsorted(bounds, t.last + 1)
+                bsel = np.flatnonzero(cnt[e] - cnt[s] > 0)
+                if not bsel.size:
                     continue
-                docs_b, tfs_b, dls_b = t.block(bi)
-                a0 = int(np.searchsorted(docs_b, lo))
-                b0 = int(np.searchsorted(docs_b, hi))
-                if a0 < b0:
-                    d_sl.append(docs_b[a0:b0])
-                    tf_sl.append(tfs_b[a0:b0])
-                    dl_sl.append(dls_b[a0:b0])
-            if d_sl:
-                parts.append((t, np.concatenate(d_sl),
-                              np.concatenate(tf_sl), np.concatenate(dl_sl)))
+                dd, tt, ll = t.decode_blocks(bsel)
+                parts.append((t, dd, tt, ll))
+        else:
+            # prelude: evaluate the best-bound intervals a small chunk at
+            # a time until the pool holds k docs and the threshold exists
+            chunk = order[pos:pos + chunk_intervals]
+            pos += chunk_intervals
+            # gather each term's postings inside the chunk's intervals:
+            # find the one covering block per (term, interval) by binary
+            # search, bulk-decode the distinct blocks, then keep only the
+            # docs whose interval is in the chunk — all vectorized (the
+            # per-interval python decode loop this replaces was the
+            # dominant WAND-vs-exhaustive overhead)
+            cflags = np.zeros(m, dtype=bool)
+            cflags[chunk] = True
+            cstart = bounds[chunk]
+            parts = []
+            for t in live:
+                cb = np.searchsorted(t.first, cstart, side="right") - 1
+                ok = cb >= 0
+                ok[ok] = t.last[cb[ok]] >= cstart[ok]
+                bsel = np.unique(cb[ok])
+                if not bsel.size:
+                    continue
+                dd, tt, ll = t.decode_blocks(bsel)
+                keep = cflags[np.searchsorted(bounds, dd,
+                                              side="right") - 1]
+                if keep.any():
+                    parts.append((t, dd[keep], tt[keep], ll[keep]))
         if not parts:
             continue
         union = np.unique(np.concatenate([p[1] for p in parts]))
@@ -379,6 +448,22 @@ def score_bmw_or(terms: list[TermBlocks], avgdl: float, k: int,
             idx = np.searchsorted(union, dd)
             sc[idx] += t.idf * bm25_part(tt, ll, t.avgdl or avgdl)
         sc = _quantize(sc, qmul)
+        # a doc scored in a prelude round can be decoded again by the
+        # wholesale finish. If its interval survives the threshold, every
+        # covering block is selected and it re-scores bit-identically; if
+        # not, it may reappear with only PARTIAL term coverage (some
+        # covering block skipped) and a lower score. Merging with max
+        # keeps the full prelude score in that case — O(k log n), cheaper
+        # than masking every decoded doc's interval. Docs whose only entry
+        # is partial sit in sub-theta intervals and cannot reach the
+        # top-k (floor-quantize is monotone, so this holds quantized too).
+        if pool_docs.size:
+            both = np.isin(pool_docs, union)
+            if both.any():
+                at = np.searchsorted(union, pool_docs[both])
+                sc[at] = np.maximum(sc[at], pool_scores[both])
+                pool_docs = pool_docs[~both]
+                pool_scores = pool_scores[~both]
         pool_docs = np.concatenate([pool_docs, union])
         pool_scores = np.concatenate([pool_scores, sc])
         pool_docs, pool_scores = topk_select(pool_docs, pool_scores, k)
