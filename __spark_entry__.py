@@ -362,6 +362,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             mode="OR")
     q["ft_facets"] = ft_facets
 
+    def ft_facet_stats(spark, sf):
+        """Numeric stats aggregation over ALL matches (query.facet_stats):
+        per-lang n_docs/min/max/sum/avg of n_chars for the or2 query —
+        the Elasticsearch stats-agg surface. value col is integral so
+        sum is exact int64 and avg a single division (deterministic)."""
+        from fatespark.query import facet_stats
+        idx = _index(spark, sf)
+        docs = _read(spark, sf, "documents")
+        return facet_stats(idx, docs, QS["or2"], "n_chars", ["lang"],
+                           mode="OR")
+    q["ft_facet_stats"] = ft_facet_stats
+
+    def ft_term_vectors(spark, sf):
+        """Per-document term vectors (query.term_vectors): (doc_id, term,
+        tf, 0-based positions) for 5 fixed docs, recomputed from the doc
+        store with the index analyzer — Lucene's TermVectors surface; the
+        doc_ids filter pushes into the parquet scan."""
+        from fatespark.query import term_vectors
+        docs = _read(spark, sf, "documents")
+        return term_vectors(docs, doc_ids=[3, 57, 120, 256, 444])
+    q["ft_term_vectors"] = ft_term_vectors
+
     def ft_histogram(spark, sf):
         """Time-histogram facet over ALL matches (query.facet_counts over
         a derived epoch-week bucket): matching-doc counts per crawl week
@@ -1559,6 +1581,33 @@ SELECT d.lang, d.source, count(*) AS n_docs
 FROM documents d JOIN m USING (doc_id)
 GROUP BY d.lang, d.source
 ORDER BY d.lang, d.source"""
+
+    o["ft_facet_stats"] = f"""
+WITH {_TOK_CTES},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({facet_terms}))
+SELECT d.lang, count(*) AS n_docs,
+       min(d.n_chars) AS min_v, max(d.n_chars) AS max_v,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_v,
+       CAST(CAST(sum(d.n_chars) AS BIGINT) AS DOUBLE) / count(*) AS avg_v
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang"""
+
+    tv_ids = "3, 57, 120, 256, 444"
+    o["ft_term_vectors"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}'),
+                     x -> x <> '') AS rtoks
+  FROM documents WHERE doc_id IN ({tv_ids})
+),
+tv AS (
+  SELECT doc_id, translate(rtoks[i], '{_UP}', '{_LO}') AS term,
+         i - 1 AS pos
+  FROM base, unnest(range(1, len(rtoks) + 1)) u(i)
+)
+SELECT doc_id, term, count(*) AS tf,
+       string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+FROM tv GROUP BY doc_id, term ORDER BY doc_id, term"""
 
     hist_terms = ", ".join(f"'{t}'" for t in QS["or2"])
     o["ft_histogram"] = f"""

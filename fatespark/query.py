@@ -889,6 +889,61 @@ def facet_counts(index: "SearchIndex", corpus: DataFrame,
             .orderBy(*facet_cols))
 
 
+def facet_stats(index: "SearchIndex", corpus: DataFrame,
+                query: str | list[str], value_col: str,
+                facet_cols: list[str] | None = None, mode: str = "OR",
+                id_col: str = "doc_id") -> DataFrame:
+    """Numeric statistics of ``value_col`` over ALL matching documents,
+    optionally per facet value — the stats aggregation of a search
+    dashboard ("avg page length per language for this query"). Returns
+    (``facet_cols``..., n_docs, min_v, max_v, sum_v, avg_v).
+
+    ``value_col`` must be integral: the sum is then an exact int64 and
+    ``avg_v = sum/n`` a single division — order-independent and
+    bit-reproducible by the SQL oracle, where a float-column sum would
+    depend on aggregation order. Plan shape is ``facet_counts``': unscored
+    bucket-local match -> equi-join to the corpus columns -> one
+    partial+final hash aggregate; no extra scan, no window.
+    """
+    matched = index.matching_docs(query, mode)
+    j = (corpus.select(id_col, value_col, *(facet_cols or []))
+         .join(matched.withColumnRenamed("doc_id", id_col), id_col))
+    g = j.groupBy(*facet_cols) if facet_cols else j.groupBy()
+    out = g.agg(F.count("*").alias("n_docs"),
+                F.min(value_col).alias("min_v"),
+                F.max(value_col).alias("max_v"),
+                F.sum(value_col).alias("sum_v"))
+    out = out.withColumn(
+        "avg_v", F.col("sum_v").cast("double") / F.col("n_docs"))
+    return out.orderBy(*facet_cols) if facet_cols else out
+
+
+def term_vectors(corpus: DataFrame, doc_ids: list[int] | None = None,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document term vectors — (doc_id, term, tf, positions) with
+    0-based token positions (same convention as ``find_all`` and the
+    stored index positions), the Lucene ``TermVectors`` surface. Computed
+    by re-analysis from the doc store with the index's whitespace+fold
+    analyzer, exactly how Lucene serves term vectors when they are not
+    stored: for the few-documents use (highlighters, more-like-this
+    debugging) re-tokenizing beats carrying a doc-major copy of the
+    postings, and the ``doc_ids`` filter pushes into the parquet scan.
+    ``positions`` is a comma-joined string (deterministic, hashable).
+    """
+    from .textops import LOWER, UPPER, tokens_col
+    base = corpus
+    if doc_ids is not None:
+        base = base.filter(F.col(id_col).isin([int(d) for d in doc_ids]))
+    toks = F.transform(tokens_col(text_col),
+                       lambda x: F.translate(x, UPPER, LOWER))
+    ex = base.select(id_col, F.posexplode(toks).alias("pos", "term"))
+    return (ex.groupBy(id_col, "term")
+            .agg(F.count("*").alias("tf"),
+                 F.array_join(F.sort_array(F.collect_list("pos")), ",")
+                 .alias("positions"))
+            .orderBy(id_col, "term"))
+
+
 def _phrase_count_cap(analyzer: str, phrase: str, prefix: bool, live: bool,
                       max_expansions: int) -> int | None:
     """Expansion cap for count_phrase, shared by BOTH readers: None (no

@@ -323,3 +323,52 @@ class TestMatchingDocs:
         for d in exp_docs:
             exp[d % 3] = exp.get(d % 3, 0) + 1
         assert got == exp
+
+    def test_facet_stats(self, built, spark):
+        from fatespark.query import facet_stats
+        idx, oracle, _ = built
+        corpus = idx.docs.select("doc_id").withColumn(
+            "grp", F.pmod(F.col("doc_id"), F.lit(2)).cast("int")).withColumn(
+            "val", (F.pmod(F.col("doc_id"), F.lit(101)) * 7 % 101)
+            .cast("long"))
+        rows = {r["grp"]: r for r in
+                facet_stats(idx, corpus, ["the", "smith"], "val", ["grp"],
+                            mode="OR").collect()}
+        exp_docs = self._oracle_docs(oracle, ["the", "smith"], "OR")
+        for g in set(d % 2 for d in exp_docs):
+            vals = [d % 101 * 7 % 101 for d in exp_docs if d % 2 == g]
+            r = rows[g]
+            assert (r["n_docs"], r["min_v"], r["max_v"], r["sum_v"]) == (
+                len(vals), min(vals), max(vals), sum(vals))
+            assert r["avg_v"] == float(sum(vals)) / len(vals)
+        # global (no facet): one row over all matches
+        allv = [d % 101 * 7 % 101 for d in exp_docs]
+        g0 = facet_stats(idx, corpus, ["the", "smith"], "val",
+                         mode="OR").collect()[0]
+        assert g0["n_docs"] == len(allv) and g0["sum_v"] == sum(allv)
+
+
+class TestTermVectors:
+    def test_matches_hand_tokenization(self, spark):
+        from fatespark.query import term_vectors
+        corpus = spark.createDataFrame(
+            [(1, "The cat saw the CAT sit"), (2, "  lone  "), (3, None),
+             (4, "x y x y x")],
+            "doc_id long, text string")
+        rows = {(r["doc_id"], r["term"]): (r["tf"], r["positions"]) for r in
+                term_vectors(corpus).collect()}
+        assert rows[(1, "the")] == (2, "0,3")
+        assert rows[(1, "cat")] == (2, "1,4")
+        assert rows[(1, "sit")] == (1, "5")
+        assert rows[(2, "lone")] == (1, "0")
+        assert rows[(4, "x")] == (3, "0,2,4")
+        assert rows[(4, "y")] == (2, "1,3")
+        assert not any(d == 3 for d, _ in rows)  # NULL text -> no rows
+
+    def test_doc_ids_filter(self, spark):
+        from fatespark.query import term_vectors
+        corpus = spark.createDataFrame(
+            [(i, f"tok{i}") for i in range(10)], "doc_id long, text string")
+        got = sorted(r["doc_id"] for r in
+                     term_vectors(corpus, doc_ids=[2, 5]).collect())
+        assert got == [2, 5]
