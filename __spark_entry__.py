@@ -362,6 +362,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             mode="OR")
     q["ft_facets"] = ft_facets
 
+    def ft_explain(spark, sf):
+        """Score explanation (SearchIndex.explain, the Lucene Explanation
+        surface): per-(doc, term) BM25 breakdown — tf, df, dl, idf,
+        contribution — for the or2 top-10; folding contributions in
+        ascending term order reproduces the search score bit-for-bit
+        (tested). Doubles floored at 1e4 for the value-hash, like the
+        score oracles."""
+        idx = _index(spark, sf)
+        ex = idx.explain(QS["or2"], k=10, mode="OR", quantize=4)
+        mul = F.lit(10000.0)
+        return ex.select(
+            "doc_id", "term", "field", "tf", "df", "dl",
+            (F.floor(F.col("idf") * mul) / mul).alias("idf"),
+            (F.floor(F.col("contribution") * mul) / mul)
+            .alias("contribution"))
+    q["ft_explain"] = ft_explain
+
     def ft_facet_stats(spark, sf):
         """Numeric stats aggregation over ALL matches (query.facet_stats):
         per-lang n_docs/min/max/sum/avg of n_chars for the or2 query —
@@ -1581,6 +1598,36 @@ SELECT d.lang, d.source, count(*) AS n_docs
 FROM documents d JOIN m USING (doc_id)
 GROUP BY d.lang, d.source
 ORDER BY d.lang, d.source"""
+
+    ex_t0, ex_t1 = sorted(set(QS["or2"]))
+    o["ft_explain"] = f"""
+WITH {_TOK_CTES},
+contrib AS (
+  SELECT tfs.doc_id, tfs.term, tfs.tf, dfs.df, dls.dl,
+         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) AS idf,
+         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tfs.tf * {_K1P1} / (tfs.tf + {_K1} *
+            ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS s
+  FROM tfs JOIN dfs USING (term) JOIN dls ON dls.doc_id = tfs.doc_id
+  CROSS JOIN stats
+  WHERE tfs.term IN ('{ex_t0}', '{ex_t1}')
+),
+per_doc AS (
+  SELECT doc_id,
+         max(CASE WHEN term = '{ex_t0}' THEN s END) AS s_0,
+         max(CASE WHEN term = '{ex_t1}' THEN s END) AS s_1
+  FROM contrib GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, coalesce(s_0, 0.0) + coalesce(s_1, 0.0) AS score
+  FROM per_doc ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10
+)
+SELECT c.doc_id, c.term, CAST(0 AS INTEGER) AS field,
+       CAST(c.tf AS BIGINT) AS tf, c.df, CAST(c.dl AS BIGINT) AS dl,
+       floor(c.idf * 10000.0) / 10000.0 AS idf,
+       floor(c.s * 10000.0) / 10000.0 AS contribution
+FROM contrib c JOIN top USING (doc_id)
+ORDER BY c.doc_id, c.term"""
 
     o["ft_facet_stats"] = f"""
 WITH {_TOK_CTES},

@@ -157,6 +157,12 @@ def main() -> None:
     def _wc():  # trigram-banded infix over the dictionary + OR scoring
         return _swc(idx, "*mit*", k=10).collect()
 
+    from fatespark.querylang import execute as _qx
+
+    @timed("q_fuzzy", reps=3)
+    def _fz():  # two typos -> deletion-band expansion -> one OR search
+        return _qx(idx, "smiht~1 jnoes~1", k=10, mode="OR").collect()
+
     mlt_corpus = corpus.withColumn("doc_id", F.xxhash64("url"))
     mlt_seed = int(idx.docs.select("doc_id").first()["doc_id"])
 
@@ -239,6 +245,11 @@ def main() -> None:
     def _su():  # corpus-LM surprisal over the same 200k pages
         return _textops.unigram_surprisal_df(
             corpus.select(F.xxhash64("url").alias("doc_id"), "text")).count()
+
+    @timed("tx_kmv_200k")
+    def _kmv():  # KMV distinct-url sketch per lang over the 200k pages
+        from fatespark.sketch import kmv_distinct_df
+        return kmv_distinct_df(corpus, "lang", "url", k=256).collect()
 
     @timed("dd_exact")
     def _ex():

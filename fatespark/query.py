@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 from .analysis import ANALYZERS, ascii_fold
 from .codec import decode_positions, get_codec
 from .oracle import idf as idf_fn
-from .wand import TermBlocks, score_and, score_bmw_or, score_exhaustive_or
+from .wand import (B, K1, TermBlocks, score_and, score_bmw_or,
+                   score_exhaustive_or)
 
 RESULT_SCHEMA = "doc_id long, score double"
 
@@ -193,6 +194,61 @@ class SearchIndex:
             "bucket", "term", "field", "n", "docs", "tfs", "dls", "poss")
         return blocks.groupBy("bucket").applyInPandas(
             enum_hits, "doc_id long, field int, term string, position long")
+
+    def explain(self, query: str | list[str], k: int = 10,
+                mode: str = "OR", weights: list[float] | None = None,
+                quantize: int | None = None) -> DataFrame:
+        """Per-(doc, term, field) BM25 scoring breakdown for the query's
+        top-k documents — the Lucene ``Explanation`` surface: (doc_id,
+        term, field, tf, df, dl, idf, contribution), where ``idf`` is the
+        field-weighted idf scalar the scorer used and folding the
+        contributions in ascending (term, field) order reproduces the
+        ``search()`` score bit-for-bit (tested). Plan: ranked top-k
+        (bounded, k ids collected) -> ``find_all`` restricted to those
+        docs for exact tfs (only the query terms' posting streams are
+        read) -> broadcast joins of the k-row dl slice and the tiny
+        idf/avgdl tables; every float expression mirrors the kernel's
+        operation order (``(1-b) + (b*dl)/avgdl``, ``idf * part``)."""
+        qterms = _fold_terms(query, self.analyzer)
+        stats = self.term_stats(qterms)
+        present = sorted({t for t in qterms if t in stats})
+        empty_schema = ("doc_id long, term string, field int, tf long, "
+                        "df long, dl long, idf double, contribution double")
+        if not present:
+            return self.spark.createDataFrame([], empty_schema)
+        top = self.search(qterms, k=k, mode=mode, weights=weights,
+                          quantize=quantize)
+        ids = [int(r["doc_id"]) for r in top.select("doc_id").collect()]
+        if not ids:
+            return self.spark.createDataFrame([], empty_schema)
+        w = list(weights) if weights is not None else [1.0] * self.n_fields
+        idf_rows = [(t, f, int(st["df"]),
+                     float(w[f] * idf_fn(self.n_docs, st["df"])))
+                    for t in present for f, st in stats[t].items()
+                    if f < len(w) and w[f] != 0.0]
+        idf_df = self.spark.createDataFrame(
+            idf_rows, "term string, field int, df long, widf double")
+        favg_df = self.spark.createDataFrame(
+            [(int(f), float(a)) for f, a in sorted(self.field_avgdl.items())],
+            "field int, avgdl double")
+        hits = self.find_all(present).filter(F.col("doc_id").isin(ids))
+        tf = (hits.groupBy("doc_id", "term", "field")
+              .agg(F.count("*").alias("tf")))
+        dl = (self.docs.filter(F.col("doc_id").isin(ids))
+              .select("doc_id", F.posexplode("dls").alias("field", "dl")))
+        j = (tf.join(F.broadcast(idf_df), ["term", "field"])
+             .join(F.broadcast(favg_df), "field")
+             .join(F.broadcast(dl), ["doc_id", "field"]))
+        tfd = F.col("tf").cast("double")
+        dld = F.col("dl").cast("double")
+        part = (tfd * F.lit(K1 + 1.0)
+                / (tfd + F.lit(K1) * ((F.lit(1.0) - F.lit(B))
+                                      + (F.lit(B) * dld) / F.col("avgdl"))))
+        return (j.select("doc_id", "term", "field", "tf", "df",
+                         F.col("dl").cast("long").alias("dl"),
+                         F.col("widf").alias("idf"),
+                         (F.col("widf") * part).alias("contribution"))
+                .orderBy("doc_id", "term", "field"))
 
     def matching_docs(self, query: str | list[str],
                       mode: str = "OR") -> DataFrame:

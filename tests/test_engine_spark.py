@@ -372,3 +372,29 @@ class TestTermVectors:
         got = sorted(r["doc_id"] for r in
                      term_vectors(corpus, doc_ids=[2, 5]).collect())
         assert got == [2, 5]
+
+
+class TestExplain:
+    def test_contributions_fold_to_search_score(self, built):
+        """Folding explain() contributions in ascending (term, field) order
+        must reproduce search()'s float64 score BIT-FOR-BIT, and tf/df must
+        match the pure-Python oracle's postings."""
+        idx, oracle, _ = built
+        q = ["the", "smith"]
+        top = {int(r["doc_id"]): float(r["score"]) for r in
+               idx.search(q, k=10, mode="OR").collect()}
+        rows = idx.explain(q, k=10, mode="OR").collect()
+        per: dict[int, float] = {}
+        for r in sorted(rows, key=lambda r: (r["doc_id"], r["term"],
+                                             r["field"])):
+            per[r["doc_id"]] = per.get(r["doc_id"], 0.0) + r["contribution"]
+        assert set(per) == set(top)
+        for d, s in top.items():
+            assert per[d] == s, d
+        for r in rows:
+            assert r["tf"] == len(oracle.postings[r["term"]][r["doc_id"]])
+            assert r["df"] == len(oracle.postings[r["term"]])
+
+    def test_unknown_terms_empty(self, built):
+        idx, _, _ = built
+        assert idx.explain(["zzznope"], k=5).count() == 0
