@@ -241,10 +241,17 @@ def main() -> None:
     def _co():  # PMI bigrams over the full 200k-page corpus (~22M tokens)
         return _textops.collocations_df(corpus, min_count=50, k=20).collect()
 
+    # colloc/surprisal persist their one-pass stats tables (by design);
+    # drop them between entries so each measurement is clean-room and the
+    # blocks don't shadow later entries' memory
+    spark.catalog.clearCache()
+
     @timed("tx_surprisal_200k")
     def _su():  # corpus-LM surprisal over the same 200k pages
         return _textops.unigram_surprisal_df(
             corpus.select(F.xxhash64("url").alias("doc_id"), "text")).count()
+
+    spark.catalog.clearCache()
 
     @timed("tx_kmv_200k")
     def _kmv():  # KMV distinct-url sketch per lang over the 200k pages
