@@ -379,6 +379,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("contribution"))
     q["ft_explain"] = ft_explain
 
+    def ft_significant(spark, sf):
+        """Significant-terms aggregation (query.significant_terms): df lift
+        of each term inside the or2 match set vs the corpus — 'what is
+        this result set about'. One tokenize pass over ONLY the matching
+        docs; background df comes from the index terms table, never a
+        corpus re-scan. Integer counts -> one float division
+        (deterministic)."""
+        from fatespark.query import significant_terms
+        idx = _index(spark, sf)
+        docs = _read(spark, sf, "documents")
+        return significant_terms(idx, docs, QS["or2"], k=20, min_fg=5,
+                                 mode="OR")
+    q["ft_significant"] = ft_significant
+
     def ft_facet_stats(spark, sf):
         """Numeric stats aggregation over ALL matches (query.facet_stats):
         per-lang n_docs/min/max/sum/avg of n_chars for the or2 query —
@@ -1628,6 +1642,22 @@ SELECT c.doc_id, c.term, CAST(0 AS INTEGER) AS field,
        floor(c.s * 10000.0) / 10000.0 AS contribution
 FROM contrib c JOIN top USING (doc_id)
 ORDER BY c.doc_id, c.term"""
+
+    o["ft_significant"] = f"""
+WITH {_TOK_CTES},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({facet_terms})),
+fg AS (
+  SELECT term, count(DISTINCT doc_id) AS fg_df
+  FROM tok JOIN m USING (doc_id)
+  GROUP BY term HAVING count(DISTINCT doc_id) >= 5
+),
+nfg AS (SELECT count(*) AS n FROM m)
+SELECT f.term, f.fg_df, dfs.df AS bg_df,
+       floor((CAST(f.fg_df AS DOUBLE) * stats.n_docs)
+             / (CAST(dfs.df AS DOUBLE) * nfg.n) * 10000.0) / 10000.0
+       AS lift
+FROM fg f JOIN dfs USING (term) CROSS JOIN stats CROSS JOIN nfg
+ORDER BY lift DESC, f.term LIMIT 20"""
 
     o["ft_facet_stats"] = f"""
 WITH {_TOK_CTES},

@@ -974,6 +974,54 @@ def facet_stats(index: "SearchIndex", corpus: DataFrame,
     return out.orderBy(*facet_cols) if facet_cols else out
 
 
+def significant_terms(index: "SearchIndex", corpus: DataFrame,
+                      query: str | list[str], k: int = 20,
+                      min_fg: int = 5, mode: str = "OR",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      quantize: int = 4) -> DataFrame:
+    """Terms overrepresented in the query's matching documents relative to
+    the whole corpus — the Elasticsearch significant-terms aggregation
+    ("what is this result set ABOUT"). Returns (term, fg_df, bg_df, lift)
+    top-``k`` by lift = (fg_df/n_fg) / (bg_df/n_bg): document-frequency
+    lift of term t in the foreground (matching) set vs the background
+    corpus. ``min_fg`` suppresses the rare-term blow-up (same guard as the
+    PMI collocations). All inputs to ``lift`` are exact integers, so the
+    score is one float division — deterministic and oracle-replicable.
+
+    Plan: unscored bucket-local match set -> semi-join the corpus ->
+    ONE tokenize+explode of only the matching docs, distinct per (doc,
+    term), hash agg to foreground df -> equi-join the background df from
+    the index's terms table (vocab-sized; AQE broadcasts when the
+    foreground vocabulary is small) -> top-k. The background never
+    re-scans the corpus — bg_df is exactly the index's df statistic.
+    """
+    from .textops import LOWER, UPPER, tokens_col
+    matched = index.matching_docs(query, mode)
+    n_fg = matched.count()
+    if n_fg == 0:
+        return index.spark.createDataFrame(
+            [], "term string, fg_df long, bg_df long, lift double")
+    fg_docs = (corpus.select(id_col, text_col)
+               .join(matched.withColumnRenamed("doc_id", id_col), id_col))
+    toks = F.transform(tokens_col(text_col),
+                       lambda x: F.translate(x, UPPER, LOWER))
+    fg = (fg_docs.select(id_col, F.explode(toks).alias("term"))
+          .distinct()
+          .groupBy("term").agg(F.count("*").alias("fg_df"))
+          .filter(F.col("fg_df") >= min_fg))
+    bg = (index.terms.groupBy("term")
+          .agg(F.sum("df").alias("bg_df")))  # fields unioned
+    n_bg = index.n_docs
+    mul = float(10 ** quantize)
+    lift = F.floor((F.col("fg_df").cast("double") * float(n_bg))
+                   / (F.col("bg_df").cast("double") * float(n_fg))
+                   * mul) / mul
+    return (fg.join(bg, "term")
+            .select("term", "fg_df", "bg_df", lift.alias("lift"))
+            .orderBy(F.desc("lift"), F.asc("term"))
+            .limit(k))
+
+
 def term_vectors(corpus: DataFrame, doc_ids: list[int] | None = None,
                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document term vectors — (doc_id, term, tf, positions) with

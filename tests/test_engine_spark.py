@@ -398,3 +398,37 @@ class TestExplain:
     def test_unknown_terms_empty(self, built):
         idx, _, _ = built
         assert idx.explain(["zzznope"], k=5).count() == 0
+
+
+class TestSignificantTerms:
+    def test_matches_brute_force(self, spark, built):
+        import math
+
+        from fatespark.query import significant_terms
+        idx, oracle, _ = built
+        corpus = pages_df(spark, N_DOCS, partitions=4).withColumn(
+            "doc_id", F.xxhash64("url"))
+        q = ["the", "smith"]
+        got = [(r["term"], r["fg_df"], r["bg_df"], r["lift"]) for r in
+               significant_terms(idx, corpus, q, k=15, min_fg=3,
+                                 mode="OR").collect()]
+        matched = set().union(*(set(oracle.postings.get(t, {}))
+                                for t in q))
+        n_fg, n_bg = len(matched), oracle.n_docs
+        cand = []
+        for t, posts in oracle.postings.items():
+            fg = len(set(posts) & matched)
+            if fg < 3:
+                continue
+            bg = len(posts)
+            lift = math.floor(fg * float(n_bg) / (bg * float(n_fg))
+                              * 10000.0) / 10000.0
+            cand.append((t, fg, bg, lift))
+        cand.sort(key=lambda x: (-x[3], x[0]))
+        assert got == cand[:15]
+
+    def test_no_matches_empty(self, built):
+        from fatespark.query import significant_terms
+        idx, _, _ = built
+        corpus = idx.docs.select("doc_id").withColumn("text", F.lit("x"))
+        assert significant_terms(idx, corpus, ["zzznope"], k=5).count() == 0
