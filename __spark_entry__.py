@@ -117,6 +117,28 @@ def _mf_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     return idx
 
 
+def _range_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    """Two-field (text, n_chars-as-numeric-trie) index, cached per sf_dir —
+    the numeric range-filter driver query's fixture."""
+    tag = _corpus_tag(sf_dir)
+    d = f"/tmp/fatespark_entry_idx/{tag}_nr"
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "nval", F.col("n_chars").cast("string"))
+    n = docs.count()
+    try:
+        idx = SearchIndex(spark, d)
+        if idx.n_docs != n or idx.n_fields != 2:
+            raise ValueError("stale index")
+    except Exception:
+        IndexBuilder(d, BuildConfig(
+            n_buckets=4, salt_bits=0,
+            analyzers=["whitespace", "numeric_trie"])).build(
+            spark, docs, id_col="doc_id", url_col="doc_id",
+            text_cols=["text", "nval"], build_id="entry-nr")
+        idx = SearchIndex(spark, d)
+    return idx
+
+
 def _scores(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "score")
 
@@ -378,6 +400,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.floor(F.col("contribution") * mul) / mul)
             .alias("contribution"))
     q["ft_explain"] = ft_explain
+
+    def ft_range(spark, sf):
+        """Numeric range filter via trie-encoded terms (numeric.py, the
+        Lucene NumericRangeQuery design): n_chars indexes as 8 trie tokens
+        per doc; the range [300, 450] expands to a minimal covering token
+        set that rides the filters-as-postings IN-list path — no corpus
+        scan, no doc-table join, scores = unfiltered text BM25 (stats not
+        rebased)."""
+        from fatespark.numeric import search_range
+        idx = _range_index(spark, sf)
+        return _scores(search_range(idx, QS["or2"], 300, 450,
+                                    numeric_field=1, k=10, mode="OR",
+                                    quantize=4))
+    q["ft_range"] = ft_range
 
     def ft_significant(spark, sf):
         """Significant-terms aggregation (query.significant_terms): df lift
@@ -1642,6 +1678,12 @@ SELECT c.doc_id, c.term, CAST(0 AS INTEGER) AS field,
        floor(c.s * 10000.0) / 10000.0 AS contribution
 FROM contrib c JOIN top USING (doc_id)
 ORDER BY c.doc_id, c.term"""
+
+    # numeric trie range filter: same no-rebase semantics as ft_filtered
+    o["ft_range"] = _bm25_sql(
+        QS["or2"], "OR",
+        where_scored=("doc_id IN (SELECT doc_id FROM documents "
+                      "WHERE n_chars BETWEEN 300 AND 450)"))
 
     o["ft_significant"] = f"""
 WITH {_TOK_CTES},

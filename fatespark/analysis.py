@@ -77,12 +77,24 @@ def porter_tokens(text: str) -> list[str]:
     return [porter_stem(ascii_fold(t)) for t in WS_TOKEN_RE.findall(text)]
 
 
+def _numeric_trie_tokens(text: str) -> list[str]:
+    from .numeric import numeric_trie_tokens
+    return numeric_trie_tokens(text)
+
+
 ANALYZERS = {
     "whitespace": (whitespace_tokens, whitespace_token_offsets),
     "identifier": (identifier_tokens, identifier_token_offsets),
     # stemming analyzer: same offsets as whitespace (stemming does not move
     # token starts), stemmed terms in the index/query stream
     "porter": (porter_tokens, whitespace_token_offsets),
+    # numeric trie field (Lucene precision-step): a decimal integer emits
+    # one token per precision level; range queries expand to a covering
+    # token set (numeric.split_range) on the filters-as-postings path.
+    # Offsets: whole-value offsets are meaningless for derived tokens;
+    # reuse whitespace offsets for the raw parts (snippets never target
+    # numeric fields).
+    "numeric_trie": (_numeric_trie_tokens, whitespace_token_offsets),
 }
 
 

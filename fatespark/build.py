@@ -54,7 +54,17 @@ _DOCLEN_RE = {
 def doclen_col(text_col: str, analyzer: str = "whitespace"):
     """JVM-side token count, byte-equal to analysis.doc_length (no UDF).
     ``regexp_count`` of token runs — counts without materializing a token
-    array the way split()+filter would."""
+    array the way split()+filter would. The numeric-trie analyzer emits
+    ``BITS/STEP`` tokens per in-domain integer, so its count is the
+    in-domain-part count times that constant (rlike + try_cast bound
+    mirrors the python analyzer's ascii-digit + range domain exactly)."""
+    if analyzer == "numeric_trie":
+        from .numeric import BITS, STEP
+        parts = (f"size(filter(split(coalesce({text_col}, ''), "
+                 f"'{WS_SPLIT_RE}'), x -> x rlike '^[0-9]+$' "
+                 f"AND try_cast(x AS BIGINT) IS NOT NULL "
+                 f"AND try_cast(x AS BIGINT) < {1 << BITS}))")
+        return (F.expr(parts) * (BITS // STEP)).cast("int")
     return F.regexp_count(F.coalesce(F.col(text_col), F.lit("")),
                           F.lit(_DOCLEN_RE[analyzer]))
 
