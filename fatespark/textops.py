@@ -226,11 +226,18 @@ def collocations_df(df, text_col: str = "text", min_count: int = 5,
     hash agg) — a naive three-branch plan re-tokenizes the corpus three
     times because Catalyst does not share subplans across DataFrame
     branches. The rollup output (the corpus n-gram statistics table,
-    distinct-bigram-sized, NOT corpus-sized) is persisted so the derived
-    unigram/bigram/total reads and the count joins hit it instead of
-    re-scanning the corpus. All JVM expressions, whole-stage codegen.
+    distinct-bigram-sized, NOT corpus-sized) is materialized with
+    ``localCheckpoint`` — NOT ``persist``: the unigram table joins the
+    bigram table twice (a self-join over the same derivation), and
+    Spark's DeduplicateRelations re-aliases the extra references BEFORE
+    cache substitution, so a merely-persisted cube is re-derived from the
+    corpus on every branch but one (verified in the physical plan;
+    checkpoint truncates lineage so every reference scans the
+    materialized RDD). On a real cluster the durable version of this is
+    writing the stats table out — localCheckpoint trades executor-loss
+    tolerance for zero I/O, the right call for an intra-job temp. All
+    JVM expressions, whole-stage codegen.
     """
-    from pyspark import StorageLevel
     toks = F.transform(tokens_col(text_col),
                        lambda x: F.translate(x, UPPER, LOWER))
     pairs = (df.select(toks.alias("toks"))
@@ -244,7 +251,7 @@ def collocations_df(df, text_col: str = "text", min_count: int = 5,
     # group at gid=0 is a real last-token row, not a rollup margin.
     cube = (pairs.rollup("a", "b")
             .agg(F.count("*").alias("n"), F.grouping_id().alias("gid"))
-            .persist(StorageLevel.MEMORY_AND_DISK))
+            .localCheckpoint(eager=True))
     uni = cube.filter(F.col("gid") == 1).select("a", F.col("n").alias("n_u"))
     big = (cube.filter((F.col("gid") == 0) & F.col("b").isNotNull()
                        & (F.col("n") >= min_count))
@@ -286,14 +293,20 @@ def unigram_surprisal_df(df, id_col: str = "doc_id",
     ordered list_reduce — the same discipline as the BM25 kernels.
 
     Scale shape: ONE corpus tokenize pass builds the per-doc term counts
-    (the postings-equivalent table), persisted — the frequency table, the
-    corpus total, and the scoring join all derive from it, where the naive
-    three-branch plan would re-tokenize the corpus for each (Catalyst does
-    not share subplans across DataFrame branches; the index build
-    materializes this same table for the same reason). Then one hash agg
-    for the frequency table (vocab-sized), one shuffle join of per-doc
-    term counts against it, one per-doc agg; the 1-row total broadcasts.
-    No Python anywhere.
+    (the postings-equivalent table), materialized with ``localCheckpoint``
+    — the frequency table, the corpus total, and the scoring join all
+    derive from it, where the naive three-branch plan re-tokenizes the
+    corpus for each (Catalyst does not share subplans across DataFrame
+    branches; the index build materializes this same table for the same
+    reason). ``tf`` is persisted (corpus-postings-sized — too big to
+    localCheckpoint cheaply); the vocab-sized ``freq`` IS checkpointed,
+    which breaks the ``tf JOIN freq`` self-join relation that would
+    otherwise defeat the tf cache (DeduplicateRelations re-aliases the
+    second reference to a cached plan BEFORE cache substitution — see
+    collocations_df). Net: exactly one tokenize pass. Then one hash agg
+    for the frequency table, one shuffle join of per-doc term counts
+    against it, one per-doc agg; the 1-row total broadcasts. No Python
+    anywhere.
     """
     from pyspark import StorageLevel
     toks = F.transform(tokens_col(text_col),
@@ -303,7 +316,8 @@ def unigram_surprisal_df(df, id_col: str = "doc_id",
     tf = (base.select(id_col, F.explode("toks").alias("t"))
           .groupBy(id_col, "t").agg(F.count("*").alias("tf"))
           .persist(StorageLevel.MEMORY_AND_DISK))
-    freq = tf.groupBy("t").agg(F.sum("tf").alias("n"))
+    freq = (tf.groupBy("t").agg(F.sum("tf").alias("n"))
+            .localCheckpoint(eager=True))
     total = freq.agg(F.sum("n").alias("tt")).select(
         F.col("tt").cast("double").alias("tt"))
     s = (F.col("tf").cast("double")
