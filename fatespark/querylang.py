@@ -16,6 +16,11 @@ parsed form keeps its oracle-checked scoring:
     "big dat"*          phrase-prefix (fates' natural suffix semantics)
     "big data"~3        proximity: all quoted terms within a token window
                         of span <= 3 (unordered; ``search_near``)
+    len:[300 TO 450]    numeric range filter (Lucene range syntax): the
+                        named trie-indexed numeric field restricts results
+                        to the inclusive range via the covering-token
+                        IN-list (``numeric.split_range``; field names map
+                        via ``execute(numeric_fields=...)``)
     joib~1              fuzzy term: dictionary terms within Levenshtein
                         distance 1 join the OR bag (complete deletion-band
                         expansion, ``suggest.expand_fuzzy``; ``~0`` is the
@@ -66,6 +71,7 @@ class ParsedQuery:
     filters: list[tuple[str, str]] = field(default_factory=list)  # (field, value)
     boosts: dict[str, float] = field(default_factory=dict)  # term -> mult
     fuzzy: list[tuple[str, int]] = field(default_factory=list)  # (term, max_edit)
+    range_filter: tuple[str, int, int] | None = None  # (field, lo, hi)
 
 
 def parse_query(q: str) -> ParsedQuery:
@@ -160,6 +166,29 @@ def parse_query(q: str) -> ParsedQuery:
                 raise UnsupportedQueryError(
                     f"field filters cannot be negated or prefixed: {tok!r}")
             fname, _, fval = tok.partition(":")
+            if fval.startswith("["):
+                # Lucene numeric range: name:[lo TO hi] — the tokenizer
+                # split it at whitespace, so re-join from the raw string
+                j2 = q.find("]", i - len(fval))
+                if j2 < 0:
+                    raise QuerySyntaxError(
+                        f"unterminated range bracket in {tok!r}")
+                body = q[i - len(fval) + 1:j2]
+                i = j2 + 1
+                parts = body.split()
+                if len(parts) != 3 or parts[1].upper() != "TO":
+                    raise QuerySyntaxError(
+                        f"range must be [lo TO hi]: [{body}]")
+                try:
+                    lo, hi = int(parts[0]), int(parts[2])
+                except ValueError:
+                    raise QuerySyntaxError(
+                        f"range bounds must be integers: [{body}]")
+                if out.range_filter is not None:
+                    raise UnsupportedQueryError(
+                        "one numeric range filter per query")
+                out.range_filter = (fname, lo, hi)
+                continue
             out.filters.append((fname, fval))
             continue
         bucket = (
@@ -177,12 +206,13 @@ def parse_query(q: str) -> ParsedQuery:
                                    out.exclude_prefixes):
         raise UnsupportedQueryError(
             "exclusions are not supported alongside a quoted phrase")
-    if out.phrase is not None and out.filters:
+    if out.phrase is not None and (out.filters or out.range_filter):
         raise UnsupportedQueryError(
             "field filters are not supported alongside a quoted phrase")
     if (out.phrase is None and not out.terms and not out.prefixes
             and not out.fuzzy):
-        if out.exclude_terms or out.exclude_prefixes or out.filters:
+        if (out.exclude_terms or out.exclude_prefixes or out.filters
+                or out.range_filter):
             raise UnsupportedQueryError(
                 "purely negative or filter-only queries are not supported")
     return out
@@ -191,6 +221,7 @@ def parse_query(q: str) -> ParsedQuery:
 def execute(index, q: str | ParsedQuery, k: int = 10, mode: str = "OR",
             offset: int = 0, max_expansions: int = 256,
             field_names: dict[str, int] | None = None,
+            numeric_fields: dict[str, int] | None = None,
             synonyms: dict[str, list[str]] | None = None, **kw):
     """Run a query string against either reader. Positive terms + expanded
     prefixes score as one term-bag ``search()`` (one job, one plan);
@@ -211,6 +242,18 @@ def execute(index, q: str | ParsedQuery, k: int = 10, mode: str = "OR",
                 max_expansions=max_expansions, **kw)
         return index.search_phrase(spec.phrase, k=k, offset=offset, **kw)
     fterms, ffield = None, None
+    if spec.range_filter is not None:
+        if spec.filters:
+            raise UnsupportedQueryError(
+                "a numeric range cannot combine with term filters (one "
+                "filter field per search)")
+        fname, lo, hi = spec.range_filter
+        nmap = numeric_fields or {}
+        if fname not in nmap:
+            raise UnsupportedQueryError(
+                f"unknown numeric field {fname!r} (known: {sorted(nmap)})")
+        from .numeric import split_range
+        fterms, ffield = split_range(lo, hi), nmap[fname]
     if spec.filters:
         names = field_names or {}
         fids = set()

@@ -75,26 +75,27 @@ class TestAnalyzer:
         assert analyze("306", analyzer="numeric_trie") == trie_tokens(306)
 
 
-class TestRangeSearch:
-    @pytest.fixture(scope="class")
-    def nidx(self, spark, tmp_root):
-        from fatespark.build import BuildConfig, IndexBuilder
-        from fatespark.corpus import pages_df
-        from fatespark.query import SearchIndex
-        d = str(tmp_root / "numeric_idx")
-        corpus = (pages_df(spark, 600, partitions=4)
-                  .withColumn("doc_id", F.xxhash64("url"))
-                  .withColumn("nval", F.pmod(F.col("doc_id"), F.lit(1000))
-                              .cast("string")))
-        IndexBuilder(d, BuildConfig(
-            n_buckets=4, salt_bits=0,
-            analyzers=["whitespace", "numeric_trie"])).build(
-            spark, corpus, id_col="doc_id",
-            text_cols=["text", "nval"], build_id="nr")
-        vals = {int(r["doc_id"]): int(r["nval"]) for r in
-                corpus.select("doc_id", "nval").collect()}
-        return SearchIndex(spark, d), vals
+@pytest.fixture(scope="module")
+def nidx(spark, tmp_root):
+    from fatespark.build import BuildConfig, IndexBuilder
+    from fatespark.corpus import pages_df
+    from fatespark.query import SearchIndex
+    d = str(tmp_root / "numeric_idx")
+    corpus = (pages_df(spark, 600, partitions=4)
+              .withColumn("doc_id", F.xxhash64("url"))
+              .withColumn("nval", F.pmod(F.col("doc_id"), F.lit(1000))
+                          .cast("string")))
+    IndexBuilder(d, BuildConfig(
+        n_buckets=4, salt_bits=0,
+        analyzers=["whitespace", "numeric_trie"])).build(
+        spark, corpus, id_col="doc_id",
+        text_cols=["text", "nval"], build_id="nr")
+    vals = {int(r["doc_id"]): int(r["nval"]) for r in
+            corpus.select("doc_id", "nval").collect()}
+    return SearchIndex(spark, d), vals
 
+
+class TestRangeSearch:
     def test_filtered_equals_post_filter_of_full_ranking(self, nidx):
         idx, vals = nidx
         lo, hi = 200, 700
@@ -120,3 +121,37 @@ class TestRangeSearch:
         idx, _ = nidx
         assert search_range(idx, ["the"], 5000, 6000,
                             numeric_field=1, k=10).count() == 0
+
+
+class TestQueryLangRange:
+    def test_parse(self):
+        from fatespark.querylang import (QuerySyntaxError,
+                                         UnsupportedQueryError, parse_query)
+        p = parse_query("the nval:[300 TO 450] smith")
+        assert p.terms == ["the", "smith"]
+        assert p.range_filter == ("nval", 300, 450)
+        import pytest as _pt
+        with _pt.raises(QuerySyntaxError):
+            parse_query("a nval:[300 450]")
+        with _pt.raises(QuerySyntaxError):
+            parse_query("a nval:[300 TO")
+        with _pt.raises(QuerySyntaxError):
+            parse_query("a nval:[x TO 450]")
+        with _pt.raises(UnsupportedQueryError):
+            parse_query("a n:[1 TO 2] m:[3 TO 4]")
+        with _pt.raises(UnsupportedQueryError):
+            parse_query("n:[1 TO 2]")  # filter-only
+
+    def test_execute_routes_to_search_range(self, nidx):
+        from fatespark.querylang import UnsupportedQueryError, execute
+        idx, vals = nidx
+        got = [(r["doc_id"], r["score"]) for r in
+               execute(idx, "the smith nval:[200 TO 700]", k=10,
+                       mode="OR", numeric_fields={"nval": 1}).collect()]
+        want = [(r["doc_id"], r["score"]) for r in
+                search_range(idx, ["smith", "the"], 200, 700,
+                             numeric_field=1, k=10, mode="OR").collect()]
+        assert got == want and got
+        import pytest as _pt
+        with _pt.raises(UnsupportedQueryError):
+            execute(idx, "the nval:[1 TO 2]", numeric_fields={})
