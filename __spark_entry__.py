@@ -289,6 +289,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                k=10, mode="OR", quantize=4))
     q["ft_fuzzy"] = ft_fuzzy
 
+    def ft_fuzzy2(spark, sf):
+        """Distance-2 fuzzy ('jion~2' finds 'join' — a transposition):
+        depth-2 deletion bands on both sides are a COMPLETE candidate
+        generator for Levenshtein <= 2 (SymSpell theorem), exact-verified,
+        scored as one OR-BM25 bag. Oracle: levenshtein()<=2 over the full
+        DuckDB token dictionary."""
+        from fatespark.querylang import execute
+        return _scores(execute(_index(spark, sf), "jion~2", k=10,
+                               mode="OR", quantize=4))
+    q["ft_fuzzy2"] = ft_fuzzy2
+
     def ft_suggest(spark, sf):
         """Spell suggestion / did-you-mean (suggest.suggest): SymSpell
         deletion banding over the term dictionary — candidates come from
@@ -1548,6 +1559,7 @@ FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
     o["ft_fuzzy"] = _bm25_pred_sql(
         "(levenshtein(tfs.term, 'mergs') <= 1"
         " OR levenshtein(tfs.term, 'joib') <= 1)")
+    o["ft_fuzzy2"] = _bm25_pred_sql("levenshtein(tfs.term, 'jion') <= 2")
     o["ft_first_match"] = _bm25_sql(QS["or2"], "OR", limit=1)
     o["ft_topk_paged"] = _bm25_sql(QS["or2"], "OR", limit=5, offset=5)
     o["ft_local_topk"] = _bm25_sql(QS["or2"], "OR")  # same oracle as or2

@@ -579,28 +579,33 @@ class LocalSearchIndex:
 
     def expand_fuzzy(self, term: str, max_edit: int = 1,
                      max_terms: int = 256) -> list[str]:
-        """Dictionary terms within Levenshtein distance 1 of ``term`` —
-        reader-parity twin of ``suggest.expand_fuzzy``. An edit anywhere
-        in the term defeats the sorted-term skip index (a substitution at
-        position 0 lands anywhere in the dictionary), so this reads the
-        term column of the compact serving copy once — driver-local by
-        design, same budget class as the reader's other dictionary scans —
-        then length-window prunes and exact-verifies the sliver. Same
-        ``max_terms`` cap order as the distributed path (distance ASC, df
-        DESC, term ASC)."""
-        if max_edit != 1:
-            raise ValueError("expand_fuzzy supports max_edit=1 only")
+        """Dictionary terms within Levenshtein distance ``max_edit`` (1 or
+        2) of ``term`` — reader-parity twin of ``suggest.expand_fuzzy``.
+        An edit anywhere in the term defeats the sorted-term skip index (a
+        substitution at position 0 lands anywhere in the dictionary), so
+        this reads the term column of the compact serving copy once —
+        driver-local by design, same budget class as the reader's other
+        dictionary scans — then length-window prunes and exact-verifies
+        the sliver. Same ``max_terms`` cap order as the distributed path
+        (distance ASC, df DESC, term ASC)."""
+        if max_edit not in (1, 2):
+            raise ValueError("expand_fuzzy supports max_edit in (1, 2)")
         q = ascii_fold(term)
         if not q:
             return []
         t = self._terms_ix.read_range("", "\U0010ffff", ["term", "df"])
-        best: dict[str, int] = {}
+        best: dict[str, tuple[int, int]] = {}  # term -> (dist, df)
         for s, df in zip(t["term"], t["df"]):
-            if abs(len(s) - len(q)) <= 1 and _within_edit1(q, s):
-                if int(df) > best.get(s, -1):
-                    best[s] = int(df)
+            if abs(len(s) - len(q)) > max_edit:
+                continue
+            d = _lev_banded(q, s, max_edit)
+            if d > max_edit:
+                continue
+            cur = best.get(s)
+            if cur is None or int(df) > cur[1]:
+                best[s] = (d, int(df))
         ordered = sorted(best.items(),
-                         key=lambda x: (x[0] != q, -x[1], x[0]))
+                         key=lambda x: (x[1][0], -x[1][1], x[0]))
         return sorted(s for s, _ in ordered[:max_terms])
 
 
@@ -620,6 +625,32 @@ def _within_edit1(a: str, b: str) -> bool:
     while i < la and a[i] == b[i]:
         i += 1
     return a[i:] == b[i + 1:]
+
+
+def _lev_banded(a: str, b: str, d: int) -> int:
+    """Levenshtein(a, b), exact up to ``d`` (returns d+1 beyond): banded
+    DP — only the 2d+1 diagonal band is computed, O(len * d)."""
+    if a == b:
+        return 0
+    if d == 1:
+        return 1 if _within_edit1(a, b) else 2
+    la, lb = len(a), len(b)
+    if abs(la - lb) > d:
+        return d + 1
+    big = d + 1
+    prev = [j if j <= d else big for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        jlo, jhi = max(1, i - d), min(lb, i + d)
+        cur = [big] * (lb + 1)
+        if i - d <= 0:
+            cur[jlo - 1] = i if i <= d else big
+        for j in range(jlo, jhi + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+        if min(prev[jlo - 1:jhi + 1]) > d:
+            return big
+    return prev[lb] if prev[lb] <= d else big
 
 
 def _empty_result() -> pd.DataFrame:

@@ -802,8 +802,9 @@ class SearchIndex:
 
     def expand_fuzzy(self, term: str, max_edit: int = 1,
                      max_terms: int = 256) -> list[str]:
-        """Dictionary terms within Levenshtein distance 1 (``term~1``) via
-        SymSpell deletion banding — see ``suggest.expand_fuzzy``."""
+        """Dictionary terms within Levenshtein distance 1 or 2
+        (``term~1`` / ``term~2``) via SymSpell deletion banding at the
+        matching depth (complete) — see ``suggest.expand_fuzzy``."""
         from .suggest import expand_fuzzy
         return expand_fuzzy(self, term, max_edit=max_edit,
                             max_terms=max_terms)

@@ -22,9 +22,10 @@ parsed form keeps its oracle-checked scoring:
                         IN-list (``numeric.split_range``; field names map
                         via ``execute(numeric_fields=...)``)
     joib~1              fuzzy term: dictionary terms within Levenshtein
-                        distance 1 join the OR bag (complete deletion-band
-                        expansion, ``suggest.expand_fuzzy``; ``~0`` is the
-                        exact term)
+                        distance 1 (or ``~2``, depth-2 bands) join the OR
+                        bag (COMPLETE deletion-band expansion,
+                        ``suggest.expand_fuzzy``; ``~0`` is the exact
+                        term)
     join^2              term boost: the term's score contribution is
                         multiplied (Lucene ``^`` semantics; bare positive
                         terms only — ``search(boosts=)``)
@@ -285,7 +286,10 @@ def execute(index, q: str | ParsedQuery, k: int = 10, mode: str = "OR",
     for p in spec.prefixes:
         terms.extend(index.expand_prefix(p, max_expansions))
     for t, d in spec.fuzzy:
-        # complete distance-<=1 dictionary neighborhood (includes the term
+        if d > 2:
+            raise UnsupportedQueryError(
+                f"fuzzy distance {d} not supported (max ~2): {t!r}")
+        # complete distance-<=d dictionary neighborhood (includes the term
         # itself when it exists); expansions join the OR bag like prefixes
         terms.extend(index.expand_fuzzy(t, max_edit=d,
                                         max_terms=max_expansions))

@@ -10,9 +10,13 @@ equi-join on the key is a complete candidate generator for distance <= 1 —
 no all-pairs comparison ever happens. With ``max_edit=2`` the same depth-1
 band also surfaces the delete∘insert-shaped distance-2 pairs (notably ALL
 adjacent transpositions: delete one of the swapped characters on each side
-and the variants coincide); full distance-2 recall would need depth-2
-deletions — documented partial, never wrong (every emitted pair is
-verified with an exact ``levenshtein`` filter).
+and the variants coincide) — a cheap partial mode for did-you-mean
+ranking, never wrong (every emitted pair is verified with an exact
+``levenshtein`` filter). ``depth=2`` emits pair-deletions on both sides
+and is COMPLETE for distance <= 2 (the SymSpell theorem: strings within
+distance d always share a depth-d deletion variant) at ~L²/2 variants per
+term — the mode ``expand_fuzzy(max_edit=2)`` uses, since a scoring
+expansion must not silently lose recall.
 
 Scale shape: the dictionary expansion is a narrow projection of the terms
 table (O(vocab x avg_len) rows, JVM higher-order functions, no Python);
@@ -42,37 +46,66 @@ _VARIANTS_EXPR = (
     "i -> concat(substring({c}, 1, i - 1), substring({c}, i + 1)))))"
 )
 
+# depth 2: the term, every single deletion, and every ordered PAIR of
+# deletions (positions i < j in the ORIGINAL string) — flatten of a nested
+# transform; delete(i, j) = s[1..i-1] + s[i+1..j-1] + s[j+1..]. SymSpell's
+# completeness theorem: two strings within Levenshtein distance d always
+# share a depth-d deletion variant, so depth-2 bands are a COMPLETE
+# candidate generator for distance <= 2.
+_VARIANTS2_EXPR = (
+    "array_distinct(concat("
+    + _VARIANTS_EXPR +
+    ", flatten(transform(sequence(1, length({c})), "
+    "i -> transform(sequence(least(i + 1, length({c})), length({c})), "
+    "j -> CASE WHEN j > i THEN concat(substring({c}, 1, i - 1), "
+    "substring({c}, i + 1, j - i - 1), substring({c}, j + 1, length({c}))) "
+    "ELSE {c} END)))))"
+)
 
-def deletion_variants(term: str) -> list[str]:
-    """Driver-side twin of the JVM expression (query terms are few)."""
+
+def deletion_variants(term: str, depth: int = 1) -> list[str]:
+    """Driver-side twin of the JVM expressions (query terms are few)."""
     out = [term]
     for i in range(len(term)):
         v = term[:i] + term[i + 1:]
         if v not in out:
             out.append(v)
+    if depth >= 2:
+        for i in range(len(term)):
+            for j in range(i + 1, len(term)):
+                v = term[:i] + term[i + 1:j] + term[j + 1:]
+                if v not in out:
+                    out.append(v)
     return out
 
 
-def dictionary_variants(terms_df: DataFrame) -> DataFrame:
+def dictionary_variants(terms_df: DataFrame, depth: int = 1) -> DataFrame:
     """(variant, term, df) — the banded dictionary. Persist this bucketed
     by ``variant`` for a served system; recomputed inline it is one narrow
-    map over the terms table."""
+    map over the terms table. ``depth=2`` emits pair-deletions too
+    (~L²/2 variants per term — the standard SymSpell cost for COMPLETE
+    distance-2 recall)."""
+    expr = _VARIANTS2_EXPR if depth >= 2 else _VARIANTS_EXPR
     return (terms_df
             .select("term", "df",
-                    F.explode(F.expr(_VARIANTS_EXPR.format(c="term")))
+                    F.explode(F.expr(expr.format(c="term")))
                     .alias("variant")))
 
 
 def suggest(index, qterms: list[str], *, k: int = 5, max_edit: int = 2,
+            depth: int = 1,
             variants: DataFrame | None = None) -> DataFrame:
     """Top-``k`` corrections per query term: (qterm, suggestion, dist, df,
     rank), ranked by (edit distance ASC, document frequency DESC,
     suggestion ASC) — the classic did-you-mean ordering (closest, then
-    most common). Complete for distance <= 1; ``max_edit=2`` additionally
-    surfaces the depth-1-band distance-2 pairs (see module docstring).
+    most common). ``depth=1`` (default): complete for distance <= 1, and
+    ``max_edit=2`` additionally surfaces the depth-1-band distance-2
+    pairs (see module docstring). ``depth=2``: COMPLETE for distance <= 2
+    (pair-deletion bands on both sides; the SymSpell theorem) at ~L²/2
+    variants per dictionary term.
 
     ``variants``: a pre-persisted ``dictionary_variants`` table to probe
-    instead of recomputing the expansion.
+    instead of recomputing the expansion (build it with the same depth).
     """
     spark = index.spark
     # length-window prune BEFORE expansion/probe: |len(a)-len(b)| <= dist,
@@ -85,9 +118,10 @@ def suggest(index, qterms: list[str], *, k: int = 5, max_edit: int = 2,
         dvar = variants.filter(F.length("term").between(lo, hi))
     else:
         dvar = dictionary_variants(
-            index.terms.filter(F.length("term").between(lo, hi)))
+            index.terms.filter(F.length("term").between(lo, hi)),
+            depth=depth)
     qrows = [(q, v) for q in dict.fromkeys(qterms)
-             for v in deletion_variants(q)]
+             for v in deletion_variants(q, depth=depth)]
     qv = spark.createDataFrame(qrows, "qterm string, variant string")
     cand = (dvar.join(F.broadcast(qv), "variant")
             .select("qterm", "term", "df").distinct())
@@ -111,21 +145,22 @@ def expand_fuzzy(index, term: str, *, max_edit: int = 1,
     exact-distance verify, returned as the sorted expansion set for an
     OR-BM25 term bag (like ``expand_prefix``).
 
-    Only ``max_edit=1`` is offered: depth-1 banding is COMPLETE there, so
-    the expansion equals the exact ``levenshtein(dict_term, term) <= 1``
-    set and fuzzy ranking stays oracle-checkable. At distance 2 the band
-    is a documented partial generator — fine for "did you mean" ranking,
-    wrong for a scoring expansion where silent recall loss would silently
-    change results.
+    Banding depth always equals ``max_edit`` so the expansion is COMPLETE
+    (depth-d deletion bands are a complete candidate generator for
+    distance <= d — the SymSpell theorem) and equals the exact
+    ``levenshtein(dict_term, term) <= max_edit`` set: fuzzy ranking stays
+    oracle-checkable, where a partial generator would silently change
+    scores. Distance 1 expands the dictionary ~L-fold, distance 2
+    ~L²/2-fold (for a served system persist ``dictionary_variants(depth=2)``
+    once instead of recomputing).
 
     ``max_terms`` caps a pathological neighborhood (cap order: distance
     ASC, df DESC, term ASC — keep the corrections that match the most
     docs), mirroring ``expand_prefix``'s ``max_terms``.
     """
-    if max_edit != 1:
-        raise ValueError(
-            "expand_fuzzy supports max_edit=1 only (depth-1 deletion "
-            "banding is complete there; distance-2 recall would need "
-            "depth-2 bands)")
-    s = suggest(index, [term], k=max_terms, max_edit=1, variants=variants)
+    if max_edit not in (1, 2):
+        raise ValueError("expand_fuzzy supports max_edit in (1, 2) "
+                         "(complete banding depths)")
+    s = suggest(index, [term], k=max_terms, max_edit=max_edit,
+                depth=max_edit, variants=variants)
     return sorted({r["suggestion"] for r in s.collect()})

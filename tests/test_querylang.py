@@ -274,9 +274,48 @@ class TestFuzzy:
         b = _rows(execute(loc, "smth~1 jone~1", k=10, mode="OR"))
         assert a == b and a
 
-    def test_max_edit_above_one_rejected(self, idx):
+    def test_max_edit_above_two_rejected(self, idx):
         dist, loc = idx
         with pytest.raises(ValueError):
-            dist.expand_fuzzy("smith", max_edit=2)
+            dist.expand_fuzzy("smith", max_edit=3)
         with pytest.raises(ValueError):
-            loc.expand_fuzzy("smith", max_edit=2)
+            loc.expand_fuzzy("smith", max_edit=3)
+
+
+class TestFuzzy2:
+    def test_depth2_variants_jvm_matches_python(self, idx):
+        from pyspark.sql import functions as F
+
+        from fatespark.suggest import deletion_variants, dictionary_variants
+        dist, _ = idx
+        sample = (dist.terms.select("term").distinct()
+                  .orderBy("term").limit(30))
+        got = {}
+        for r in dictionary_variants(sample.withColumn("df", F.lit(1)),
+                                     depth=2).collect():
+            got.setdefault(r["term"], set()).add(r["variant"])
+        for t, vs in got.items():
+            assert vs == set(deletion_variants(t, depth=2)), t
+
+    def test_expansion_is_exact_distance2_neighborhood(self, idx):
+        dist, loc = idx
+        vocab = [r["term"] for r in
+                 dist.terms.select("term").distinct().collect()]
+        for q in ("smth", "jnes", "smith"):
+            want = sorted({t for t in vocab if _lev(t, q) <= 2})
+            assert dist.expand_fuzzy(q, max_edit=2) == want, q
+            assert loc.expand_fuzzy(q, max_edit=2) == want, q
+
+    def test_execute_tilde2(self, idx):
+        dist, loc = idx
+        a = _rows(execute(dist, "smih~2", k=10, mode="OR"))
+        want = _rows(dist.search(dist.expand_fuzzy("smih", max_edit=2),
+                                 k=10, mode="OR"))
+        assert a == want and a
+        b = _rows(execute(loc, "smih~2", k=10, mode="OR"))
+        assert a == b
+
+    def test_tilde3_rejected(self, idx):
+        dist, _ = idx
+        with pytest.raises(UnsupportedQueryError):
+            execute(dist, "smith~3", k=5)
