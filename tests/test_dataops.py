@@ -722,3 +722,45 @@ class TestSurprisal:
         b = sorted(map(tuple, textops.unigram_surprisal_df(
             df1.repartition(13)).collect()))
         assert a == b
+
+
+class TestCorpusStatsPlanShape:
+    def test_collocations_reads_corpus_zero_times_in_final_plan(
+            self, spark, tmp_root):
+        """The final collocations query must read ONLY the checkpointed
+        rollup stats table — zero corpus re-scans. Guards the
+        DeduplicateRelations cache-bypass regression: a persisted (not
+        checkpointed) cube is silently re-derived from the corpus for
+        every self-join reference but one."""
+        from fatespark.corpus import pages_pandas
+        from fatespark.textops import collocations_df
+        src = str(tmp_root / "colloc_plan_src")
+        import numpy as np
+        (spark.createDataFrame(pages_pandas(np.arange(300))[["text"]])
+         .write.mode("overwrite").parquet(src))
+        corpus = spark.read.parquet(src)
+        plan = (collocations_df(corpus, min_count=2, k=5)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Scan parquet" not in plan, plan[:2000]
+        assert plan.count("Scan ExistingRDD") >= 4
+
+    def test_surprisal_single_tokenize_pass(self, spark, tmp_root):
+        """Surprisal's final plan: the tf cache serves the join (one
+        InMemoryTableScan) and freq/total read the checkpointed frequency
+        table — the corpus appears only inside the cached relation's
+        definition, never as a second live scan branch."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from fatespark.corpus import pages_pandas
+        from fatespark.textops import unigram_surprisal_df
+        src = str(tmp_root / "surp_plan_src")
+        pdf = pages_pandas(np.arange(300))
+        pdf["doc_id"] = np.arange(300, dtype=np.int64)
+        (spark.createDataFrame(pdf[["doc_id", "text"]])
+         .write.mode("overwrite").parquet(src))
+        corpus = spark.read.parquet(src)
+        plan = (unigram_surprisal_df(corpus)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("InMemoryTableScan") == 1, plan[:2000]
+        assert plan.count("Scan ExistingRDD") >= 2
