@@ -75,27 +75,38 @@ class FatesIndex:
                                      max_expansions=self.max_expansions)
 
     # -- find (Model.fulltext_find, lib/fates.rb:53-84) ----------------------
+    def fulltext_find_df(self, query: str, offset: int = 0,
+                         limit: int = 10,
+                         quantize: int | None = None) -> DataFrame | None:
+        """DataFrame twin of ``fulltext_find``: the ranked (doc_id, score)
+        window the list API collects, kept LAZY — the surface a driver
+        verifies at scale without materializing field values. None when
+        the query analyzes to nothing."""
+        tok, _ = ANALYZERS[self.idx.analyzer]
+        terms = [ascii_fold(t) for t in tok(ascii_fold(query))]
+        if not terms:
+            return None
+        if len(terms) == 1:
+            expanded = self.idx.expand_prefix(terms[0],
+                                              self.max_expansions)
+            if not expanded:
+                return None
+            return self.idx.search(expanded, k=limit, offset=offset,
+                                   mode="OR", weights=self.weights,
+                                   quantize=quantize)
+        return self.idx.search_phrase_prefix(
+            query, k=limit, offset=offset,
+            max_expansions=self.max_expansions,
+            weights=self.weights, quantize=quantize)
+
     def fulltext_find(self, query: str, offset: int = 0, limit: int = 10,
                       ranked: bool = True) -> list[list]:
         """Ranked (or raw) window of matches: ``[[pk, [fields...], score],
         ...]``. Ranked mode is weighted per-field BM25 over the prefix
         expansion; unranked mirrors the reference's score-0 rows."""
-        tok, _ = ANALYZERS[self.idx.analyzer]
-        terms = [ascii_fold(t) for t in tok(ascii_fold(query))]
-        if not terms:
+        res = self.fulltext_find_df(query, offset=offset, limit=limit)
+        if res is None:
             return []
-        if len(terms) == 1:
-            expanded = self.idx.expand_prefix(terms[0],
-                                              self.max_expansions)
-            if not expanded:
-                return []
-            res = self.idx.search(expanded, k=limit, offset=offset,
-                                  mode="OR", weights=self.weights)
-        else:
-            res = self.idx.search_phrase_prefix(
-                query, k=limit, offset=offset,
-                max_expansions=self.max_expansions,
-                weights=self.weights)
         rows = res.collect()
         fields_of = self._fields_of([r["doc_id"] for r in rows])
         return [[r["doc_id"], fields_of.get(r["doc_id"], []),

@@ -153,6 +153,8 @@ class LocalSearchIndex:
             self.tombstones = np.sort(ids.astype(np.int64))
         else:
             self.tombstones = None
+        self.index_dir = index_dir
+        self._fuzzy_local: tuple | None = None  # lazy (_RGIndex, depth)
         self._terms_ix = _RGIndex(src("terms"), "term")
         # prefer the term-range-clustered serving copy (IndexBuilder.
         # compact_local): the raw build output is hash-partitioned for merge
@@ -293,8 +295,10 @@ class LocalSearchIndex:
         if fterms and not fpresent:
             return _empty_result()
         w = list(weights) if weights is not None else [1.0] * self.n_fields
-        bmap = {ascii_fold(bt): float(bv)
-                for bt, bv in (boosts or {}).items()}
+        # boost keys run through the index analyzer, same as query terms
+        # (reader parity with SearchIndex.search)
+        bmap = {t: float(bv) for bt, bv in (boosts or {}).items()
+                for t in _fold_terms(bt, self.analyzer)}
         idfs = {(t, f): w[f] * idf_fn(self.n_docs, st["df"])
                 * bmap.get(t, 1.0)
                 for t in present for f, st in stats[t].items()
@@ -593,20 +597,66 @@ class LocalSearchIndex:
         q = ascii_fold(term)
         if not q:
             return []
-        t = self._terms_ix.read_range("", "\U0010ffff", ["term", "df"])
-        best: dict[str, tuple[int, int]] = {}  # term -> (dist, df)
-        for s, df in zip(t["term"], t["df"]):
-            if abs(len(s) - len(q)) > max_edit:
-                continue
-            d = _lev_banded(q, s, max_edit)
-            if d > max_edit:
-                continue
-            cur = best.get(s)
-            if cur is None or int(df) > cur[1]:
-                best[s] = (d, int(df))
+        best = self._fuzzy_probe(q, max_edit)
+        if best is None:
+            # no persisted banded dictionary: scan the term column once,
+            # length-window prune, exact-verify the sliver
+            t = self._terms_ix.read_range("", "\U0010ffff", ["term", "df"])
+            best = {}
+            for s, df in zip(t["term"], t["df"]):
+                if abs(len(s) - len(q)) > max_edit:
+                    continue
+                d = _lev_banded(q, s, max_edit)
+                if d > max_edit:
+                    continue
+                cur = best.get(s)
+                if cur is None or int(df) > cur[1]:
+                    best[s] = (d, int(df))
         ordered = sorted(best.items(),
                          key=lambda x: (x[1][0], -x[1][1], x[0]))
         return sorted(s for s, _ in ordered[:max_terms])
+
+    def _fuzzy_probe(self, q: str,
+                     max_edit: int) -> dict[str, tuple[int, int]] | None:
+        """term -> (dist, df) via the persisted banded dictionary
+        (``suggest.write_fuzzy_variants``), or None when absent / built too
+        shallow / reading a pinned snapshot (the variants table tracks the
+        CURRENT dictionary). Touches only the row groups covering the
+        query's own deletion variants (``_RGIndex`` min/max pruning over
+        the variant-sorted files) — O(query variants), not O(vocab)."""
+        if self._paths is not None:
+            return None
+        if self._fuzzy_local is None:
+            import pyarrow.parquet as pq
+            metas = sorted(glob.glob(os.path.join(
+                self.index_dir, "fuzzy_meta", "*.parquet")))
+            vdir = os.path.join(self.index_dir, "fuzzy_variants")
+            if metas and glob.glob(os.path.join(vdir, "**", "*.parquet"),
+                                   recursive=True):
+                m = pq.read_table(metas[-1]).to_pandas().iloc[0]
+                self._fuzzy_local = (_RGIndex(vdir, "variant"),
+                                     int(m["depth"]))
+            else:
+                self._fuzzy_local = (None, 0)
+        ix, depth = self._fuzzy_local
+        # dictionary side banded at >= max_edit + query side banded at
+        # exactly max_edit => complete for distance <= max_edit (SymSpell);
+        # a shallower table cannot serve this request
+        if ix is None or depth < max_edit:
+            return None
+        from .suggest import deletion_variants
+        qvars = deletion_variants(q, depth=max_edit)
+        t = ix.read(qvars, ["variant", "term", "df"])
+        best: dict[str, tuple[int, int]] = {}
+        for s, df in zip(t["term"], t["df"]):
+            if abs(len(s) - len(q)) > max_edit:
+                continue
+            if s in best:       # stored rows are unique per (variant, term)
+                continue        # with max-df dedup already applied
+            d = _lev_banded(q, s, max_edit)
+            if d <= max_edit:
+                best[s] = (d, int(df))
+        return best
 
 
 def _within_edit1(a: str, b: str) -> bool:

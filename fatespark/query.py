@@ -34,6 +34,27 @@ from .wand import (B, K1, TermBlocks, score_and, score_bmw_or,
 
 RESULT_SCHEMA = "doc_id long, score double"
 
+# tombstone sets up to this size ship inline in task closures (fast, no
+# broadcast round-trip); larger sets go through a Spark broadcast variable
+# so millions of deletes don't bloat every serialized task
+TOMBSTONE_BROADCAST_ROWS = 100_000
+
+
+class _TombRef:
+    """Picklable handle to the sorted tombstone id array: the array inline
+    (small set / None) or a Spark broadcast (large set). Closures capture
+    the handle and call ``get()`` executor-side, so a task ships at most
+    the broadcast id, never the array itself."""
+
+    __slots__ = ("arr", "bc")
+
+    def __init__(self, arr=None, bc=None):
+        self.arr = arr
+        self.bc = bc
+
+    def get(self):
+        return self.arr if self.bc is None else self.bc.value
+
 
 def _fold_terms(query: str | list[str], analyzer: str) -> list[str]:
     """Query terms -> index-ready terms: every term runs through the SAME
@@ -124,6 +145,18 @@ class SearchIndex:
             t = _read_local_parquet(f"{index_dir}/tombstones")
         self.tombstones = np.sort(t["doc_id"].to_numpy(np.int64)) \
             if t is not None and not t.empty else None
+        self._tomb_bc = None  # lazy broadcast for large tombstone sets
+
+    def _tombs_ref(self) -> "_TombRef":
+        """Closure-shippable tombstone handle (inline under
+        ``TOMBSTONE_BROADCAST_ROWS`` ids, broadcast above — built once,
+        reused by every subsequent query on this reader)."""
+        t = self.tombstones
+        if t is None or t.size <= TOMBSTONE_BROADCAST_ROWS:
+            return _TombRef(arr=t)
+        if self._tomb_bc is None:
+            self._tomb_bc = self.spark.sparkContext.broadcast(t)
+        return _TombRef(bc=self._tomb_bc)
 
     # -- stats ---------------------------------------------------------------
     def term_stats(self, terms: list[str]) -> dict[str, dict]:
@@ -183,11 +216,11 @@ class SearchIndex:
         if not present:
             return self.spark.createDataFrame(
                 [], "doc_id long, field int, term string, position long")
-        tombs = self.tombstones
+        tombs_ref = self._tombs_ref()
         codec = self.codec_name
 
         def enum_hits(pdf: pd.DataFrame) -> pd.DataFrame:
-            return pd.concat(_hit_frames(pdf, codec, tombs),
+            return pd.concat(_hit_frames(pdf, codec, tombs_ref.get()),
                              ignore_index=True)
 
         blocks = self.postings.filter(F.col("term").isin(present)).select(
@@ -269,12 +302,13 @@ class SearchIndex:
         if not present or (mode == "AND" and len(present) < len(qterms)):
             return self.spark.createDataFrame([], "doc_id long")
         codec = self.codec_name
-        tombs = self.tombstones
+        tombs_ref = self._tombs_ref()
         need_all = frozenset(present) if mode == "AND" else None
 
         def match_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame(
-                {"doc_id": _matched_ids(pdf, codec, tombs, need_all)})
+                {"doc_id": _matched_ids(pdf, codec, tombs_ref.get(),
+                                        need_all)})
 
         blocks = self.postings.filter(F.col("term").isin(present)).select(
             "bucket", "term", "n", "docs")
@@ -296,7 +330,9 @@ class SearchIndex:
         ``boosts`` multiplies a term's score contribution (Lucene
         ``term^2`` semantics): the per-stream scalar becomes
         ``(weight * idf) * boost`` — a query-time knob only, nothing in
-        the index changes. Keys are folded like query terms; absent keys
+        the index changes. Keys run through the index analyzer exactly
+        like query terms (fold + tokenize + stem — on a porter index
+        ``{'running': 2.0}`` boosts the scored term ``run``); absent keys
         boost 1.0.
 
         ``weights`` gives one multiplier per field (default 1.0 each) — the
@@ -341,8 +377,11 @@ class SearchIndex:
         if fterms and not fpresent:
             return self._empty()   # filter matches no dictionary term
         w = list(weights) if weights is not None else [1.0] * self.n_fields
-        bmap = {ascii_fold(bt): float(bv)
-                for bt, bv in (boosts or {}).items()}
+        # boost keys run through the SAME analyzer as query terms (fold +
+        # tokenize + stem): on a stemming index boosts={'running': 2.0}
+        # must land on the scored term 'run', not silently no-op
+        bmap = {t: float(bv) for bt, bv in (boosts or {}).items()
+                for t in _fold_terms(bt, self.analyzer)}
         # (term, field) -> field_weight * idf * boost — the stream's full
         # scalar (unboosted terms multiply by exactly 1.0: bit-identical)
         idfs = {(t, f): w[f] * idf_fn(self.n_docs, st["df"])
@@ -393,11 +432,12 @@ class SearchIndex:
         idfs = {(t, f): idf_fn(self.n_docs, st["df"])
                 for t in scan_terms for f, st in stats[t].items()}
         avgdl, favg = self.avgdl, dict(self.field_avgdl)
-        drop, codec = self.tombstones, self.codec_name
+        tombs_ref, codec = self._tombs_ref(), self.codec_name
         qmul = float(10 ** quantize) if quantize else None
         qlist = sorted(live.items())
 
         def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+            drop = tombs_ref.get()
             by_tf = {(t, int(f)): _term_blocks_from_pdf(
                         g, idfs[(t, int(f))], favg.get(int(f), avgdl), codec)
                      for (t, f), g in pdf.groupby(["term", "field"])}
@@ -450,13 +490,14 @@ class SearchIndex:
         n_query = len(terms)
         qmul = float(10 ** quantize) if quantize else None
 
-        drop = self.tombstones
+        tombs_ref = self._tombs_ref()
         codec = self.codec_name
         xset = frozenset(exclude_terms or [])
         fset = frozenset(required_terms or [])
         ffield = required_field
 
         def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+            drop = tombs_ref.get()
             empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                                   "score": pd.array([], dtype="float64")})
             allowed = None
@@ -545,10 +586,11 @@ class SearchIndex:
             return None
         uniq = sorted({t for v in variants for t in v})
 
-        tombs = self.tombstones
+        tombs_ref = self._tombs_ref()
         codec = self.codec_name
 
         def matcher(pdf: pd.DataFrame) -> pd.DataFrame:
+            tombs = tombs_ref.get()
             empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                                   "field": pd.array([], dtype="int32"),
                                   "tf": pd.array([], dtype="int32"),
@@ -649,11 +691,12 @@ class SearchIndex:
                 for t in uniq for f, st in stats[t].items()
                 if f < len(w) and w[f] != 0.0}
         avgdl, favg = self.avgdl, dict(self.field_avgdl)
-        tombs, codec = self.tombstones, self.codec_name
+        tombs_ref, codec = self._tombs_ref(), self.codec_name
         qmul = float(10 ** quantize) if quantize else None
         k_local, n_query, sl = k + offset, len(uniq), int(slop)
 
         def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+            tombs = tombs_ref.get()
             empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                                   "score": pd.array([], dtype="float64")})
             allowed = []
@@ -997,17 +1040,42 @@ def significant_terms(index: "SearchIndex", corpus: DataFrame,
     re-scans the corpus — bg_df is exactly the index's df statistic.
     """
     from .textops import LOWER, UPPER, tokens_col
-    matched = index.matching_docs(query, mode)
+    # materialize the match set ONCE: it feeds both n_fg and the corpus
+    # join, and Catalyst does not share subplans across actions — without
+    # truncated lineage the postings scan + match kernel would run twice
+    matched = index.matching_docs(query, mode).localCheckpoint(eager=True)
     n_fg = matched.count()
     if n_fg == 0:
         return index.spark.createDataFrame(
             [], "term string, fg_df long, bg_df long, lift double")
     fg_docs = (corpus.select(id_col, text_col)
                .join(matched.withColumnRenamed("doc_id", id_col), id_col))
-    toks = F.transform(tokens_col(text_col),
-                       lambda x: F.translate(x, UPPER, LOWER))
-    fg = (fg_docs.select(id_col, F.explode(toks).alias("term"))
-          .distinct()
+    # foreground terms MUST come from the index's analyzer, or the bg_df
+    # equi-join silently mismatches (porter index: foreground 'running'
+    # vs dictionary 'run'). Whitespace stays on the JVM expression path;
+    # other analyzers run the real tokenizer over the (match-set-sized)
+    # foreground in one Arrow-batched pass.
+    if index.analyzer == "whitespace":
+        toks = F.transform(tokens_col(text_col),
+                           lambda x: F.translate(x, UPPER, LOWER))
+        pairs = fg_docs.select(id_col, F.explode(toks).alias("term"))
+    else:
+        from .analysis import analyze
+        analyzer = index.analyzer
+
+        def tok_fg(batches):
+            for pdf in batches:
+                ids: list[int] = []
+                terms: list[str] = []
+                for i, txt in zip(pdf[id_col], pdf[text_col]):
+                    ts = analyze(txt or "", analyzer)
+                    ids.extend([i] * len(ts))
+                    terms.extend(ts)
+                yield pd.DataFrame({id_col: pd.array(ids, dtype="int64"),
+                                    "term": terms})
+
+        pairs = fg_docs.mapInPandas(tok_fg, f"{id_col} long, term string")
+    fg = (pairs.distinct()
           .groupBy("term").agg(F.count("*").alias("fg_df"))
           .filter(F.col("fg_df") >= min_fg))
     bg = (index.terms.groupBy("term")

@@ -60,7 +60,11 @@ def recency_topk(index, meta: DataFrame, query, *, half_life_days: float,
     if dict(meta.dtypes).get(ts_col) in ("timestamp", "timestamp_ntz",
                                          "date"):
         ts = ts.cast("long")
-    age_days = (F.lit(float(now_ts)) - ts.cast("double")) / F.lit(86400.0)
+    # clamp at age 0: a future/clock-skewed timestamp would give decay > 1,
+    # breaking the window-exactness invariant (decay <= 1) documented above
+    age_days = F.greatest(
+        (F.lit(float(now_ts)) - ts.cast("double")) / F.lit(86400.0),
+        F.lit(0.0))
     decay = F.pow(F.lit(2.0), -(age_days / F.lit(float(half_life_days))))
     j = (meta.select("doc_id", decay.alias("_decay"))
          .join(F.broadcast(cand), "doc_id"))

@@ -33,11 +33,63 @@ web-search surface needs.
 
 from __future__ import annotations
 
+import zlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["deletion_variants", "dictionary_variants", "expand_fuzzy",
-           "suggest"]
+           "suggest", "write_fuzzy_variants"]
+
+# on-disk layout for the persisted banded dictionary (written under the
+# index directory; auto-discovered by both readers)
+FUZZY_DIRNAME = "fuzzy_variants"
+FUZZY_META_DIRNAME = "fuzzy_meta"
+
+_SUGGEST_SCHEMA = ("qterm string, suggestion string, dist int, "
+                   "df bigint, rank int")
+
+
+def variant_bucket(variant: str, n_buckets: int) -> int:
+    """Driver-side twin of the JVM ``pmod(crc32(variant), n_buckets)``
+    partition key (zlib.crc32 and Spark's crc32 are the same CRC-32)."""
+    return zlib.crc32(variant.encode("utf-8")) % n_buckets
+
+
+def write_fuzzy_variants(index, *, depth: int = 2,
+                         n_buckets: int = 64) -> str:
+    """Persist the SymSpell banded dictionary under the index directory so
+    served fuzzy queries PROBE instead of re-expanding the vocabulary.
+
+    Layout: ``{index_dir}/fuzzy_variants`` partitioned by
+    ``vbucket = crc32(variant) % n_buckets`` and variant-sorted within each
+    file, plus a one-row ``{index_dir}/fuzzy_meta`` (depth, n_buckets).
+    A probe filters ``vbucket IN (...)`` (physical directory pruning —
+    same pattern as ``ann.LshVectorIndex``) and ``variant IN (...)``
+    (parquet row-group pruning via the sort), so per-query cost is
+    O(query variants), independent of vocabulary size. The table is
+    vocabulary-shaped (~L²/2 rows per term at depth 2), built with one
+    narrow projection + one shuffle on the partition key.
+
+    ``df`` is deduplicated to max-per-term across fields first (the same
+    dedup ``suggest`` applies), so the stored rows are already unique per
+    (variant, term)."""
+    terms = index.terms.groupBy("term").agg(F.max("df").alias("df"))
+    dvar = dictionary_variants(terms, depth=depth)
+    vb = F.pmod(F.crc32(F.encode(F.col("variant"), "utf-8")),
+                F.lit(n_buckets)).cast("int")
+    out = f"{index.index_dir}/{FUZZY_DIRNAME}"
+    (dvar.withColumn("vbucket", vb)
+     .repartition(n_buckets, "vbucket")
+     .sortWithinPartitions("vbucket", "variant")
+     .write.mode("overwrite").partitionBy("vbucket").parquet(out))
+    (index.spark.createDataFrame([(depth, n_buckets)],
+                                 "depth int, n_buckets int")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{index.index_dir}/{FUZZY_META_DIRNAME}"))
+    if hasattr(index, "_fuzzy_cache"):
+        index._fuzzy_cache = None  # invalidate the reader's memo
+    return out
 
 # term + every single-character deletion, deduplicated — pure JVM
 _VARIANTS_EXPR = (
@@ -92,6 +144,36 @@ def dictionary_variants(terms_df: DataFrame, depth: int = 1) -> DataFrame:
                     .alias("variant")))
 
 
+def _discover_variants(index):
+    """(variants_df, depth, n_buckets) for a ``write_fuzzy_variants`` table
+    under the index directory, or (None, 0, 0). Memoized on the index
+    object; snapshot-pinned readers skip discovery (the variants table
+    tracks the CURRENT dictionary, not the pinned one)."""
+    cache = getattr(index, "_fuzzy_cache", None)
+    if cache is not None:
+        return cache
+    import os
+    out = (None, 0, 0)
+    spark = getattr(index, "spark", None)
+    idir = getattr(index, "index_dir", None)
+    if (spark is not None and idir is not None
+            and getattr(index, "snapshot_id", None) is None
+            and os.path.isdir(os.path.join(idir, FUZZY_META_DIRNAME))
+            and os.path.isdir(os.path.join(idir, FUZZY_DIRNAME))):
+        try:
+            m = spark.read.parquet(
+                os.path.join(idir, FUZZY_META_DIRNAME)).collect()[0]
+            out = (spark.read.parquet(os.path.join(idir, FUZZY_DIRNAME)),
+                   int(m["depth"]), int(m["n_buckets"]))
+        except Exception:
+            out = (None, 0, 0)
+    try:
+        index._fuzzy_cache = out
+    except Exception:
+        pass
+    return out
+
+
 def suggest(index, qterms: list[str], *, k: int = 5, max_edit: int = 2,
             depth: int = 1,
             variants: DataFrame | None = None) -> DataFrame:
@@ -106,25 +188,53 @@ def suggest(index, qterms: list[str], *, k: int = 5, max_edit: int = 2,
 
     ``variants``: a pre-persisted ``dictionary_variants`` table to probe
     instead of recomputing the expansion (build it with the same depth).
+    When omitted, a table previously written by ``write_fuzzy_variants``
+    (``{index_dir}/fuzzy_variants``) is auto-discovered and probed with
+    pushed ``vbucket``/``variant`` IN-filters — directory + row-group
+    pruning, no vocabulary expansion — whenever its stored depth matches
+    ``depth`` (a depth-2 table bands strictly more than depth 1, so a
+    depth-1 request keeps the inline expansion to preserve the documented
+    depth-1 candidate set exactly).
     """
     spark = index.spark
+    qterms = [q for q in qterms if q]  # empty strings band against every
+    if not qterms:                     # 1-char term — never meaningful
+        return spark.createDataFrame([], _SUGGEST_SCHEMA)
     # length-window prune BEFORE expansion/probe: |len(a)-len(b)| <= dist,
     # so terms outside [min_qlen - max_edit, max_qlen + max_edit] can never
     # verify — pushes a cheap predicate into the terms scan and cuts the
     # deletion expansion to a sliver of the vocabulary
-    qlens = [len(q) for q in qterms if q]
+    qlens = [len(q) for q in qterms]
     lo, hi = min(qlens) - max_edit, max(qlens) + max_edit
+    qrows = [(q, v) for q in dict.fromkeys(qterms)
+             for v in deletion_variants(q, depth=depth)]
+    if variants is None:
+        fdf, fdepth, fbuckets = _discover_variants(index)
+        # a table banded at >= the requested depth serves any COMPLETE-mode
+        # request (depth >= max_edit) exactly: candidates are a superset of
+        # the inline expansion and the exact dist <= max_edit verify cuts
+        # them to the identical result set. Partial mode (depth < max_edit)
+        # keeps the inline expansion — its candidate set is deliberately
+        # depth-limited, and a deeper table would change the output.
+        if fdf is not None and fdepth >= depth and depth >= max_edit:
+            qvars = sorted({v for _, v in qrows})
+            bvals = sorted({variant_bucket(v, fbuckets) for v in qvars})
+            variants = fdf.filter(F.col("vbucket").isin(bvals)
+                                  & F.col("variant").isin(qvars))
     if variants is not None:
         dvar = variants.filter(F.length("term").between(lo, hi))
     else:
         dvar = dictionary_variants(
             index.terms.filter(F.length("term").between(lo, hi)),
             depth=depth)
-    qrows = [(q, v) for q in dict.fromkeys(qterms)
-             for v in deletion_variants(q, depth=depth)]
     qv = spark.createDataFrame(qrows, "qterm string, variant string")
+    # max-df dedup (NOT distinct): multi-field indexes carry one terms row
+    # per (term, field), so distinct would keep one (qterm, term, df) row
+    # per differing per-field df and duplicates would eat rank slots —
+    # aggregate to the max df per suggestion, matching
+    # LocalSearchIndex.expand_fuzzy's dedup
     cand = (dvar.join(F.broadcast(qv), "variant")
-            .select("qterm", "term", "df").distinct())
+            .groupBy("qterm", "term").agg(F.max("df").alias("df")))
     dist = F.levenshtein(F.col("qterm"), F.col("term"))
     scored = (cand.select("qterm", F.col("term").alias("suggestion"),
                           dist.alias("dist"), "df")

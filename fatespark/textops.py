@@ -249,8 +249,15 @@ def collocations_df(df, text_col: str = "text", min_count: int = 5,
              .select("p.a", "p.b"))
     # gid: 0 = (a, b) group, 1 = (a) group, 3 = grand total. A (a, NULL)
     # group at gid=0 is a real last-token row, not a rollup margin.
+    # Sub-min_count bigram rows are dropped BEFORE the checkpoint: they are
+    # the long tail (most distinct bigrams are hapaxes) and nothing below
+    # reads them — the unigram (gid=1), grand-total (gid=3) and b-NULL
+    # last-token rows all survive, so every downstream statistic is
+    # unchanged while the materialized table shrinks ~10x.
     cube = (pairs.rollup("a", "b")
             .agg(F.count("*").alias("n"), F.grouping_id().alias("gid"))
+            .filter(~((F.col("gid") == 0) & F.col("b").isNotNull()
+                      & (F.col("n") < min_count)))
             .localCheckpoint(eager=True))
     uni = cube.filter(F.col("gid") == 1).select("a", F.col("n").alias("n_u"))
     big = (cube.filter((F.col("gid") == 0) & F.col("b").isNotNull()
@@ -290,7 +297,15 @@ def unigram_surprisal_df(df, id_col: str = "doc_id",
     Float determinism: the per-doc sum folds contributions in ascending
     term order (array_sort + aggregate, JVM-side) so the result is
     partition-independent and exactly reproducible by the DuckDB oracle's
-    ordered list_reduce — the same discipline as the BM25 kernels.
+    ordered list_reduce — the same discipline as the BM25 kernels. The
+    fold key is a DENSE INTEGER term id (rank of the term in ascending
+    term order, assigned on the vocab-sized frequency table), not the
+    term string: ordering by id IS ordering by term (rank is a bijection),
+    so the summation order — and the output hash — is identical, while
+    the per-doc ``collect_list`` structs shrink from (string, double) to
+    (int, double) and the array_sort compares ints. At sf0.1 that is
+    ~14 M structs through the shuffle; the string version was the whole
+    suite's scale hazard (60 s of the 150 s bench).
 
     Scale shape: ONE corpus tokenize pass builds the per-doc term counts
     (the postings-equivalent table), materialized with ``localCheckpoint``
@@ -316,17 +331,23 @@ def unigram_surprisal_df(df, id_col: str = "doc_id",
     tf = (base.select(id_col, F.explode("toks").alias("t"))
           .groupBy(id_col, "t").agg(F.count("*").alias("tf"))
           .persist(StorageLevel.MEMORY_AND_DISK))
+    from pyspark.sql import Window
+    # tid: dense ascending-term rank. The rank window is a single-task sort
+    # of the VOCAB-sized table only (never the corpus), and the result is
+    # checkpointed with the frequencies it annotates.
     freq = (tf.groupBy("t").agg(F.sum("tf").alias("n"))
+            .withColumn("tid", F.row_number().over(
+                Window.orderBy("t")).cast("int"))
             .localCheckpoint(eager=True))
     total = freq.agg(F.sum("n").alias("tt")).select(
         F.col("tt").cast("double").alias("tt"))
     s = (F.col("tf").cast("double")
          * -F.log(F.col("n").cast("double") / F.col("tt")))
     j = (tf.join(freq, "t").crossJoin(F.broadcast(total))
-         .select(id_col, "t", "tf", s.alias("s")))
+         .select(id_col, "tid", "tf", s.alias("s")))
     mul = float(10 ** quantize)
     agg = (j.groupBy(id_col).agg(
-        F.aggregate(F.array_sort(F.collect_list(F.struct("t", "s"))),
+        F.aggregate(F.array_sort(F.collect_list(F.struct("tid", "s"))),
                     F.lit(0.0), lambda acc, x: acc + x["s"]).alias("ssum"),
         F.sum("tf").alias("ntok")))
     surp = F.floor(F.col("ssum") / F.col("ntok").cast("double") * mul) / mul

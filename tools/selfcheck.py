@@ -16,6 +16,7 @@ import hashlib
 import math
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -74,6 +75,7 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -82,9 +84,12 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             continue
+        st = time.monotonic() - t0
         if name not in oracles:
-            print(f"ok   {name}: rows={len(srows)} (rows-only, no oracle)")
+            print(f"ok   {name}: rows={len(srows)} (rows-only, no oracle) "
+                  f"[spark {st:.2f}s]")
             continue
+        t0 = time.monotonic()
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
@@ -93,6 +98,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
             continue
+        ot = time.monotonic() - t0
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
@@ -118,7 +124,8 @@ def main() -> int:
                         if shown >= 3:
                             break
         else:
-            print(f"ok   {name}: rows={len(srows)} hash={sh}")
+            print(f"ok   {name}: rows={len(srows)} hash={sh} "
+                  f"[spark {st:.2f}s, duckdb {ot:.2f}s]")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
