@@ -98,6 +98,15 @@ def main() -> None:
 
     idx = SearchIndex(spark, idx_dir)
 
+    # persisted SymSpell banded dictionary: one vocab-sized build, after
+    # which every served term~N query probes (directory + row-group
+    # pruning) instead of re-expanding the dictionary inline
+    from fatespark.suggest import write_fuzzy_variants
+
+    @timed("fuzzy_variants_build")
+    def _fvb():
+        return write_fuzzy_variants(idx, depth=2)
+
     # -- reference-style query set (head/mid/tail, AND/OR/WAND/prefix/phrase)
     @timed("q_count_head", reps=3)
     def _c():
@@ -160,8 +169,13 @@ def main() -> None:
     from fatespark.querylang import execute as _qx
 
     @timed("q_fuzzy", reps=3)
-    def _fz():  # two typos -> deletion-band expansion -> one OR search
+    def _fz():  # two typos -> distance-1 probe of the persisted bands
         return _qx(idx, "smiht~1 jnoes~1", k=10, mode="OR").collect()
+
+    @timed("q_fuzzy2", reps=3)
+    def _fz2():  # complete distance-2 expansion — the vocabulary-bound
+        # case pre-persistence (r2: recomputed ~L^2/2 variants per query)
+        return _qx(idx, "smiht~2 jnoes~2", k=10, mode="OR").collect()
 
     mlt_corpus = corpus.withColumn("doc_id", F.xxhash64("url"))
     mlt_seed = int(idx.docs.select("doc_id").first()["doc_id"])
@@ -226,6 +240,11 @@ def main() -> None:
     def _lph():
         return lidx.search_phrase("big array", k=10)
 
+    @timed("ql_fuzzy2", reps=3)
+    def _lfz2():  # local distance-2 fuzzy via the persisted bands: reads
+        # only the row groups covering the query's own deletion variants
+        return _qx(lidx, "smiht~2 jnoes~2", k=10, mode="OR")
+
     # -- training-data ops over the driver tables ---------------------------
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -237,9 +256,17 @@ def main() -> None:
 
     from fatespark import textops as _textops
 
-    @timed("tx_colloc_200k")
-    def _co():  # PMI bigrams over the full 200k-page corpus (~22M tokens)
-        return _textops.collocations_df(corpus, min_count=50, k=20).collect()
+    # 3 recorded samples (not median-only): r2 observed 7.8-52 s run-to-run
+    # host variance here; the samples show whether the min_count pre-filter
+    # on the checkpointed rollup holds consecutive runs within 2x
+    colloc_samples = []
+    for _ in range(3):
+        t0 = time.time()
+        _textops.collocations_df(corpus, min_count=50, k=20).collect()
+        colloc_samples.append(round(time.time() - t0, 4))
+        spark.catalog.clearCache()
+    times["tx_colloc_200k"] = sorted(colloc_samples)[1]
+    extra["tx_colloc_samples"] = colloc_samples
 
     # colloc/surprisal persist their one-pass stats tables (by design);
     # drop them between entries so each measurement is clean-room and the

@@ -9,6 +9,8 @@ twin for the DuckDB oracle (see __spark_entry__.oracle_sql).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
 UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
@@ -287,69 +289,137 @@ def collocations_df(df, text_col: str = "text", min_count: int = 5,
 
 
 def unigram_surprisal_df(df, id_col: str = "doc_id",
-                         text_col: str = "text", quantize: int = 4):
+                         text_col: str = "text", quantize: int = 4,
+                         broadcast_vocab: bool = True):
     """Per-document mean token surprisal under the corpus unigram model:
     ``-(1/ntok) * sum_t tf_t * ln(n_t / T)`` — the CCNet/C4-style
     language-model quality signal (rare-token-heavy docs score high,
     boilerplate scores low) with the corpus itself as the model. Returns
-    (``id_col``, ntok, surprisal) for docs with >= 1 token.
+    (``id_col``, ntok, surprisal) for docs with >= 1 token; ``id_col``
+    must be unique per row (a document id).
 
-    Float determinism: the per-doc sum folds contributions in ascending
-    term order (array_sort + aggregate, JVM-side) so the result is
-    partition-independent and exactly reproducible by the DuckDB oracle's
-    ordered list_reduce — the same discipline as the BM25 kernels. The
-    fold key is a DENSE INTEGER term id (rank of the term in ascending
-    term order, assigned on the vocab-sized frequency table), not the
-    term string: ordering by id IS ordering by term (rank is a bijection),
-    so the summation order — and the output hash — is identical, while
-    the per-doc ``collect_list`` structs shrink from (string, double) to
-    (int, double) and the array_sort compares ints. At sf0.1 that is
-    ~14 M structs through the shuffle; the string version was the whole
-    suite's scale hazard (60 s of the 150 s bench).
+    Float determinism: per-doc contributions are summed in ascending term
+    order with a strict left-to-right fold, exactly reproducing the DuckDB
+    oracle's ordered list_reduce — the same discipline as the BM25
+    kernels. The order comes for FREE from the plan: per-doc (term, tf)
+    pairs are run-length-encoded from the doc's SORTED token array, and
+    narrow operators (explode, broadcast join, projection) preserve
+    row order within a partition, so the fold kernel sees each doc's
+    contributions contiguous and already term-ascending.
 
-    Scale shape: ONE corpus tokenize pass builds the per-doc term counts
-    (the postings-equivalent table), materialized with ``localCheckpoint``
-    — the frequency table, the corpus total, and the scoring join all
-    derive from it, where the naive three-branch plan re-tokenizes the
-    corpus for each (Catalyst does not share subplans across DataFrame
-    branches; the index build materializes this same table for the same
-    reason). ``tf`` is persisted (corpus-postings-sized — too big to
-    localCheckpoint cheaply); the vocab-sized ``freq`` IS checkpointed,
-    which breaks the ``tf JOIN freq`` self-join relation that would
-    otherwise defeat the tf cache (DeduplicateRelations re-aliases the
-    second reference to a cached plan BEFORE cache substitution — see
-    collocations_df). Net: exactly one tokenize pass. Then one hash agg
-    for the frequency table, one shuffle join of per-doc term counts
-    against it, one per-doc agg; the 1-row total broadcasts. No Python
-    anywhere.
+    Scale shape (r2 rewrite: the old plan persisted a corpus-postings-
+    sized tf table and shuffled 14M (term, s) structs through a
+    collect_list — correct, but its executor-memory footprint made the
+    in-suite time 3-4x the isolated time): now ZERO wide shuffles on the
+    scoring path and nothing persisted.
+      1. frequency pass: one tokenize, explode, partial-combined hash agg
+         -> vocab-sized (t, n) table (the only shuffle, vocab-sized).
+      2. scoring pass: one tokenize, per-doc RLE over array_sort(toks)
+         (JVM higher-order functions, narrow), explode to (doc, ntok, t,
+         tf) rows, BROADCAST-join the frequency table, compute
+         s = tf * -ln(n/T) JVM-side (bit-parity with the oracle's ln),
+         then ONE streaming Arrow pass does the exact segmented fold —
+         rows never move, state carries across Arrow batches within a
+         partition.
+    ``broadcast_vocab=False`` switches step 2 to a shuffle join +
+    repartition(id)+sortWithinPartitions(id, t) before the same fold —
+    the web-scale path when the vocabulary (~1e8+ terms at 10^12 docs)
+    outgrows a broadcast; same bits, one extra shuffle (tested).
     """
-    from pyspark import StorageLevel
     toks = F.transform(tokens_col(text_col),
                        lambda x: F.translate(x, UPPER, LOWER))
     base = (df.select(F.col(id_col), toks.alias("toks"))
             .filter(F.size("toks") >= 1))
-    tf = (base.select(id_col, F.explode("toks").alias("t"))
-          .groupBy(id_col, "t").agg(F.count("*").alias("tf"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
-    from pyspark.sql import Window
-    # tid: dense ascending-term rank. The rank window is a single-task sort
-    # of the VOCAB-sized table only (never the corpus), and the result is
-    # checkpointed with the frequencies it annotates.
-    freq = (tf.groupBy("t").agg(F.sum("tf").alias("n"))
-            .withColumn("tid", F.row_number().over(
-                Window.orderBy("t")).cast("int"))
+    # vocab-sized, materialized ONCE: both the broadcast side and the
+    # 1-row total derive from it (without the checkpoint, Catalyst
+    # re-derives the aggregate — a whole extra corpus tokenize pass —
+    # for the ``total`` branch; checkpointing 10k-100M (t, n) rows is
+    # cheap, unlike the r2 shape's corpus-postings-sized persist)
+    freq = (base.select(F.explode("toks").alias("t"))
+            .groupBy("t").agg(F.count("*").alias("n"))
             .localCheckpoint(eager=True))
     total = freq.agg(F.sum("n").alias("tt")).select(
         F.col("tt").cast("double").alias("tt"))
+    # per-doc RLE: starts = 1-based positions where a new term begins in
+    # the sorted array; tf = next start - start (CASE guards the ANSI
+    # out-of-bounds element_at on the last run)
+    rle = base.select(
+        F.col(id_col), F.size("toks").alias("ntok"),
+        F.expr("array_sort(toks)").alias("st")
+    ).select(
+        id_col, "ntok", "st",
+        F.expr("filter(sequence(1, size(st)), i -> i = 1 OR "
+               "element_at(st, i) != element_at(st, i - 1))")
+        .alias("starts"))
+    pairs = rle.select(
+        id_col, "ntok",
+        F.explode(F.expr(
+            "transform(sequence(1, size(starts)), j -> struct("
+            " element_at(st, element_at(starts, j)) AS t,"
+            " (CASE WHEN j < size(starts) THEN element_at(starts, j + 1)"
+            "  ELSE size(st) + 1 END) - element_at(starts, j) AS tf))"
+        )).alias("p")
+    ).select(id_col, "ntok", F.col("p.t").alias("t"),
+             F.col("p.tf").alias("tf"))
     s = (F.col("tf").cast("double")
          * -F.log(F.col("n").cast("double") / F.col("tt")))
-    j = (tf.join(freq, "t").crossJoin(F.broadcast(total))
-         .select(id_col, "tid", "tf", s.alias("s")))
+    if broadcast_vocab:
+        scored = (pairs.join(F.broadcast(freq), "t")
+                  .crossJoin(F.broadcast(total))
+                  .select(id_col, "ntok", s.alias("s")))
+    else:
+        scored = (pairs.join(freq, "t")
+                  .crossJoin(F.broadcast(total))
+                  .select(id_col, "ntok", "t", s.alias("s"))
+                  .repartition(F.col(id_col))
+                  .sortWithinPartitions(id_col, "t")
+                  .select(id_col, "ntok", "s"))
     mul = float(10 ** quantize)
-    agg = (j.groupBy(id_col).agg(
-        F.aggregate(F.array_sort(F.collect_list(F.struct("tid", "s"))),
-                    F.lit(0.0), lambda acc, x: acc + x["s"]).alias("ssum"),
-        F.sum("tf").alias("ntok")))
-    surp = F.floor(F.col("ssum") / F.col("ntok").cast("double") * mul) / mul
-    return agg.select(id_col, F.col("ntok").cast("long").alias("ntok"),
-                      surp.alias("surprisal"))
+
+    def fold(batches):
+        # exact left-to-right segmented fold; (cur, acc, nt) survives
+        # Arrow batch boundaries within the partition. The per-element
+        # python add is deliberate: numpy's pairwise/unrolled summation
+        # rounds differently from the oracle's sequential list_reduce.
+        cur = None
+        acc = 0.0
+        nt = 0
+        ids: list = []
+        ntoks: list = []
+        surs: list = []
+
+        def flush():
+            out = pd.DataFrame({
+                id_col: pd.array(ids, dtype="int64"),
+                "ntok": pd.array(ntoks, dtype="int64"),
+                "surprisal": pd.array(surs, dtype="float64")})
+            ids.clear()
+            ntoks.clear()
+            surs.clear()
+            return out
+
+        for pdf in batches:
+            dv = pdf[id_col].to_numpy()
+            sv = pdf["s"].to_numpy()
+            nv = pdf["ntok"].to_numpy()
+            for i in range(len(dv)):
+                d = dv[i]
+                if d != cur:
+                    if cur is not None:
+                        ids.append(cur)
+                        ntoks.append(nt)
+                        surs.append(np.floor(acc / nt * mul) / mul)
+                    cur = d
+                    acc = 0.0
+                    nt = int(nv[i])
+                acc += sv[i]
+            if len(ids) >= 50_000:
+                yield flush()
+        if cur is not None:
+            ids.append(cur)
+            ntoks.append(nt)
+            surs.append(np.floor(acc / nt * mul) / mul)
+        yield flush()
+
+    return scored.mapInPandas(
+        fold, f"{id_col} long, ntok long, surprisal double")

@@ -744,13 +744,13 @@ class TestCorpusStatsPlanShape:
         assert "Scan parquet" not in plan, plan[:2000]
         assert plan.count("Scan ExistingRDD") >= 4
 
-    def test_surprisal_single_tokenize_pass(self, spark, tmp_root):
-        """Surprisal's final plan: the tf cache serves the join (one
-        InMemoryTableScan) and freq/total read the checkpointed frequency
-        table — the corpus appears only inside the cached relation's
-        definition, never as a second live scan branch."""
+    def test_surprisal_scoring_path_never_shuffles(self, spark, tmp_root):
+        """Surprisal's r3 plan: the ONLY wide exchange is the vocab-sized
+        frequency aggregate; the scoring branch (RLE -> explode ->
+        broadcast join -> segmented fold) moves no rows — docs stay on
+        their scan partitions all the way into the Arrow fold. Nothing is
+        persisted (the r2 shape's in-suite memory-pressure hazard)."""
         import numpy as np
-        from pyspark.sql import functions as F
 
         from fatespark.corpus import pages_pandas
         from fatespark.textops import unigram_surprisal_df
@@ -760,7 +760,35 @@ class TestCorpusStatsPlanShape:
         (spark.createDataFrame(pdf[["doc_id", "text"]])
          .write.mode("overwrite").parquet(src))
         corpus = spark.read.parquet(src)
-        plan = (unigram_surprisal_df(corpus)
-                ._jdf.queryExecution().executedPlan().toString())
-        assert plan.count("InMemoryTableScan") == 1, plan[:2000]
-        assert plan.count("Scan ExistingRDD") >= 2
+        out = unigram_surprisal_df(corpus)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the vocab-sized frequency shuffle ran ONCE inside the eager
+        # checkpoint job; the returned plan reads the materialized RDD and
+        # moves no rows at all — zero hash exchanges, broadcast-only
+        assert plan.count("Exchange hashpartitioning") == 0, plan[:2000]
+        assert "BroadcastExchange" in plan
+        assert "Scan ExistingRDD" in plan
+        assert "InMemoryTableScan" not in plan
+        assert "collect_list" not in plan
+
+    def test_surprisal_shuffle_fallback_bit_parity(self, spark, tmp_root):
+        """broadcast_vocab=False (the 1e8-vocab web-scale path: shuffle
+        join + repartition(doc)+sortWithinPartitions) must produce the
+        SAME bits — the fold order is (doc, term) ascending either way."""
+        import numpy as np
+
+        from fatespark.corpus import pages_pandas
+        from fatespark.textops import unigram_surprisal_df
+        src = str(tmp_root / "surp_fb_src")
+        pdf = pages_pandas(np.arange(400))
+        pdf["doc_id"] = np.arange(400, dtype=np.int64)
+        (spark.createDataFrame(pdf[["doc_id", "text"]])
+         .write.mode("overwrite").parquet(src))
+        corpus = spark.read.parquet(src)
+        a = (unigram_surprisal_df(corpus, broadcast_vocab=True)
+             .toPandas().sort_values("doc_id").reset_index(drop=True))
+        b = (unigram_surprisal_df(corpus, broadcast_vocab=False)
+             .toPandas().sort_values("doc_id").reset_index(drop=True))
+        assert len(a) == len(b) == 400
+        assert (a["ntok"].to_numpy() == b["ntok"].to_numpy()).all()
+        assert (a["surprisal"].to_numpy() == b["surprisal"].to_numpy()).all()
