@@ -51,6 +51,21 @@ QS = {  # the reference-style query set over the documents vocabulary
 }
 
 
+# Boilerplate trailers planted into the synthetic corpus for the
+# substring-dedup / repetition / decontamination queries (the tx_pii_mask
+# precedent: the word-salad corpus has no natural cross-doc substrings, so
+# each query plants deterministic doc_id-derived boilerplate and the oracle
+# synthesizes the SAME text — the operators are exercised for real, not
+# vacuously green on zero matches). Each trailer is exactly 12 tokens.
+_BOILERPLATE = [
+    "all rights reserved contact the site team for terms of service details",
+    "subscribe to the weekly newsletter for all updates and exclusive offers today",
+    "copyright notice this material may not be republished without prior written permission",
+]
+for _bp in _BOILERPLATE:
+    assert len(_bp.split()) == 12, _bp
+
+
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -734,6 +749,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             *[c.alias(n) for n, c in counts.items()])
     q["tx_pii_mask"] = tx_pii_mask
 
+    def _boiler_trailer():
+        return (F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                       F.lit(_BOILERPLATE[0]))
+                .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1,
+                      F.lit(_BOILERPLATE[1]))
+                .otherwise(F.lit(_BOILERPLATE[2])))
+
+    def _boiler_planted(sep: str = " ", times: int = 1):
+        """Corpus with a deterministic 12-token boilerplate trailer appended
+        (``times`` copies, ``sep``-joined) to every doc_id % 4 == 0 doc —
+        the planted cross-doc substrings the dedup/decontam/repetition
+        queries detect."""
+        t = F.coalesce(F.col("text"), F.lit(""))
+        tr = _boiler_trailer()
+        parts = [t] + [x for _ in range(times) for x in (F.lit(sep), tr)]
+        return F.when(F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+                      F.concat(*parts)).otherwise(t)
+
+    def dd_substring(spark, sf):
+        """Exact-substring dedup at window granularity (Lee et al. 2022
+        ExactSubstr semantics): every 12-token window whose exact content
+        recurs in >= 2 distinct docs. The planted boilerplate trailers are
+        shared by ~1/12 of the corpus each; docs that are full exact dups
+        of each other surface with every window duplicated. One shuffle on
+        the window hash; window generation is narrow (plan-asserted in
+        tests/test_substring.py)."""
+        d = _read(spark, sf, "documents").withColumn("text", _boiler_planted())
+        return dedup.substring_dup_windows(d, w=12)
+    q["dd_substring"] = dd_substring
+
+    def tx_repetition(spark, sf):
+        """Gopher-style repetition signals (Rae et al. 2021 Table A1):
+        duplicate-line fraction/char-fraction, top-2-gram char coverage,
+        duplicate-5-gram fraction. Docs with doc_id % 4 == 0 get the
+        boilerplate trailer planted TWICE as separate lines so the line
+        signals are exercised; zero-shuffle JVM higher-order expressions."""
+        d = _read(spark, sf, "documents").withColumn(
+            "text", _boiler_planted(sep="\n", times=2))
+        return textops.repetition_df(d, "text").select(
+            "doc_id", "dup_line_frac", "dup_line_char_frac",
+            "top2gram_char_frac", "dup5gram_frac")
+    q["tx_repetition"] = tx_repetition
+
+    def tx_decontam(spark, sf):
+        """Benchmark decontamination (GPT-3-style n-gram collision): flag
+        corpus docs sharing any exact 6-token window with a 2-doc benchmark
+        set built from boilerplate variants 0 and 1 — so planted docs with
+        doc_id % 3 in {0, 1} are contaminated and variant-2 docs prove the
+        negative path. Benchmark n-gram set broadcasts; the corpus is never
+        shuffled (plan-asserted in tests/test_substring.py)."""
+        d = _read(spark, sf, "documents").withColumn("text", _boiler_planted())
+        bench = spark.createDataFrame(
+            [(0, _BOILERPLATE[0]), (1, _BOILERPLATE[1])],
+            "doc_id long, text string")
+        return dedup.decontaminate_flags(d, bench, n=6)
+    q["tx_decontam"] = tx_decontam
+
     def tx_source_stats(spark, sf):
         """Per-source corpus rollup (the per-domain view a webtext pipeline
         curates by): doc counts, token totals, integer-quantized quality
@@ -1011,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the new compat veneer query, then the previously-green fulltext
     # suite in its original order.
     first = [
+        "dd_substring", "tx_repetition", "tx_decontam",
         "tx_pii_mask", "tx_source_stats", "tx_collocations", "tx_surprisal",
         "tx_distinct_sketch", "tx_curate", "dd_exact_groups",
         "dd_ngram_jaccard", "dd_minhash", "dd_simhash", "dd_clusters",
@@ -1830,6 +1903,111 @@ SELECT doc_id,
        {sqloracles.pii_mask_sql('t')} AS masked,
        {', '.join(sqloracles.pii_count_sql('t'))}
 FROM (SELECT doc_id, {_pii_src} AS t FROM documents)"""
+
+    # -- planted-boilerplate twins (dd_substring / tx_repetition /
+    # -- tx_decontam): synthesize the SAME planted text as the Spark query,
+    # -- then replicate windows (md5 of space-joined folded tokens) /
+    # -- repetition signals (nested list lambdas) definitionally
+    _tr_sql = (f"CASE doc_id % 3 WHEN 0 THEN '{_BOILERPLATE[0]}' "
+               f"WHEN 1 THEN '{_BOILERPLATE[1]}' "
+               f"ELSE '{_BOILERPLATE[2]}' END")
+
+    def _planted_sql(sep_sql: str = "' '", times: int = 1) -> str:
+        tail = "".join(f" || {sep_sql} || ({_tr_sql})" for _ in range(times))
+        return (f"SELECT doc_id, CASE WHEN doc_id % 4 = 0 "
+                f"THEN coalesce(text, ''){tail} "
+                f"ELSE coalesce(text, '') END AS text FROM documents")
+
+    def _win_ctes(w: int, src: str = "planted") -> str:
+        return f"""
+tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             translate(text, '{_UP}', '{_LO}'), '{_WS_SQL}'),
+             x -> x <> '') AS toks
+  FROM {src}),
+win AS (
+  SELECT doc_id, i - 1 AS win_start,
+         md5(array_to_string(toks[i:i+{w - 1}], ' ')) AS whash
+  FROM tok, unnest(range(1, len(toks) - {w} + 2)) AS u(i)
+  WHERE len(toks) >= {w})"""
+
+    o["dd_substring"] = f"""
+WITH planted AS ({_planted_sql()}),{_win_ctes(12)},
+dups AS (
+  SELECT whash, count(DISTINCT doc_id) AS n_docs
+  FROM win GROUP BY whash HAVING count(DISTINCT doc_id) >= 2)
+SELECT w.doc_id AS id, w.win_start, w.whash, d.n_docs
+FROM win w JOIN dups d USING (whash)"""
+
+    o["tx_repetition"] = f"""
+WITH planted AS ({_planted_sql(sep_sql="chr(10)", times=2)}),
+f AS (SELECT doc_id, translate(text, '{_UP}', '{_LO}') AS t FROM planted),
+l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(t, chr(10)),
+                                    ln -> trim(ln)), ln -> ln <> '') AS lines,
+         list_filter(regexp_split_to_array(t, '{_WS_SQL}'),
+                     x -> x <> '') AS toks
+  FROM f),
+g AS (
+  SELECT doc_id, lines,
+         CASE WHEN len(toks) >= 2 THEN list_transform(
+             range(1, len(toks)),
+             i -> array_to_string(toks[i:i+1], ' ')) ELSE [] END AS g2,
+         CASE WHEN len(toks) >= 5 THEN list_transform(
+             range(1, len(toks) - 3),
+             i -> array_to_string(toks[i:i+4], ' ')) ELSE [] END AS g5
+  FROM l),
+m AS (
+  SELECT doc_id, lines, g2, g5,
+         CAST(coalesce(list_sum(list_transform(lines, ln -> length(ln))), 0)
+              AS BIGINT) AS line_chars,
+         CAST(coalesce(list_sum(list_transform(lines,
+             ln -> CASE WHEN len(list_filter(lines, o2 -> o2 = ln)) > 1
+                        THEN length(ln) ELSE 0 END)), 0)
+              AS BIGINT) AS dup_line_chars,
+         CAST(coalesce(list_sum(list_transform(g2, gg -> length(gg))), 0)
+              AS BIGINT) AS g2_chars,
+         CAST(coalesce(list_max(list_transform(list_distinct(g2),
+             gg -> len(list_filter(g2, hh -> hh = gg)) * length(gg))), 0)
+              AS BIGINT) AS top2_cover
+  FROM g)
+SELECT doc_id,
+  CASE WHEN len(lines) > 0 THEN
+    floor((1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+           / CAST(len(lines) AS DOUBLE)) * 1e6) / 1e6
+  ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN line_chars > 0 THEN
+    floor(CAST(dup_line_chars AS DOUBLE) / CAST(line_chars AS DOUBLE) * 1e6)
+    / 1e6
+  ELSE 0.0 END AS dup_line_char_frac,
+  CASE WHEN g2_chars > 0 THEN
+    floor(CAST(top2_cover AS DOUBLE) / CAST(g2_chars AS DOUBLE) * 1e6) / 1e6
+  ELSE 0.0 END AS top2gram_char_frac,
+  CASE WHEN len(g5) > 0 THEN
+    floor((1.0 - CAST(len(list_distinct(g5)) AS DOUBLE)
+           / CAST(len(g5) AS DOUBLE)) * 1e6) / 1e6
+  ELSE 0.0 END AS dup5gram_frac
+FROM m"""
+
+    o["tx_decontam"] = f"""
+WITH planted AS ({_planted_sql()}),{_win_ctes(6)},
+bench AS (
+  SELECT DISTINCT md5(array_to_string(btoks[i:i+5], ' ')) AS whash
+  FROM (SELECT list_filter(regexp_split_to_array(
+            translate(btext, '{_UP}', '{_LO}'), '{_WS_SQL}'),
+            x -> x <> '') AS btoks
+        FROM (VALUES ('{_BOILERPLATE[0]}'), ('{_BOILERPLATE[1]}'))
+             AS b(btext)),
+       unnest(range(1, len(btoks) - 6 + 2)) AS u(i)),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM win JOIN bench USING (whash) GROUP BY doc_id)
+SELECT d.doc_id AS id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)"""
 
     _q10k_sql = _QUALITY_SQL.replace("* 10000) / 10000 AS quality",
                                      "* 10000)::BIGINT AS q10k")

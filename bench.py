@@ -285,6 +285,28 @@ def main() -> None:
         from fatespark.sketch import kmv_distinct_df
         return kmv_distinct_df(corpus, "lang", "url", k=256).collect()
 
+    @timed("tx_repetition_200k")
+    def _rep():  # Gopher repetition signals, zero-shuffle narrow plan
+        return (_textops.repetition_df(corpus.select("url", "text"))
+                .select(F.sum("dup_line_frac"), F.sum("dup5gram_frac"))
+                .collect())
+
+    @timed("dd_substring_200k")
+    def _sub():  # ExactSubstr-style window dedup: 30-token windows, stride 4
+        d = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+        return (dedup.substring_dup_doc_stats(d, w=30, stride=4)
+                .select(F.sum("dup_windows")).collect())
+
+    @timed("tx_decontam_200k")
+    def _dec():  # 13-gram decontamination vs a 200-page "benchmark" set
+        d = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+        bench_docs = corpus.limit(200).select(
+            F.xxhash64("url").alias("doc_id"), "text")
+        return (dedup.decontaminate_flags(d, bench_docs, n=13)
+                .select(F.sum(F.col("contaminated").cast("long"))).collect())
+
+    spark.catalog.clearCache()
+
     @timed("dd_exact")
     def _ex():
         return dedup.exact_duplicate_groups(docs).count()

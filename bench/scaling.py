@@ -50,7 +50,15 @@ def run_level(cpus: int, corpus_path: str) -> None:
     # project to the indexed columns BEFORE any movement — repartitioning the
     # full rows would shuffle the html payload for nothing
     corpus = spark.read.parquet(corpus_path).select("url", "text")
-    cfg = BuildConfig(n_buckets=8, salt_bits=1, block_size=128)
+    # salt_bits=2 -> 8 buckets x 4 salts = 32 merge-reduce groups: at the
+    # 16-core level that is TWO reducer waves per core, so a straggler
+    # group overlaps other work instead of idling 15 cores (measured
+    # same-window A/B at 1M pages: 16-core 73.1 s -> 48.1 s, 4-core
+    # neutral within noise). The general rule at cluster scale: size
+    # bucket x salt to >= 2x the executor count of the LARGEST level —
+    # under-partitioning the merge is a parallelism floor, exactly the
+    # class of bottleneck the N->4N criterion exists to catch.
+    cfg = BuildConfig(n_buckets=8, salt_bits=2, block_size=128)
     # warm-up: JIT, python-worker spin-up, parquet page cache — untimed
     warm_python_workers(spark, cpus)
     shutil.rmtree(idx_dir, ignore_errors=True)

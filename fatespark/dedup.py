@@ -561,3 +561,135 @@ def dup_clusters(pairs_df: DataFrame, ids_df: DataFrame | None = None,
         F.count("*").alias("cluster_size"))
     return out.join(sizes, "cluster_id").select(
         "id", "cluster_id", "cluster_size")
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (rolling token windows) + benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def substring_window_hashes(df: DataFrame, w: int = 50, stride: int = 1,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """(id, win_start, whash) for every ``w``-token window at the given
+    stride — the building block of exact-substring deduplication
+    ("Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2022: two corpus spans are duplicates iff they share a >=w-token exact
+    substring; every such span contains a shared aligned w-token window, so
+    window-hash equality finds exactly the Lee-style duplicates at
+    window granularity).
+
+    ``whash`` is md5 of the space-joined ASCII-folded tokens, so the DuckDB
+    driver oracle replicates it bit-exactly. ``win_start`` is the 0-based
+    token index of the window start.
+
+    Plan shape: tokenize -> ``sequence``/``transform``/``slice`` -> explode,
+    all JVM whole-stage-codegen expressions, NARROW (rows never leave their
+    scan partition) — callers add the one shuffle they need. At 10^12 docs
+    the output is corpus-token-scale by design (so is the suffix array the
+    reference algorithm builds); ``stride > 1`` trades recall granularity
+    for a 1/stride row reduction when screening.
+
+    Reference analogue: none (target-new training-data op; the reference's
+    suffix-array reader lib/suffix_array_reader.rb solves lookup, not
+    cross-doc dedup).
+    """
+    from .textops import WS_RE, fold_col
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), WS_RE),
+        lambda x: x != F.lit(""))
+    base = df.select(F.col(id_col).alias("id"),
+                     fold_col(F.array_join(toks, " ")).alias("_folded"))
+    ftoks = F.split(F.col("_folded"), " ")
+    n = F.size(ftoks)
+    # windows start at 0, stride apart, last start = n - w
+    starts = F.when(n >= w, F.sequence(F.lit(0), n - w, F.lit(stride))) \
+              .otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("win_start"),
+            F.md5(F.array_join(F.slice(ftoks, i + 1, w), " ")).alias("whash")))
+    return (base.select("id", F.explode(wins).alias("w"))
+            .select("id", F.col("w.win_start").alias("win_start"),
+                    F.col("w.whash").alias("whash")))
+
+
+def substring_dup_windows(df: DataFrame, w: int = 50, stride: int = 1,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          min_docs: int = 2) -> DataFrame:
+    """Every window whose exact w-token content appears in >= ``min_docs``
+    DISTINCT docs: (id, win_start, whash, n_docs). These are the spans an
+    ExactSubstr-style dedup pass would cut.
+
+    Two passes over the corpus windows (count, then re-derive + join) — the
+    alternative, collecting (id, win_start) lists per hash, is unbounded for
+    boilerplate shared by millions of pages. The duplicated-hash table is
+    distinct-duplicated-window-sized (corpus boilerplate, not corpus text);
+    the join shuffles on whash where AQE handles the hot-boilerplate skew.
+    """
+    wh = substring_window_hashes(df, w, stride, text_col, id_col)
+    dups = (wh.groupBy("whash")
+            .agg(F.count_distinct("id").alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs))
+    return wh.join(dups, "whash").select("id", "win_start", "whash", "n_docs")
+
+
+def substring_dup_doc_stats(df: DataFrame, w: int = 50, stride: int = 1,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Per-doc exact-substring duplication summary:
+    (id, n_windows, dup_windows, dup_frac). ``dup_frac`` is the fraction of
+    the doc's windows whose content recurs in another doc — the corpus-level
+    signal training-data pipelines threshold on before paying for span
+    surgery. Docs shorter than w tokens have 0 windows and dup_frac 0.0."""
+    wh = substring_window_hashes(df, w, stride, text_col, id_col)
+    dups = (wh.groupBy("whash")
+            .agg(F.count_distinct("id").alias("n_docs")))
+    per_win = wh.join(dups, "whash")
+    stats = (per_win.groupBy("id")
+             .agg(F.count("*").alias("n_windows"),
+                  F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+                   .alias("dup_windows")))
+    ids = df.select(F.col(id_col).alias("id"))
+    out = ids.join(stats, "id", "left")
+    return out.select(
+        "id",
+        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+        F.when(F.coalesce("n_windows", F.lit(0)) > 0,
+               F.round(F.coalesce("dup_windows", F.lit(0)).cast("double")
+                       / F.col("n_windows"), 6)).otherwise(F.lit(0.0))
+         .alias("dup_frac"))
+
+
+def decontaminate_flags(df: DataFrame, bench_df: DataFrame, n: int = 13,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any exact
+    ``n``-token window with a benchmark/eval set (the standard n-gram
+    overlap rule — GPT-3 used 13-gram collision, PaLM/Llama the same shape).
+
+    Returns (id, n_hits, contaminated): ``n_hits`` = how many of the doc's
+    window POSITIONS collide with a benchmark n-gram, ``contaminated`` =
+    n_hits > 0.
+
+    Scale: the benchmark side is eval-set-sized (thousands of docs), so its
+    distinct n-gram hash set broadcasts; the corpus side stays NARROW — its
+    windows are filtered by the broadcast hash join in the scan stage and
+    only the (rare) hits reach the one per-doc count shuffle. The corpus is
+    never shuffled and never re-read.
+    """
+    bench = (substring_window_hashes(
+        bench_df, w=n, stride=1, text_col=bench_text_col, id_col=id_col)
+        .select("whash").distinct())
+    grams = substring_window_hashes(df, w=n, stride=1, text_col=text_col,
+                                    id_col=id_col)
+    hits = (grams.join(F.broadcast(bench), "whash")
+            .groupBy("id").agg(F.count("*").alias("n_hits")))
+    ids = df.select(F.col(id_col).alias("id"))
+    return (ids.join(hits, "id", "left")
+            .select("id",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                     .alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) > 0)
+                     .alias("contaminated")))
