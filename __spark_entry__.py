@@ -779,6 +779,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.substring_dup_windows(d, w=12)
     q["dd_substring"] = dd_substring
 
+    def dd_paradedup(spark, sf):
+        """Corpus-wide paragraph dedup with text REWRITE (CCNet's dedup
+        stage): every duplicated '\\n'-paragraph keeps exactly its globally
+        canonical (min (doc_id, idx)) occurrence; surviving paragraphs are
+        reassembled and digested. Docs with doc_id % 4 == 0 carry the
+        boilerplate trailer planted TWICE as separate paragraphs, so both
+        cross-doc and within-doc duplicate paragraphs are cut. The
+        canonical-pick aggregate is map-side combinable (head-paragraph
+        skew pre-aggregates in the scan tasks)."""
+        d = _read(spark, sf, "documents").withColumn(
+            "text", _boiler_planted(sep="\n", times=2))
+        return dedup.paragraph_dedup_df(d)
+    q["dd_paradedup"] = dd_paradedup
+
+    def dd_substring_cut(spark, sf):
+        """ExactSubstr span SURGERY (the rewrite half of Lee et al. 2022):
+        every token covered by a duplicated 12-token window is cut except
+        the globally canonical (min (doc_id, win_start)) occurrence, and
+        the surviving tokens reassemble into the cleaned corpus. The
+        planted trailers vanish from every doc but the three canonical
+        holders; exact-dup docs clean to their unique prefix. Interval
+        merge + token filter are staged-projection JVM expressions."""
+        d = _read(spark, sf, "documents").withColumn("text", _boiler_planted())
+        return dedup.substring_cut_df(d, w=12)
+    q["dd_substring_cut"] = dd_substring_cut
+
     def tx_repetition(spark, sf):
         """Gopher-style repetition signals (Rae et al. 2021 Table A1):
         duplicate-line fraction/char-fraction, top-2-gram char coverage,
@@ -1083,7 +1109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the new compat veneer query, then the previously-green fulltext
     # suite in its original order.
     first = [
-        "dd_substring", "tx_repetition", "tx_decontam",
+        "dd_paradedup", "dd_substring_cut", "dd_substring",
+        "tx_repetition", "tx_decontam",
         "tx_pii_mask", "tx_source_stats", "tx_collocations", "tx_surprisal",
         "tx_distinct_sketch", "tx_curate", "dd_exact_groups",
         "dd_ngram_jaccard", "dd_minhash", "dd_simhash", "dd_clusters",
@@ -1939,6 +1966,70 @@ dups AS (
   FROM win GROUP BY whash HAVING count(DISTINCT doc_id) >= 2)
 SELECT w.doc_id AS id, w.win_start, w.whash, d.n_docs
 FROM win w JOIN dups d USING (whash)"""
+
+    o["dd_substring_cut"] = f"""
+WITH planted AS ({_planted_sql()}),{_win_ctes(12)},
+dups AS (
+  SELECT whash, count(*) AS n_occ,
+         first(doc_id ORDER BY doc_id, win_start) AS fid,
+         first(win_start ORDER BY doc_id, win_start) AS fs
+  FROM win GROUP BY whash HAVING count(*) >= 2),
+cuts AS (
+  SELECT w.doc_id, list(w.win_start) AS starts
+  FROM win w JOIN dups d USING (whash)
+  WHERE NOT (d.fid = w.doc_id AND d.fs = w.win_start)
+  GROUP BY w.doc_id),
+base AS (
+  SELECT t.doc_id, t.toks, coalesce(c.starts, []) AS starts
+  FROM tok t LEFT JOIN cuts c USING (doc_id)),
+sel AS (
+  SELECT doc_id, toks,
+         list_filter(range(0, len(toks)),
+                     i -> len(list_filter(starts,
+                                          s -> s <= i AND i < s + 12)) = 0)
+             AS keep
+  FROM base),
+ct AS (
+  SELECT doc_id, toks, keep,
+         coalesce(array_to_string(list_transform(keep, i -> toks[i + 1]),
+                                  ' '), '') AS c
+  FROM sel)
+SELECT doc_id AS id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(keep) AS BIGINT) AS n_cut,
+       CAST(length(c) AS BIGINT) AS clean_len,
+       md5(c) AS clean_md5
+FROM ct"""
+
+    o["dd_paradedup"] = f"""
+WITH planted AS ({_planted_sql(sep_sql="chr(10)", times=2)}),
+p AS (
+  SELECT doc_id, i - 1 AS idx, paras[i] AS para,
+         md5(trim(translate(paras[i], '{_UP}', '{_LO}'))) AS k,
+         trim(paras[i]) <> '' AS ne
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS paras
+        FROM planted),
+       unnest(range(1, len(paras) + 1)) AS u(i)),
+firsts AS (
+  SELECT k, first(doc_id ORDER BY doc_id, idx) AS fid,
+         first(idx ORDER BY doc_id, idx) AS fidx
+  FROM p WHERE ne GROUP BY k),
+keep AS (
+  SELECT p.doc_id, p.idx, p.para, p.ne,
+         (NOT p.ne) OR (f.fid = p.doc_id AND f.fidx = p.idx) AS kp
+  FROM p LEFT JOIN firsts f USING (k)),
+agg AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(CASE WHEN ne THEN 1 END), 0) AS BIGINT)
+             AS n_paras,
+         CAST(coalesce(sum(CASE WHEN ne AND NOT kp THEN 1 END), 0)
+              AS BIGINT) AS n_dropped,
+         string_agg(CASE WHEN kp THEN para END, chr(10) ORDER BY idx) AS ct
+  FROM keep GROUP BY doc_id)
+SELECT doc_id AS id, n_paras, n_dropped,
+       CAST(length(coalesce(ct, '')) AS BIGINT) AS clean_len,
+       md5(coalesce(ct, '')) AS clean_md5
+FROM agg"""
 
     o["tx_repetition"] = f"""
 WITH planted AS ({_planted_sql(sep_sql="chr(10)", times=2)}),

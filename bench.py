@@ -297,6 +297,18 @@ def main() -> None:
         return (dedup.substring_dup_doc_stats(d, w=30, stride=4)
                 .select(F.sum("dup_windows")).collect())
 
+    @timed("dd_paradedup_200k")
+    def _pd():  # CCNet corpus-wide paragraph dedup with text rewrite
+        d = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+        return (dedup.paragraph_dedup_df(d)
+                .select(F.sum("n_dropped")).collect())
+
+    @timed("dd_substring_cut_200k")
+    def _sc():  # ExactSubstr span surgery: 30-token windows, exact stride
+        d = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+        return (dedup.substring_cut_df(d, w=30)
+                .select(F.sum("n_cut")).collect())
+
     @timed("tx_decontam_200k")
     def _dec():  # 13-gram decontamination vs a 200-page "benchmark" set
         d = corpus.select(F.xxhash64("url").alias("doc_id"), "text")

@@ -693,3 +693,184 @@ def decontaminate_flags(df: DataFrame, bench_df: DataFrame, n: int = 13,
                      .alias("n_hits"),
                     (F.coalesce("n_hits", F.lit(0)) > 0)
                      .alias("contaminated")))
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide paragraph dedup with text rewrite (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup_df(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level paragraph deduplication with text REWRITE (the CCNet
+    pipeline's dedup stage, Wenzek et al. 2020: hash every paragraph of
+    every document, keep exactly one copy of each duplicated paragraph
+    corpus-wide, drop the rest, and reassemble the surviving text).
+
+    Paragraphs are '\\n'-separated lines; the dedup key is md5 of the
+    ASCII-folded space-trimmed paragraph (so the DuckDB driver oracle
+    replicates it bit-exactly), while the REWRITTEN text keeps the original
+    bytes. The canonical (kept) occurrence of a duplicated paragraph is the
+    globally smallest (doc_id, para_idx) — deterministic across runs,
+    partitionings, and cluster sizes. Paragraphs that are empty after
+    trimming never participate in dedup and always survive (dropping them
+    would silently glue unrelated paragraphs together).
+
+    Returns one row per input doc:
+    (id, n_paras, n_dropped, clean_len, clean_md5) where ``n_paras`` counts
+    non-empty paragraphs, ``n_dropped`` how many this rewrite removed, and
+    ``clean_md5``/``clean_len`` digest the reassembled '\\n'-joined text
+    (the full text is one projection away; the digest keeps driver compare
+    payloads bounded).
+
+    Plan shape (sized for 10^12 docs): posexplode is NARROW; the canonical
+    occurrence comes from ONE groupBy(key) whose min/count aggregates are
+    map-side combinable — a boilerplate paragraph shared by 10^8 pages
+    pre-aggregates inside each scan task, so the shuffle carries one row
+    per (task, key), not per occurrence. The join back on key is the skew
+    point and is AQE-skew-splittable (the canonical table has exactly one
+    row per distinct paragraph). Reassembly is the second, unavoidable
+    shuffle (text rewriting must regroup a doc's surviving rows).
+    A window (`min over (partition by key)`) would save the join but puts
+    every occurrence of the hot key in ONE task — the groupBy+join shape is
+    the one that survives head-paragraph skew.
+
+    Reference analogue: none (target-new training-data op).
+    """
+    from .textops import fold_col
+    p = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+         .alias("idx", "para"))
+    p = p.withColumn("_k", F.md5(fold_col(F.trim(F.col("para"))))) \
+         .withColumn("_ne", F.trim(F.col("para")) != F.lit(""))
+    canon = (p.filter("_ne")
+             .groupBy("_k")
+             .agg(F.min(F.struct("id", "idx")).alias("first")))
+    kept = (p.join(canon, "_k", "left")
+            .withColumn("_keep",
+                        (~F.col("_ne"))
+                        | ((F.col("first.id") == F.col("id"))
+                           & (F.col("first.idx") == F.col("idx")))))
+    per_doc = (kept.groupBy("id").agg(
+        F.sum(F.col("_ne").cast("long")).alias("n_paras"),
+        F.sum((F.col("_ne") & ~F.col("_keep")).cast("long"))
+         .alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("_keep"),
+                                          F.struct("idx", "para")))),
+                lambda s: s["para"]),
+            "\n").alias("_clean")))
+    return per_doc.select(
+        "id", "n_paras", "n_dropped",
+        F.length("_clean").cast("long").alias("clean_len"),
+        F.md5(F.col("_clean")).alias("clean_md5"))
+
+
+def substring_cut_df(df: DataFrame, w: int = 50, stride: int = 1,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr span SURGERY (the rewrite half of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): cut every
+    token position covered by a duplicated ``w``-token window, keeping the
+    globally canonical (min (doc_id, win_start)) occurrence of each window
+    content, then reassemble the surviving tokens. Complements
+    ``substring_dup_doc_stats`` (which only measures) — this produces the
+    cleaned corpus.
+
+    Semantics are positional: a token survives iff no non-canonical
+    duplicated window covers it. Within-doc repeats count as duplicates
+    (n_occurrences >= 2, not n_docs >= 2). The rewritten text is the
+    space-join of surviving ASCII-folded tokens — the same token stream
+    the window hashes were computed over. With ``stride > 1`` only
+    stride-aligned windows are detected, so surgery is exact at
+    ``stride=1`` and a cheaper screen above it.
+
+    Returns (id, n_tokens, n_cut, clean_len, clean_md5) — one row per
+    input doc; the full cleaned text is one projection away (digest keeps
+    driver payloads bounded).
+
+    Plan shape at 10^12 docs: window generation is NARROW; the duplicate
+    table comes from ONE groupBy(whash) whose count/min aggregates are
+    map-side combinable (hot boilerplate pre-aggregates per scan task);
+    the join back on whash is AQE-skew-splittable; cut starts regroup
+    per-doc (bounded by the doc's own token count); the final interval
+    merge + token filter is pure JVM expressions over STAGED projections —
+    each array is a materialized column, never an expression re-evaluated
+    inside a lambda (the repetition_df lesson).
+
+    Reference analogue: none (target-new training-data op; the
+    reference's suffix arrays, lib/suffix_array.rb, answer substring
+    LOOKUP, not corpus-wide span dedup)."""
+    from .textops import WS_RE, fold_col
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), WS_RE),
+        lambda x: x != F.lit(""))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.split(fold_col(F.array_join(toks, " ")), " ")
+                      .alias("_ftoks"))
+    ftoks = F.col("_ftoks")
+    n = F.size(ftoks)
+    starts = F.when(n >= w, F.sequence(F.lit(0), n - w, F.lit(stride))) \
+              .otherwise(F.array().cast("array<int>"))
+    wins = (base.select(
+        "id",
+        F.explode(F.transform(starts, lambda i: F.struct(
+            i.alias("win_start"),
+            F.md5(F.array_join(F.slice(ftoks, i + 1, w), " "))
+             .alias("whash")))).alias("wn"))
+        .select("id", "wn.win_start", "wn.whash"))
+    dups = (wins.groupBy("whash")
+            .agg(F.count("*").alias("n_occ"),
+                 F.min(F.struct("id", "win_start")).alias("first"))
+            .filter(F.col("n_occ") >= 2))
+    cut_starts = (wins.join(dups, "whash")
+                  .filter(~((F.col("first.id") == F.col("id"))
+                            & (F.col("first.win_start")
+                               == F.col("win_start"))))
+                  .groupBy("id")
+                  .agg(F.array_sort(F.collect_list("win_start"))
+                        .alias("_cuts")))
+    j = base.join(cut_starts, "id", "left").withColumn(
+        "_cuts", F.coalesce(F.col("_cuts"), F.array().cast("array<int>")))
+    # merge sorted cut starts into disjoint [lo, hi) intervals — one linear
+    # fold; a start extends the open interval iff it begins inside it
+    iv_t = "array<struct<lo:int,hi:int>>"
+    merged = F.aggregate(
+        F.col("_cuts"),
+        F.array().cast(iv_t),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (s <= F.element_at(acc, -1)["hi"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["lo"].alias("lo"),
+                    F.greatest(F.element_at(acc, -1)["hi"],
+                               s + F.lit(w)).alias("hi")))),
+        ).otherwise(F.concat(acc, F.array(F.struct(
+            s.alias("lo"), (s + F.lit(w)).alias("hi"))))))
+    s2 = j.withColumn("_iv", merged)
+    iv = F.col("_iv")
+    # the folded empty doc tokenizes to [''] via split('', ' ') — treat as 0
+    ntok = F.when((F.size(ftoks) == 1)
+                  & (F.element_at(ftoks, 1) == F.lit("")),
+                  F.lit(0)).otherwise(F.size(ftoks))
+    kept = F.when(
+        ntok > 0,
+        F.filter(
+            F.sequence(F.lit(0), ntok - 1),
+            lambda i: ~F.exists(iv, lambda v: (v["lo"] <= i)
+                                & (i < v["hi"])))
+    ).otherwise(F.array().cast("array<int>"))
+    s3 = s2.withColumn("_kept", kept)
+    clean = F.array_join(
+        F.transform(F.col("_kept"),
+                    lambda i: F.element_at(ftoks, i + 1)), " ")
+    return s3.select(
+        "id",
+        ntok.cast("long").alias("n_tokens"),
+        (ntok - F.size(F.col("_kept"))).cast("long").alias("n_cut"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"))

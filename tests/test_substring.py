@@ -154,3 +154,74 @@ class TestDecontaminate:
         corpus_side = plan.split("BroadcastHashJoin")[1] \
                           .split("BroadcastExchange")[0]
         assert "Exchange" not in corpus_side
+
+
+class TestSubstringCut:
+    """Span surgery: duplicated windows are cut except the globally
+    canonical occurrence; surviving tokens reassemble."""
+
+    def _expected(self, rows, w):
+        from collections import Counter
+        docs = {i: _toks(t or "") for i, t in rows}
+        wins = []
+        for i in sorted(docs):
+            t = docs[i]
+            for s in range(0, max(len(t) - w + 1, 0)):
+                wins.append((i, s, " ".join(t[s:s + w])))
+        cnt = Counter(c for _, _, c in wins)
+        first = {}
+        for i, s, c in sorted(wins):
+            first.setdefault(c, (i, s))
+        exp = {}
+        for i, _ in rows:
+            t = docs[i]
+            cover = [False] * len(t)
+            for d, s, c in wins:
+                if d == i and cnt[c] >= 2 and first[c] != (d, s):
+                    for p in range(s, s + w):
+                        cover[p] = True
+            clean = " ".join(tk for p, tk in enumerate(t) if not cover[p])
+            exp[i] = (len(t), sum(cover), len(clean),
+                      hashlib.md5(clean.encode()).hexdigest())
+        return exp
+
+    def test_brute_force_parity(self, spark, docs):
+        from fatespark.dedup import substring_cut_df
+        got = {r.id: (r.n_tokens, r.n_cut, r.clean_len, r.clean_md5)
+               for r in substring_cut_df(docs, w=4).collect()}
+        assert got == self._expected(DOCS, 4)
+
+    def test_exact_dup_doc_cleans_to_empty(self, spark, docs):
+        """Doc 3 is an exact dup of doc 0: every window is duplicated and
+        doc 0 holds every canonical occurrence, so doc 3 loses ALL
+        covered tokens."""
+        from fatespark.dedup import substring_cut_df
+        out = {r.id: r for r in substring_cut_df(docs, w=4).collect()}
+        assert out[3].n_cut == out[3].n_tokens
+        assert out[3].clean_len == 0
+        assert out[0].n_cut == 0              # canonical doc untouched
+
+    def test_within_doc_repeats(self, spark):
+        from fatespark.dedup import substring_cut_df
+        df = spark.createDataFrame([(1, "m n m n m n m n")],
+                                   "doc_id long, text string")
+        r = substring_cut_df(df, w=3).collect()[0]
+        # windows 'm n m'@0,2,4 and 'n m n'@1,3,5: canonical @0 and @1,
+        # cuts cover [2, 8) -> keep 'm n'
+        assert (r.n_tokens, r.n_cut, r.clean_len) == (8, 6, 3)
+
+    def test_unique_corpus_is_identity(self, spark):
+        from fatespark.dedup import substring_cut_df
+        rows = [(1, "a b c d"), (2, "e f g h")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for r in substring_cut_df(df, w=3).collect():
+            src = " ".join(_toks(dict(rows)[r.id]))
+            assert r.n_cut == 0
+            assert r.clean_md5 == hashlib.md5(src.encode()).hexdigest()
+
+    def test_partition_invariance(self, spark, docs):
+        from fatespark.dedup import substring_cut_df
+        a = sorted(map(tuple, substring_cut_df(docs, w=4).collect()))
+        b = sorted(map(tuple,
+                       substring_cut_df(docs.repartition(5), w=4).collect()))
+        assert a == b
