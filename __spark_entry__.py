@@ -832,6 +832,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.decontaminate_flags(d, bench, n=6)
     q["tx_decontam"] = tx_decontam
 
+    def _planted_url():
+        """Deterministic doc_id-derived messy URL: mixed case, default and
+        non-default ports, tracking params, fragments, trailing slashes,
+        and a co.uk public-suffix case — every normalizer branch is
+        exercised (the documents table has no url column; the planted-PII
+        precedent)."""
+        c = F.col("doc_id")
+        s = c.cast("string")
+        scheme = F.when(c % 6 == 0, F.lit("HTTP://")) \
+                  .otherwise(F.lit("HTTPS://"))
+        tld = (F.when(c % 5 == 0, F.lit("COM"))
+                .when(c % 5 == 1, F.lit("org"))
+                .when(c % 5 == 2, F.lit("co.uk"))
+                .when(c % 5 == 3, F.lit("net"))
+                .otherwise(F.lit("io")))
+        port = F.when(c % 4 == 0, F.lit(":443")).otherwise(F.lit(""))
+        trail = F.when(c % 3 == 0, F.lit("/")).otherwise(F.lit(""))
+        fb = F.when(c % 2 == 0, F.concat(F.lit("&fbclid=x"), s)) \
+              .otherwise(F.lit(""))
+        frag = F.when(c % 7 == 0, F.concat(F.lit("#Sec"), s)) \
+                .otherwise(F.lit(""))
+        return F.concat(
+            scheme, F.lit("WWW.Site"), (c % 37).cast("string"),
+            F.lit(".Example."), tld, port, F.lit("/Articles/Item"), s,
+            trail, F.lit("?utm_source=feed&id="), s, F.lit("&b=2&a=1"),
+            fb, frag)
+
+    def tx_url_normalize(spark, sf):
+        """URL canonicalization (the layer before URL dedup / per-domain
+        stats on a crawl): lowercase scheme+host, strip default ports /
+        fragments / tracking params, normalize trailing slashes, sort the
+        surviving query params, and extract host + registered domain
+        (public-suffix-lite: example.co.uk keeps three labels). Pure
+        narrow JVM expressions; the oracle replicates the whole
+        documented contract step by step."""
+        from fatespark import weburl
+        d = _read(spark, sf, "documents").withColumn("url", _planted_url())
+        return weburl.url_normalize_df(d)
+    q["tx_url_normalize"] = tx_url_normalize
+
+    def tx_domain_cap(spark, sf):
+        """Per-domain document cap (the anti-boilerplate sampling gate a
+        webtext pipeline applies before training): keep at most 10 docs
+        per registered domain, preferring the longest (n_chars DESC,
+        doc_id tiebreak). One window shuffle on the domain."""
+        from fatespark import weburl
+        d = _read(spark, sf, "documents").withColumn("url", _planted_url())
+        d2 = d.select(
+            F.col("doc_id").alias("id"),
+            weburl.registered_domain_col(F.col("url")).alias("domain"),
+            "n_chars")
+        return weburl.per_domain_cap(d2, 10, "domain", "n_chars",
+                                     ascending=False, tiebreak_col="id")
+    q["tx_domain_cap"] = tx_domain_cap
+
     def tx_source_stats(spark, sf):
         """Per-source corpus rollup (the per-domain view a webtext pipeline
         curates by): doc counts, token totals, integer-quantized quality
@@ -1110,7 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # suite in its original order.
     first = [
         "dd_paradedup", "dd_substring_cut", "dd_substring",
-        "tx_repetition", "tx_decontam",
+        "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
         "tx_pii_mask", "tx_source_stats", "tx_collocations", "tx_surprisal",
         "tx_distinct_sketch", "tx_curate", "dd_exact_groups",
         "dd_ngram_jaccard", "dd_minhash", "dd_simhash", "dd_clusters",
@@ -1966,6 +2021,87 @@ dups AS (
   FROM win GROUP BY whash HAVING count(DISTINCT doc_id) >= 2)
 SELECT w.doc_id AS id, w.win_start, w.whash, d.n_docs
 FROM win w JOIN dups d USING (whash)"""
+
+    # -- planted-URL twins (tx_url_normalize / tx_domain_cap): synthesize
+    # -- the SAME messy URL, then replicate the documented normalization
+    # -- contract step by step in SQL
+    _url_sql = (
+        "CASE WHEN doc_id % 6 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END || "
+        "'WWW.Site' || (doc_id % 37)::VARCHAR || '.Example.' || "
+        "CASE doc_id % 5 WHEN 0 THEN 'COM' WHEN 1 THEN 'org' "
+        "WHEN 2 THEN 'co.uk' WHEN 3 THEN 'net' ELSE 'io' END || "
+        "CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END || "
+        "'/Articles/Item' || doc_id::VARCHAR || "
+        "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || "
+        "'?utm_source=feed&id=' || doc_id::VARCHAR || '&b=2&a=1' || "
+        "CASE WHEN doc_id % 2 = 0 THEN '&fbclid=x' || doc_id::VARCHAR "
+        "ELSE '' END || "
+        "CASE WHEN doc_id % 7 = 0 THEN '#Sec' || doc_id::VARCHAR "
+        "ELSE '' END")
+
+    _track_sql = "^(utm_[^=]*|fbclid|gclid|msclkid|yclid|ref|ref_src)(=.*)?$"
+    _url_ctes = f"""
+u AS (SELECT doc_id, n_chars, {_url_sql} AS url FROM documents),
+s1 AS (SELECT doc_id, n_chars,
+              regexp_replace(trim(url), '#.*$', '') AS s FROM u),
+up AS (SELECT doc_id, n_chars, s,
+         lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://.*$', 1))
+             AS scheme,
+         lower(regexp_extract(s,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$', 1)) AS hostport,
+         regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)
+             AS rest
+       FROM s1),
+uh AS (SELECT *,
+         CASE WHEN scheme = 'http' AND ends_with(hostport, ':80')
+              THEN substr(hostport, 1, length(hostport) - 3)
+              WHEN scheme = 'https' AND ends_with(hostport, ':443')
+              THEN substr(hostport, 1, length(hostport) - 4)
+              ELSE hostport END AS hp,
+         CASE WHEN instr(rest, '?') > 0
+              THEN substr(rest, 1, instr(rest, '?') - 1)
+              ELSE rest END AS rawpath,
+         CASE WHEN instr(rest, '?') > 0
+              THEN substr(rest, instr(rest, '?') + 1)
+              ELSE '' END AS qs
+       FROM up),
+upp AS (SELECT *,
+         CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+         coalesce(array_to_string(list_sort(list_filter(
+             string_split(qs, '&'),
+             x -> x <> '' AND NOT regexp_matches(x, '{_track_sql}'))),
+             '&'), '') AS qn,
+         regexp_replace(hostport, ':[0-9]*$', '') AS bare
+       FROM uh),
+ud AS (SELECT *, string_split(bare, '.') AS L FROM upp),
+unorm AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN scheme = '' THEN s
+         ELSE scheme || '://' || hp || path ||
+              CASE WHEN qn <> '' THEN '?' || qn ELSE '' END END AS url_norm,
+    bare AS host,
+    CASE WHEN bare = '' THEN ''
+         WHEN len(L) >= 3 AND length(L[-1]) = 2
+              AND list_contains(['co','com','org','net','gov','edu','ac'],
+                                L[-2])
+           THEN L[-3] || '.' || L[-2] || '.' || L[-1]
+         WHEN len(L) >= 2 THEN L[-2] || '.' || L[-1]
+         ELSE bare END AS domain
+  FROM ud)"""
+
+    o["tx_url_normalize"] = f"""
+WITH {_url_ctes}
+SELECT doc_id AS id, url_norm, host, domain FROM unorm"""
+
+    o["tx_domain_cap"] = f"""
+WITH {_url_ctes},
+rk AS (
+  SELECT doc_id AS id, domain, n_chars,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY n_chars DESC, doc_id) AS r
+  FROM unorm)
+SELECT id, domain, n_chars FROM rk WHERE r <= 10"""
 
     o["dd_substring_cut"] = f"""
 WITH planted AS ({_planted_sql()}),{_win_ctes(12)},

@@ -1,0 +1,139 @@
+"""URL canonicalization and per-domain operators for web corpora.
+
+Every training-data pipeline over crawled pages needs a URL layer before
+dedup and sampling: two crawls of the same page differ by tracking params,
+fragments, case, default ports, and trailing slashes, so exact URL dedup
+and per-domain statistics are meaningless on raw URLs. These operators are
+pure JVM expressions (regexp/split/filter/sort — whole-stage codegen, no
+Python), and every step is expressible in ANSI SQL so the DuckDB driver
+oracles replicate the whole chain.
+
+Normalization contract (documented so the oracle is definitional):
+
+1. trim; drop the fragment (``#...``).
+2. If the string does not match ``scheme://...`` it passes through
+   unchanged (and its domain is '').
+3. Scheme and host:port lowercase; the default port for the scheme
+   (``:80`` http, ``:443`` https) is stripped.
+4. Path: all trailing slashes stripped; empty path becomes ``/``.
+5. Query: parameters split on ``&``; tracking params dropped
+   (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``, ``yclid``, ``ref``,
+   ``ref_src``); survivors SORTED (byte order) and rejoined — parameter
+   order never distinguishes two URLs again.
+
+Reference analogue: none (target-new training-data op).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["normalize_url_col", "host_col", "registered_domain_col",
+           "url_normalize_df", "per_domain_cap"]
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://.*$"
+_HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$"
+_REST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$"
+# tracking params dropped by the normalizer (match the whole key)
+TRACKING_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|yclid|ref|ref_src)(=.*)?$"
+# public-suffix-lite: a 2-char TLD preceded by one of these second-level
+# labels keeps three labels (example.co.uk), everything else keeps two
+_SLD = ("co", "com", "org", "net", "gov", "edu", "ac")
+
+
+def _defragged(url_col):
+    return F.regexp_replace(F.trim(url_col), "#.*$", "")
+
+
+def host_col(url_col):
+    """Lowercased host (port stripped) of a URL column; '' for non-URLs."""
+    s = _defragged(url_col)
+    hostport = F.lower(F.regexp_extract(s, _HOSTPORT_RE, 1))
+    return F.regexp_replace(hostport, ":[0-9]*$", "")
+
+
+def normalize_url_col(url_col):
+    """Canonical form of a URL column per the module contract. Non-URL
+    strings (no ``scheme://``) pass through trimmed-and-defragged."""
+    s = _defragged(url_col)
+    scheme = F.lower(F.regexp_extract(s, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(s, _HOSTPORT_RE, 1))
+    default_port = F.when(scheme == "http", F.lit(":80")) \
+                    .when(scheme == "https", F.lit(":443")) \
+                    .otherwise(F.lit(""))
+    host = F.when(
+        (default_port != "") & hostport.endswith(default_port),
+        hostport.substr(F.lit(1), F.length(hostport)
+                        - F.length(default_port))
+    ).otherwise(hostport)
+    rest = F.regexp_extract(s, _REST_RE, 1)
+    qpos = F.instr(rest, "?")
+    rawpath = F.when(qpos > 0, rest.substr(F.lit(1), qpos - 1)) \
+               .otherwise(rest)
+    qs = F.when(qpos > 0,
+                rest.substr(qpos + 1, F.length(rest))).otherwise(F.lit(""))
+    path = F.regexp_replace(rawpath, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.array_sort(F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_RE)))
+    qnorm = F.array_join(params, "&")
+    norm = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")))
+    return F.when(scheme == "", s).otherwise(norm)
+
+
+def registered_domain_col(url_col):
+    """Registered domain of a URL column: last two host labels, or last
+    three when the second-level label is a known public-suffix-lite entry
+    under a 2-char TLD (``example.co.uk``). '' for non-URLs; hosts with
+    fewer than two labels (e.g. ``localhost``) pass through whole."""
+    h = host_col(url_col)
+    labels = F.split(h, "\\.")
+    n = F.size(labels)
+    tld = F.element_at(labels, -1)
+    sld = F.when(n >= 2, F.element_at(labels, -2)).otherwise(F.lit(""))
+    three = (n >= 3) & (F.length(tld) == 2) & sld.isin(*_SLD)
+    return F.when(h == "", F.lit("")) \
+            .when(three, F.concat_ws(".", F.element_at(labels, -3),
+                                     sld, tld)) \
+            .when(n >= 2, F.concat_ws(".", sld, tld)) \
+            .otherwise(h)
+
+
+def url_normalize_df(df: DataFrame, url_col: str = "url",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, url_norm, host, domain) — one row per input row, NARROW (pure
+    per-row expressions; at 10^12 rows this runs inside the scan stage)."""
+    u = F.col(url_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        normalize_url_col(u).alias("url_norm"),
+        host_col(u).alias("host"),
+        registered_domain_col(u).alias("domain"))
+
+
+def per_domain_cap(df: DataFrame, cap: int, domain_col: str = "domain",
+                   order_col: str = "doc_id", ascending: bool = True,
+                   tiebreak_col: str | None = "doc_id") -> DataFrame:
+    """Keep at most ``cap`` rows per domain, ranked by ``order_col`` with
+    ties broken by ``tiebreak_col`` (pass a UNIQUE column — with ties left
+    unbroken, row_number's survivor set would depend on partition order) —
+    the standard per-site cap a webtext pipeline applies before training
+    (a single boilerplate-heavy site must not dominate the corpus).
+
+    One window shuffle on the domain. At 10^12 rows with a hot domain
+    (10^8 pages of one site), pre-prune before the window:
+    ``df.sortWithinPartitions(...)`` + per-partition head-``cap`` keeps at
+    most ``cap × n_partitions`` rows per domain entering the shuffle —
+    composable on top of this operator; the cap semantics are unchanged.
+    """
+    from pyspark.sql import Window
+    oc = F.col(order_col) if ascending else F.col(order_col).desc()
+    order = [oc] if tiebreak_col is None or tiebreak_col == order_col \
+        else [oc, F.col(tiebreak_col)]
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= cap)
+            .drop("_rk"))
