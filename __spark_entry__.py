@@ -872,6 +872,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return weburl.url_normalize_df(d)
     q["tx_url_normalize"] = tx_url_normalize
 
+    def tx_gopher_quality(spark, sf):
+        """Gopher Table A1 non-repetition quality filters (the repetition
+        half is tx_repetition): word count, mean word length, alpha-word
+        fraction, symbol-to-word ratio (#/ellipsis), bullet-line and
+        ellipsis-line fractions. Bullets/ellipses/symbols are planted
+        deterministically (doc_id % 5 / % 3 / % 11) so every signal is
+        exercised; zero-shuffle JVM expressions."""
+        c, t = F.col("doc_id"), F.coalesce(F.col("text"), F.lit(""))
+        t = F.when(c % 5 == 0, F.concat(
+            F.lit("- bullet item\n* second item\n• third\n"), t)) \
+             .otherwise(t)
+        t = F.when(c % 3 == 0, F.concat(
+            t, F.lit("\nread more...\nto be continued…"))).otherwise(t)
+        t = F.when(c % 11 == 0, F.concat(t, F.lit(" ## tags #42 ..."))) \
+             .otherwise(t)
+        d = _read(spark, sf, "documents").withColumn("text", t)
+        return textops.gopher_quality_df(d).select(
+            "doc_id", "n_words", "mean_word_len", "alpha_word_frac",
+            "symbol_word_ratio", "bullet_line_frac", "ellipsis_line_frac")
+    q["tx_gopher_quality"] = tx_gopher_quality
+
     def tx_domain_cap(spark, sf):
         """Per-domain document cap (the anti-boilerplate sampling gate a
         webtext pipeline applies before training): keep at most 10 docs
@@ -1166,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
+        "tx_gopher_quality",
         "tx_pii_mask", "tx_source_stats", "tx_collocations", "tx_surprisal",
         "tx_distinct_sketch", "tx_curate", "dd_exact_groups",
         "dd_ngram_jaccard", "dd_minhash", "dd_simhash", "dd_clusters",
@@ -2089,6 +2111,57 @@ unorm AS (
          WHEN len(L) >= 2 THEN L[-2] || '.' || L[-1]
          ELSE bare END AS domain
   FROM ud)"""
+
+    o["tx_gopher_quality"] = f"""
+WITH g0 AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+g1 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+         THEN '- bullet item' || chr(10) || '* second item' || chr(10)
+              || '• third' || chr(10) || t ELSE t END AS t FROM g0),
+g2 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+         THEN t || chr(10) || 'read more...' || chr(10)
+              || 'to be continued…' ELSE t END AS t FROM g1),
+g3 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+         THEN t || ' ## tags #42 ...' ELSE t END AS t FROM g2),
+sig AS (
+  SELECT doc_id, t,
+    list_filter(regexp_split_to_array(t, '{_WS_SQL}'), x -> x <> '')
+        AS toks,
+    list_filter(list_transform(string_split(t, chr(10)), ln -> trim(ln)),
+                ln -> ln <> '') AS lines
+  FROM g3),
+m AS (
+  SELECT doc_id,
+    len(toks) AS nw, len(lines) AS nl,
+    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+         AS BIGINT) AS tok_chars,
+    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+        AS alpha_words,
+    length(t) - length(replace(t, '#', '')) AS n_hash,
+    length(t) - length(replace(t, '…', '')) AS n_uell,
+    (length(t) - length(replace(t, '...', ''))) / 3.0 AS n_dots,
+    len(list_filter(lines, ln -> regexp_matches(ln, '^[-*•]( |$)')))
+        AS bullet_lines,
+    len(list_filter(lines, ln -> regexp_matches(ln, '(\\.\\.\\.|…)$')))
+        AS ellipsis_lines
+  FROM sig)
+SELECT doc_id,
+  CAST(nw AS BIGINT) AS n_words,
+  CASE WHEN nw > 0
+       THEN floor(CAST(tok_chars AS DOUBLE) / nw * 1e6) / 1e6
+       ELSE 0.0 END AS mean_word_len,
+  CASE WHEN nw > 0
+       THEN floor(CAST(alpha_words AS DOUBLE) / nw * 1e6) / 1e6
+       ELSE 0.0 END AS alpha_word_frac,
+  CASE WHEN nw > 0
+       THEN floor((n_hash + n_uell + n_dots) / nw * 1e6) / 1e6
+       ELSE 0.0 END AS symbol_word_ratio,
+  CASE WHEN nl > 0
+       THEN floor(CAST(bullet_lines AS DOUBLE) / nl * 1e6) / 1e6
+       ELSE 0.0 END AS bullet_line_frac,
+  CASE WHEN nl > 0
+       THEN floor(CAST(ellipsis_lines AS DOUBLE) / nl * 1e6) / 1e6
+       ELSE 0.0 END AS ellipsis_line_frac
+FROM m"""
 
     o["tx_url_normalize"] = f"""
 WITH {_url_ctes}

@@ -563,3 +563,66 @@ def repetition_df(df, text_col: str = "text", drop_temp: bool = True):
     })
     return out.drop("_rt", "_lines", "_toks", "_g2", "_g5") if drop_temp \
         else out
+
+
+def gopher_quality_df(df, text_col: str = "text", drop_temp: bool = True):
+    """The non-repetition Gopher quality filters (Rae et al. 2021 Table A1;
+    the repetition half lives in ``repetition_df``). Appends:
+
+    - ``n_words``: whitespace token count.
+    - ``mean_word_len``: mean token length (chars), 6-dp floor-quantized.
+    - ``alpha_word_frac``: fraction of words containing at least one
+      ASCII letter (Gopher requires >= 0.8).
+    - ``symbol_word_ratio``: (count of '#' chars + count of '...'/'…'
+      occurrences) / words (Gopher rejects > 0.1).
+    - ``bullet_line_frac``: fraction of non-empty lines starting with a
+      bullet marker ('-', '*', or U+2022 followed by space or
+      end-of-line; Gopher rejects > 0.9).
+    - ``ellipsis_line_frac``: fraction of non-empty lines ending with
+      '...' or U+2026 (Gopher rejects > 0.3).
+
+    Zero-shuffle staged projection (arrays built once per row; counting
+    via length-difference regexp_replace, no per-element lambdas where a
+    regexp suffices). Fractions are floor-quantized to 6 decimals so the
+    DuckDB twin matches bit-for-bit. Reference analogue: none
+    (target-new training-data op)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    s1 = df.withColumns({
+        "_toks": F.filter(F.split(t, WS_RE), lambda x: x != F.lit("")),
+        "_lines": F.filter(F.transform(F.split(t, "\n"),
+                                       lambda ln: F.trim(ln)),
+                           lambda ln: ln != F.lit("")),
+    })
+    toks, lines = F.col("_toks"), F.col("_lines")
+    nw, nl = F.size(toks), F.size(lines)
+    tok_chars = F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda acc, x: acc + F.length(x))
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    # count '…' plus non-overlapping '\.\.\.' occurrences via replace-diff
+    n_uell = F.length(t) - F.length(F.regexp_replace(t, "…", ""))
+    n_dots = (F.length(t)
+              - F.length(F.regexp_replace(t, "\\.\\.\\.", ""))) / F.lit(3)
+    bullet_lines = F.size(F.filter(
+        lines, lambda ln: ln.rlike("^[-*•]( |$)")))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda ln: ln.rlike("(\\.\\.\\.|…)$")))
+    out = s1.withColumns({
+        "n_words": nw.cast("long"),
+        "mean_word_len": F.when(
+            nw > 0, _q6(tok_chars.cast("double") / nw.cast("double")))
+            .otherwise(F.lit(0.0)),
+        "alpha_word_frac": F.when(
+            nw > 0, _q6(alpha_words.cast("double") / nw.cast("double")))
+            .otherwise(F.lit(0.0)),
+        "symbol_word_ratio": F.when(
+            nw > 0, _q6((n_hash + n_uell + n_dots).cast("double")
+                        / nw.cast("double"))).otherwise(F.lit(0.0)),
+        "bullet_line_frac": F.when(
+            nl > 0, _q6(bullet_lines.cast("double") / nl.cast("double")))
+            .otherwise(F.lit(0.0)),
+        "ellipsis_line_frac": F.when(
+            nl > 0, _q6(ellipsis_lines.cast("double") / nl.cast("double")))
+            .otherwise(F.lit(0.0)),
+    })
+    return out.drop("_toks", "_lines") if drop_temp else out
