@@ -944,6 +944,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["tx_surprisal"] = tx_surprisal
 
+    def tx_quality_tiers(spark, sf):
+        """CCNet-style equal-mass quality tiers (textops.quality_tiers_df):
+        head/middle/tail thirds by corpus-LM surprisal. Boundaries come
+        from an exact CDF over the QUANTIZED-value histogram (tiny), never
+        a corpus-sized ntile sort; ties share a tier, so the assignment is
+        partition-invariant and engine-reproducible."""
+        d = _read(spark, sf, "documents")
+        return textops.quality_tiers_df(d, quantize=4).orderBy("doc_id")
+    q["tx_quality_tiers"] = tx_quality_tiers
+
     def tx_distinct_sketch(spark, sf):
         """KMV distinct-count sketch (sketch.kmv_distinct_df): estimated
         distinct token bigrams per language from the k=256 smallest
@@ -984,6 +994,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.exact_duplicate_groups(d).select(
             "fingerprint", "n_docs", "keep_id")
     q["dd_exact_groups"] = dd_exact_groups
+
+    def dd_exact_streaming(spark, sf):
+        """Exact dedup AT INGEST (streaming.streaming_exact_dedup): the
+        corpus is re-delivered as two parquet micro-batches through a real
+        Structured Streaming query with per-fingerprint
+        applyInPandasWithState; the final (monotone) state per fingerprint
+        must equal the batch exact_duplicate_groups over the unioned
+        corpus — same oracle SQL as dd_exact_groups."""
+        import shutil
+        import uuid
+
+        from fatespark.streaming import streaming_exact_dedup
+        tag = _corpus_tag(sf)
+        run = uuid.uuid4().hex[:8]
+        src = f"/tmp/fatespark_entry_stream/{tag}_ddsrc_{run}"
+        ckpt = f"/tmp/fatespark_entry_stream/{tag}_ddckpt_{run}"
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        shutil.rmtree(src, ignore_errors=True)
+        d.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+            .write.mode("append").parquet(src)
+        d.filter(F.col("doc_id") % 2 != 0).coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        name = f"dd_stream_{run}"
+        sq = (streaming_exact_dedup(stream).writeStream
+              .format("memory").queryName(name).outputMode("update")
+              .option("checkpointLocation", ckpt)
+              .trigger(availableNow=True).start())
+        sq.awaitTermination(300)
+        # update-mode rows are monotone per fingerprint: latest ==
+        # (max n_docs, min keep_id)
+        return (spark.table(name).groupBy("fingerprint")
+                .agg(F.max("n_docs").alias("n_docs"),
+                     F.min("keep_id").alias("keep_id")))
+    q["dd_exact_streaming"] = dd_exact_streaming
 
     def dd_ngram_jaccard(spark, sf):
         d = _read(spark, sf, "documents")
@@ -1189,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
         "tx_gopher_quality",
         "tx_pii_mask", "tx_source_stats", "tx_collocations", "tx_surprisal",
+        "tx_quality_tiers", "dd_exact_streaming",
         "tx_distinct_sketch", "tx_curate", "dd_exact_groups",
         "dd_ngram_jaccard", "dd_minhash", "dd_simhash", "dd_clusters",
         "dd_embdup", "dd_embdup_banded", "ann_topk", "ann_lsh_topk",
@@ -2365,7 +2412,7 @@ JOIN ucnt nb ON nb.t = bcnt.b
 CROSS JOIN utot CROSS JOIN btot
 ORDER BY pmi DESC, a, b LIMIT 20"""
 
-    o["tx_surprisal"] = f"""
+    _surp_ctes = f"""
 WITH base AS (
   SELECT doc_id,
          list_transform(
@@ -2391,10 +2438,30 @@ agg AS (
                      (acc, x) -> acc + x) AS ssum,
          CAST(sum(tf) AS BIGINT) AS ntok
   FROM contrib GROUP BY doc_id
+),
+su AS (
+  SELECT doc_id, ntok,
+         floor(ssum / CAST(ntok AS DOUBLE) * 10000.0) / 10000.0 AS surprisal
+  FROM agg
+)"""
+
+    o["tx_surprisal"] = _surp_ctes + """
+SELECT doc_id, ntok, surprisal FROM su ORDER BY doc_id"""
+
+    o["tx_quality_tiers"] = _surp_ctes + """,
+hist AS (SELECT surprisal, count(*) AS c FROM su GROUP BY surprisal),
+cum AS (SELECT surprisal, sum(c) OVER (ORDER BY surprisal) AS cum FROM hist),
+dtot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM su),
+bounds AS (
+  SELECT min(CASE WHEN cum * 3 >= n THEN surprisal END) AS t1,
+         min(CASE WHEN cum * 3 >= 2 * n THEN surprisal END) AS t2
+  FROM cum CROSS JOIN dtot
 )
-SELECT doc_id, ntok,
-       floor(ssum / CAST(ntok AS DOUBLE) * 10000.0) / 10000.0 AS surprisal
-FROM agg ORDER BY doc_id"""
+SELECT doc_id, ntok, surprisal,
+       CASE WHEN surprisal <= t1 THEN 'head'
+            WHEN surprisal <= t2 THEN 'middle'
+            ELSE 'tail' END AS tier
+FROM su CROSS JOIN bounds ORDER BY doc_id"""
 
     _kmv_h = sqlhash.md5_bucket60("bigram", "kmv", 1 << 60)
     _kmv_lit = repr(float(255 * (1 << 60)))
@@ -2452,6 +2519,10 @@ ORDER BY p.doc_id"""
 WITH fp AS ({_FP_SQL})
 SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM fp GROUP BY fingerprint"""
+
+    # the streaming ingest dedup's final state is defined to equal the
+    # batch recompute over the union of all micro-batches — same twin
+    o["dd_exact_streaming"] = o["dd_exact_groups"]
 
     o["dd_ngram_jaccard"] = f"""
 WITH {_SHINGLE_CTE},

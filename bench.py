@@ -293,6 +293,14 @@ def main() -> None:
     times["tx_surprisal_200k"] = sorted(su_samples)[1]
     extra["tx_surprisal_samples"] = su_samples
 
+    @timed("tx_quality_tiers_200k")
+    def _qt():  # CCNet head/middle/tail tiers on top of the surprisal plan
+        return (_textops.quality_tiers_df(
+            corpus.select(F.xxhash64("url").alias("doc_id"), "text"))
+            .groupBy("tier").count().collect())
+
+    clean_room()
+
     @timed("tx_kmv_200k")
     def _kmv():  # KMV distinct-url sketch per lang over the 200k pages
         from fatespark.sketch import kmv_distinct_df

@@ -220,3 +220,58 @@ def index_stream(stream_df: DataFrame, builder: IndexBuilder, *,
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start(), sink
+
+
+def streaming_exact_dedup(stream_df: DataFrame, *, id_col: str = "doc_id",
+                          text_col: str = "text"):
+    """Cross-batch exact dedup at ingest via ``applyInPandasWithState`` —
+    the streaming twin of ``dedup.exact_duplicate_groups`` ("drop docs the
+    crawl already delivered, while it is still landing").
+
+    State per content fingerprint (same md5-of-normalized-text as the batch
+    operator, JVM-side) is exactly the batch aggregate's mergeable state:
+    ``(keep_id = min id seen, n_docs = count seen)`` — 16 bytes per distinct
+    document ever, regardless of how many duplicate copies stream in. Each
+    micro-batch folds its rows in and emits the updated
+    ``(fingerprint, n_docs, keep_id)`` row in update mode. Both outputs are
+    monotone in stream progress (n_docs grows, keep_id min-shrinks), so the
+    LATEST row per fingerprint — equivalently (max n_docs, min keep_id) —
+    equals a batch recompute over the union of all batches, bit-exactly;
+    the result is also invariant to how docs were split into batches.
+
+    Scale shape: the only shuffle keys on ``fingerprint`` — state spreads
+    across executors by content hash (uniform by construction, no skew),
+    and a boilerplate page duplicated 10^9 times still costs one 16-byte
+    state entry on one executor.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .textops import fingerprint_col
+
+    hashed = stream_df.select(
+        F.col(id_col).cast("long").alias("i"),
+        fingerprint_col(text_col).alias("fingerprint"))
+
+    def update(key, pdfs, state):
+        if state.exists:
+            keep, n = state.get
+        else:
+            keep, n = None, 0
+        for pdf in pdfs:
+            v = pdf["i"].to_numpy()
+            if len(v):
+                m = int(v.min())
+                keep = m if keep is None else min(keep, m)
+                n += int(len(v))
+        state.update((keep, n))
+        yield pd.DataFrame({"fingerprint": [key[0]], "n_docs": [n],
+                            "keep_id": [keep]})
+
+    return hashed.groupBy("fingerprint").applyInPandasWithState(
+        update,
+        outputStructType="fingerprint string, n_docs long, keep_id long",
+        stateStructType="keep long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)

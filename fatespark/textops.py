@@ -425,6 +425,57 @@ def unigram_surprisal_df(df, id_col: str = "doc_id",
         fold, f"{id_col} long, ntok long, surprisal double")
 
 
+def quality_tiers_df(df, id_col: str = "doc_id", text_col: str = "text",
+                     quantize: int = 4,
+                     labels: tuple = ("head", "middle", "tail")):
+    """CCNet-style quality bucketing: docs split into three equal-mass
+    tiers by corpus-LM surprisal (CCNet Wenzek et al. 2020 buckets by
+    LM perplexity percentile; the corpus unigram model stands in here,
+    same discipline as ``unigram_surprisal_df``). ``head`` = lowest
+    surprisal third (most-fluent / most-common-token docs), ``tail`` =
+    highest. Returns (id_col, ntok, surprisal, tier).
+
+    Tie contract: all docs sharing one quantized surprisal value land in
+    the SAME tier (the boundary value is pulled into the lower tier), so
+    the assignment is partition- and order-invariant — unlike ``ntile``,
+    which splits ties by arbitrary row rank and cannot be reproduced
+    across engines.
+
+    Scale shape (why NOT a global ntile window): a corpus-sized sort
+    through one reducer dies at 10^12 docs. Instead:
+      1. per-doc surprisal (zero-wide-shuffle plan above), checkpointed —
+         docs-sized, 3 columns; at real scale this is the quality table
+         you persist anyway;
+      2. histogram on the QUANTIZED value: one hash agg down to at most
+         10^(quantize)-ish distinct doubles — tiny;
+      3. exact CDF + tier boundaries on the histogram (single-partition
+         window over the tiny table — the only non-parallel step, bounded
+         by the value space, never by the corpus);
+      4. boundaries broadcast back; per-doc tagging is narrow.
+    """
+    from pyspark.sql.window import Window
+
+    su = unigram_surprisal_df(df, id_col, text_col, quantize)
+    # docs-sized (3 cols/doc): without the checkpoint the whole surprisal
+    # plan (2 tokenize passes + fold) runs once per downstream branch
+    su = su.localCheckpoint(eager=True)
+    hist = su.groupBy("surprisal").agg(F.count("*").alias("c"))
+    w = (Window.orderBy("surprisal")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.select("surprisal", F.sum("c").over(w).alias("cum"))
+    dtot = hist.agg(F.sum("c").alias("n"))
+    bounds = (cum.crossJoin(F.broadcast(dtot))
+              .agg(F.min(F.when(F.col("cum") * 3 >= F.col("n"),
+                                F.col("surprisal"))).alias("t1"),
+                   F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"),
+                                F.col("surprisal"))).alias("t2")))
+    tier = (F.when(F.col("surprisal") <= F.col("t1"), F.lit(labels[0]))
+            .when(F.col("surprisal") <= F.col("t2"), F.lit(labels[1]))
+            .otherwise(F.lit(labels[2])))
+    return (su.crossJoin(F.broadcast(bounds))
+            .select(id_col, "ntok", "surprisal", tier.alias("tier")))
+
+
 # ---------------------------------------------------------------------------
 # repetition signals (Gopher-style repetitious-text filters)
 # ---------------------------------------------------------------------------
