@@ -954,6 +954,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textops.quality_tiers_df(d, quantize=4).orderBy("doc_id")
     q["tx_quality_tiers"] = tx_quality_tiers
 
+    def tx_dsir(spark, sf):
+        """DSIR importance weights (dsir.dsir_logweights, Xie et al. 2023):
+        hashed unigram+bigram bag features (md5-60bit mod m buckets, the
+        KMV primitive), add-one-smoothed target/raw bucket multinomials,
+        per-doc log weight summed in ascending-bucket order (bounded
+        collect_list: <= m structs/doc). Target = the English slice —
+        'make the pool look like the en docs'."""
+        from fatespark import dsir
+        d = _read(spark, sf, "documents")
+        return (dsir.dsir_logweights(d, F.col("lang") == F.lit("en"),
+                                     m=1024, quantize=4)
+                .orderBy("doc_id"))
+    q["tx_dsir"] = tx_dsir
+
+    def dd_url_seen(spark, sf):
+        """Crawl-frontier membership: sparse distributed Bloom filter
+        (sketch.bloom_build/bloom_probe) built over the even-doc URLs,
+        probed with EVERY doc's URL — even docs must all report member
+        (no false negatives by construction); odd docs exercise the
+        negative path (any false positives are deterministic and the
+        oracle reproduces the exact same bits)."""
+        from fatespark.sketch import bloom_build, bloom_probe
+        url = F.concat(F.lit("https://s"),
+                       F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+                       F.lit(".test/p/"), F.col("doc_id").cast("string"))
+        d = _read(spark, sf, "documents").select("doc_id", url.alias("url"))
+        ins = d.filter(F.col("doc_id") % 2 == 0).select("url")
+        bloom = bloom_build(ins, "url", m_bits=1 << 16, k=4)
+        return bloom_probe(bloom, d.select("url"), "url",
+                           m_bits=1 << 16, k=4)
+    q["dd_url_seen"] = dd_url_seen
+
     def tx_distinct_sketch(spark, sf):
         """KMV distinct-count sketch (sketch.kmv_distinct_df): estimated
         distinct token bigrams per language from the k=256 smallest
@@ -1235,7 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
         "tx_gopher_quality",
         "tx_pii_mask", "tx_source_stats", "tx_collocations", "tx_surprisal",
-        "tx_quality_tiers", "dd_exact_streaming",
+        "tx_quality_tiers", "dd_exact_streaming", "tx_dsir", "dd_url_seen",
         "tx_distinct_sketch", "tx_curate", "dd_exact_groups",
         "dd_ngram_jaccard", "dd_minhash", "dd_simhash", "dd_clusters",
         "dd_embdup", "dd_embdup_banded", "ann_topk", "ann_lsh_topk",
@@ -2462,6 +2494,83 @@ SELECT doc_id, ntok, surprisal,
             WHEN surprisal <= t2 THEN 'middle'
             ELSE 'tail' END AS tier
 FROM su CROSS JOIN bounds ORDER BY doc_id"""
+
+    _dsir_m = 1024
+    _dsir_b = sqlhash.md5_bucket60("g", "dsir", _dsir_m)
+    o["tx_dsir"] = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         list_transform(
+           list_filter(regexp_split_to_array(coalesce(text, ''),
+                                             '{_WS_SQL}'), x -> x <> ''),
+           x -> translate(x, '{_UP}', '{_LO}')) AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(toks,
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1]))) AS g
+  FROM base WHERE len(toks) >= 1
+),
+cb AS (
+  SELECT doc_id, (lang = 'en') AS tgt, {_dsir_b} AS b, count(*) AS c
+  FROM grams GROUP BY 1, 2, 3
+),
+raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM cb GROUP BY b),
+tg AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct FROM cb WHERE tgt GROUP BY b),
+model AS (
+  SELECT raw.b, raw.cr, coalesce(tg.ct, 0) AS ct
+  FROM raw LEFT JOIN tg USING (b)
+),
+tots AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+                CAST(sum(ct) AS BIGINT) AS tt FROM model),
+contrib AS (
+  SELECT doc_id, cb.b, c,
+         CAST(c AS DOUBLE)
+         * (ln(CAST(ct + 1 AS DOUBLE) / (CAST(tt AS DOUBLE) + {_dsir_m}.0))
+            - ln(CAST(cr + 1 AS DOUBLE)
+                 / (CAST(tr AS DOUBLE) + {_dsir_m}.0))) AS s
+  FROM cb JOIN model USING (b) CROSS JOIN tots
+),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         list_reduce(list_prepend(0.0, list(s ORDER BY b)),
+                     (acc, x) -> acc + x) AS sw
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_grams,
+       floor(sw * 10000.0) / 10000.0 AS logw
+FROM agg ORDER BY doc_id"""
+
+    _bl = [sqlhash.md5_bucket60("url", f"bloom{i}", 1 << 16)
+           for i in range(4)]
+    _bl_pos = ", ".join(_bl)
+    o["dd_url_seen"] = f"""
+WITH u AS (
+  SELECT doc_id,
+         'https://s' || (doc_id % 97)::VARCHAR || '.test/p/'
+          || doc_id::VARCHAR AS url
+  FROM documents
+),
+ipos AS (
+  SELECT unnest([{_bl_pos}]) AS pos
+  FROM (SELECT url FROM u WHERE doc_id % 2 = 0)
+),
+words AS (
+  SELECT CAST(floor(pos / 32) AS BIGINT) AS word_idx,
+         bit_or((1::BIGINT) << CAST(pos % 32 AS INT)) AS word
+  FROM ipos GROUP BY 1
+),
+ppos AS (SELECT url, unnest([{_bl_pos}]) AS pos FROM u),
+pj AS (
+  SELECT p.url,
+         (coalesce(w.word, 0) & ((1::BIGINT) << CAST(p.pos % 32 AS INT)))
+         = ((1::BIGINT) << CAST(p.pos % 32 AS INT)) AS h
+  FROM ppos p LEFT JOIN words w
+    ON w.word_idx = CAST(floor(p.pos / 32) AS BIGINT)
+)
+SELECT url, bool_and(h) AS member FROM pj GROUP BY url"""
 
     _kmv_h = sqlhash.md5_bucket60("bigram", "kmv", 1 << 60)
     _kmv_lit = repr(float(255 * (1 << 60)))

@@ -301,6 +301,42 @@ def main() -> None:
 
     clean_room()
 
+    @timed("tx_dsir_200k")
+    def _ds():  # DSIR importance weights toward the en slice, m=4096
+        from fatespark import dsir as _dsir
+        return (_dsir.dsir_logweights(
+            corpus.select(F.xxhash64("url").alias("doc_id"), "lang",
+                          "text"),
+            F.col("lang") == "en", m=4096)
+            .agg(F.sum("logw"), F.count("*")).collect())
+
+    clean_room()
+
+    # Bloom seen-set: build over all 200k urls (m sized for ~0.1% fp),
+    # checkpoint the word table, then probe a 50/50 present/absent batch
+    from fatespark.sketch import bloom_build, bloom_probe
+    _bloom_m, _bloom_k = 1 << 22, 4
+    _bloom_holder = {}
+
+    @timed("dd_bloom_build_200k")
+    def _bb():
+        b = bloom_build(corpus.select("url"), "url",
+                        m_bits=_bloom_m, k=_bloom_k)
+        _bloom_holder["b"] = b.localCheckpoint(eager=True)
+        return _bloom_holder["b"]
+
+    @timed("dd_bloom_probe_100k")
+    def _bp():
+        half = corpus.select("url").limit(50000)
+        absent = corpus.select(
+            F.concat(F.lit("https://never-crawled/"), F.col("url"))
+            .alias("url")).limit(50000)
+        return bloom_probe(_bloom_holder["b"], half.unionByName(absent),
+                           "url", m_bits=_bloom_m, k=_bloom_k) \
+            .agg(F.sum(F.col("member").cast("long"))).collect()
+
+    clean_room()
+
     @timed("tx_kmv_200k")
     def _kmv():  # KMV distinct-url sketch per lang over the 200k pages
         from fatespark.sketch import kmv_distinct_df

@@ -96,3 +96,64 @@ def kmv_merge_states(a: DataFrame, b: DataFrame, group_col: str,
             .filter(F.col("r") <= k)
             .groupBy(group_col)
             .agg(F.sort_array(F.collect_list("h")).alias("minima")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter seen-set (crawl-frontier membership)
+# ---------------------------------------------------------------------------
+#
+# "Have we already crawled this URL" at 10^12 scale: a sparse distributed
+# Bloom filter. k positions per value from the same md5-60bit primitive
+# (pos_i = md5('{seed}{i}:' || value) % m_bits), packed 32 bits per word so
+# every mask is a small positive BIGINT on both engines (no sign-bit edge
+# at 1<<63). Build is ONE map-combinable bit_or aggregate keyed by word
+# index; absent words are simply missing rows (sparse — a barely-loaded
+# filter costs rows proportional to set bits, not to m_bits). Probing is a
+# broadcast-or-shuffle equi-join on word index + a bool_and over the k
+# probes. No false negatives by construction; false-positive rate is the
+# standard (1 - e^{-kn/m})^k. Deterministic: same values -> bit-identical
+# word table on any engine, partitioning, or row order.
+
+def bloom_positions(value_col: str | Column, m_bits: int, k: int,
+                    seed: str = "bloom") -> Column:
+    """Array of the k bit positions of a value (each
+    ``md5('{seed}{i}:' || value) % m_bits``)."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return F.array(*[
+        F.pmod(kmv_hash_col(v, f"{seed}{i}"), F.lit(m_bits))
+        for i in range(k)])
+
+
+# derive (word_idx, mask) from a named bit-position column — 32-bit word
+# packing, so the mask stays a small positive BIGINT on every engine
+_WORD = "CAST(floor(pos / 32) AS BIGINT)"
+_MASK = "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 32) AS INT))"
+
+
+def bloom_build(df: DataFrame, value_col: str, *, m_bits: int = 1 << 16,
+                k: int = 4, seed: str = "bloom") -> DataFrame:
+    """Sparse Bloom filter (word_idx, word) over ``value_col``."""
+    rows = (df.select(F.explode(
+        bloom_positions(value_col, m_bits, k, seed)).alias("pos"))
+        .select(F.expr(_WORD).alias("word_idx"),
+                F.expr(_MASK).alias("mask")))
+    return (rows.groupBy("word_idx").agg(F.bit_or("mask").alias("word")))
+
+
+def bloom_probe(bloom: DataFrame, probes: DataFrame, value_col: str, *,
+                m_bits: int = 1 << 16, k: int = 4,
+                seed: str = "bloom") -> DataFrame:
+    """(value_col, member): Bloom membership per probe row. ``member`` is
+    true iff all k bits are set — never false for an inserted value. The
+    join keys on word_idx; Spark broadcasts whichever side is small (the
+    filter for lookups, the probe batch for frontier diffing)."""
+    px = (probes.select(F.col(value_col), F.explode(
+        bloom_positions(value_col, m_bits, k, seed)).alias("pos"))
+        .select(value_col, F.expr(_WORD).alias("word_idx"),
+                F.expr(_MASK).alias("mask")))
+    j = px.join(bloom, "word_idx", "left")
+    # a missing word row means no bits set there -> not a member
+    hit = (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask"))
+           == F.col("mask"))
+    return (j.select(value_col, hit.alias("h"))
+            .groupBy(value_col).agg(F.bool_and("h").alias("member")))
