@@ -986,6 +986,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            m_bits=1 << 16, k=4)
     q["dd_url_seen"] = dd_url_seen
 
+    def tx_term_freq_cms(spark, sf):
+        """Count-min sketch point-frequency estimates
+        (sketch.cms_build/cms_query, Cormode & Muthukrishnan 2005): token
+        occurrences of the whole corpus compressed into a d=4 x w=4096
+        cell table by ONE map-combinable sum aggregate; probes read the
+        min of their 4 cells (overestimate-only; zzz_missing exercises
+        the absent-cell -> 0 path when its cells are empty)."""
+        from fatespark.sketch import cms_build, cms_query
+        d = _read(spark, sf, "documents")
+        toks = F.transform(textops.tokens_col("text"),
+                           lambda x: F.translate(x, _UP, _LO))
+        terms = d.select(F.explode(toks).alias("term"))
+        cms = cms_build(terms, "term", depth=4, width=1 << 12)
+        probes = spark.createDataFrame(
+            [(w,) for w in ["batch", "scan", "merge", "join", "sort",
+                            "zzz_missing"]], "term string")
+        return cms_query(cms, probes, "term", depth=4, width=1 << 12)
+    q["tx_term_freq_cms"] = tx_term_freq_cms
+
     def tx_distinct_sketch(spark, sf):
         """KMV distinct-count sketch (sketch.kmv_distinct_df): estimated
         distinct token bigrams per language from the k=256 smallest
@@ -1268,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_gopher_quality",
         "tx_pii_mask", "tx_source_stats", "tx_collocations", "tx_surprisal",
         "tx_quality_tiers", "dd_exact_streaming", "tx_dsir", "dd_url_seen",
+        "tx_term_freq_cms",
         "tx_distinct_sketch", "tx_curate", "dd_exact_groups",
         "dd_ngram_jaccard", "dd_minhash", "dd_simhash", "dd_clusters",
         "dd_embdup", "dd_embdup_banded", "ann_topk", "ann_lsh_topk",
@@ -2571,6 +2591,34 @@ pj AS (
     ON w.word_idx = CAST(floor(p.pos / 32) AS BIGINT)
 )
 SELECT url, bool_and(h) AS member FROM pj GROUP BY url"""
+
+    _cms_w = 1 << 12
+    _cms_cells = " UNION ALL ".join(
+        f"SELECT term, {j} AS j, "
+        f"{sqlhash.md5_bucket60('term', f'cms{j}', _cms_w)} AS cell FROM t"
+        for j in range(4))
+    _cms_pcells = " UNION ALL ".join(
+        f"SELECT term, {j} AS j, "
+        f"{sqlhash.md5_bucket60('term', f'cms{j}', _cms_w)} AS cell "
+        f"FROM probes" for j in range(4))
+    o["tx_term_freq_cms"] = f"""
+WITH base AS (
+  SELECT list_transform(
+           list_filter(regexp_split_to_array(coalesce(text, ''),
+                                             '{_WS_SQL}'), x -> x <> ''),
+           x -> translate(x, '{_UP}', '{_LO}')) AS toks
+  FROM documents
+),
+t AS (SELECT unnest(toks) AS term FROM base),
+cells AS (
+  SELECT j, cell, CAST(count(*) AS BIGINT) AS n
+  FROM ({_cms_cells}) GROUP BY j, cell
+),
+probes AS (SELECT unnest(['batch', 'scan', 'merge', 'join', 'sort',
+                          'zzz_missing']) AS term),
+px AS ({_cms_pcells})
+SELECT px.term, min(coalesce(cells.n, 0)) AS est
+FROM px LEFT JOIN cells USING (j, cell) GROUP BY px.term"""
 
     _kmv_h = sqlhash.md5_bucket60("bigram", "kmv", 1 << 60)
     _kmv_lit = repr(float(255 * (1 << 60)))

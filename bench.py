@@ -325,6 +325,15 @@ def main() -> None:
         _bloom_holder["b"] = b.localCheckpoint(eager=True)
         return _bloom_holder["b"]
 
+    @timed("tx_cms_build_200k")
+    def _cms():  # count-min term-frequency sketch over all corpus tokens
+        from fatespark.sketch import cms_build
+        terms = corpus.select(F.explode(F.split(
+            F.trim(F.coalesce(F.col("text"), F.lit(""))),
+            r"\s+")).alias("term"))
+        return cms_build(terms, "term", depth=4,
+                         width=1 << 14).count()
+
     @timed("dd_bloom_probe_100k")
     def _bp():
         half = corpus.select("url").limit(50000)

@@ -30,7 +30,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 _SPACE = 1 << 60
 
 __all__ = ["kmv_hash_col", "kmv_distinct_df", "kmv_state_df",
-           "kmv_merge_states"]
+           "kmv_merge_states", "bloom_positions", "bloom_build",
+           "bloom_probe", "cms_cell_col", "cms_build", "cms_query"]
 
 
 def kmv_hash_col(value_col: str | Column, seed: str = "kmv") -> Column:
@@ -157,3 +158,55 @@ def bloom_probe(bloom: DataFrame, probes: DataFrame, value_col: str, *,
            == F.col("mask"))
     return (j.select(value_col, hit.alias("h"))
             .groupBy(value_col).agg(F.bool_and("h").alias("member")))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (heavy-hitter frequency estimation)
+# ---------------------------------------------------------------------------
+#
+# "How often does this term/url/domain occur" at 10^12 rows without a
+# full count shuffle of the keys: d independent hash rows of width w;
+# every occurrence increments cell (j, h_j(x)); a point query reads the
+# MINIMUM of its d cells — an overestimate, never an underestimate, with
+# err <= 2N/w at >= 1 - (1/2)^d probability (Cormode & Muthukrishnan
+# 2005). Hashing is the md5-60bit primitive again, so estimates are
+# engine/partitioning/row-order independent and the DuckDB twin is
+# bit-exact. The table is built by ONE map-combinable sum aggregate on
+# (row, cell) — d*w bounded rows out, mergeable across shards by cell sum.
+
+def cms_cell_col(value_col: str | Column, j: int, width: int,
+                 seed: str = "cms") -> Column:
+    """Cell index of a value in hash row ``j``."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return F.pmod(kmv_hash_col(v, f"{seed}{j}"), F.lit(width))
+
+
+def cms_build(df: DataFrame, value_col: str, *, depth: int = 4,
+              width: int = 1 << 14, seed: str = "cms",
+              weight_col: str | None = None) -> DataFrame:
+    """(j, cell, n): sparse count-min table over ``value_col`` occurrences
+    (or ``weight_col`` sums). Merge shards by summing matching cells."""
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    rows = df.select(F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 cms_cell_col(value_col, j, width, seed).alias("cell"),
+                 w.alias("n"))
+        for j in range(depth)])).alias("p")).select("p.j", "p.cell", "p.n")
+    return rows.groupBy("j", "cell").agg(F.sum("n").alias("n"))
+
+
+def cms_query(cms: DataFrame, probes: DataFrame, value_col: str, *,
+              depth: int = 4, width: int = 1 << 14,
+              seed: str = "cms") -> DataFrame:
+    """(value_col, est): point-frequency estimate per probe row — the min
+    over the d cells, 0 if any cell row is absent (sparse table). Join
+    keys on (j, cell); Spark broadcasts the small side."""
+    px = (probes.select(F.col(value_col), F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 cms_cell_col(value_col, j, width, seed).alias("cell"))
+        for j in range(depth)])).alias("p"))
+        .select(value_col, "p.j", "p.cell"))
+    j = px.join(cms, ["j", "cell"], "left")
+    return (j.groupBy(value_col)
+            .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est")))

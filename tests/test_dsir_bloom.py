@@ -109,3 +109,48 @@ class TestBloom:
         a = df.select(bloom_positions("url", self.M, self.K)).collect()
         b = df.select(bloom_positions("url", self.M, self.K)).collect()
         assert a == b and len(a[0][0]) == self.K
+
+
+class TestCountMin:
+    D, W = 4, 1 << 12
+
+    def test_overestimate_only_and_invariance(self, spark, docs):
+        from fatespark.sketch import cms_build, cms_query
+
+        terms = docs.select(F.explode(F.split(F.trim("text"), r"\s+"))
+                            .alias("term"))
+        truth = {r["term"]: r["n"] for r in
+                 terms.groupBy("term").agg(F.count("*").alias("n"))
+                 .collect()}
+        cms = cms_build(terms, "term", depth=self.D, width=self.W)
+        probes = spark.createDataFrame(
+            [(t,) for t in list(truth)[:200]] + [("zzz_never_seen",)],
+            "term string")
+        est = {r["term"]: r["est"] for r in cms_query(
+            cms, probes, "term", depth=self.D, width=self.W).collect()}
+        assert all(est[t] >= truth[t] for t in list(truth)[:200])
+        # at this load (few k distinct into 4x4096 cells) estimates are
+        # near-exact; the absent term reads its (possibly collided) cells
+        assert est["zzz_never_seen"] >= 0
+        # partition invariance of the cell table
+        a = sorted(map(tuple, cms.collect()))
+        b = sorted(map(tuple, cms_build(
+            terms.repartition(13), "term",
+            depth=self.D, width=self.W).collect()))
+        assert a == b
+
+    def test_shard_merge_equals_full_build(self, spark, docs):
+        from fatespark.sketch import cms_build
+
+        terms = docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+"))
+            .alias("term"))
+        full = cms_build(terms, "term", depth=self.D, width=self.W)
+        h1 = cms_build(terms.filter(F.col("doc_id") % 2 == 0), "term",
+                       depth=self.D, width=self.W)
+        h2 = cms_build(terms.filter(F.col("doc_id") % 2 != 0), "term",
+                       depth=self.D, width=self.W)
+        merged = (h1.unionByName(h2).groupBy("j", "cell")
+                  .agg(F.sum("n").alias("n")))
+        assert sorted(map(tuple, full.collect())) \
+            == sorted(map(tuple, merged.collect()))
