@@ -598,20 +598,23 @@ def substring_window_hashes(df: DataFrame, w: int = 50, stride: int = 1,
         F.split(F.coalesce(F.col(text_col), F.lit("")), WS_RE),
         lambda x: x != F.lit(""))
     base = df.select(F.col(id_col).alias("id"),
-                     fold_col(F.array_join(toks, " ")).alias("_folded"))
-    ftoks = F.split(F.col("_folded"), " ")
-    n = F.size(ftoks)
-    # windows start at 0, stride apart, last start = n - w
+                     F.split(fold_col(F.array_join(toks, " ")), " ")
+                      .alias("_ftoks"))
+    n = F.size(F.col("_ftoks"))
+    # windows start at 0, stride apart, last start = n - w.
+    # Explode the START POSITIONS (cheap ints) and hash per emitted row —
+    # never explode(transform(..., md5(slice))): GenerateExec re-evaluates
+    # the generator child per emitted element, turning the per-window
+    # slice+md5 into O(windows^2) work per doc (the dsir.py lesson;
+    # measured 25x on this operator's stage at 200k pages).
     starts = F.when(n >= w, F.sequence(F.lit(0), n - w, F.lit(stride))) \
               .otherwise(F.array().cast("array<int>"))
-    wins = F.transform(
-        starts,
-        lambda i: F.struct(
-            i.alias("win_start"),
-            F.md5(F.array_join(F.slice(ftoks, i + 1, w), " ")).alias("whash")))
-    return (base.select("id", F.explode(wins).alias("w"))
-            .select("id", F.col("w.win_start").alias("win_start"),
-                    F.col("w.whash").alias("whash")))
+    return (base.select("id", "_ftoks",
+                        F.explode(starts).alias("win_start"))
+            .select("id", "win_start",
+                    F.md5(F.array_join(
+                        F.slice(F.col("_ftoks"), F.col("win_start") + 1, w),
+                        " ")).alias("whash")))
 
 
 def substring_dup_windows(df: DataFrame, w: int = 50, stride: int = 1,
@@ -814,13 +817,14 @@ def substring_cut_df(df: DataFrame, w: int = 50, stride: int = 1,
     n = F.size(ftoks)
     starts = F.when(n >= w, F.sequence(F.lit(0), n - w, F.lit(stride))) \
               .otherwise(F.array().cast("array<int>"))
+    # explode the start positions, hash per emitted row (the dsir.py /
+    # substring_window_hashes lesson: never explode(transform(..., md5)))
     wins = (base.select(
-        "id",
-        F.explode(F.transform(starts, lambda i: F.struct(
-            i.alias("win_start"),
-            F.md5(F.array_join(F.slice(ftoks, i + 1, w), " "))
-             .alias("whash")))).alias("wn"))
-        .select("id", "wn.win_start", "wn.whash"))
+        "id", "_ftoks", F.explode(starts).alias("win_start"))
+        .select("id", "win_start",
+                F.md5(F.array_join(
+                    F.slice(ftoks, F.col("win_start") + 1, w), " "))
+                 .alias("whash")))
     dups = (wins.groupBy("whash")
             .agg(F.count("*").alias("n_occ"),
                  F.min(F.struct("id", "win_start")).alias("first"))

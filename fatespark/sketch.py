@@ -131,13 +131,29 @@ _WORD = "CAST(floor(pos / 32) AS BIGINT)"
 _MASK = "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 32) AS INT))"
 
 
+def _hash_fan(df: DataFrame, value_col: str, k: int, seed: str,
+              modulus: int, keep: tuple = ()) -> DataFrame:
+    """(*keep, i, pos): one row per (value row, hash function i) with
+    ``pos = md5('{seed}{i}:' || value) % modulus``. The hash runs AFTER
+    the explode of the (cheap, literal) index array — exploding an array
+    of k md5 expressions makes GenerateExec re-evaluate all k hashes per
+    emitted element, k^2 md5 calls per value (the dsir.py lesson)."""
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.concat(F.lit(seed), F.col("i").cast("string")),
+        F.col(value_col).cast("string"))), 1, 15), 16, 10).cast("long")
+    cols = list(dict.fromkeys((*keep, value_col)))
+    return (df.select(*[F.col(c) for c in cols],
+                      F.explode(F.array(
+                          *[F.lit(i) for i in range(k)])).alias("i"))
+            .select(*keep, "i", F.pmod(h, F.lit(modulus)).alias("pos")))
+
+
 def bloom_build(df: DataFrame, value_col: str, *, m_bits: int = 1 << 16,
                 k: int = 4, seed: str = "bloom") -> DataFrame:
     """Sparse Bloom filter (word_idx, word) over ``value_col``."""
-    rows = (df.select(F.explode(
-        bloom_positions(value_col, m_bits, k, seed)).alias("pos"))
-        .select(F.expr(_WORD).alias("word_idx"),
-                F.expr(_MASK).alias("mask")))
+    rows = (_hash_fan(df, value_col, k, seed, m_bits)
+            .select(F.expr(_WORD).alias("word_idx"),
+                    F.expr(_MASK).alias("mask")))
     return (rows.groupBy("word_idx").agg(F.bit_or("mask").alias("word")))
 
 
@@ -148,10 +164,10 @@ def bloom_probe(bloom: DataFrame, probes: DataFrame, value_col: str, *,
     true iff all k bits are set — never false for an inserted value. The
     join keys on word_idx; Spark broadcasts whichever side is small (the
     filter for lookups, the probe batch for frontier diffing)."""
-    px = (probes.select(F.col(value_col), F.explode(
-        bloom_positions(value_col, m_bits, k, seed)).alias("pos"))
-        .select(value_col, F.expr(_WORD).alias("word_idx"),
-                F.expr(_MASK).alias("mask")))
+    px = (_hash_fan(probes, value_col, k, seed, m_bits,
+                    keep=(value_col,))
+          .select(value_col, F.expr(_WORD).alias("word_idx"),
+                  F.expr(_MASK).alias("mask")))
     j = px.join(bloom, "word_idx", "left")
     # a missing word row means no bits set there -> not a member
     hit = (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask"))
@@ -186,13 +202,12 @@ def cms_build(df: DataFrame, value_col: str, *, depth: int = 4,
               weight_col: str | None = None) -> DataFrame:
     """(j, cell, n): sparse count-min table over ``value_col`` occurrences
     (or ``weight_col`` sums). Merge shards by summing matching cells."""
+    keep = (weight_col,) if weight_col else ()
+    fan = _hash_fan(df, value_col, depth, seed, width, keep=keep)
     w = (F.col(weight_col).cast("long") if weight_col
          else F.lit(1).cast("long"))
-    rows = df.select(F.explode(F.array(*[
-        F.struct(F.lit(j).alias("j"),
-                 cms_cell_col(value_col, j, width, seed).alias("cell"),
-                 w.alias("n"))
-        for j in range(depth)])).alias("p")).select("p.j", "p.cell", "p.n")
+    rows = fan.select(F.col("i").alias("j"), F.col("pos").alias("cell"),
+                      w.alias("n"))
     return rows.groupBy("j", "cell").agg(F.sum("n").alias("n"))
 
 
@@ -202,11 +217,10 @@ def cms_query(cms: DataFrame, probes: DataFrame, value_col: str, *,
     """(value_col, est): point-frequency estimate per probe row — the min
     over the d cells, 0 if any cell row is absent (sparse table). Join
     keys on (j, cell); Spark broadcasts the small side."""
-    px = (probes.select(F.col(value_col), F.explode(F.array(*[
-        F.struct(F.lit(j).alias("j"),
-                 cms_cell_col(value_col, j, width, seed).alias("cell"))
-        for j in range(depth)])).alias("p"))
-        .select(value_col, "p.j", "p.cell"))
+    px = (_hash_fan(probes, value_col, depth, seed, width,
+                    keep=(value_col,))
+          .select(value_col, F.col("i").alias("j"),
+                  F.col("pos").alias("cell")))
     j = px.join(cms, ["j", "cell"], "left")
     return (j.groupBy(value_col)
             .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est")))
