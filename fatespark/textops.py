@@ -242,13 +242,16 @@ def collocations_df(df, text_col: str = "text", min_count: int = 5,
     """
     toks = F.transform(tokens_col(text_col),
                        lambda x: F.translate(x, UPPER, LOWER))
+    # explode the position (cheap int), derive (a, b) per emitted row —
+    # never explode a transform-built struct array (the dsir.py lesson)
     pairs = (df.select(toks.alias("toks"))
              .filter(F.size("toks") >= 1)
-             .select(F.explode(F.expr(
-                 "transform(sequence(1, size(toks)), "
-                 "i -> struct(toks[i - 1] AS a, CASE WHEN i < size(toks) "
-                 "THEN toks[i] END AS b))")).alias("p"))
-             .select("p.a", "p.b"))
+             .select("toks",
+                     F.explode(F.expr("sequence(1, size(toks))"))
+                     .alias("i"))
+             .select(F.expr("toks[i - 1]").alias("a"),
+                     F.expr("CASE WHEN i < size(toks) THEN toks[i] END")
+                     .alias("b")))
     # gid: 0 = (a, b) group, 1 = (a) group, 3 = grand total. A (a, NULL)
     # group at gid=0 is a real last-token row, not a rollup margin.
     # Sub-min_count bigram rows are dropped BEFORE the checkpoint: they are
@@ -351,16 +354,20 @@ def unigram_surprisal_df(df, id_col: str = "doc_id",
         F.expr("filter(sequence(1, size(st)), i -> i = 1 OR "
                "element_at(st, i) != element_at(st, i - 1))")
         .alias("starts"))
+    # explode the run INDEX (cheap) and derive (t, tf) per emitted row —
+    # exploding the transform-built struct array makes GenerateExec
+    # re-evaluate the whole transform per emitted element (the dsir.py
+    # lesson); Generate emits in array order, so the fold still sees each
+    # doc contiguous and term-ascending
     pairs = rle.select(
+        id_col, "ntok", "st", "starts",
+        F.explode(F.expr("sequence(1, size(starts))")).alias("j")
+    ).select(
         id_col, "ntok",
-        F.explode(F.expr(
-            "transform(sequence(1, size(starts)), j -> struct("
-            " element_at(st, element_at(starts, j)) AS t,"
-            " (CASE WHEN j < size(starts) THEN element_at(starts, j + 1)"
-            "  ELSE size(st) + 1 END) - element_at(starts, j) AS tf))"
-        )).alias("p")
-    ).select(id_col, "ntok", F.col("p.t").alias("t"),
-             F.col("p.tf").alias("tf"))
+        F.expr("element_at(st, element_at(starts, j))").alias("t"),
+        F.expr("(CASE WHEN j < size(starts) THEN element_at(starts, j + 1)"
+               " ELSE size(st) + 1 END) - element_at(starts, j)")
+        .alias("tf"))
     s = (F.col("tf").cast("double")
          * -F.log(F.col("n").cast("double") / F.col("tt")))
     if broadcast_vocab:
