@@ -156,14 +156,21 @@ def shingles_str_df(df: DataFrame, k: int = 3, text_col: str = "text",
     ``shingles_df`` (which hashes for compactness at scale)."""
     from .textops import fold_col, tokens_col
     toks = F.transform(tokens_col(text_col), lambda x: fold_col(x))
-    n = F.size(toks)
-    sh = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
-                                     for j in range(k)])))
-    return (df.filter(F.size(tokens_col(text_col)) >= k)
-            .select(F.col(id_col).alias("doc_id"),
-                    F.explode(sh).alias("shingle")))
+    # explode the shingle start position and build the k-token string per
+    # emitted row (exploding the transform-built string array re-evaluates
+    # the whole array per element — O(n^2) concat work on long docs, the
+    # dsir.py lesson); distinct-per-doc moves from in-array array_distinct
+    # to a dropDuplicates whose partial aggregate dedups map-side, so
+    # boilerplate-heavy docs shrink before the exchange
+    base = (df.select(F.col(id_col).alias("doc_id"), toks.alias("_tk"))
+            .filter(F.size("_tk") >= k))
+    rows = base.select(
+        "doc_id", "_tk",
+        F.explode(F.expr(f"sequence(0, size(_tk) - {k})")).alias("i"))
+    shingle = F.concat_ws(
+        " ", *[F.expr(f"element_at(_tk, i + {j + 1})") for j in range(k)])
+    return (rows.select("doc_id", shingle.alias("shingle"))
+            .dropDuplicates(["doc_id", "shingle"]))
 
 
 def ngram_jaccard_pairs_str(df: DataFrame, k: int = 3, threshold: float = 0.5,
