@@ -201,6 +201,77 @@ def main() -> None:
             "partial_count before the exchange (map-side combine).",
             plan_of(j)))
 
+    # -- round-3 training-data operators ------------------------------------
+    if os.path.exists(docs_p):
+        docs = spark.read.parquet(docs_p)
+        from fatespark import dsir
+        from fatespark.sketch import (bloom_build, bloom_probe, cms_build,
+                                      cms_query)
+        from fatespark.textops import quality_tiers_df
+        from fatespark.dedup import substring_window_hashes
+
+        sections.append((
+            "DSIR importance weights (dsir_logweights) — scoring pass",
+            "ZERO exchanges on the returned plan: per-doc RLE over the "
+            "sorted hashed-ngram bucket array, folded against the m-row "
+            "log-ratio table inlined as a PLAN LITERAL (m is an operator "
+            "constant, default 4096 — a bounded literal, not a corpus "
+            "collect). The model pass is a separate m-bounded hash "
+            "aggregate (one exchange, map-side combined). Note the "
+            "Generate pitfall fixed here: GenerateExec re-evaluates its "
+            "child per EMITTED element, so explode(transform(.., md5)) "
+            "was O(len^2) md5 per doc — 113 s vs 4.5 s at 200k pages; "
+            "every explode in the repo now emits cheap scalars and hashes "
+            "on the emitted row.",
+            plan_of(dsir.dsir_logweights(
+                docs, F.col("lang") == "en", m=256))))
+
+        bl = bloom_build(docs.select(F.col("doc_id").cast("string")
+                                     .alias("u")), "u",
+                         m_bits=1 << 14, k=4)
+        sections.append((
+            "Bloom seen-set probe (bloom_probe)",
+            "Build is ONE bit_or aggregate keyed by word_idx (sparse, "
+            "<= m_bits/32 rows). The probe fans each value to its k "
+            "(word_idx, mask) rows AFTER the explode of the literal "
+            "index array (k hashes per value, not k^2) and equi-joins the "
+            "word table — broadcast here; partitioned at 10^12-url scale.",
+            plan_of(bloom_probe(
+                bl, docs.select(F.col("doc_id").cast("string").alias("u")),
+                "u", m_bits=1 << 14, k=4))))
+
+        terms = docs.select(F.explode(F.split(F.trim(F.coalesce(
+            F.col("text"), F.lit(""))), r"\s+")).alias("term"))
+        cm = cms_build(terms, "term", depth=4, width=1 << 12)
+        sections.append((
+            "Count-min sketch point query (cms_query)",
+            "The cell table comes out of ONE map-combinable sum aggregate "
+            "(<= d*w rows regardless of corpus size; shard tables merge "
+            "by cell sum). Point estimates broadcast-join the d probe "
+            "cells and take the min — overestimate-only by construction.",
+            plan_of(cms_query(cm, terms.limit(3), "term",
+                              depth=4, width=1 << 12))))
+
+        sections.append((
+            "CCNet quality tiers (quality_tiers_df)",
+            "Every exchange is bounded by the VALUE SPACE, not the "
+            "corpus: the quantized-surprisal histogram aggregate, its CDF "
+            "window (single partition over <= 10^quantize distinct "
+            "doubles), the doc-count aggregate, and the 1-row boundary "
+            "broadcast back into a narrow tag projection. No corpus-sized "
+            "ntile sort anywhere.",
+            plan_of(quality_tiers_df(docs))))
+
+        sections.append((
+            "ExactSubstr window hashing (substring_window_hashes)",
+            "Pure NARROW — zero exchanges: explode the window START "
+            "POSITIONS (cheap ints), then slice+md5 per emitted row. "
+            "Callers add the single whash shuffle they need (dup stats) "
+            "or a broadcast join (decontamination: corpus never "
+            "shuffles).",
+            plan_of(substring_window_hashes(
+                docs, w=13, stride=4))))
+
     out = ["# EXPLAIN — physical plans of the hot paths",
            "",
            "Captured by `tools/explain_audit.py` (re-run to refresh). "
