@@ -944,6 +944,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["tx_surprisal"] = tx_surprisal
 
+    def tx_bigram_surprisal(spark, sf):
+        """Conditional bigram-LM surprisal (textops.bigram_surprisal_df):
+        -(1/(ntok-1)) * sum ln(c(ab)/c1(a)) with the corpus as the model —
+        the context-aware quality signal (word salad scores high even when
+        its unigrams are common). The bigram model table cannot broadcast,
+        so this is the engine's reference shuffle-join scoring path;
+        per-doc floats fold in ascending (a, b) order, bit-parity with the
+        oracle's ordered list_reduce."""
+        d = _read(spark, sf, "documents")
+        return (textops.bigram_surprisal_df(d, quantize=4)
+                .orderBy("doc_id"))
+    q["tx_bigram_surprisal"] = tx_bigram_surprisal
+
     def tx_quality_tiers(spark, sf):
         """CCNet-style equal-mass quality tiers (textops.quality_tiers_df):
         head/middle/tail thirds by corpus-LM surprisal. Boundaries come
@@ -1287,7 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_gopher_quality",
         "tx_pii_mask", "tx_source_stats", "tx_collocations", "tx_surprisal",
         "tx_quality_tiers", "dd_exact_streaming", "tx_dsir", "dd_url_seen",
-        "tx_term_freq_cms",
+        "tx_term_freq_cms", "tx_bigram_surprisal",
         "tx_distinct_sketch", "tx_curate", "dd_exact_groups",
         "dd_ngram_jaccard", "dd_minhash", "dd_simhash", "dd_clusters",
         "dd_embdup", "dd_embdup_banded", "ann_topk", "ann_lsh_topk",
@@ -2514,6 +2527,43 @@ SELECT doc_id, ntok, surprisal,
             WHEN surprisal <= t2 THEN 'middle'
             ELSE 'tail' END AS tier
 FROM su CROSS JOIN bounds ORDER BY doc_id"""
+
+    o["tx_bigram_surprisal"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(coalesce(text, ''),
+                                             '{_WS_SQL}'), x -> x <> ''),
+           x -> translate(x, '{_UP}', '{_LO}')) AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, len(toks) - 1 AS nbg, toks[i] AS a, toks[i + 1] AS b
+  FROM base, unnest(range(1, len(toks))) r(i)
+  WHERE len(toks) >= 2
+),
+tfx AS (
+  SELECT doc_id, nbg, a, b, count(*) AS tf
+  FROM bg GROUP BY doc_id, nbg, a, b
+),
+bgf AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS nb
+        FROM tfx GROUP BY a, b),
+pf AS (SELECT a, CAST(sum(nb) AS BIGINT) AS na FROM bgf GROUP BY a),
+contrib AS (
+  SELECT doc_id, nbg, tfx.a, tfx.b,
+         CAST(tf AS DOUBLE)
+         * (- ln(CAST(nb AS DOUBLE) / CAST(na AS DOUBLE))) AS s
+  FROM tfx JOIN bgf USING (a, b) JOIN pf USING (a)
+),
+agg AS (
+  SELECT doc_id, CAST(max(nbg) AS BIGINT) AS nbg,
+         list_reduce(list_prepend(0.0, list(s ORDER BY a, b)),
+                     (acc, x) -> acc + x) AS ssum
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, nbg,
+       floor(ssum / CAST(nbg AS DOUBLE) * 10000.0) / 10000.0 AS surprisal2
+FROM agg ORDER BY doc_id"""
 
     _dsir_m = 1024
     _dsir_b = sqlhash.md5_bucket60("g", "dsir", _dsir_m)

@@ -293,6 +293,14 @@ def main() -> None:
     times["tx_surprisal_200k"] = sorted(su_samples)[1]
     extra["tx_surprisal_samples"] = su_samples
 
+    @timed("tx_bigram_surprisal_200k")
+    def _bsu():  # conditional bigram-LM surprisal (shuffle-join path)
+        return _textops.bigram_surprisal_df(
+            corpus.select(F.xxhash64("url").alias("doc_id"),
+                          "text")).count()
+
+    clean_room()
+
     @timed("tx_quality_tiers_200k")
     def _qt():  # CCNet head/middle/tail tiers on top of the surprisal plan
         return (_textops.quality_tiers_df(

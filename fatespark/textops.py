@@ -432,6 +432,119 @@ def unigram_surprisal_df(df, id_col: str = "doc_id",
         fold, f"{id_col} long, ntok long, surprisal double")
 
 
+def bigram_surprisal_df(df, id_col: str = "doc_id",
+                        text_col: str = "text", quantize: int = 4):
+    """Per-document mean CONDITIONAL bigram surprisal under the corpus
+    bigram LM: ``-(1/(ntok-1)) * sum_i ln( c(w_{i-1} w_i) / c1(w_{i-1}) )``
+    where ``c1`` counts the prefix token over bigram-prefix positions —
+    a proper conditional distribution with no smoothing needed (every
+    in-corpus bigram has count >= 1). The context-aware upgrade of
+    ``unigram_surprisal_df``: word salad scores high even when its
+    unigrams are common; boilerplate scores near zero. Returns
+    (id_col, nbg, surprisal2) for docs with >= 2 tokens, nbg = ntok - 1.
+
+    Float determinism: per-doc contributions fold strictly left-to-right
+    in ascending (a, b) bigram order — the DuckDB twin's
+    ``list_reduce(list(s ORDER BY a, b))``; binary string collation on
+    both engines, space-free tokens, so the orders agree exactly.
+
+    Scale shape (the bigram table is corpus-token-scale — it can NEVER
+    broadcast, unlike the unigram vocab, so this is the engine's
+    reference SHUFFLE-JOIN scoring path):
+      1. per-doc (a, b, tf) rows by RLE over the sorted bigram-struct
+         array, positions exploded (narrow — the Generate discipline);
+      2. bigram counts = ONE map-combinable hash agg of those rows;
+         prefix counts derive the same way (vocab-sized, broadcast);
+      3. score rows via the bigram equi-join (AQE handles boilerplate
+         skew), repartition(``id_col``) + sortWithinPartitions(id, a, b),
+         then the same streaming Arrow segmented fold as the unigram
+         operator — state crosses batch boundaries, rows never move
+         again.
+    """
+    toks = F.transform(tokens_col(text_col),
+                       lambda x: F.translate(x, UPPER, LOWER))
+    base = (df.select(F.col(id_col), toks.alias("toks"))
+            .filter(F.size("toks") >= 2))
+    # per-doc sorted bigram structs -> RLE -> explode run index (cheap)
+    rle = base.select(
+        F.col(id_col), (F.size("toks") - 1).alias("nbg"),
+        F.expr("array_sort(transform(sequence(1, size(toks) - 1), "
+               "i -> struct(toks[i - 1] AS a, toks[i] AS b)))").alias("sb")
+    ).select(
+        id_col, "nbg", "sb",
+        F.expr("filter(sequence(1, size(sb)), i -> i = 1 OR "
+               "element_at(sb, i) != element_at(sb, i - 1))")
+        .alias("starts"))
+    pairs = rle.select(
+        id_col, "nbg", "sb", "starts",
+        F.explode(F.expr("sequence(1, size(starts))")).alias("j")
+    ).select(
+        id_col, "nbg",
+        F.expr("element_at(sb, element_at(starts, j)).a").alias("a"),
+        F.expr("element_at(sb, element_at(starts, j)).b").alias("b"),
+        F.expr("(CASE WHEN j < size(starts) THEN element_at(starts, j + 1)"
+               " ELSE size(sb) + 1 END) - element_at(starts, j)")
+        .alias("tf"))
+    # corpus model: bigram counts (the big table) + prefix counts (vocab)
+    bgf = (pairs.groupBy("a", "b").agg(F.sum("tf").alias("nb"))
+           .localCheckpoint(eager=True))
+    pf = bgf.groupBy("a").agg(F.sum("nb").alias("na"))
+    s = (F.col("tf").cast("double")
+         * -F.log(F.col("nb").cast("double") / F.col("na").cast("double")))
+    scored = (pairs.join(bgf, ["a", "b"])
+              .join(F.broadcast(pf), "a")
+              .select(id_col, "nbg", "a", "b", s.alias("s"))
+              .repartition(F.col(id_col))
+              .sortWithinPartitions(id_col, "a", "b")
+              .select(id_col, F.col("nbg").alias("ntok"), "s"))
+    mul = float(10 ** quantize)
+
+    def fold(batches):
+        # identical segmented-fold kernel shape as unigram_surprisal_df
+        cur = None
+        acc = 0.0
+        nt = 0
+        ids: list = []
+        nbgs: list = []
+        surs: list = []
+
+        def flush():
+            out = pd.DataFrame({
+                id_col: pd.array(ids, dtype="int64"),
+                "nbg": pd.array(nbgs, dtype="int64"),
+                "surprisal2": pd.array(surs, dtype="float64")})
+            ids.clear()
+            nbgs.clear()
+            surs.clear()
+            return out
+
+        for pdf in batches:
+            dv = pdf[id_col].to_numpy()
+            sv = pdf["s"].to_numpy()
+            nv = pdf["ntok"].to_numpy()
+            for i in range(len(dv)):
+                d = dv[i]
+                if d != cur:
+                    if cur is not None:
+                        ids.append(cur)
+                        nbgs.append(nt)
+                        surs.append(np.floor(acc / nt * mul) / mul)
+                    cur = d
+                    acc = 0.0
+                    nt = int(nv[i])
+                acc += sv[i]
+            if len(ids) >= 50_000:
+                yield flush()
+        if cur is not None:
+            ids.append(cur)
+            nbgs.append(nt)
+            surs.append(np.floor(acc / nt * mul) / mul)
+        yield flush()
+
+    return scored.mapInPandas(
+        fold, f"{id_col} long, nbg long, surprisal2 double")
+
+
 def quality_tiers_df(df, id_col: str = "doc_id", text_col: str = "text",
                      quantize: int = 4,
                      labels: tuple = ("head", "middle", "tail")):

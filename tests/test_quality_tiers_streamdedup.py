@@ -130,3 +130,34 @@ class TestStreamingExactDedup:
         # min invariant is already covered by got == want above)
         n2 = [g for g in got if g[1] >= 2]
         assert len(n2) >= 30
+
+
+class TestBigramSurprisal:
+    def test_hand_example_and_partition_invariance(self, spark):
+        # corpus: "a b" x3 and "a c" x1 -> c(a b)=3, c(a c)=1, c1(a)=4
+        # doc "a b": s = -ln(3/4); doc "a c": s = -ln(1/4)
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b", "a b", "a b", "a c"]})
+        df = spark.createDataFrame(pdf)
+        got = {r["doc_id"]: (r["nbg"], r["surprisal2"]) for r in
+               textops.bigram_surprisal_df(df).collect()}
+        assert got[1] == got[2] == got[3]
+        assert got[1][0] == 1 and got[4][0] == 1
+        assert got[1][1] == math.floor(-math.log(3 / 4) * 1e4) / 1e4
+        assert got[4][1] == math.floor(-math.log(1 / 4) * 1e4) / 1e4
+
+    def test_single_token_docs_excluded_and_invariance(self, spark):
+        pdf = pages_pandas(np.arange(120))
+        df = (spark.createDataFrame(pdf[["url", "text"]])
+              .withColumn("doc_id", F.xxhash64("url")))
+        a = sorted(map(tuple,
+                       textops.bigram_surprisal_df(df.repartition(3))
+                       .collect()))
+        b = sorted(map(tuple,
+                       textops.bigram_surprisal_df(df.repartition(11))
+                       .collect()))
+        assert a == b and len(a) > 0
+        one = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [9], "text": ["solo"]}))
+        assert textops.bigram_surprisal_df(one).count() == 0
