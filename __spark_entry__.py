@@ -944,6 +944,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["tx_surprisal"] = tx_surprisal
 
+    def ft_substr_find(spark, sf):
+        """Char-granular substring position lookup (charindex.substr_find)
+        — the reference's ACTUAL core capability (suffix-array binary
+        search, lib/suffix_array_reader.rb:127-137), re-expressed as a
+        k-char-prefix position table probe + one substring verification.
+        The pattern 'e batch s' crosses two token boundaries — no
+        token-granular index can answer it; positions are 1-based chars
+        in the ASCII-folded text, like the reference's case-insensitive
+        suffix lookup."""
+        from fatespark import charindex
+        d = _read(spark, sf, "documents")
+        return (charindex.substr_find(d, "e batch s")
+                .orderBy("doc_id", "pos"))
+    q["ft_substr_find"] = ft_substr_find
+
     def tx_bigram_surprisal(spark, sf):
         """Conditional bigram-LM surprisal (textops.bigram_surprisal_df):
         -(1/(ntok-1)) * sum ln(c(ab)/c1(a)) with the corpus as the model —
@@ -1300,7 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_gopher_quality",
         "tx_pii_mask", "tx_source_stats", "tx_collocations", "tx_surprisal",
         "tx_quality_tiers", "dd_exact_streaming", "tx_dsir", "dd_url_seen",
-        "tx_term_freq_cms", "tx_bigram_surprisal",
+        "tx_term_freq_cms", "tx_bigram_surprisal", "ft_substr_find",
         "tx_distinct_sketch", "tx_curate", "dd_exact_groups",
         "dd_ngram_jaccard", "dd_minhash", "dd_simhash", "dd_clusters",
         "dd_embdup", "dd_embdup_banded", "ann_topk", "ann_lsh_topk",
@@ -2527,6 +2542,16 @@ SELECT doc_id, ntok, surprisal,
             WHEN surprisal <= t2 THEN 'middle'
             ELSE 'tail' END AS tier
 FROM su CROSS JOIN bounds ORDER BY doc_id"""
+
+    o["ft_substr_find"] = f"""
+WITH f AS (
+  SELECT doc_id, translate(coalesce(text, ''), '{_UP}', '{_LO}') AS ft
+  FROM documents
+)
+SELECT doc_id, i AS pos
+FROM f, unnest(range(1, len(ft) - 9 + 2)) r(i)
+WHERE substr(ft, i, 9) = 'e batch s'
+ORDER BY doc_id, pos"""
 
     o["tx_bigram_surprisal"] = f"""
 WITH base AS (

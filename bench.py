@@ -293,6 +293,27 @@ def main() -> None:
     times["tx_surprisal_200k"] = sorted(su_samples)[1]
     extra["tx_surprisal_samples"] = su_samples
 
+    # char-granular substring index (suffix-array parity surface): build
+    # over 20k pages (corpus-char-scale rows — same asymptotics as the
+    # suffix array it replaces), probe must prune to one kbucket dir
+    from fatespark import charindex as _ci
+
+    @timed("charindex_build_20k")
+    def _cib():
+        return _ci.CharIndex.build(
+            corpus.limit(20000).select(
+                F.xxhash64("url").alias("doc_id"), "text"),
+            "/tmp/fatespark_bench_charidx", k=8, n_buckets=64)
+
+    @timed("charindex_probe_20k", reps=3)
+    def _cip():
+        idx = _ci.CharIndex("/tmp/fatespark_bench_charidx")
+        return idx.find(spark, corpus.limit(20000).select(
+            F.xxhash64("url").alias("doc_id"), "text"),
+            "e batch s").count()
+
+    clean_room()
+
     @timed("tx_bigram_surprisal_200k")
     def _bsu():  # conditional bigram-LM surprisal (shuffle-join path)
         return _textops.bigram_surprisal_df(
