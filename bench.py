@@ -298,17 +298,17 @@ def main() -> None:
     # suffix array it replaces), probe must prune to one kbucket dir
     from fatespark import charindex as _ci
 
-    @timed("charindex_build_20k")
+    @timed("charindex_build_10k")
     def _cib():
         return _ci.CharIndex.build(
-            corpus.limit(20000).select(
+            corpus.limit(10000).select(
                 F.xxhash64("url").alias("doc_id"), "text"),
             "/tmp/fatespark_bench_charidx", k=8, n_buckets=64)
 
-    @timed("charindex_probe_20k", reps=3)
+    @timed("charindex_probe_10k", reps=3)
     def _cip():
         idx = _ci.CharIndex("/tmp/fatespark_bench_charidx")
-        return idx.find(spark, corpus.limit(20000).select(
+        return idx.find(spark, corpus.limit(10000).select(
             F.xxhash64("url").alias("doc_id"), "text"),
             "e batch s").count()
 
