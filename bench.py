@@ -298,19 +298,21 @@ def main() -> None:
     # suffix array it replaces), probe must prune to one kbucket dir
     from fatespark import charindex as _ci
 
+    # deterministic 1-in-20 slice, NOT limit(): GlobalLimit collapses to
+    # one task and single-threads the whole narrow derivation feeding the
+    # index shuffle (measured 27 s vs 7 s for the identical row count)
+    ci_docs = (corpus.filter(F.pmod(F.xxhash64("url"), F.lit(20)) == 0)
+               .select(F.xxhash64("url").alias("doc_id"), "text"))
+
     @timed("charindex_build_10k")
     def _cib():
         return _ci.CharIndex.build(
-            corpus.limit(10000).select(
-                F.xxhash64("url").alias("doc_id"), "text"),
-            "/tmp/fatespark_bench_charidx", k=8, n_buckets=64)
+            ci_docs, "/tmp/fatespark_bench_charidx", k=8, n_buckets=64)
 
     @timed("charindex_probe_10k", reps=3)
     def _cip():
         idx = _ci.CharIndex("/tmp/fatespark_bench_charidx")
-        return idx.find(spark, corpus.limit(10000).select(
-            F.xxhash64("url").alias("doc_id"), "text"),
-            "e batch s").count()
+        return idx.find(spark, ci_docs, "he smith ").count()
 
     clean_room()
 
