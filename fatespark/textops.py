@@ -291,6 +291,90 @@ def collocations_df(df, text_col: str = "text", min_count: int = 5,
             .limit(k))
 
 
+def _segmented_fold(id_col: str, nt_in: str, nt_out: str, out_col: str,
+                    mul: float):
+    """mapInPandas kernel factory: exact left-to-right segmented fold of
+    column ``s`` over runs of equal ``id_col`` (each run contiguous within
+    the partition, possibly spanning Arrow batches), emitting one
+    (id, nt, floor(acc / nt * mul) / mul) row per run.
+
+    Vectorized WITHOUT changing a single rounding step: ``np.add.reduceat``
+    / ``np.add.reduce`` use pairwise summation for float64 (verified on
+    numpy 1.26 — they do NOT reproduce a sequential fold), so instead the
+    fold is TRANSPOSED: one vectorized elementwise add per fold STEP across
+    all of the batch's segments (segments sorted by length descending so
+    the active set is a contiguous prefix). Each segment's accumulator
+    still receives its addends strictly one at a time, left to right —
+    bit-identical to the per-row loop it replaces (property-tested), at
+    ~rows/max_run_length of the interpreter iterations. The cross-batch
+    carry seeds the first segment's accumulator when a run spans batches,
+    preserving ``((acc + s_i) + s_{i+1}) ...`` association exactly.
+    """
+
+    def fold(batches):
+        cur = None
+        acc = 0.0
+        nt = 0
+        ids: list = []
+        nts: list = []
+        surs: list = []
+
+        def flush():
+            out = pd.DataFrame({
+                id_col: pd.array(ids, dtype="int64"),
+                nt_out: pd.array(nts, dtype="int64"),
+                out_col: pd.array(surs, dtype="float64")})
+            ids.clear()
+            nts.clear()
+            surs.clear()
+            return out
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            dv = pdf[id_col].to_numpy()
+            sv = pdf["s"].to_numpy()
+            nv = pdf[nt_in].to_numpy()
+            starts = np.concatenate(
+                ([0], np.flatnonzero(dv[1:] != dv[:-1]) + 1))
+            lens = np.diff(np.append(starts, n))
+            accs = np.zeros(len(starts))
+            cont = cur is not None and dv[0] == cur
+            if cur is not None and not cont:
+                ids.append(cur)
+                nts.append(nt)
+                surs.append(np.floor(acc / nt * mul) / mul)
+            if cont:
+                accs[0] = acc   # resume the spanning run's fold mid-stream
+            order = np.argsort(-lens, kind="stable")
+            st_o, acc_o = starts[order], accs[order]
+            neg_len = -lens[order]
+            for i in range(int(lens[order[0]])):
+                # m = #segments still active at step i (length > i)
+                m = int(np.searchsorted(neg_len, -(i + 1), side="right"))
+                acc_o[:m] += sv[st_o[:m] + i]
+            accs[order] = acc_o
+            if len(starts) > 1:
+                done = starts[:-1]
+                ids.extend(dv[done].tolist())
+                nts.extend(nv[done].tolist())
+                surs.extend(
+                    (np.floor(accs[:-1] / nv[done] * mul) / mul).tolist())
+            cur = int(dv[starts[-1]])
+            nt = int(nv[starts[-1]])
+            acc = float(accs[-1])
+            if len(ids) >= 50_000:
+                yield flush()
+        if cur is not None:
+            ids.append(cur)
+            nts.append(nt)
+            surs.append(np.floor(acc / nt * mul) / mul)
+        yield flush()
+
+    return fold
+
+
 def unigram_surprisal_df(df, id_col: str = "doc_id",
                          text_col: str = "text", quantize: int = 4,
                          broadcast_vocab: bool = True):
@@ -382,54 +466,11 @@ def unigram_surprisal_df(df, id_col: str = "doc_id",
                   .sortWithinPartitions(id_col, "t")
                   .select(id_col, "ntok", "s"))
     mul = float(10 ** quantize)
-
-    def fold(batches):
-        # exact left-to-right segmented fold; (cur, acc, nt) survives
-        # Arrow batch boundaries within the partition. The per-element
-        # python add is deliberate: numpy's pairwise/unrolled summation
-        # rounds differently from the oracle's sequential list_reduce.
-        cur = None
-        acc = 0.0
-        nt = 0
-        ids: list = []
-        ntoks: list = []
-        surs: list = []
-
-        def flush():
-            out = pd.DataFrame({
-                id_col: pd.array(ids, dtype="int64"),
-                "ntok": pd.array(ntoks, dtype="int64"),
-                "surprisal": pd.array(surs, dtype="float64")})
-            ids.clear()
-            ntoks.clear()
-            surs.clear()
-            return out
-
-        for pdf in batches:
-            dv = pdf[id_col].to_numpy()
-            sv = pdf["s"].to_numpy()
-            nv = pdf["ntok"].to_numpy()
-            for i in range(len(dv)):
-                d = dv[i]
-                if d != cur:
-                    if cur is not None:
-                        ids.append(cur)
-                        ntoks.append(nt)
-                        surs.append(np.floor(acc / nt * mul) / mul)
-                    cur = d
-                    acc = 0.0
-                    nt = int(nv[i])
-                acc += sv[i]
-            if len(ids) >= 50_000:
-                yield flush()
-        if cur is not None:
-            ids.append(cur)
-            ntoks.append(nt)
-            surs.append(np.floor(acc / nt * mul) / mul)
-        yield flush()
-
+    # exact left-to-right segmented fold, transposed-vectorized
+    # (bit-identical to a per-row loop — see _segmented_fold)
     return scored.mapInPandas(
-        fold, f"{id_col} long, ntok long, surprisal double")
+        _segmented_fold(id_col, "ntok", "ntok", "surprisal", mul),
+        f"{id_col} long, ntok long, surprisal double")
 
 
 def bigram_surprisal_df(df, id_col: str = "doc_id",
@@ -498,51 +539,10 @@ def bigram_surprisal_df(df, id_col: str = "doc_id",
               .sortWithinPartitions(id_col, "a", "b")
               .select(id_col, F.col("nbg").alias("ntok"), "s"))
     mul = float(10 ** quantize)
-
-    def fold(batches):
-        # identical segmented-fold kernel shape as unigram_surprisal_df
-        cur = None
-        acc = 0.0
-        nt = 0
-        ids: list = []
-        nbgs: list = []
-        surs: list = []
-
-        def flush():
-            out = pd.DataFrame({
-                id_col: pd.array(ids, dtype="int64"),
-                "nbg": pd.array(nbgs, dtype="int64"),
-                "surprisal2": pd.array(surs, dtype="float64")})
-            ids.clear()
-            nbgs.clear()
-            surs.clear()
-            return out
-
-        for pdf in batches:
-            dv = pdf[id_col].to_numpy()
-            sv = pdf["s"].to_numpy()
-            nv = pdf["ntok"].to_numpy()
-            for i in range(len(dv)):
-                d = dv[i]
-                if d != cur:
-                    if cur is not None:
-                        ids.append(cur)
-                        nbgs.append(nt)
-                        surs.append(np.floor(acc / nt * mul) / mul)
-                    cur = d
-                    acc = 0.0
-                    nt = int(nv[i])
-                acc += sv[i]
-            if len(ids) >= 50_000:
-                yield flush()
-        if cur is not None:
-            ids.append(cur)
-            nbgs.append(nt)
-            surs.append(np.floor(acc / nt * mul) / mul)
-        yield flush()
-
+    # same transposed-vectorized segmented fold as unigram_surprisal_df
     return scored.mapInPandas(
-        fold, f"{id_col} long, nbg long, surprisal2 double")
+        _segmented_fold(id_col, "ntok", "nbg", "surprisal2", mul),
+        f"{id_col} long, nbg long, surprisal2 double")
 
 
 def quality_tiers_df(df, id_col: str = "doc_id", text_col: str = "text",

