@@ -61,14 +61,27 @@ def _bucket_expr(g: Column, m: int, seed: str) -> Column:
 
 def dsir_logweights(df: DataFrame, target, id_col: str = "doc_id",
                     text_col: str = "text", *, m: int = 4096,
-                    seed: str = "dsir", quantize: int = 4) -> DataFrame:
+                    seed: str = "dsir", quantize: int = 4,
+                    broadcast_model: bool | None = None) -> DataFrame:
     """Per-doc DSIR log importance weight of every doc in ``df`` toward
     the subset selected by ``target`` (a boolean Column over ``df``'s
     rows — e.g. ``F.col('lang') == 'en'`` "make everything look like the
     English slice", or a curated-source flag). Returns
     (id_col, n_grams, logw) for docs with >= 1 token; logw is
     floor-quantized to ``quantize`` decimals. Raw (unnormalized) sum per
-    the paper — longer docs move further from 0 by construction."""
+    the paper — longer docs move further from 0 by construction.
+
+    ``broadcast_model`` picks the scoring-pass model transport. False
+    (the default below ``m`` = 65536): the m-row log-ratio table inlines
+    as a LITERAL lookup array and scoring is a zero-shuffle JVM
+    ``aggregate`` fold — right for the paper's m = 1e4-ish. True (auto
+    past 65536): the plan-literal would bloat at m >= ~1e5-1e6, so the
+    SAME m-row table instead rides a broadcast hash join against the
+    per-doc RLE rows (still narrow — no wide shuffle anywhere) and the
+    fold runs in the transposed-vectorized Arrow kernel
+    (``textops._segmented_fold``, normalize=False). Bit-identical logw:
+    both paths multiply/add the same java-double log-ratios in the same
+    ascending-bucket order (tested at m=4096 both ways)."""
     spark = df.sparkSession
     toks = F.transform(tokens_col(text_col),
                        lambda x: F.translate(x, UPPER, LOWER))
@@ -98,16 +111,11 @@ def dsir_logweights(df: DataFrame, target, id_col: str = "doc_id",
                   / (F.col("tt").cast("double") + F.lit(md)))
             - F.log((F.col("cr") + 1).cast("double")
                     / (F.col("tr").cast("double") + F.lit(md))))
-    rows = (model.crossJoin(F.broadcast(tots))
-            .select("b", logr.alias("logr")).collect())  # <= m rows
-    arr = [0.0] * m
-    for r in rows:
-        arr[int(r["b"])] = float(r["logr"])
-    # literal lookup array: Spark computed every double (java Math.log),
-    # F.lit round-trips them bit-exactly into the scoring plan
-    logr_lit = F.array(*[F.lit(x) for x in arr])
+    if broadcast_model is None:
+        broadcast_model = m > 65536
+    mul = float(10 ** quantize)
 
-    # -- scoring pass: narrow RLE + ordered fold, zero shuffles ------------
+    # -- scoring pass: narrow RLE + ordered fold, zero wide shuffles -------
     # here the bucket array IS built per doc (transform, evaluated once
     # per row — no explode over it, so no Generate re-evaluation)
     withb = base.select(
@@ -122,12 +130,48 @@ def dsir_logweights(df: DataFrame, target, id_col: str = "doc_id",
         F.expr("filter(sequence(1, size(sb)), i -> i = 1 OR "
                "element_at(sb, i) != element_at(sb, i - 1))")
         .alias("starts"))
+
+    if broadcast_model:
+        # m-row table, checkpointed so the model aggregate runs once,
+        # broadcast into the scoring plan instead of inlined as literals
+        logr_df = (model.crossJoin(F.broadcast(tots))
+                   .select("b", logr.alias("logr"))
+                   .localCheckpoint(eager=True))
+        from .textops import _segmented_fold
+        # explode the run INDEX (Generate-safe), derive (b, c) on the
+        # emitted row; Generate emits in array order so each doc's rows
+        # stay contiguous and bucket-ascending through the broadcast join
+        prows = rle.select(
+            id_col, "n_grams", "sb", "starts",
+            F.explode(F.expr("sequence(1, size(starts))")).alias("j")
+        ).select(
+            id_col, "n_grams",
+            F.expr("element_at(sb, element_at(starts, j))").alias("b"),
+            F.expr("(CASE WHEN j < size(starts) THEN "
+                   "element_at(starts, j + 1) ELSE size(sb) + 1 END)"
+                   " - element_at(starts, j)").alias("c"))
+        scored = (prows.join(F.broadcast(logr_df), "b")
+                  .select(id_col, "n_grams",
+                          (F.col("c").cast("double") * F.col("logr"))
+                          .alias("s")))
+        return scored.mapInPandas(
+            _segmented_fold(id_col, "n_grams", "n_grams", "logw", mul,
+                            normalize=False),
+            f"{id_col} long, n_grams long, logw double")
+
+    rows = (model.crossJoin(F.broadcast(tots))
+            .select("b", logr.alias("logr")).collect())  # <= m rows
+    arr = [0.0] * m
+    for r in rows:
+        arr[int(r["b"])] = float(r["logr"])
+    # literal lookup array: Spark computed every double (java Math.log),
+    # F.lit round-trips them bit-exactly into the scoring plan
+    logr_lit = F.array(*[F.lit(x) for x in arr])
     pairs = F.expr(
         "transform(sequence(1, size(starts)), j -> struct("
         " element_at(sb, element_at(starts, j)) AS b,"
         " (CASE WHEN j < size(starts) THEN element_at(starts, j + 1)"
         "  ELSE size(sb) + 1 END) - element_at(starts, j) AS c))")
-    mul = float(10 ** quantize)
     fold = F.aggregate(
         pairs, F.lit(0.0).cast("double"),
         lambda acc, p: acc + (p["c"].cast("double")

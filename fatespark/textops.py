@@ -292,7 +292,7 @@ def collocations_df(df, text_col: str = "text", min_count: int = 5,
 
 
 def _segmented_fold(id_col: str, nt_in: str, nt_out: str, out_col: str,
-                    mul: float):
+                    mul: float, normalize: bool = True):
     """mapInPandas kernel factory: exact left-to-right segmented fold of
     column ``s`` over runs of equal ``id_col`` (each run contiguous within
     the partition, possibly spanning Arrow batches), emitting one
@@ -309,7 +309,18 @@ def _segmented_fold(id_col: str, nt_in: str, nt_out: str, out_col: str,
     ~rows/max_run_length of the interpreter iterations. The cross-batch
     carry seeds the first segment's accumulator when a run spans batches,
     preserving ``((acc + s_i) + s_{i+1}) ...`` association exactly.
+
+    ``normalize=False`` emits ``floor(acc * mul) / mul`` (a raw sum — the
+    DSIR logw contract) instead of the mean ``floor(acc / nt * mul) / mul``.
     """
+
+    def _emit_scalar(acc, nt):
+        a = acc / nt if normalize else acc
+        return np.floor(a * mul) / mul
+
+    def _emit_vec(accs, nts):
+        a = accs / nts if normalize else accs
+        return np.floor(a * mul) / mul
 
     def fold(batches):
         cur = None
@@ -344,7 +355,7 @@ def _segmented_fold(id_col: str, nt_in: str, nt_out: str, out_col: str,
             if cur is not None and not cont:
                 ids.append(cur)
                 nts.append(nt)
-                surs.append(np.floor(acc / nt * mul) / mul)
+                surs.append(_emit_scalar(acc, nt))
             if cont:
                 accs[0] = acc   # resume the spanning run's fold mid-stream
             order = np.argsort(-lens, kind="stable")
@@ -359,8 +370,7 @@ def _segmented_fold(id_col: str, nt_in: str, nt_out: str, out_col: str,
                 done = starts[:-1]
                 ids.extend(dv[done].tolist())
                 nts.extend(nv[done].tolist())
-                surs.extend(
-                    (np.floor(accs[:-1] / nv[done] * mul) / mul).tolist())
+                surs.extend(_emit_vec(accs[:-1], nv[done]).tolist())
             cur = int(dv[starts[-1]])
             nt = int(nv[starts[-1]])
             acc = float(accs[-1])
@@ -369,7 +379,7 @@ def _segmented_fold(id_col: str, nt_in: str, nt_out: str, out_col: str,
         if cur is not None:
             ids.append(cur)
             nts.append(nt)
-            surs.append(np.floor(acc / nt * mul) / mul)
+            surs.append(_emit_scalar(acc, nt))
         yield flush()
 
     return fold

@@ -114,3 +114,41 @@ class TestSegmentedFoldParity:
         ref = _run(_reference_fold("doc_id", "ntok", "ntok", "x", 1e4),
                    [df])
         pd.testing.assert_frame_equal(vec, ref, check_exact=True)
+
+
+class TestDsirBroadcastModel:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        from pyspark.sql import functions as F
+        from fatespark.corpus import pages_pandas
+        pdf = pages_pandas(np.arange(120))
+        pdf["lang"] = ["en" if i % 3 else "ru" for i in range(120)]
+        return (spark.createDataFrame(pdf[["url", "text", "lang"]])
+                .withColumn("doc_id", F.xxhash64("url"))
+                .repartition(4))
+
+    def test_bit_parity_with_literal_path(self, spark, docs):
+        from pyspark.sql import functions as F
+        from fatespark import dsir
+        tgt = F.col("lang") == "en"
+        lit = {r["doc_id"]: (r["n_grams"], r["logw"]) for r in
+               dsir.dsir_logweights(docs, tgt, m=4096,
+                                    broadcast_model=False).collect()}
+        bc = {r["doc_id"]: (r["n_grams"], r["logw"]) for r in
+              dsir.dsir_logweights(docs, tgt, m=4096,
+                                   broadcast_model=True).collect()}
+        assert lit == bc and len(lit) == 120
+
+    def test_large_m_auto_broadcast_no_plan_blowup(self, spark, docs):
+        from pyspark.sql import functions as F
+        from fatespark import dsir
+        # m = 1e5: the literal path would inline 100k doubles into the
+        # plan; auto mode must pick the broadcast join instead
+        out = dsir.dsir_logweights(docs, F.col("lang") == "en", m=100_000)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # corpus side never wide-shuffles: the only Exchange allowed is
+        # the broadcast one
+        import re
+        assert not re.search(r"Exchange (hash|range)partitioning", plan)
+        assert out.count() == 120
