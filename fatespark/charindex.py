@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .textops import fold_col
@@ -126,9 +127,21 @@ class CharIndex:
         return CharIndex(index_dir)
 
     def find(self, spark, docs: DataFrame, pattern: str,
-             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+             text_col: str = "text", id_col: str = "doc_id",
+             tombstones=None) -> DataFrame:
         """(doc_id, pos) occurrences via the persisted table; ``docs`` is
-        only consulted to verify patterns longer than k."""
+        only consulted to verify patterns longer than k.
+
+        ``tombstones`` keeps the persisted position table consistent with
+        an index's delete lifecycle: pass a ``query.SearchIndex`` (its
+        pending-delete set is used directly), or any iterable / ndarray of
+        deleted doc_ids. Matches in tombstoned docs are excluded on BOTH
+        probe paths (<= k chars — which never touches ``docs`` — and the
+        verified > k path): an IN-list filter below
+        ``query.TOMBSTONE_BROADCAST_ROWS`` ids (pushable), a broadcast
+        anti-join above it — the same split the posting scorers use.
+        After ``IndexBuilder.vacuum`` the doc_ids are re-used physical
+        rows, so rebuild this index at vacuum like the postings are."""
         import zlib
 
         from .analysis import ascii_fold
@@ -136,6 +149,7 @@ class CharIndex:
         if not p:
             raise ValueError("empty pattern")
         tbl = spark.read.parquet(os.path.join(self.index_dir, "positions"))
+        tbl = self._drop_tombstoned(spark, tbl, tombstones)
         if len(p) >= self.k:
             # full key -> one kbucket directory (PartitionFilters prune)
             kb = zlib.crc32(p[: self.k].encode("utf-8")) % self.n_buckets
@@ -157,3 +171,24 @@ class CharIndex:
                 .filter(F.expr(f"substring(_ft, pos, {len(p)})")
                         == F.lit(p))
                 .select("doc_id", "pos"))
+
+    @staticmethod
+    def _drop_tombstoned(spark, tbl: DataFrame, tombstones) -> DataFrame:
+        """Filter pending-delete doc_ids out of the candidate stream."""
+        if tombstones is None:
+            return tbl
+        t = getattr(tombstones, "tombstones", tombstones)  # SearchIndex?
+        if t is None:
+            return tbl
+        import numpy as np
+
+        from .query import TOMBSTONE_BROADCAST_ROWS
+        ids = np.asarray(t, dtype=np.int64)
+        if ids.size == 0:
+            return tbl
+        if ids.size <= TOMBSTONE_BROADCAST_ROWS:
+            return tbl.filter(~F.col("doc_id").isin(
+                [int(x) for x in ids]))
+        dead = spark.createDataFrame(
+            pd.DataFrame({"doc_id": ids}), "doc_id long")
+        return tbl.join(F.broadcast(dead), "doc_id", "left_anti")

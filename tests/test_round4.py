@@ -152,3 +152,67 @@ class TestDsirBroadcastModel:
         import re
         assert not re.search(r"Exchange (hash|range)partitioning", plan)
         assert out.count() == 120
+
+
+class TestCharIndexTombstones:
+    def test_find_respects_delete_lifecycle(self, spark, tmp_root):
+        from pyspark.sql import functions as F
+        from fatespark import charindex
+        from fatespark.corpus import pages_pandas
+
+        pdf = pages_pandas(np.arange(80))
+        docs = (spark.createDataFrame(pdf[["url", "text"]])
+                .withColumn("doc_id", F.xxhash64("url"))
+                .select("doc_id", "text"))
+        d = str(tmp_root / "charidx_tomb")
+        idx = charindex.CharIndex.build(docs, d, k=8, n_buckets=8)
+
+        # pick victims that actually match both a short and a long pattern
+        short_pat, long_pat = "search", "the term0"
+        hit_ids = sorted({r["doc_id"] for r in
+                          idx.find(spark, docs, short_pat).collect()})
+        assert len(hit_ids) >= 3, "fixture must produce matches"
+        dead = hit_ids[:2]
+
+        survivors = docs.filter(~F.col("doc_id").isin(dead))
+        rebuilt = charindex.CharIndex.build(
+            survivors, str(tmp_root / "charidx_rebuilt"), k=8, n_buckets=8)
+
+        for pat in (short_pat, long_pat, "a"):
+            masked = sorted(map(tuple, idx.find(
+                spark, docs, pat, tombstones=np.array(dead)).collect()))
+            fresh = sorted(map(tuple, rebuilt.find(
+                spark, survivors, pat).collect()))
+            assert masked == fresh, pat
+            # and the un-masked probe still returns the dead docs
+            if pat == short_pat:
+                full = {r["doc_id"] for r in
+                        idx.find(spark, docs, pat).collect()}
+                assert set(dead) <= full
+
+    def test_find_accepts_search_index_handle(self, spark, tmp_root):
+        """An index with pending deletes passes straight through."""
+        from pyspark.sql import functions as F
+        from fatespark import charindex
+        from fatespark.build import BuildConfig, IndexBuilder
+        from fatespark.corpus import pages_pandas
+        from fatespark.query import SearchIndex
+
+        pdf = pages_pandas(np.arange(40))
+        docs = (spark.createDataFrame(pdf[["url", "text"]])
+                .withColumn("doc_id",
+                            F.monotonically_increasing_id() + 1)
+                .select("doc_id", "url", "text"))
+        idir = str(tmp_root / "tombidx")
+        b = IndexBuilder(idir, BuildConfig(n_buckets=4))
+        b.build(spark, docs)
+        victims = [int(r["doc_id"]) for r in docs.limit(2).collect()]
+        b.delete_docs(spark, victims)
+        si = SearchIndex(spark, idir)
+        assert si.tombstones is not None
+
+        d = str(tmp_root / "charidx_si")
+        cidx = charindex.CharIndex.build(docs, d, k=8, n_buckets=8)
+        got = {r["doc_id"] for r in
+               cidx.find(spark, docs, "a", tombstones=si).collect()}
+        assert not (got & set(victims)) and got
