@@ -460,6 +460,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     quantize=4))
     q["ft_range"] = ft_range
 
+    def ft_range_rebased(spark, sf):
+        """Same trie range filter with PER-FILTER BM25 stats (Lucene-style
+        rebase, SearchIndex.search rebase_stats=True): n_docs, df, and
+        per-field avgdl recomputed over the [300, 450] subset via two
+        bounded extra aggregates (query._rebase_stats), so scores compare
+        across filters. A rebased search returns exactly what an index
+        built over only the subset would (tested in test_round4)."""
+        from fatespark.numeric import search_range
+        idx = _range_index(spark, sf)
+        return _scores(search_range(idx, QS["or2"], 300, 450,
+                                    numeric_field=1, k=10, mode="OR",
+                                    quantize=4, rebase_stats=True))
+    q["ft_range_rebased"] = ft_range_rebased
+
     def ft_significant(spark, sf):
         """Significant-terms aggregation (query.significant_terms): df lift
         of each term inside the or2 match set vs the corpus — 'what is
@@ -2058,6 +2072,10 @@ ORDER BY c.doc_id, c.term"""
         QS["or2"], "OR",
         where_scored=("doc_id IN (SELECT doc_id FROM documents "
                       "WHERE n_chars BETWEEN 300 AND 450)"))
+    # rebased variant: stats AND scored docs both over the range subset
+    o["ft_range_rebased"] = _bm25_sql(
+        QS["or2"], "OR",
+        src="(SELECT * FROM documents WHERE n_chars BETWEEN 300 AND 450)")
 
     o["ft_significant"] = f"""
 WITH {_TOK_CTES},

@@ -323,7 +323,8 @@ class SearchIndex:
                exclude: str | list[str] | None = None,
                filter_terms: str | list[str] | None = None,
                filter_field: int | None = None,
-               boosts: dict[str, float] | None = None) -> DataFrame:
+               boosts: dict[str, float] | None = None,
+               rebase_stats: bool = False) -> DataFrame:
         """Top-k BM25. Returns DataFrame (doc_id, score[, url]) in total
         order (score DESC, doc_id ASC), sliced [offset, offset+k).
 
@@ -361,7 +362,16 @@ class SearchIndex:
         scan and restrict bucket-locally BEFORE per-bucket top-k (ranks
         back-fill), so a filtered query costs one scan and touches no
         doc-table join — the scalable faceted-search design (filters as
-        postings). Filter terms contribute NO score."""
+        postings). Filter terms contribute NO score.
+
+        ``rebase_stats=True`` (requires ``filter_terms``) recomputes
+        n_docs, per-(term, field) df, and per-field avgdl over the
+        FILTERED subset before scoring (``_rebase_stats``: two bounded
+        extra aggregates), so scores are comparable across different
+        filters — without it, scores use unfiltered-corpus statistics
+        (the default, bit-unchanged). A rebased search over filter F
+        returns exactly what an index built over only F's docs would
+        (tested)."""
         qterms = _fold_terms(query, self.analyzer)
         stats = self.term_stats(qterms)
         present = [t for t in qterms if t in stats]
@@ -384,14 +394,38 @@ class SearchIndex:
                 for t in _fold_terms(bt, self.analyzer)}
         # (term, field) -> field_weight * idf * boost — the stream's full
         # scalar (unboosted terms multiply by exactly 1.0: bit-identical)
-        idfs = {(t, f): w[f] * idf_fn(self.n_docs, st["df"])
-                * bmap.get(t, 1.0)
-                for t in present for f, st in stats[t].items()
-                if f < len(w) and w[f] != 0.0}
+        avg_over: float | None = None
+        favg_over: dict | None = None
+        if rebase_stats:
+            if not fpresent:
+                raise ValueError("rebase_stats=True requires filter_terms "
+                                 "that match the dictionary")
+            n_re, avg_over, favg_over, df_re = self._rebase_stats(
+                fpresent, filter_field, present)
+            if n_re == 0:
+                return self._empty()
+            # streams absent from the subset (df'=0) drop: no allowed doc
+            # contains them, so they could never contribute anyway
+            idfs = {(t, f): w[f] * idf_fn(n_re, df_re[(t, f)])
+                    * bmap.get(t, 1.0)
+                    for t in present for f, st in stats[t].items()
+                    if f < len(w) and w[f] != 0.0
+                    and df_re.get((t, f), 0) > 0}
+            if mode == "AND" and len({t for t, _ in idfs}) < len(qterms):
+                return self._empty()
+            if not idfs:
+                return self._empty()
+        else:
+            idfs = {(t, f): w[f] * idf_fn(self.n_docs, st["df"])
+                    * bmap.get(t, 1.0)
+                    for t in present for f, st in stats[t].items()
+                    if f < len(w) and w[f] != 0.0}
         scored = self._score_buckets(present, idfs, k + offset, mode, use_wand,
                                      quantize, exclude_terms=xpresent,
                                      required_terms=fpresent or None,
-                                     required_field=filter_field)
+                                     required_field=filter_field,
+                                     avgdl_override=avg_over,
+                                     field_avgdl_override=favg_over)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k + offset)
         if offset:
             out = out.offset(offset)
@@ -479,14 +513,120 @@ class SearchIndex:
         return (scored.withColumn("rank", F.row_number().over(wspec))
                 .filter(F.col("rank") <= k))
 
+    def _rebase_stats(self, fterms: list[str], ffield: int | None,
+                      qterms: list[str]) -> tuple[int, float, dict, dict]:
+        """Per-filter BM25 stats (the Lucene-style rebase for
+        ``search(rebase_stats=True)``): over the subset of docs matching
+        ANY of ``fterms`` (in ``ffield`` if given), returns
+        ``(n_docs', avgdl', {field: avgdl'_f}, {(term, field): df'})``.
+
+        Two bounded extra aggregates, nothing corpus-sized on the driver:
+
+        1. per-bucket pass over the SAME pruned postings scan the query
+           uses (filter + query streams, doc-id columns only): buckets are
+           doc-disjoint, so the filter-set intersection for every query
+           stream is computed bucket-locally and only
+           ``n_buckets x n_terms`` count rows aggregate up;
+        2. the matching doc-id set semi-joins the doc store for exact
+           per-field length sums (an allowed doc need not contain any
+           query term, so its dl can't come from the scanned streams).
+
+        Tombstone semantics match the unfiltered stats: pending deletes
+        stay IN the stats until vacuum (documented staleness), exactly as
+        ``n_docs``/``df``/``avgdl`` behave on the default path."""
+        codec = self.codec_name
+        fset = frozenset(fterms)
+        qset = frozenset(qterms)
+        ffld = ffield
+        out_schema = "term string, field int, df long"
+
+        def statser(pdf: pd.DataFrame) -> pd.DataFrame:
+            fmask = pdf["term"].isin(fset)
+            if ffld is not None:
+                fmask &= pdf["field"] == ffld
+            fparts = [_term_blocks_from_pdf(g, 0.0, 0.0, codec)
+                      .decode_all()[0]
+                      for _, g in pdf[fmask].groupby(["term", "field"])]
+            terms_o: list = []
+            fields_o: list = []
+            dfs_o: list = []
+            if fparts:
+                allowed = np.unique(np.concatenate(fparts))
+                for (t, f), g in pdf[pdf["term"].isin(qset)].groupby(
+                        ["term", "field"]):
+                    docs = _term_blocks_from_pdf(g, 0.0, 0.0,
+                                                 codec).decode_all()[0]
+                    terms_o.append(t)
+                    fields_o.append(int(f))
+                    dfs_o.append(int(np.isin(docs, allowed).sum()))
+            return pd.DataFrame({
+                "term": pd.Series(terms_o, dtype="object"),
+                "field": pd.Series(fields_o, dtype="int32"),
+                "df": pd.Series(dfs_o, dtype="int64")})
+
+        scan_terms = sorted(qset | fset)
+        blocks = self.postings.filter(
+            F.col("term").isin(scan_terms)).select(
+            "bucket", "term", "field", "n", "first_doc", "last_doc",
+            "max_tf", "min_dl", "docs", "tfs", "dls")
+        df_rows = (blocks.groupBy("bucket").applyInPandas(statser,
+                                                          out_schema)
+                   .groupBy("term", "field")
+                   .agg(F.sum("df").alias("df")).collect())
+        df_re = {(r["term"], int(r["field"])): int(r["df"])
+                 for r in df_rows}
+
+        allowed_df = self._matching_docs_raw(fterms, ffld)
+        aggs = [F.count("*").alias("n")]
+        aggs += [F.sum(F.col("dls")[i]).alias(f"s{i}")
+                 for i in range(self.n_fields)]
+        aggs += [F.sum("dl").alias("s_all")]
+        row = (self.docs.join(allowed_df, "doc_id").agg(*aggs).collect()[0])
+        n_re = int(row["n"] or 0)
+        if n_re == 0:
+            return 0, 0.0, {}, df_re
+        # int/int true division: the exact rational correctly rounded —
+        # the same operation build._finalize uses, so a rebased search
+        # reproduces a subset-built index's avgdl bit-for-bit
+        favg_re = {i: int(row[f"s{i}"] or 0) / n_re
+                   for i in range(self.n_fields)}
+        avgdl_re = int(row["s_all"] or 0) / n_re
+        return n_re, avgdl_re, favg_re, df_re
+
+    def _matching_docs_raw(self, terms: list[str],
+                           field: int | None = None) -> DataFrame:
+        """(doc_id) rows containing ANY of the already-analyzed ``terms``
+        (restricted to ``field`` if given) — ``matching_docs`` minus the
+        query analysis, for internal already-folded term sets (numeric
+        trie tokens must not re-tokenize). Keeps tombstoned docs: callers
+        needing live-only semantics filter themselves."""
+        codec = self.codec_name
+
+        def match_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"doc_id": _matched_ids(pdf, codec, None, None)})
+
+        blocks = self.postings.filter(F.col("term").isin(list(terms)))
+        if field is not None:
+            blocks = blocks.filter(F.col("field") == field)
+        blocks = blocks.select("bucket", "term", "n", "docs")
+        return blocks.groupBy("bucket").applyInPandas(
+            match_bucket, "doc_id long")
+
     def _score_buckets(self, terms: list[str], idfs: dict[tuple, float],
                        k_local: int, mode: str, use_wand: bool,
                        quantize: int | None = None,
                        exclude_terms: list[str] | None = None,
                        required_terms: list[str] | None = None,
-                       required_field: int | None = None) -> DataFrame:
-        avgdl = self.avgdl
-        favg = dict(self.field_avgdl)
+                       required_field: int | None = None,
+                       avgdl_override: float | None = None,
+                       field_avgdl_override: dict | None = None
+                       ) -> DataFrame:
+        # rebased-stats searches override the corpus length norms
+        # (everything else about the scan/scoring is identical)
+        avgdl = self.avgdl if avgdl_override is None else avgdl_override
+        favg = dict(self.field_avgdl if field_avgdl_override is None
+                    else field_avgdl_override)
         n_query = len(terms)
         qmul = float(10 ** quantize) if quantize else None
 

@@ -216,3 +216,67 @@ class TestCharIndexTombstones:
         got = {r["doc_id"] for r in
                cidx.find(spark, docs, "a", tombstones=si).collect()}
         assert not (got & set(victims)) and got
+
+
+class TestRebaseStats:
+    @pytest.fixture(scope="class")
+    def fixture(self, spark, tmp_root):
+        from pyspark.sql import functions as F
+        from fatespark.build import BuildConfig, IndexBuilder
+        from fatespark.corpus import pages_pandas
+        from fatespark.query import SearchIndex
+
+        pdf = pages_pandas(np.arange(150))
+        pdf["source"] = [f"src{i % 4}" for i in range(150)]
+        docs = (spark.createDataFrame(pdf[["url", "text", "source"]])
+                .withColumn("doc_id", F.xxhash64("url"))
+                .select("doc_id", "url", "text", "source"))
+        full_dir = str(tmp_root / "rb_full")
+        IndexBuilder(full_dir, BuildConfig(n_buckets=4, salt_bits=0)).build(
+            spark, docs, id_col="doc_id", url_col="url",
+            text_cols=["text", "source"], build_id="rb-full")
+        sub = docs.filter(F.col("source") == "src2")
+        sub_dir = str(tmp_root / "rb_sub")
+        IndexBuilder(sub_dir, BuildConfig(n_buckets=4, salt_bits=0)).build(
+            spark, sub, id_col="doc_id", url_col="url",
+            text_cols=["text", "source"], build_id="rb-sub")
+        return (SearchIndex(spark, full_dir), SearchIndex(spark, sub_dir))
+
+    def _rows(self, df):
+        return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+    def test_rebased_equals_subset_built_index(self, fixture):
+        full, sub = fixture
+        for query, mode in [("search", "OR"), (["term00001", "the"], "OR"),
+                            (["term00001", "the"], "AND")]:
+            a = self._rows(full.search(
+                query, k=10, mode=mode, weights=[1.0, 0.0],
+                filter_terms=["src2"], filter_field=1, rebase_stats=True))
+            b = self._rows(sub.search(
+                query, k=10, mode=mode, weights=[1.0, 0.0]))
+            assert a == b, (query, mode)   # bit-exact scores AND order
+
+    def test_default_path_unchanged_and_scores_differ(self, fixture):
+        full, sub = fixture
+        stale = self._rows(full.search(
+            "search", k=10, mode="OR", weights=[1.0, 0.0],
+            filter_terms=["src2"], filter_field=1))
+        rebased = self._rows(full.search(
+            "search", k=10, mode="OR", weights=[1.0, 0.0],
+            filter_terms=["src2"], filter_field=1, rebase_stats=True))
+        # same candidate universe ...
+        assert {d for d, _ in stale} == {d for d, _ in rebased}
+        # ... but rebased idf/avgdl move the scores
+        assert stale != rebased
+
+    def test_rebase_requires_filter(self, fixture):
+        full, _ = fixture
+        with pytest.raises(ValueError):
+            full.search("search", k=5, rebase_stats=True)
+
+    def test_empty_subset_returns_empty(self, fixture):
+        full, _ = fixture
+        # filter term absent from the dictionary -> empty result, no error
+        out = full.search("search", k=5, filter_terms=["srcNOPE"],
+                          filter_field=1, rebase_stats=True)
+        assert out.count() == 0
