@@ -7,7 +7,15 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      FATESPARK_BENCH_PAGES (default 200000 synthetic ~109-token pages; the
      reference's published run is 50k two-word name records, BASELINE.md —
-     tokens/doc is reported so the comparison stays honest).
+     tokens/doc is reported so the comparison stays honest),
+     FATESPARK_BENCH_SCALE_PAGES (default 2000000: the once-per-round
+     linear-scaling probe of the heavy ops; 0 disables),
+     FATESPARK_BENCH_PROBE (default 1: gate the run on a healthy host
+     window — bench/hostprobe.py must show 16c/4c per-core >= 0.9, with
+     bounded retries — so the artifact of record is not a throttle
+     artifact; the probe result is embedded in the output),
+     FATESPARK_BENCH_BUDGET (default 1500 s: wall budget after which the
+     2M scale probes are skipped and recorded as skipped — no silent cap).
 """
 
 from __future__ import annotations
@@ -19,10 +27,39 @@ import sys
 import time
 
 
+def _hostprobe_gate(retries: int, wait: float) -> dict:
+    """BENCH.md protocol: pinned per-core throughput at 4 vs 16 cores;
+    a ratio < 0.9 means the hypervisor is throttling sustained multi-core
+    load and every wall-clock number in that window is corrupt."""
+    import importlib.util
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench", "hostprobe.py")
+    spec = importlib.util.spec_from_file_location("hostprobe", p)
+    hp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(hp)
+    info: dict = {}
+    for attempt in range(retries + 1):
+        u4 = hp.probe(4, 2.0)
+        u16 = hp.probe(16, 2.0)
+        ratio = u16 / u4
+        info = {"probe_ratio_16_over_4": round(ratio, 3),
+                "probe_attempt": attempt,
+                "probe_healthy": ratio >= 0.90}
+        if info["probe_healthy"]:
+            break
+        if attempt < retries:
+            time.sleep(wait)
+    return info
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("FATESPARK_BENCH_PAGES", "200000"))
+    scale_pages = int(os.environ.get("FATESPARK_BENCH_SCALE_PAGES",
+                                     "2000000"))
+    budget = float(os.environ.get("FATESPARK_BENCH_BUDGET", "1500"))
+    t_suite0 = time.time()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
@@ -35,24 +72,47 @@ def main() -> None:
 
     from fatespark.session import warm_python_workers
 
+    times: dict[str, float] = {}
+    extra: dict = {}
+
+    # -- host-probe gate: refuse to record inside a throttled window --------
+    if os.environ.get("FATESPARK_BENCH_PROBE", "1") != "0":
+        extra.update(_hostprobe_gate(
+            retries=int(os.environ.get("FATESPARK_BENCH_PROBE_RETRIES",
+                                       "5")),
+            wait=float(os.environ.get("FATESPARK_BENCH_PROBE_WAIT", "30"))))
+
     spark = get_spark(cpus=cpus, app="fatespark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     warm_python_workers(spark, cpus)
     warmup_pages = int(os.environ.get("FATESPARK_BENCH_WARMUP_PAGES", "20000"))
-    times: dict[str, float] = {}
-    extra: dict[str, float] = {}
 
-    def timed(name, reps: int = 1):
-        """Time fn; with reps > 1 report the median of reps runs."""
+    # drop persisted one-pass stats tables / localCheckpoint blocks between
+    # heavy samples so each measurement is clean-room; the driver
+    # System.gc() lets the ContextCleaner reap shuffle files + checkpoint
+    # blocks clearCache misses (they pin /dev/shm + unified memory)
+    def clean_room():
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
+    def timed(name, reps: int = 1, pre=None, record_samples: bool = False):
+        """Time fn; with reps > 1 report the median of reps runs. ``pre``
+        runs untimed before EVERY sample (clean_room / rmtree for builds
+        so re-runs do full work). ``record_samples`` emits the raw
+        run-order samples — the BENCH.md 3-sample protocol for every
+        entry that historically ran > 5 s."""
         def deco(fn):
             samples = []
             out = None
             for _ in range(reps):
+                if pre is not None:
+                    pre()
                 t0 = time.time()
                 out = fn()
-                samples.append(time.time() - t0)
-            samples.sort()
-            times[name] = round(samples[len(samples) // 2], 4)
+                samples.append(round(time.time() - t0, 4))
+            times[name] = sorted(samples)[len(samples) // 2]
+            if record_samples and reps > 1:
+                extra[f"{name}_samples"] = samples
             return out
         return deco
 
@@ -79,7 +139,11 @@ def main() -> None:
             spark, corpus.limit(warmup_pages), build_id="warmup")
         shutil.rmtree(wdir, ignore_errors=True)
 
-    @timed("build_pages")
+    def _fresh_build_dir():
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        clean_room()
+
+    @timed("build_pages", reps=3, pre=_fresh_build_dir, record_samples=True)
     def _build():
         return IndexBuilder(idx_dir, BuildConfig(
             n_buckets=8, salt_bits=1, block_size=128)).build(
@@ -103,7 +167,8 @@ def main() -> None:
     # pruning) instead of re-expanding the dictionary inline
     from fatespark.suggest import write_fuzzy_variants
 
-    @timed("fuzzy_variants_build")
+    @timed("fuzzy_variants_build", reps=3, pre=clean_room,
+           record_samples=True)
     def _fvb():
         return write_fuzzy_variants(idx, depth=2)
 
@@ -268,16 +333,6 @@ def main() -> None:
     times["tx_colloc_200k"] = sorted(colloc_samples)[1]
     extra["tx_colloc_samples"] = colloc_samples
 
-    # colloc/surprisal persist their one-pass stats tables (by design);
-    # drop them between entries so each measurement is clean-room and the
-    # blocks don't shadow later entries' memory. A driver System.gc() also
-    # lets the ContextCleaner reap shuffle files + localCheckpoint blocks
-    # of RDDs the suite no longer references (clearCache misses those —
-    # they pin /dev/shm and unified memory until a driver GC happens).
-    def clean_room():
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
-
     clean_room()
 
     # same 3-sample protocol as colloc: this entry sits where the host's
@@ -304,7 +359,8 @@ def main() -> None:
     ci_docs = (corpus.filter(F.pmod(F.xxhash64("url"), F.lit(20)) == 0)
                .select(F.xxhash64("url").alias("doc_id"), "text"))
 
-    @timed("charindex_build_10k")
+    @timed("charindex_build_10k", reps=3, pre=clean_room,
+           record_samples=True)
     def _cib():
         return _ci.CharIndex.build(
             ci_docs, "/tmp/fatespark_bench_charidx", k=8, n_buckets=64)
@@ -316,7 +372,7 @@ def main() -> None:
 
     clean_room()
 
-    @timed("tx_bigram_surprisal_200k")
+    @timed("tx_bigram_surprisal_200k", reps=3, pre=clean_room, record_samples=True)
     def _bsu():  # conditional bigram-LM surprisal (shuffle-join path)
         return _textops.bigram_surprisal_df(
             corpus.select(F.xxhash64("url").alias("doc_id"),
@@ -324,7 +380,7 @@ def main() -> None:
 
     clean_room()
 
-    @timed("tx_quality_tiers_200k")
+    @timed("tx_quality_tiers_200k", reps=3, pre=clean_room, record_samples=True)
     def _qt():  # CCNet head/middle/tail tiers on top of the surprisal plan
         return (_textops.quality_tiers_df(
             corpus.select(F.xxhash64("url").alias("doc_id"), "text"))
@@ -332,7 +388,7 @@ def main() -> None:
 
     clean_room()
 
-    @timed("tx_dsir_200k")
+    @timed("tx_dsir_200k", reps=3, pre=clean_room, record_samples=True)
     def _ds():  # DSIR importance weights toward the en slice, m=4096
         from fatespark import dsir as _dsir
         return (_dsir.dsir_logweights(
@@ -356,7 +412,7 @@ def main() -> None:
         _bloom_holder["b"] = b.localCheckpoint(eager=True)
         return _bloom_holder["b"]
 
-    @timed("tx_cms_build_200k")
+    @timed("tx_cms_build_200k", reps=3, pre=clean_room, record_samples=True)
     def _cms():  # count-min term-frequency sketch over all corpus tokens
         from fatespark.sketch import cms_build
         terms = corpus.select(F.explode(F.split(
@@ -382,31 +438,31 @@ def main() -> None:
         from fatespark.sketch import kmv_distinct_df
         return kmv_distinct_df(corpus, "lang", "url", k=256).collect()
 
-    @timed("tx_repetition_200k")
+    @timed("tx_repetition_200k", reps=3, pre=clean_room, record_samples=True)
     def _rep():  # Gopher repetition signals, zero-shuffle narrow plan
         return (_textops.repetition_df(corpus.select("url", "text"))
                 .select(F.sum("dup_line_frac"), F.sum("dup5gram_frac"))
                 .collect())
 
-    @timed("dd_substring_200k")
+    @timed("dd_substring_200k", reps=3, pre=clean_room, record_samples=True)
     def _sub():  # ExactSubstr-style window dedup: 30-token windows, stride 4
         d = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
         return (dedup.substring_dup_doc_stats(d, w=30, stride=4)
                 .select(F.sum("dup_windows")).collect())
 
-    @timed("dd_paradedup_200k")
+    @timed("dd_paradedup_200k", reps=3, pre=clean_room, record_samples=True)
     def _pd():  # CCNet corpus-wide paragraph dedup with text rewrite
         d = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
         return (dedup.paragraph_dedup_df(d)
                 .select(F.sum("n_dropped")).collect())
 
-    @timed("dd_substring_cut_200k")
+    @timed("dd_substring_cut_200k", reps=3, pre=clean_room, record_samples=True)
     def _sc():  # ExactSubstr span surgery: 30-token windows, exact stride
         d = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
         return (dedup.substring_cut_df(d, w=30)
                 .select(F.sum("n_cut")).collect())
 
-    @timed("tx_decontam_200k")
+    @timed("tx_decontam_200k", reps=3, pre=clean_room, record_samples=True)
     def _dec():  # 13-gram decontamination vs a 200-page "benchmark" set
         d = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
         bench_docs = corpus.limit(200).select(
@@ -480,7 +536,9 @@ def main() -> None:
     for sz, tag in ((10_000, "10k"), (100_000, "100k")):
         ivf_path = f"/tmp/fatespark_bench_ivf_{tag}"
 
-        @timed(f"ann_ivf_build_{tag}")
+        @timed(f"ann_ivf_build_{tag}",
+               reps=3 if tag == "100k" else 1, pre=clean_room,
+               record_samples=True)
         def _ib(sz=sz, ivf_path=ivf_path):
             return ann.IvfVectorIndex.build(
                 _synth_emb(sz), ivf_path, dim=64,
@@ -490,6 +548,59 @@ def main() -> None:
         @timed(f"ann_ivf_probe_{tag}", reps=3)
         def _iq(ivf_idx=ivf_idx):
             return ivf_idx.topk(spark, qv, k=10, n_probes=3).collect()
+
+    # -- once-per-round linear-scaling probe of the heavy new-tier ops ------
+    # same plans at 10x the pages (sf1-ish): a 200k-page suite can hide
+    # super-linear behavior; ratios land in the artifact so the check is
+    # auditable (healthy = roughly <= ~12x for 10x data on a fixed-core
+    # host, per the shuffle/sort log factors)
+    elapsed = time.time() - t_suite0
+    if scale_pages > 0 and elapsed < budget:
+        sp_path = f"/tmp/fatespark_bench_corpus_{scale_pages}"
+        if not os.path.exists(os.path.join(sp_path, "_SUCCESS")):
+            pages_df(spark, scale_pages, partitions=cpus * 4).write.mode(
+                "overwrite").parquet(sp_path)
+        big = spark.read.parquet(sp_path)
+        big_d = big.select(F.xxhash64("url").alias("doc_id"), "text")
+        clean_room()
+
+        @timed("dd_substring_2m")
+        def _sub2m():
+            return (dedup.substring_dup_doc_stats(big_d, w=30, stride=4)
+                    .select(F.sum("dup_windows")).collect())
+        clean_room()
+
+        @timed("dd_substring_cut_2m")
+        def _sc2m():
+            return (dedup.substring_cut_df(big_d, w=30)
+                    .select(F.sum("n_cut")).collect())
+        clean_room()
+
+        @timed("tx_bigram_surprisal_2m")
+        def _bsu2m():
+            return _textops.bigram_surprisal_df(big_d).count()
+        clean_room()
+
+        big_ci = big_d.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+
+        @timed("charindex_build_100k")
+        def _cib2m():
+            return _ci.CharIndex.build(
+                big_ci, "/tmp/fatespark_bench_charidx_100k",
+                k=8, n_buckets=64)
+        clean_room()
+
+        for big_name, small_name in [
+                ("dd_substring_2m", "dd_substring_200k"),
+                ("dd_substring_cut_2m", "dd_substring_cut_200k"),
+                ("tx_bigram_surprisal_2m", "tx_bigram_surprisal_200k"),
+                ("charindex_build_100k", "charindex_build_10k")]:
+            extra[f"scale_ratio_{big_name}"] = round(
+                times[big_name] / max(times[small_name], 1e-9), 2)
+        extra["scale_probe_pages"] = scale_pages
+    elif scale_pages > 0:
+        extra["scale_probe_skipped"] = (
+            f"budget: {round(elapsed, 1)}s elapsed >= {budget}s")
 
     total = round(sum(times.values()), 4)
     out = {
