@@ -1336,6 +1336,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_snapshot_travel", "tx_token_count", "tx_bpe_count",
         "tx_identifier_count", "tx_fingerprint", "tx_quality", "tx_langid",
         "tx_split_assign", "tx_stratified_sample",
+        # round-4 code changes (vectorized fold kernel, DSIR broadcast
+        # path, charindex tombstone plumbing): their rows must also land
+        # inside the budget so the board checks them on round-4 code
+        "tx_surprisal", "tx_bigram_surprisal", "tx_quality_tiers",
+        "tx_dsir", "ft_substr_find",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
