@@ -1269,6 +1269,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.octet_length("frame").alias("frame_bytes")))
     q["mm_frame_sample"] = mm_frame_sample
 
+    def _real_payloads(spark, sf, kind):
+        """documents -> (doc_id, payload BINARY) with REAL container bytes
+        (RIFF/WAVE PCM16, PNG, JPEG headers) carrying the same closed-form
+        deterministic signals as the fake containers, so the decode
+        pipelines get exact SQL twins while exercising the real codecs
+        (multimodal.wav_decode / png_decode / jpeg_dimensions)."""
+        from fatespark import multimodal as mm
+        import numpy as np
+        import pandas as pd
+        import struct as _st
+
+        def gen(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].tolist()
+                pay = []
+                for d in ids:
+                    if kind == "wav":
+                        s = ((np.arange(64, dtype=np.int64) * (d % 97 + 3))
+                             % 2048 - 1024).astype(np.int16)
+                        pay.append(mm.wav_encode_pcm16(s, 16000, 1))
+                    elif kind == "png":
+                        # filter type rotates over doc_id -> the official
+                        # hash row exercises ALL FIVE defilter paths
+                        px = ((np.arange(64, dtype=np.uint64)
+                               * np.uint64(2 * d + 1)) % np.uint64(251)
+                              ).astype(np.uint8).reshape(8, 8)
+                        pay.append(mm.png_encode(px, d % 5))
+                    else:  # structurally-valid JPEG header stream
+                        w, h, nc = d % 100 + 16, d % 77 + 16, d % 3 + 1
+                        sof = (b"\xff\xc0" + _st.pack(">H", 8 + 3 * nc)
+                               + _st.pack(">BHHB", 8, h, w, nc)
+                               + bytes(3 * nc))
+                        pay.append(b"\xff\xd8" + sof + b"\xff\xd9")
+                yield pd.DataFrame({"doc_id": ids, "payload": pay})
+        d = _read(spark, sf, "documents").select("doc_id")
+        return d.mapInPandas(gen, "doc_id long, payload binary")
+
+    def mm_wav_meta(spark, sf):
+        """REAL RIFF/WAVE PCM decode (stdlib-grade chunk walk,
+        multimodal.wav_decode) over per-doc synthesized real WAV files."""
+        from fatespark import multimodal as mm
+        return mm.wav_metadata(_real_payloads(spark, sf, "wav"))
+    q["mm_wav_meta"] = mm_wav_meta
+
+    def mm_png_meta(spark, sf):
+        """REAL PNG decode (zlib inflate + all-five-filter numpy defilter,
+        multimodal.png_decode); filter type rotates per doc."""
+        from fatespark import multimodal as mm
+        return mm.png_metadata(_real_payloads(spark, sf, "png"))
+    q["mm_png_meta"] = mm_png_meta
+
+    def mm_jpeg_meta(spark, sf):
+        """REAL JPEG SOF header walk (multimodal.jpeg_dimensions)."""
+        from fatespark import multimodal as mm
+        return mm.jpeg_metadata(_real_payloads(spark, sf, "jpeg"))
+    q["mm_jpeg_meta"] = mm_jpeg_meta
+
     # -- relational engine primitives (scan/filter/agg/join/window) ----------
     def q1_pricing(spark, sf):
         li = _read(spark, sf, "lineitem")
@@ -1341,6 +1398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inside the budget so the board checks them on round-4 code
         "tx_surprisal", "tx_bigram_surprisal", "tx_quality_tiers",
         "tx_dsir", "ft_substr_find",
+        # round-4 NEW ops: real multimodal codecs (WAV/PNG/JPEG-header)
+        "mm_wav_meta", "mm_png_meta", "mm_jpeg_meta",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -2871,6 +2930,33 @@ GROUP BY d.doc_id"""
     o["mm_frame_sample"] = """
 SELECT doc_id, t.frame_idx, 24 AS frame_bytes
 FROM documents CROSS JOIN (VALUES (0), (2), (4)) t(frame_idx)"""
+
+    # mm_wav/png/jpeg carry the SAME closed-form signals inside REAL
+    # containers (__spark_entry__._real_payloads), so the real decoders
+    # (RIFF chunk walk, zlib+defilter PNG, SOF walk) are value-hash-checked
+    # against the arithmetic the bytes encode. rms: integer sum of squares
+    # is exact in float64 (< 2^53), /64 exact, sqrt IEEE -> bit-equal.
+    o["mm_wav_meta"] = """
+SELECT d.doc_id, 16000 AS sample_rate, 1 AS channels, 16 AS bits,
+       64 AS n_samples,
+       sqrt(sum(((t.i * (d.doc_id % 97 + 3)) % 2048 - 1024)
+                * ((t.i * (d.doc_id % 97 + 3)) % 2048 - 1024)) / 64.0) AS rms
+FROM documents d CROSS JOIN generate_series(0, 63) t(i)
+GROUP BY d.doc_id"""
+
+    # png: px_i = (i*(2*doc_id+1)) % 251 regardless of the per-doc filter
+    # type (the encoder filter choice must not change decoded pixels —
+    # the hash row therefore checks all five defilter paths)
+    o["mm_png_meta"] = """
+SELECT d.doc_id, 8 AS width, 8 AS height, 0 AS color_type,
+       sum((t.i * (2 * d.doc_id + 1)) % 251) / 64.0 AS mean_px
+FROM documents d CROSS JOIN generate_series(0, 63) t(i)
+GROUP BY d.doc_id"""
+
+    o["mm_jpeg_meta"] = """
+SELECT doc_id, doc_id % 100 + 16 AS width, doc_id % 77 + 16 AS height,
+       doc_id % 3 + 1 AS n_components
+FROM documents"""
 
     o["q1_pricing"] = """
 SELECT l_returnflag, l_linestatus,
