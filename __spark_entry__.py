@@ -528,6 +528,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                 offset=5, quantize=4))
     q["ft_topk_paged"] = ft_topk_paged
 
+    def ft_search_after(spark, sf):
+        """Cursor pagination (ES search_after contract): page 2 fetched by
+        passing page 1's last (score, doc_id) as the cursor — O(k) per
+        page at any depth, unlike offset's O(offset+k). The cursor mask
+        runs INSIDE the per-bucket WAND kernel (wand.after_mask), so the
+        oracle — the plain OFFSET twin — hash-checks that cursor pages
+        reproduce offset pages exactly on the block-max pruned path."""
+        idx = _index(spark, sf)
+        p1 = idx.search(QS["or3"], k=5, mode="OR", use_wand=True,
+                        quantize=4).collect()
+        cur = (p1[-1]["score"], p1[-1]["doc_id"])
+        return _scores(idx.search(QS["or3"], k=5, mode="OR", use_wand=True,
+                                  quantize=4, search_after=cur))
+    q["ft_search_after"] = ft_search_after
+
     def ft_snippets(spark, sf):
         from fatespark.query import snippets
         idx = _index(spark, sf)
@@ -1398,8 +1413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inside the budget so the board checks them on round-4 code
         "tx_surprisal", "tx_bigram_surprisal", "tx_quality_tiers",
         "tx_dsir", "ft_substr_find",
-        # round-4 NEW ops: real multimodal codecs (WAV/PNG/JPEG-header)
-        "mm_wav_meta", "mm_png_meta", "mm_jpeg_meta",
+        # round-4 NEW ops: real multimodal codecs (WAV/PNG/JPEG-header),
+        # cursor pagination inside the WAND kernel
+        "mm_wav_meta", "mm_png_meta", "mm_jpeg_meta", "ft_search_after",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -2002,6 +2018,9 @@ FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
     o["ft_fuzzy2"] = _bm25_pred_sql("levenshtein(tfs.term, 'jion') <= 2")
     o["ft_first_match"] = _bm25_sql(QS["or2"], "OR", limit=1)
     o["ft_topk_paged"] = _bm25_sql(QS["or2"], "OR", limit=5, offset=5)
+    # cursor pages must equal offset pages in the same total order — the
+    # oracle IS the offset twin (page 2 of the or3 WAND query)
+    o["ft_search_after"] = _bm25_sql(QS["or3"], "OR", limit=5, offset=5)
     o["ft_local_topk"] = _bm25_sql(QS["or2"], "OR")  # same oracle as or2
     o["ft_pfor_topk"] = _bm25_sql(QS["and2"], "AND")  # codec-transparent
 

@@ -272,14 +272,19 @@ class LocalSearchIndex:
                exclude: str | list[str] | None = None,
                filter_terms: str | list[str] | None = None,
                filter_field: int | None = None,
-               boosts: dict[str, float] | None = None) -> pd.DataFrame:
+               boosts: dict[str, float] | None = None,
+               search_after: tuple[float, int] | None = None) -> pd.DataFrame:
         """Identical semantics and results to ``SearchIndex.search`` (same
         kernels, same per-bucket scoring, same (score DESC, doc_id ASC)
         total order); returns a pandas DataFrame (doc_id, score).
         ``exclude`` mirrors the distributed reader: NOT-terms whose docs
         are dropped before per-bucket top-k selection. ``filter_terms`` /
         ``filter_field`` mirror the index-side metadata filter (IN-list
-        restriction before top-k, no score contribution)."""
+        restriction before top-k, no score contribution); ``search_after``
+        the O(k)-per-page cursor pagination (see SearchIndex.search)."""
+        if search_after is not None and offset:
+            raise ValueError("search_after and offset are mutually "
+                             "exclusive (cursor pages replace offsets)")
         qterms = _fold_terms(query, self.analyzer)
         stats = self.term_stats(qterms)
         present = [t for t in qterms if t in stats]
@@ -306,6 +311,8 @@ class LocalSearchIndex:
         pdf = self._blocks(sorted(set(present + xpresent + fpresent)))
         qmul = float(10 ** quantize) if quantize else None
         k_local = k + offset
+        cursor = (float(search_after[0]), int(search_after[1])) \
+            if search_after is not None else None
         xset = frozenset(xpresent)
         fset = frozenset(fpresent)
         parts = []
@@ -355,13 +362,16 @@ class LocalSearchIndex:
             if mode == "AND":
                 groups = [[by_tf[kk] for kk in keys if kk[0] == t]
                           for t in sorted(terms_here)]
-                docs, scores = score_and(groups, self.avgdl, k_local, qmul)
+                docs, scores = score_and(groups, self.avgdl, k_local, qmul,
+                                         after=cursor)
             elif use_wand:
                 docs, scores = score_bmw_or([by_tf[kk] for kk in keys],
-                                            self.avgdl, k_local, qmul)
+                                            self.avgdl, k_local, qmul,
+                                            after=cursor)
             else:
                 docs, scores = score_exhaustive_or([by_tf[kk] for kk in keys],
-                                                   self.avgdl, k_local, qmul)
+                                                   self.avgdl, k_local, qmul,
+                                                   after=cursor)
             parts.append(pd.DataFrame({"doc_id": docs, "score": scores}))
         if not parts:
             return _empty_result()

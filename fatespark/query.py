@@ -324,9 +324,24 @@ class SearchIndex:
                filter_terms: str | list[str] | None = None,
                filter_field: int | None = None,
                boosts: dict[str, float] | None = None,
-               rebase_stats: bool = False) -> DataFrame:
+               rebase_stats: bool = False,
+               search_after: tuple[float, int] | None = None) -> DataFrame:
         """Top-k BM25. Returns DataFrame (doc_id, score[, url]) in total
         order (score DESC, doc_id ASC), sliced [offset, offset+k).
+
+        ``search_after=(score, doc_id)`` is CURSOR pagination (the
+        Elasticsearch search_after contract): return the top-k docs
+        sorting strictly after the cursor in the (score DESC, doc_id ASC)
+        total order. Unlike ``offset`` — whose cost grows as
+        O(offset + k) per bucket and per page — a cursor page is O(k)
+        regardless of depth, which is the only pagination that survives
+        deep scrolls at 10^12 docs. The eligibility mask is applied
+        INSIDE the per-bucket kernels before top-k selection (and before
+        WAND threshold-setting, so pruning stays exact); page p+1 passes
+        the LAST hit of page p as ``search_after=(score, doc_id)`` —
+        sort-key order, like Elasticsearch sort values. Mutually exclusive with
+        ``offset``. With ``quantize``, the cursor compares against the
+        quantized scores the previous page returned.
 
         ``boosts`` multiplies a term's score contribution (Lucene
         ``term^2`` semantics): the per-stream scalar becomes
@@ -372,6 +387,9 @@ class SearchIndex:
         (the default, bit-unchanged). A rebased search over filter F
         returns exactly what an index built over only F's docs would
         (tested)."""
+        if search_after is not None and offset:
+            raise ValueError("search_after and offset are mutually "
+                             "exclusive (cursor pages replace offsets)")
         qterms = _fold_terms(query, self.analyzer)
         stats = self.term_stats(qterms)
         present = [t for t in qterms if t in stats]
@@ -425,7 +443,8 @@ class SearchIndex:
                                      required_terms=fpresent or None,
                                      required_field=filter_field,
                                      avgdl_override=avg_over,
-                                     field_avgdl_override=favg_over)
+                                     field_avgdl_override=favg_over,
+                                     after=search_after)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k + offset)
         if offset:
             out = out.offset(offset)
@@ -620,7 +639,8 @@ class SearchIndex:
                        required_terms: list[str] | None = None,
                        required_field: int | None = None,
                        avgdl_override: float | None = None,
-                       field_avgdl_override: dict | None = None
+                       field_avgdl_override: dict | None = None,
+                       after: tuple[float, int] | None = None
                        ) -> DataFrame:
         # rebased-stats searches override the corpus length norms
         # (everything else about the scan/scoring is identical)
@@ -635,6 +655,8 @@ class SearchIndex:
         xset = frozenset(exclude_terms or [])
         fset = frozenset(required_terms or [])
         ffield = required_field
+        cursor = (float(after[0]), int(after[1])) if after is not None \
+            else None
 
         def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
             drop = tombs_ref.get()
@@ -685,13 +707,15 @@ class SearchIndex:
             if mode == "AND":
                 groups = [[by_tf[k] for k in keys if k[0] == t]
                           for t in sorted(terms_here)]
-                docs, scores = score_and(groups, avgdl, k_local, qmul)
+                docs, scores = score_and(groups, avgdl, k_local, qmul,
+                                         after=cursor)
             elif use_wand:
                 docs, scores = score_bmw_or([by_tf[k] for k in keys], avgdl,
-                                            k_local, qmul)
+                                            k_local, qmul, after=cursor)
             else:
                 docs, scores = score_exhaustive_or([by_tf[k] for k in keys],
-                                                   avgdl, k_local, qmul)
+                                                   avgdl, k_local, qmul,
+                                                   after=cursor)
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
         # column-prune before the Arrow hop: the scorer never reads positions

@@ -38,11 +38,25 @@ def bm25_part(tf, dl, avgdl: float):
     return tf * (K1 + 1.0) / (tf + K1 * norm)
 
 
-def topk_select(doc_ids: np.ndarray, scores: np.ndarray, k: int):
+def after_mask(doc_ids: np.ndarray, scores: np.ndarray,
+               after: tuple[float, int]) -> np.ndarray:
+    """Cursor-eligibility mask for search_after pagination: a doc is
+    eligible iff it sorts STRICTLY AFTER the cursor ``(score, doc_id)`` in
+    the (score DESC, doc_id ASC) total order."""
+    s, d = float(after[0]), int(after[1])
+    return (scores < s) | ((scores == s) & (doc_ids > d))
+
+
+def topk_select(doc_ids: np.ndarray, scores: np.ndarray, k: int,
+                after: tuple[float, int] | None = None):
     """(score DESC, doc_id ASC) total order, top k. Vectorized and
     tie-exact: argpartition finds the k-th score, then the boundary tie
     group is resolved by smallest doc_id (a bare 2k-candidate partition
-    would split large tie groups arbitrarily)."""
+    would split large tie groups arbitrarily). ``after`` restricts the
+    selection to docs strictly after the cursor (search_after)."""
+    if after is not None:
+        keep = after_mask(doc_ids, scores, after)
+        doc_ids, scores = doc_ids[keep], scores[keep]
     n = doc_ids.size
     if n == 0:
         return doc_ids[:0], scores[:0]
@@ -260,7 +274,8 @@ def _quantize(scores: np.ndarray, qmul: float | None) -> np.ndarray:
 
 
 def score_exhaustive_or(terms: list[TermBlocks], avgdl: float, k: int,
-                        qmul: float | None = None):
+                        qmul: float | None = None,
+                        after: tuple[float, int] | None = None):
     """Vectorized disjunctive BM25 over the union of candidate docs.
     Streams must be supplied in ascending (term, field) order (summation
     order). ``avgdl`` is the fallback when a stream carries none."""
@@ -274,7 +289,7 @@ def score_exhaustive_or(terms: list[TermBlocks], avgdl: float, k: int,
     for t, (docs, tfs, dls) in zip(live, decoded):
         idx = np.searchsorted(all_docs, docs)
         scores[idx] += t.idf * bm25_part(tfs, dls, t.avgdl or avgdl)
-    return topk_select(all_docs, _quantize(scores, qmul), k)
+    return topk_select(all_docs, _quantize(scores, qmul), k, after)
 
 
 def _group_docs(group: list[TermBlocks]) -> np.ndarray:
@@ -285,7 +300,8 @@ def _group_docs(group: list[TermBlocks]) -> np.ndarray:
     return parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
 
 
-def score_and(terms, avgdl: float, k: int, qmul: float | None = None):
+def score_and(terms, avgdl: float, k: int, qmul: float | None = None,
+              after: tuple[float, int] | None = None):
     """Conjunctive over query TERMS (a doc must contain every term in at
     least one field): intersection starting from the rarest term-group.
     ``terms`` is a list of TermBlocks (single-field) or a list of lists
@@ -315,12 +331,13 @@ def score_and(terms, avgdl: float, k: int, qmul: float | None = None):
             hit[hit] = docs[idx[hit]] == cand[hit]
             scores[hit] += t.idf * bm25_part(tfs[idx[hit]], dls[idx[hit]],
                                              t.avgdl or avgdl)
-    return topk_select(cand, _quantize(scores, qmul), k)
+    return topk_select(cand, _quantize(scores, qmul), k, after)
 
 
 def score_bmw_or(terms: list[TermBlocks], avgdl: float, k: int,
                  qmul: float | None = None,
-                 chunk_intervals: int = 16):
+                 chunk_intervals: int = 16,
+                 after: tuple[float, int] | None = None):
     """Interval-at-a-time Block-Max WAND top-k (disjunctive), fully
     block-vectorized — no per-document Python loop.
 
@@ -375,9 +392,17 @@ def score_bmw_or(terms: list[TermBlocks], avgdl: float, k: int,
 
     pool_docs = np.zeros(0, dtype=np.int64)
     pool_scores = np.zeros(0, dtype=np.float64)
+    # search_after: docs already scored at FULL coverage whose score fell
+    # on/before the cursor. They must never re-enter via a later round's
+    # PARTIAL re-score (a skipped covering block lowers the sum, which
+    # could fake cursor eligibility). Prelude scores are always full
+    # coverage (a chunk interval's every covering block is decoded), so
+    # blocked only accretes there; the finish is the final round.
+    blocked = np.zeros(0, dtype=np.int64)
     theta = -1.0
     pos = 0
     while pos < order.size:
+        in_prelude = theta < 0.0
         if theta >= 0.0:
             # WHOLESALE FINISH (block-skipping): the prelude rounds set the
             # threshold from the best-bound intervals; from here,
@@ -448,6 +473,19 @@ def score_bmw_or(terms: list[TermBlocks], avgdl: float, k: int,
             idx = np.searchsorted(union, dd)
             sc[idx] += t.idf * bm25_part(tt, ll, t.avgdl or avgdl)
         sc = _quantize(sc, qmul)
+        if after is not None:
+            if blocked.size:
+                keep = ~np.isin(union, blocked)
+                union, sc = union[keep], sc[keep]
+            elig = after_mask(union, sc, after)
+            if in_prelude and not elig.all():
+                blocked = np.union1d(blocked, union[~elig])
+            union, sc = union[elig], sc[elig]
+            # docs whose only appearance is a partial finish re-score sit
+            # in sub-theta intervals: score < theta (the k-th ELIGIBLE
+            # best), so even if the partial sum slips past the cursor it
+            # cannot displace the top-k — same argument as the unmasked
+            # kernel, with theta now defined over eligible docs only.
         # a doc scored in a prelude round can be decoded again by the
         # wholesale finish. If its interval survives the threshold, every
         # covering block is selected and it re-scores bit-identically; if
