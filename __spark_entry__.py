@@ -922,6 +922,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "symbol_word_ratio", "bullet_line_frac", "ellipsis_line_frac")
     q["tx_gopher_quality"] = tx_gopher_quality
 
+    def tx_c4_filters(spark, sf):
+        """C4 cleaning rules (Raffel et al. 2020 §2.2) as rewrite+verdict
+        (textops.c4_filters_df). The raw corpus has no lines/punctuation,
+        so a page is planted around each doc deterministically: a good
+        intro line, the raw text (no terminal punct -> line dropped), a
+        'javascript' line (%4), a 'lorem ipsum' line (%5), a '{' code
+        line (%7, ends ';' -> also line-dropped), a badword line (%11,
+        line-GOOD but page-fatal), a 2-word line (dropped by the 3-word
+        minimum), a '?'+'!' line, and doc_id%4 filler sentences — so
+        every rule fires on a known residue class and c4_keep varies."""
+        c = F.col("doc_id")
+        doc = c.cast("string")
+        nl = F.lit("\n")
+        part = lambda m, s: F.when(c % m == 0, F.lit(s + "\n")) \
+            .otherwise(F.lit(""))  # noqa: E731
+        planted = F.concat(
+            F.lit("Intro sentence for doc "), doc, F.lit(".\n"),
+            F.coalesce(F.col("text"), F.lit("")), nl,
+            part(4, "Learn more javascript here today."),
+            part(5, "lorem ipsum dolor sit amet."),
+            part(7, "var x = { a: 1 };"),
+            part(11, "badword1 appears right here."),
+            F.lit("Too short.\n"),
+            F.lit("Is this a question? Yes!\n"),
+            F.repeat(F.lit("This line has enough words to count.\n"),
+                     (c % 4).cast("int")))
+        d = _read(spark, sf, "documents").withColumn("text", planted)
+        return textops.c4_filters_df(
+            d, badwords=["badword1", "badword2"]).select(
+            "doc_id", "c4_text", "c4_kept_lines", "c4_n_sentences",
+            "c4_has_lorem", "c4_has_brace", "c4_badword_count", "c4_keep")
+    q["tx_c4_filters"] = tx_c4_filters
+
     def tx_domain_cap(spark, sf):
         """Per-domain document cap (the anti-boilerplate sampling gate a
         webtext pipeline applies before training): keep at most 10 docs
@@ -1416,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 NEW ops: real multimodal codecs (WAV/PNG/JPEG-header),
         # cursor pagination inside the WAND kernel
         "mm_wav_meta", "mm_png_meta", "mm_jpeg_meta", "ft_search_after",
+        "tx_c4_filters",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -2402,6 +2436,52 @@ SELECT doc_id,
   CASE WHEN nl > 0
        THEN floor(CAST(ellipsis_lines AS DOUBLE) / nl * 1e6) / 1e6
        ELSE 0.0 END AS ellipsis_line_frac
+FROM m"""
+
+    o["tx_c4_filters"] = """
+WITH planted AS (
+  SELECT doc_id,
+    'Intro sentence for doc ' || doc_id || '.' || chr(10)
+    || coalesce(text, '') || chr(10)
+    || CASE WHEN doc_id % 4 = 0
+            THEN 'Learn more javascript here today.' || chr(10)
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN 'lorem ipsum dolor sit amet.' || chr(10) ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN 'var x = { a: 1 };' || chr(10) ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN 'badword1 appears right here.' || chr(10) ELSE '' END
+    || 'Too short.' || chr(10)
+    || 'Is this a question? Yes!' || chr(10)
+    || repeat('This line has enough words to count.' || chr(10),
+              CAST(doc_id % 4 AS INTEGER)) AS t
+  FROM documents),
+kept AS (
+  SELECT doc_id, t,
+    list_filter(list_transform(string_split(t, chr(10)), ln -> trim(ln)),
+      ln -> regexp_matches(ln, '[.!?"]$')
+            AND len(list_filter(
+                  regexp_split_to_array(ln, '[ \\t\\n\\r\\f\\x0B]+'),
+                  w -> w <> '')) >= 3
+            AND NOT contains(lower(ln), 'javascript')) AS kl
+  FROM planted),
+m AS (
+  SELECT doc_id, t, array_to_string(kl, chr(10)) AS kt, len(kl) AS nkl,
+    len(list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'),
+                    w -> w IN ('badword1', 'badword2'))) AS bw
+  FROM kept)
+SELECT doc_id,
+  kt AS c4_text,
+  CAST(nkl AS BIGINT) AS c4_kept_lines,
+  CAST(length(kt) - length(regexp_replace(kt, '[.!?]', '', 'g'))
+       AS BIGINT) AS c4_n_sentences,
+  contains(lower(t), 'lorem ipsum') AS c4_has_lorem,
+  contains(t, '{') AS c4_has_brace,
+  CAST(bw AS BIGINT) AS c4_badword_count,
+  (length(kt) - length(regexp_replace(kt, '[.!?]', '', 'g'))) >= 5
+    AND NOT contains(lower(t), 'lorem ipsum')
+    AND NOT contains(t, '{') AND bw = 0 AS c4_keep
 FROM m"""
 
     o["tx_url_normalize"] = f"""

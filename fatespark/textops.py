@@ -807,3 +807,68 @@ def gopher_quality_df(df, text_col: str = "text", drop_temp: bool = True):
             .otherwise(F.lit(0.0)),
     })
     return out.drop("_toks", "_lines") if drop_temp else out
+
+
+def c4_filters_df(df, text_col: str = "text",
+                  min_words_per_line: int = 3, min_sentences: int = 5,
+                  badwords: list[str] | None = None,
+                  drop_temp: bool = True):
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2 — the pipeline that
+    produced the C4 corpus), as a REWRITE + VERDICT op. Appends:
+
+    - ``c4_text``: the page with only the RETAINED lines (trimmed lines
+      that end in a terminal punctuation mark ``. ! ? "``, contain at
+      least ``min_words_per_line`` whitespace words, and do not mention
+      'javascript' case-insensitively), joined by newlines.
+    - ``c4_kept_lines``: retained-line count.
+    - ``c4_n_sentences``: sentence count of the retained text (number of
+      ``. ! ?`` marks — the deterministic stand-in for C4's sentence
+      splitter, twinnable bit-for-bit in SQL).
+    - ``c4_has_lorem`` / ``c4_has_brace``: page-level 'lorem ipsum' /
+      '{' detectors (C4 drops such pages wholesale: placeholder text and
+      code respectively).
+    - ``c4_badword_count``: count of word tokens (split on
+      ``[^a-z0-9]+`` of the lowercased page) in ``badwords`` — C4 used
+      the "List of Dirty, Naughty ..." list; the list is a parameter
+      here, matched at word granularity so 'assess' never trips 'ass'.
+    - ``c4_keep``: the page verdict — ``c4_n_sentences >=
+      min_sentences`` and no lorem/brace/badword hit.
+
+    Zero-shuffle narrow projection, all JVM expressions (split/filter/
+    rlike/length-diff counting) — at 100 TB this runs at scan speed and
+    Catalyst prunes it to the text column. Reference analogue: none
+    (target-new training-data op; the reference has no web-cleaning
+    surface)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    bws = sorted({w.lower() for w in (badwords or [])})
+    kept = F.filter(
+        F.transform(F.split(t, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln.rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(ln, WS_RE),
+                           lambda w: w != F.lit("")))
+           >= F.lit(min_words_per_line))
+        & ~F.contains(F.lower(ln), F.lit("javascript")))
+    s1 = df.withColumn("_c4_kept", kept)
+    kt = F.array_join(F.col("_c4_kept"), "\n")
+    n_sent = (F.length(kt)
+              - F.length(F.regexp_replace(kt, "[.!?]", ""))).cast("long")
+    low = F.lower(t)
+    if bws:
+        bw_count = F.size(F.filter(
+            F.split(low, "[^a-z0-9]+"),
+            lambda w: w.isin(*bws))).cast("long")
+    else:
+        bw_count = F.lit(0).cast("long")
+    has_lorem = F.contains(low, F.lit("lorem ipsum"))
+    has_brace = F.contains(t, F.lit("{"))
+    out = s1.withColumns({
+        "c4_text": kt,
+        "c4_kept_lines": F.size(F.col("_c4_kept")).cast("long"),
+        "c4_n_sentences": n_sent,
+        "c4_has_lorem": has_lorem,
+        "c4_has_brace": has_brace,
+        "c4_badword_count": bw_count,
+        "c4_keep": ((n_sent >= F.lit(min_sentences)) & ~has_lorem
+                    & ~has_brace & (bw_count == 0)),
+    })
+    return out.drop("_c4_kept") if drop_temp else out

@@ -280,3 +280,58 @@ class TestRebaseStats:
         out = full.search("search", k=5, filter_terms=["srcNOPE"],
                           filter_field=1, rebase_stats=True)
         assert out.count() == 0
+
+
+class TestC4Filters:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2): line retention,
+    sentence minimum, page-level lorem/brace/badword verdicts."""
+
+    def _run(self, spark, rows, **kw):
+        from fatespark.textops import c4_filters_df
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = c4_filters_df(df, **kw).collect()
+        return {r["doc_id"]: r for r in out}
+
+    def test_line_rules(self, spark):
+        txt = ("Good first sentence here.\n"      # kept
+               "no terminal punctuation\n"        # dropped: no punct
+               "Too short.\n"                     # dropped: 2 words
+               "  Ends with a question mark?  \n" # kept (trimmed)
+               "Uses javascript on this line.\n"  # dropped: javascript
+               'He said "stop right there."')     # kept: ends with quote?
+        r = self._run(spark, [(1, txt)])[1]
+        assert r["c4_kept_lines"] == 3
+        assert r["c4_text"].splitlines() == [
+            "Good first sentence here.",
+            "Ends with a question mark?",
+            'He said "stop right there."']
+        # sentences: 1 '.' + 1 '?' + 2 '.' inside/terminal of the quote line
+        assert r["c4_n_sentences"] == 3
+        assert not r["c4_has_lorem"] and not r["c4_has_brace"]
+        assert r["c4_badword_count"] == 0
+        assert not r["c4_keep"]  # only 3 sentences < 5
+
+    def test_keep_verdict_and_page_rules(self, spark):
+        good = "This sentence has enough words.\n" * 6
+        rows = [(1, good),
+                (2, good + "Lorem Ipsum dolor."),
+                (3, good + "code { inside }"),
+                (4, good + "A bad badword2 here.")]
+        out = self._run(spark, rows, badwords=["badword1", "badword2"])
+        assert out[1]["c4_keep"] is True
+        assert out[2]["c4_has_lorem"] and not out[2]["c4_keep"]
+        assert out[3]["c4_has_brace"] and not out[3]["c4_keep"]
+        assert out[4]["c4_badword_count"] == 1 and not out[4]["c4_keep"]
+
+    def test_badword_word_granularity(self, spark):
+        # 'assess' must not trip 'ass'; punctuation-adjacent match must
+        out = self._run(spark, [(1, "We assess the ass, carefully.\n" * 5)],
+                        badwords=["ass"])
+        assert out[1]["c4_badword_count"] == 5
+
+    def test_null_and_empty(self, spark):
+        out = self._run(spark, [(1, None), (2, "")])
+        for d in (1, 2):
+            assert out[d]["c4_kept_lines"] == 0
+            assert out[d]["c4_text"] == ""
+            assert not out[d]["c4_keep"]
