@@ -654,6 +654,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("term", "df", "cf").orderBy("term"))
     q["ft_incremental"] = ft_incremental
 
+    def ft_compacted_topk(spark, sf):
+        """Tiered partial compaction (IndexBuilder.compact_chunks — the
+        Lucene TieredMergePolicy analogue): six uneven streaming epochs,
+        then compaction folds the five smallest chunks into one (the big
+        chunk untouched, O(merged bytes) not O(index)). Search results
+        must be bit-identical to a batch build — the oracle is the plain
+        one-shot BM25 twin, so the official hash checks the physical
+        re-layout is results-neutral."""
+        from fatespark.streaming import StreamingIndexer
+        tag = _corpus_tag(sf)
+        d = f"/tmp/fatespark_entry_idx/{tag}_cmp"
+        docs = _read(spark, sf, "documents")
+        n = docs.count()
+        b = IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=1,
+                                        block_size=128))
+        try:
+            idx = SearchIndex(spark, d)
+            if idx.n_docs != n:
+                raise ValueError("stale index")
+        except Exception:
+            import shutil
+            shutil.rmtree(d, ignore_errors=True)
+            si = StreamingIndexer(b, url_col="doc_id", id_col="doc_id",
+                                  text_col="text", build_id="entry-cmp",
+                                  finalize_every=10**9)
+            # epoch 0 holds 7/12 of the corpus; epochs 1-5 are small
+            si.process_batch(docs.filter(F.col("doc_id") % 12 < 7), 0)
+            for e in range(1, 6):
+                si.process_batch(docs.filter(F.col("doc_id") % 12 == 6 + e),
+                                 e)
+            si.finalize(spark)
+            r = b.compact_chunks(spark, max_chunks=2)
+            assert r["chunks_after"] == 2, r
+            idx = SearchIndex(spark, d)
+        return _scores(idx.search(QS["or2"], k=10, mode="OR", quantize=4))
+    q["ft_compacted_topk"] = ft_compacted_topk
+
     def ft_snapshot_travel(spark, sf):
         """Snapshot time travel through a build -> delete -> vacuum history
         (fatespark.snapshots): snap 1 = full corpus, snap 2 = tombstoned
@@ -1449,7 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 NEW ops: real multimodal codecs (WAV/PNG/JPEG-header),
         # cursor pagination inside the WAND kernel
         "mm_wav_meta", "mm_png_meta", "mm_jpeg_meta", "ft_search_after",
-        "tx_c4_filters",
+        "tx_c4_filters", "ft_compacted_topk",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -1772,6 +1809,9 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     # the incremental (2-epoch chunked) build must converge to the batch
     # stats — the oracle IS the batch twin
     o["ft_incremental"] = o["ft_count_terms"]
+    # compaction is a results-neutral physical re-layout: the oracle is
+    # the plain batch BM25 twin (same as ft_topk_or2)
+    o["ft_compacted_topk"] = _bm25_sql(QS["or2"], "OR")
 
     o["ft_topk_single"] = _bm25_sql(QS["single"], "OR")
     o["ft_boost"] = _bm25_sql(["batch", "join"], "OR",

@@ -170,12 +170,14 @@ class IndexBuilder:
             F.col(id_col).alias("doc_id"),
             F.col(keep_url).cast("string").alias("url"),
             *[F.col(c).alias(f"_f{i}") for i, c in enumerate(fields)],
+            # a caller-provided chunk column must survive the projection
+            *([F.col(chunk_col).cast("int").alias("_chunk")]
+              if chunk_col and n_chunks > 1 else []),
         )
         field_cols = [f"_f{i}" for i in range(len(fields))]
-        if n_chunks > 1:
-            ck = F.col(chunk_col) if chunk_col else F.pmod(
-                F.xxhash64(F.col("doc_id")), F.lit(n_chunks))
-            base = base.withColumn("_chunk", ck.cast("int"))
+        if n_chunks > 1 and not chunk_col:
+            base = base.withColumn("_chunk", F.pmod(
+                F.xxhash64(F.col("doc_id")), F.lit(n_chunks)).cast("int"))
 
         done = self.done_chunks(spark, build_id) if resume else set()
         if done:
@@ -457,6 +459,84 @@ class IndexBuilder:
             F.sum("n"), F.count("*")).collect()[0]
         return {"dropped": int(drop.size), "postings": int(agg[0] or 0),
                 "blocks": int(agg[1] or 0)}
+
+    def compact_chunks(self, spark: SparkSession, *, max_chunks: int = 8,
+                       build_id: str = "compact") -> dict:
+        """Tiered partial compaction — the Lucene TieredMergePolicy
+        analogue for continuous ingest. Streaming epochs accrete one
+        build chunk each (``streaming.StreamingIndexer``); after many
+        epochs a query fans over many small chunk dirs. ``vacuum`` is the
+        full forceMerge: O(index) rewrite plus tombstone surgery plus
+        stats refinalize. This is the cheap maintenance step between
+        vacuums: fold the SMALLEST chunks into one new chunk until at
+        most ``max_chunks`` remain, never touching the large ones —
+        O(merged bytes), not O(index), which is the only merge policy
+        that survives at 10^12 docs (a petabyte-scale consolidated chunk
+        must not be rewritten because an epoch added 0.01% of postings).
+
+        Pure physical re-layout: meta/stats/tombstones unchanged, query
+        results bit-identical (tested). Merged chunks are archived (time
+        travel to the pre-compaction snapshot still works); the new chunk
+        gets a reserved id <= -2 (streaming epochs are >= 0 and vacuum
+        output is -1), so later epochs append cleanly. Blocks from
+        different chunks interleave doc ranges (chunks split by doc-id
+        hash), which ``merge_segments`` handles — the same pseudo-segment
+        path vacuum uses, one hash shuffle over only the merged chunks'
+        blocks."""
+        import shutil
+        cfg = self.config
+        blocks_root = self._p("postings")
+        chunk_dirs = sorted(glob.glob(os.path.join(blocks_root, "chunk=*")))
+        if len(chunk_dirs) <= max_chunks:
+            return {"compacted": 0, "chunks_before": len(chunk_dirs),
+                    "chunks_after": len(chunk_dirs)}
+        blocks = spark.read.parquet(blocks_root)
+        sizes = {int(r["chunk"]): int(r["b"] or 0) for r in
+                 blocks.groupBy("chunk")
+                       .agg(F.sum(F.octet_length("docs")
+                                  + F.octet_length("tfs")
+                                  + F.octet_length("dls")).alias("b"))
+                       .collect()}
+        ids = sorted(sizes, key=lambda c: (sizes[c], c))
+        n_merge = len(ids) - max_chunks + 1
+        merge_ids = ids[:n_merge]
+        new_id = min(-1, min(sizes)) - 1
+        mc = self.meta_codec(spark)
+
+        sel = blocks.filter(F.col("chunk").isin(merge_ids))
+        pseudo = sel.select(
+            "bucket", "term", "field", F.col("block_id").alias("salt"),
+            F.col("n").cast("long").alias("n"), "sum_tf", "max_tf",
+            "min_dl", "docs", "tfs", "dls", "poss")
+        merged = merge_segments(pseudo, block_size=cfg.block_size,
+                                on_duplicate=cfg.on_duplicate,
+                                in_codec=mc, out_codec=mc)
+        merged.write.mode("overwrite").parquet(
+            self._p(f"postings_new/chunk={new_id}"))
+
+        docs = spark.read.parquet(self._p("docs"))
+        keep_cols = [c for c in docs.columns if c != "chunk"]
+        (docs.filter(F.col("chunk").isin(merge_ids)).select(keep_cols)
+             .write.mode("overwrite")
+             .parquet(self._p(f"docs_new/chunk={new_id}")))
+
+        from . import snapshots as _snap
+        _snap.archive(self.index_dir,
+                      [f"postings/chunk={c}" for c in merge_ids]
+                      + [f"docs/chunk={c}" for c in merge_ids])
+        os.rename(self._p(f"postings_new/chunk={new_id}"),
+                  os.path.join(blocks_root, f"chunk={new_id}"))
+        os.rename(self._p(f"docs_new/chunk={new_id}"),
+                  os.path.join(self._p("docs"), f"chunk={new_id}"))
+        shutil.rmtree(self._p("postings_new"), ignore_errors=True)
+        shutil.rmtree(self._p("docs_new"), ignore_errors=True)
+        # derived serving copy is stale; re-create via compact_local
+        shutil.rmtree(self._p("postings_local"), ignore_errors=True)
+        _snap.commit(self.index_dir, "compact", build_id)
+        return {"compacted": len(merge_ids), "new_chunk": new_id,
+                "chunks_before": len(chunk_dirs),
+                "chunks_after": len(chunk_dirs) - len(merge_ids) + 1,
+                "merged_bytes": sum(sizes[c] for c in merge_ids)}
 
     def meta_n_fields(self, spark: SparkSession) -> int:
         m = _read_local_parquet(self._p("meta"))
