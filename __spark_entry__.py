@@ -543,6 +543,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   quantize=4, search_after=cur))
     q["ft_search_after"] = ft_search_after
 
+    def ft_classic_topk(spark, sf):
+        """Pluggable similarity: Lucene ClassicSimilarity TF-IDF
+        (idf_c^2 * sqrt(tf)/sqrt(dl)) over the same index bytes — a pure
+        query-time switch (search(similarity='classic'))."""
+        return _scores(_index(spark, sf).search(
+            QS["or2"], k=10, mode="OR", quantize=4, similarity="classic"))
+    q["ft_classic_topk"] = ft_classic_topk
+
+    def ft_lmd_topk(spark, sf):
+        """Pluggable similarity: LM Dirichlet (Zhai & Lafferty 2004),
+        per-contribution clamped at 0 (Lucene non-negative contract) —
+        WAND path, so the block-max bounds are exercised under the
+        non-BM25 model in the official hash."""
+        return _scores(_index(spark, sf).search(
+            QS["or2"], k=10, mode="OR", quantize=4, similarity="lmd",
+            use_wand=True))
+    q["ft_lmd_topk"] = ft_lmd_topk
+
     def ft_snippets(spark, sf):
         from fatespark.query import snippets
         idx = _index(spark, sf)
@@ -1486,7 +1504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 NEW ops: real multimodal codecs (WAV/PNG/JPEG-header),
         # cursor pagination inside the WAND kernel
         "mm_wav_meta", "mm_png_meta", "mm_jpeg_meta", "ft_search_after",
-        "tx_c4_filters", "ft_compacted_topk",
+        "tx_c4_filters", "ft_compacted_topk", "ft_classic_topk",
+        "ft_lmd_topk",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -1597,6 +1616,59 @@ scored AS (
 SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
 FROM scored {wsc}ORDER BY floor(score * 10000.0) DESC, doc_id
 LIMIT {limit} OFFSET {offset}"""
+
+
+def _sim_sql(terms: list[str], similarity: str, mode: str = "OR",
+             limit: int = 10, mu: float = 2000.0) -> str:
+    """Top-k twin for the pluggable similarities (wand.sim_part): same
+    ascending-term CASE-fold association as _bm25_sql, contribution
+    expression swapped per model. classic squares idf by explicit
+    multiplication (the engine uses c*c, and pow(x, 2.0) is not
+    guaranteed bit-equal); lmd folds ln(1 + ...) with the 2000.0*(cf/
+    sum_dl) association the kernel uses, clamped at 0 per contribution."""
+    terms = sorted(set(terms))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    per_term = ",\n      ".join(
+        f"max(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(terms))
+    add_chain = " + ".join(f"coalesce(s_{i}, 0.0)" for i in range(len(terms)))
+    having = (f"HAVING count(DISTINCT term) = {len(terms)}"
+              if mode == "AND" else "")
+    if similarity == "classic":
+        idfc = "(1 + ln(stats.n_docs / (dfs.df + 1.0)))"
+        contrib = f"({idfc} * {idfc}) * (sqrt(tfs.tf) / sqrt(dls.dl))"
+        sums = ""
+    elif similarity == "lmd":
+        m = repr(float(mu))
+        contrib = (f"greatest(0.0, ln(1 + tfs.tf / ({m} * "
+                   f"(dfs.cf / sums.sum_dl))) + ln({m} / (dls.dl + {m})))")
+        sums = ("sums AS (SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl "
+                "FROM dls),")
+    else:
+        raise ValueError(similarity)
+    xjoin = "CROSS JOIN sums" if sums else ""
+    return f"""
+WITH {_TOK_CTES},
+{sums}
+contrib AS (
+  SELECT tfs.doc_id, tfs.term, {contrib} AS s
+  FROM tfs
+  JOIN dfs USING (term)
+  JOIN dls ON dls.doc_id = tfs.doc_id
+  CROSS JOIN stats
+  {xjoin}
+  WHERE tfs.term IN ({in_list})
+),
+per_doc AS (
+  SELECT doc_id, {per_term}
+  FROM contrib GROUP BY doc_id {having}
+),
+scored AS (
+  SELECT doc_id, {add_chain} AS score FROM per_doc
+)
+SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
+FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id
+LIMIT {limit}"""
 
 
 def _bm25_phrase_sql(first: str | list[str], second: str | None = None,
@@ -2092,6 +2164,8 @@ FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
     o["ft_fuzzy2"] = _bm25_pred_sql("levenshtein(tfs.term, 'jion') <= 2")
     o["ft_first_match"] = _bm25_sql(QS["or2"], "OR", limit=1)
     o["ft_topk_paged"] = _bm25_sql(QS["or2"], "OR", limit=5, offset=5)
+    o["ft_classic_topk"] = _sim_sql(QS["or2"], "classic")
+    o["ft_lmd_topk"] = _sim_sql(QS["or2"], "lmd")
     # cursor pages must equal offset pages in the same total order — the
     # oracle IS the offset twin (page 2 of the or3 WAND query)
     o["ft_search_after"] = _bm25_sql(QS["or3"], "OR", limit=5, offset=5)

@@ -22,6 +22,8 @@ the ~1 MB row groups whose term range covers it."""
 
 from __future__ import annotations
 
+import math
+
 import glob
 import os
 
@@ -30,7 +32,7 @@ import pandas as pd
 
 from .analysis import ANALYZERS, ascii_fold
 from .oracle import idf as idf_fn
-from .query import _fold_terms, _term_blocks_from_pdf
+from .query import _fold_terms, _sq, _term_blocks_from_pdf
 from .wand import score_and, score_bmw_or, score_exhaustive_or
 
 
@@ -138,8 +140,11 @@ class LocalSearchIndex:
             fs = pq.read_table(fsp[-1]).to_pandas()
             self.field_avgdl = {int(r.field): float(r.avgdl)
                                 for r in fs.itertuples()}
+            self.field_sumdl = {int(r.field): float(r.sum_dl)
+                                for r in fs.itertuples()}
         else:
             self.field_avgdl = {0: self.avgdl}
+            self.field_sumdl = {0: float(self.avgdl * self.n_docs)}
         if self._paths is not None:  # snapshot pins the tombstone FILE set
             tombs = self._paths.get("tombstones", [])
         else:
@@ -273,7 +278,8 @@ class LocalSearchIndex:
                filter_terms: str | list[str] | None = None,
                filter_field: int | None = None,
                boosts: dict[str, float] | None = None,
-               search_after: tuple[float, int] | None = None) -> pd.DataFrame:
+               search_after: tuple[float, int] | None = None,
+               similarity: str = "bm25", mu: float = 2000.0) -> pd.DataFrame:
         """Identical semantics and results to ``SearchIndex.search`` (same
         kernels, same per-bucket scoring, same (score DESC, doc_id ASC)
         total order); returns a pandas DataFrame (doc_id, score).
@@ -285,6 +291,8 @@ class LocalSearchIndex:
         if search_after is not None and offset:
             raise ValueError("search_after and offset are mutually "
                              "exclusive (cursor pages replace offsets)")
+        if similarity not in ("bm25", "classic", "lmd"):
+            raise ValueError("similarity must be bm25|classic|lmd")
         qterms = _fold_terms(query, self.analyzer)
         stats = self.term_stats(qterms)
         present = [t for t in qterms if t in stats]
@@ -304,10 +312,32 @@ class LocalSearchIndex:
         # (reader parity with SearchIndex.search)
         bmap = {t: float(bv) for bt, bv in (boosts or {}).items()
                 for t in _fold_terms(bt, self.analyzer)}
-        idfs = {(t, f): w[f] * idf_fn(self.n_docs, st["df"])
-                * bmap.get(t, 1.0)
-                for t in present for f, st in stats[t].items()
-                if f < len(w) and w[f] != 0.0}
+        if similarity == "classic":
+            # explicit c*c, not **2: the SQL twin multiplies the two
+            # factors, and pow(x, 2.0) is not guaranteed bit-equal to x*x
+            idfs = {(t, f): w[f]
+                    * _sq(1.0 + math.log(self.n_docs / (st["df"] + 1.0)))
+                    * bmap.get(t, 1.0)
+                    for t in present for f, st in stats[t].items()
+                    if f < len(w) and w[f] != 0.0}
+        elif similarity == "lmd":
+            idfs = {(t, f): w[f] * bmap.get(t, 1.0)
+                    for t in present for f, st in stats[t].items()
+                    if f < len(w) and w[f] != 0.0}
+        else:
+            idfs = {(t, f): w[f] * idf_fn(self.n_docs, st["df"])
+                    * bmap.get(t, 1.0)
+                    for t in present for f, st in stats[t].items()
+                    if f < len(w) and w[f] != 0.0}
+        if similarity == "classic":
+            sims = {tf_key: ("classic",) for tf_key in idfs}
+        elif similarity == "lmd":
+            sims = {(t, f): ("lmd", float(mu),
+                             stats[t][f]["cf"]
+                             / max(self.field_sumdl.get(f, 0.0), 1.0))
+                    for (t, f) in idfs}
+        else:
+            sims = None
         pdf = self._blocks(sorted(set(present + xpresent + fpresent)))
         qmul = float(10 ** quantize) if quantize else None
         k_local = k + offset
@@ -344,7 +374,8 @@ class LocalSearchIndex:
             by_tf = {(t, int(f)): _term_blocks_from_pdf(
                         g, idfs[(t, int(f))],
                         self.field_avgdl.get(int(f), self.avgdl),
-                        self.codec_name)
+                        self.codec_name,
+                        sim=None if sims is None else sims[(t, int(f))])
                      for (t, f), g in bpdf.groupby(["term", "field"])
                      if (t, int(f)) in idfs}
             if bucket_drop is not None:

@@ -21,6 +21,8 @@ fulltext_find with BM25 replacing weighted ranking, plus phrase
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -67,15 +69,20 @@ def _fold_terms(query: str | list[str], analyzer: str) -> list[str]:
     return sorted({ascii_fold(t) for t in raw})
 
 
+def _sq(x: float) -> float:
+    return x * x
+
+
 def _term_blocks_from_pdf(g: pd.DataFrame, idf: float, avgdl: float = 0.0,
-                          codec: str = "varint") -> TermBlocks:
+                          codec: str = "varint",
+                          sim: tuple | None = None) -> TermBlocks:
     return TermBlocks(
         idf,
         g["first_doc"].to_numpy(np.int64), g["last_doc"].to_numpy(np.int64),
         g["n"].to_numpy(np.int64), g["max_tf"].to_numpy(np.int64),
         g["min_dl"].to_numpy(np.int64),
         list(g["docs"]), list(g["tfs"]), list(g["dls"]), avgdl=avgdl,
-        codec=codec)
+        codec=codec, sim=sim)
 
 
 class SearchIndex:
@@ -122,8 +129,11 @@ class SearchIndex:
             fs = spark.read.parquet(*src("field_stats")).collect()
             self.field_avgdl = {int(r["field"]): float(r["avgdl"])
                                 for r in fs}
+            self.field_sumdl = {int(r["field"]): float(r["sum_dl"])
+                                for r in fs}
         except Exception:
             self.field_avgdl = {0: self.avgdl}
+            self.field_sumdl = {0: float(self.avgdl * self.n_docs)}
         self.postings = spark.read.parquet(*src("postings"))
         self.docs = spark.read.parquet(*src("docs"))
         self.terms = spark.read.parquet(*src("terms"))
@@ -325,7 +335,8 @@ class SearchIndex:
                filter_field: int | None = None,
                boosts: dict[str, float] | None = None,
                rebase_stats: bool = False,
-               search_after: tuple[float, int] | None = None) -> DataFrame:
+               search_after: tuple[float, int] | None = None,
+               similarity: str = "bm25", mu: float = 2000.0) -> DataFrame:
         """Top-k BM25. Returns DataFrame (doc_id, score[, url]) in total
         order (score DESC, doc_id ASC), sliced [offset, offset+k).
 
@@ -379,6 +390,18 @@ class SearchIndex:
         doc-table join — the scalable faceted-search design (filters as
         postings). Filter terms contribute NO score.
 
+        ``similarity`` picks the scoring model (the Lucene pluggable-
+        Similarity contract; index bytes are model-agnostic — tf/dl/df/cf
+        serve all of them, so this is a pure query-time switch):
+        ``"bm25"`` (default, bit-unchanged), ``"classic"`` (Lucene
+        ClassicSimilarity TF-IDF: idf_c^2 * sqrt(tf)/sqrt(dl) with
+        idf_c = 1 + ln(N/(df+1))), or ``"lmd"`` (LM Dirichlet, Zhai &
+        Lafferty 2004: ln(1 + tf/(mu*p(w|C))) + ln(mu/(dl+mu)) with
+        p(w|C) = cf/total_field_tokens, per-contribution clamped at 0 —
+        Lucene's non-negative-scores contract, which also keeps block-max
+        WAND bounds sound, so ``use_wand`` works under every model).
+        ``mu`` is the Dirichlet prior (lmd only).
+
         ``rebase_stats=True`` (requires ``filter_terms``) recomputes
         n_docs, per-(term, field) df, and per-field avgdl over the
         FILTERED subset before scoring (``_rebase_stats``: two bounded
@@ -390,6 +413,10 @@ class SearchIndex:
         if search_after is not None and offset:
             raise ValueError("search_after and offset are mutually "
                              "exclusive (cursor pages replace offsets)")
+        if similarity not in ("bm25", "classic", "lmd"):
+            raise ValueError("similarity must be bm25|classic|lmd")
+        if similarity != "bm25" and rebase_stats:
+            raise ValueError("rebase_stats currently supports bm25 only")
         qterms = _fold_terms(query, self.analyzer)
         stats = self.term_stats(qterms)
         present = [t for t in qterms if t in stats]
@@ -433,18 +460,43 @@ class SearchIndex:
                 return self._empty()
             if not idfs:
                 return self._empty()
+        elif similarity == "classic":
+            # Lucene ClassicSimilarity: contribution =
+            # (weight * idf_c^2 * boost) * sqrt(tf)/sqrt(dl),
+            # idf_c = 1 + ln(N / (df + 1))
+            # explicit c*c, not **2: the SQL twin multiplies the two
+            # factors, and pow(x, 2.0) is not guaranteed bit-equal to x*x
+            idfs = {(t, f): w[f]
+                    * _sq(1.0 + math.log(self.n_docs / (st["df"] + 1.0)))
+                    * bmap.get(t, 1.0)
+                    for t in present for f, st in stats[t].items()
+                    if f < len(w) and w[f] != 0.0}
+        elif similarity == "lmd":
+            # LM Dirichlet: idf-free; the model term p(w|C) rides the
+            # per-stream sim spec below
+            idfs = {(t, f): w[f] * bmap.get(t, 1.0)
+                    for t in present for f, st in stats[t].items()
+                    if f < len(w) and w[f] != 0.0}
         else:
             idfs = {(t, f): w[f] * idf_fn(self.n_docs, st["df"])
                     * bmap.get(t, 1.0)
                     for t in present for f, st in stats[t].items()
                     if f < len(w) and w[f] != 0.0}
+        sims = None
+        if similarity == "classic":
+            sims = {tf_key: ("classic",) for tf_key in idfs}
+        elif similarity == "lmd":
+            sims = {(t, f): ("lmd", float(mu),
+                             stats[t][f]["cf"]
+                             / max(self.field_sumdl.get(f, 0.0), 1.0))
+                    for (t, f) in idfs}
         scored = self._score_buckets(present, idfs, k + offset, mode, use_wand,
                                      quantize, exclude_terms=xpresent,
                                      required_terms=fpresent or None,
                                      required_field=filter_field,
                                      avgdl_override=avg_over,
                                      field_avgdl_override=favg_over,
-                                     after=search_after)
+                                     after=search_after, sims=sims)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k + offset)
         if offset:
             out = out.offset(offset)
@@ -640,7 +692,8 @@ class SearchIndex:
                        required_field: int | None = None,
                        avgdl_override: float | None = None,
                        field_avgdl_override: dict | None = None,
-                       after: tuple[float, int] | None = None
+                       after: tuple[float, int] | None = None,
+                       sims: dict | None = None
                        ) -> DataFrame:
         # rebased-stats searches override the corpus length norms
         # (everything else about the scan/scoring is identical)
@@ -688,7 +741,8 @@ class SearchIndex:
                                    else np.union1d(bucket_drop, excl))
             # one TermBlocks per (term, field) stream, ascending order
             by_tf = {(t, int(f)): _term_blocks_from_pdf(
-                        g, idfs[(t, int(f))], favg.get(int(f), avgdl), codec)
+                        g, idfs[(t, int(f))], favg.get(int(f), avgdl), codec,
+                        sim=None if sims is None else sims[(t, int(f))])
                      for (t, f), g in pdf.groupby(["term", "field"])
                      if (t, int(f)) in idfs}
             if bucket_drop is not None:

@@ -38,6 +38,42 @@ def bm25_part(tf, dl, avgdl: float):
     return tf * (K1 + 1.0) / (tf + K1 * norm)
 
 
+def sim_part(sim, tf, dl, stream_avgdl: float, avgdl_fallback: float):
+    """Per-stream tf/length part under a similarity spec; the stream's
+    per-doc contribution is always ``scalar * part(tf, dl)`` where the
+    scalar (TermBlocks.idf) carries weight x idf x boost.
+
+    sim is None            -> BM25 (the default: bit-identical legacy path)
+    sim == ("classic",)    -> Lucene ClassicSimilarity tf/norm:
+                              sqrt(tf) / sqrt(dl)  (idf^2 lives in the
+                              scalar, as in Lucene's TFIDFSimilarity)
+    sim == ("lmd", mu, pw) -> LM Dirichlet (Zhai & Lafferty 2004 /
+                              Lucene LMDirichletSimilarity):
+                              log(1 + tf/(mu*p(w|C))) + log(mu/(dl+mu)),
+                              clamped at 0 per contribution (Lucene's
+                              non-negative-scores contract; the clamp
+                              keeps the part monotone inc in tf / dec in
+                              dl, so block-max WAND bounds stay sound).
+
+    Every variant is monotone increasing in tf and decreasing in dl, so
+    the per-block (max_tf, min_dl) upper bound machinery applies
+    unchanged to all of them."""
+    if sim is None:
+        return bm25_part(tf, dl, stream_avgdl or avgdl_fallback)
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    kind = sim[0]
+    if kind == "classic":
+        return np.sqrt(tf) / np.sqrt(np.maximum(dl, 1.0))
+    if kind == "lmd":
+        mu, pw = float(sim[1]), float(sim[2])
+        # ln(1 + x), not log1p: x = tf/(mu*p) is never tiny here and the
+        # SQL twin folds the literal ln(1 + ...) — same libm, bit-equal
+        raw = np.log(1.0 + tf / (mu * pw)) + np.log(mu / (dl + mu))
+        return np.maximum(raw, 0.0)
+    raise ValueError(f"unknown similarity {sim!r}")
+
+
 def after_mask(doc_ids: np.ndarray, scores: np.ndarray,
                after: tuple[float, int]) -> np.ndarray:
     """Cursor-eligibility mask for search_after pagination: a doc is
@@ -85,14 +121,15 @@ class TermBlocks:
 
     __slots__ = ("idf", "avgdl", "first", "last", "ns", "max_tf", "min_dl",
                  "enc_docs", "enc_tfs", "enc_dls", "_cache", "_all", "total",
-                 "codec")
+                 "codec", "sim")
 
     def __init__(self, idf: float, first, last, ns, max_tf, min_dl,
                  enc_docs, enc_tfs, enc_dls, avgdl: float = 0.0,
-                 codec: str = "varint"):
+                 codec: str = "varint", sim: tuple | None = None):
         order = np.argsort(np.asarray(first, dtype=np.int64), kind="mergesort")
         self.idf = float(idf)
         self.avgdl = float(avgdl)
+        self.sim = sim
         self.codec = get_codec(codec)
         self.first = np.asarray(first, dtype=np.int64)[order]
         self.last = np.asarray(last, dtype=np.int64)[order]
@@ -206,12 +243,14 @@ class TermBlocks:
     @classmethod
     def from_arrays(cls, idf: float, docs: np.ndarray, tfs: np.ndarray,
                     dls: np.ndarray, avgdl: float = 0.0,
-                    block_size: int = 128) -> "TermBlocks":
+                    block_size: int = 128,
+                    sim: tuple | None = None) -> "TermBlocks":
         """Build directly from decoded doc-sorted arrays (tombstone-filtered
         streams); block metadata recomputed so WAND bounds stay tight."""
         tb = cls.__new__(cls)
         tb.idf = float(idf)
         tb.avgdl = float(avgdl)
+        tb.sim = sim
         tb.codec = get_codec("varint")  # unused: everything below is decoded
         nb = (docs.size + block_size - 1) // block_size
         starts = np.arange(nb, dtype=np.int64) * block_size
@@ -240,7 +279,8 @@ class TermBlocks:
             return self
         keep = ~hit
         return TermBlocks.from_arrays(self.idf, docs[keep], tfs[keep],
-                                      dls[keep], avgdl=self.avgdl)
+                                      dls[keep], avgdl=self.avgdl,
+                                      sim=self.sim)
 
     def keep_docs(self, keep_sorted: np.ndarray) -> "TermBlocks":
         """Copy of this stream restricted to the (sorted int64) doc ids —
@@ -253,18 +293,23 @@ class TermBlocks:
         if hit.all():
             return self
         return TermBlocks.from_arrays(self.idf, docs[hit], tfs[hit],
-                                      dls[hit], avgdl=self.avgdl)
+                                      dls[hit], avgdl=self.avgdl,
+                                      sim=self.sim)
+
+    def part(self, tf, dl, avgdl_fallback: float):
+        """This stream's tf/length part under its similarity spec."""
+        return sim_part(self.sim, tf, dl, self.avgdl, avgdl_fallback)
 
     def block_ub(self, i: int, avgdl: float | None = None) -> float:
         a = self.avgdl if avgdl is None else avgdl
-        return self.idf * float(bm25_part(self.max_tf[i], self.min_dl[i], a))
+        return self.idf * float(self.part(self.max_tf[i], self.min_dl[i], a))
 
     def term_ub(self, avgdl: float | None = None) -> float:
         if not len(self.ns):
             return 0.0
         a = self.avgdl if avgdl is None else avgdl
         return self.idf * float(
-            bm25_part(int(self.max_tf.max()), int(self.min_dl.min()), a))
+            self.part(int(self.max_tf.max()), int(self.min_dl.min()), a))
 
 
 def _quantize(scores: np.ndarray, qmul: float | None) -> np.ndarray:
@@ -288,7 +333,7 @@ def score_exhaustive_or(terms: list[TermBlocks], avgdl: float, k: int,
     scores = np.zeros(all_docs.size, dtype=np.float64)
     for t, (docs, tfs, dls) in zip(live, decoded):
         idx = np.searchsorted(all_docs, docs)
-        scores[idx] += t.idf * bm25_part(tfs, dls, t.avgdl or avgdl)
+        scores[idx] += t.idf * t.part(tfs, dls, avgdl)
     return topk_select(all_docs, _quantize(scores, qmul), k, after)
 
 
@@ -329,8 +374,8 @@ def score_and(terms, avgdl: float, k: int, qmul: float | None = None,
             idx = np.searchsorted(docs, cand)
             hit = idx < docs.size
             hit[hit] = docs[idx[hit]] == cand[hit]
-            scores[hit] += t.idf * bm25_part(tfs[idx[hit]], dls[idx[hit]],
-                                             t.avgdl or avgdl)
+            scores[hit] += t.idf * t.part(tfs[idx[hit]], dls[idx[hit]],
+                                          avgdl)
     return topk_select(cand, _quantize(scores, qmul), k, after)
 
 
@@ -376,8 +421,7 @@ def score_bmw_or(terms: list[TermBlocks], avgdl: float, k: int,
     iub = np.zeros(m, dtype=np.float64)
     ivstart = bounds[:m]
     for t in live:
-        a = t.avgdl or avgdl
-        tub = t.idf * bm25_part(t.max_tf, t.min_dl, a)
+        tub = t.idf * t.part(t.max_tf, t.min_dl, avgdl)
         # a term's blocks are doc-disjoint, and intervals are elementary
         # (no block boundary inside one), so each interval is covered by at
         # most ONE of the term's blocks — find it by binary search instead
@@ -471,7 +515,7 @@ def score_bmw_or(terms: list[TermBlocks], avgdl: float, k: int,
         sc = np.zeros(union.size, dtype=np.float64)
         for t, dd, tt, ll in parts:  # ascending term order == exhaustive
             idx = np.searchsorted(union, dd)
-            sc[idx] += t.idf * bm25_part(tt, ll, t.avgdl or avgdl)
+            sc[idx] += t.idf * t.part(tt, ll, avgdl)
         sc = _quantize(sc, qmul)
         if after is not None:
             if blocked.size:
