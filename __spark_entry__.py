@@ -561,6 +561,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             use_wand=True))
     q["ft_lmd_topk"] = ft_lmd_topk
 
+    def ft_regexp(spark, sf):
+        """Regexp term query (Lucene RegexpQuery: implicitly anchored) —
+        trigram-banded dictionary expansion where the pattern yields
+        required literal runs (wildcard.regexp_trigrams), dictionary
+        verify-scan fallback otherwise; expansions join an ordinary
+        OR-BM25. 's.a[nr]k?' expands to {scan, spark} via the fallback
+        path (no 3-char literal run); the banded path is pytest-covered
+        (tests/test_wildcard.py::TestRegexp)."""
+        from fatespark.wildcard import search_regexp
+        return _scores(search_regexp(_index(spark, sf), "s.a[nr]k?",
+                                     k=10, quantize=4))
+    q["ft_regexp"] = ft_regexp
+
     def ft_snippets(spark, sf):
         from fatespark.query import snippets
         idx = _index(spark, sf)
@@ -1505,7 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cursor pagination inside the WAND kernel
         "mm_wav_meta", "mm_png_meta", "mm_jpeg_meta", "ft_search_after",
         "tx_c4_filters", "ft_compacted_topk", "ft_classic_topk",
-        "ft_lmd_topk",
+        "ft_lmd_topk", "ft_regexp",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -2166,6 +2179,10 @@ FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
     o["ft_topk_paged"] = _bm25_sql(QS["or2"], "OR", limit=5, offset=5)
     o["ft_classic_topk"] = _sim_sql(QS["or2"], "classic")
     o["ft_lmd_topk"] = _sim_sql(QS["or2"], "lmd")
+    # the oracle re-derives the expansion itself: the same anchored regex
+    # as a dictionary predicate into the ordered-fold BM25 twin
+    o["ft_regexp"] = _bm25_pred_sql(
+        "regexp_full_match(tfs.term, 's.a[nr]k?')")
     # cursor pages must equal offset pages in the same total order — the
     # oracle IS the offset twin (page 2 of the or3 WAND query)
     o["ft_search_after"] = _bm25_sql(QS["or3"], "OR", limit=5, offset=5)

@@ -93,3 +93,59 @@ def test_plan_no_nested_loop(built):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# --------------------------------------------------------------------------
+# Regexp term query (Lucene RegexpQuery contract: implicitly anchored)
+# --------------------------------------------------------------------------
+
+REGEXPS = ["sc.n", "s.*t", "re(scan|sort)", "part|parse", "b[aeiou]tch.*",
+           "scan(ner|ning)?", "a{1,2}b?", ".*ing", "x", "z+", "sp.rk",
+           "as+orted", "[ps]art", "m.tch(es)?"]
+
+
+class TestRegexp:
+    def test_expansion_matches_fullmatch(self, built):
+        import re as _re
+        from fatespark.wildcard import expand_regexp
+        for rx in REGEXPS:
+            want = sorted(t for t in _vocab() if _re.fullmatch(rx, t))
+            got = expand_regexp(built, rx, max_terms=None)
+            assert got == want, rx
+
+    def test_banding_invariant(self, built):
+        """Every full match of rx must contain ALL required trigrams of
+        its augmented '^term$' form — otherwise banding could drop it."""
+        import re as _re
+        from fatespark.wildcard import regexp_trigrams
+        for rx in REGEXPS:
+            grams = regexp_trigrams(rx)
+            for t in _vocab():
+                if _re.fullmatch(rx, t):
+                    aug = f"^{t}$"
+                    assert all(g in aug for g in grams), (rx, t, grams)
+
+    def test_search_equals_manual_or(self, built):
+        from fatespark.wildcard import expand_regexp, search_regexp
+        rx = "sc.n(ner|ning)?"
+        terms = expand_regexp(built, rx)
+        assert terms  # scan scanner scanning
+        a = [(r["doc_id"], r["score"]) for r in
+             search_regexp(built, rx, k=10).collect()]
+        b = [(r["doc_id"], r["score"]) for r in
+             built.search(terms, k=10, mode="OR").collect()]
+        assert a == b
+
+    def test_no_match_empty(self, built):
+        from fatespark.wildcard import search_regexp
+        assert search_regexp(built, "zz+q").collect() == []
+
+    def test_persisted_trigram_table_parity(self, built, spark):
+        from fatespark.wildcard import (dictionary_trigrams, expand_regexp)
+        tg = dictionary_trigrams(built.terms).cache()
+        try:
+            for rx in ["sc.n", "b[aeiou]tch.*"]:
+                assert expand_regexp(built, rx, trigrams=tg) == \
+                    expand_regexp(built, rx)
+        finally:
+            tg.unpersist()
