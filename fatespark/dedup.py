@@ -780,7 +780,8 @@ def paragraph_dedup_df(df: DataFrame, text_col: str = "text",
 
 def substring_cut_df(df: DataFrame, w: int = 50, stride: int = 1,
                      text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     broadcast_dups: bool = True) -> DataFrame:
     """ExactSubstr span SURGERY (the rewrite half of Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): cut every
     token position covered by a duplicated ``w``-token window, keeping the
@@ -803,12 +804,22 @@ def substring_cut_df(df: DataFrame, w: int = 50, stride: int = 1,
 
     Plan shape at 10^12 docs: window generation is NARROW; the duplicate
     table comes from ONE groupBy(whash) whose count/min aggregates are
-    map-side combinable (hot boilerplate pre-aggregates per scan task);
-    the join back on whash is AQE-skew-splittable; cut starts regroup
-    per-doc (bounded by the doc's own token count); the final interval
-    merge + token filter is pure JVM expressions over STAGED projections —
-    each array is a materialized column, never an expression re-evaluated
-    inside a lambda (the repetition_df lesson).
+    map-side combinable (hot boilerplate pre-aggregates per scan task).
+    The join back is a BROADCAST by default (``broadcast_dups=True``):
+    the dups table holds only hashes seen >= 2 times — boilerplate-scale,
+    like the decontamination set — so the corpus-token-scale window side
+    never shuffles for the join (the round-4 2M probe caught the
+    alternative: at 200k AQE auto-broadcast the post-agg dups, at 2M it
+    tipped into a full sort-merge shuffle of the window table and the op
+    went 25x for 10x rows — 2.4x after this fix). Set
+    ``broadcast_dups=False`` for pathological corpora where most windows
+    are duplicated (the dups table is then itself corpus-scale). Window
+    hashes are BINARY md5 (16 bytes, unhex) — same 128-bit exactness,
+    half the groupBy-shuffle key bytes of the hex string. Cut starts
+    regroup per-doc (bounded by the doc's own token count); the final
+    interval merge + token filter is pure JVM expressions over STAGED
+    projections — each array is a materialized column, never an
+    expression re-evaluated inside a lambda (the repetition_df lesson).
 
     Reference analogue: none (target-new training-data op; the
     reference's suffix arrays, lib/suffix_array.rb, answer substring
@@ -829,13 +840,15 @@ def substring_cut_df(df: DataFrame, w: int = 50, stride: int = 1,
     wins = (base.select(
         "id", "_ftoks", F.explode(starts).alias("win_start"))
         .select("id", "win_start",
-                F.md5(F.array_join(
-                    F.slice(ftoks, F.col("win_start") + 1, w), " "))
+                F.unhex(F.md5(F.array_join(
+                    F.slice(ftoks, F.col("win_start") + 1, w), " ")))
                  .alias("whash")))
     dups = (wins.groupBy("whash")
             .agg(F.count("*").alias("n_occ"),
                  F.min(F.struct("id", "win_start")).alias("first"))
             .filter(F.col("n_occ") >= 2))
+    if broadcast_dups:
+        dups = F.broadcast(dups)
     cut_starts = (wins.join(dups, "whash")
                   .filter(~((F.col("first.id") == F.col("id"))
                             & (F.col("first.win_start")
