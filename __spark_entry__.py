@@ -1338,6 +1338,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("vec_id", F.round("cosine", 4).alias("cosine")))
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def hy_rrf(spark, sf):
+        """Hybrid retrieval: reciprocal-rank fusion of the BM25 text arm
+        and the exact-cosine vector arm over the shared doc_id/vec_id
+        space (hybrid.hybrid_rrf; RRF k=60, 50 candidates per arm). Both
+        arms rank by their 4-decimal-quantized score with id tie-break,
+        so the integer ranks — and therefore the fused float64 scores —
+        are bit-reproducible in the DuckDB twin."""
+        from fatespark import hybrid
+        idx = _index(spark, sf)
+        e = _read(spark, sf, "embeddings")
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        out = hybrid.hybrid_rrf(idx, e, QS["or2"], list(qv), k=10,
+                                n_candidates=50, rrf_k=60, quantize=4)
+        return out.select("doc_id", "rrf_score",
+                          F.col("rank_text").cast("int").alias("rank_text"),
+                          F.col("rank_vec").cast("int").alias("rank_vec"))
+    q["hy_rrf"] = hy_rrf
+
     # -- multimodal plumbing (binary columns, JVM hashes) --------------------
     def mm_binary_meta(spark, sf):
         d = _read(spark, sf, "documents")
@@ -1518,7 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cursor pagination inside the WAND kernel
         "mm_wav_meta", "mm_png_meta", "mm_jpeg_meta", "ft_search_after",
         "tx_c4_filters", "ft_compacted_topk", "ft_classic_topk",
-        "ft_lmd_topk", "ft_regexp",
+        "ft_lmd_topk", "ft_regexp", "hy_rrf",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -3130,6 +3148,44 @@ SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 4) AS co
 FROM embeddings, q
 WHERE vec_id <> 0
 ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id
+LIMIT 10"""
+
+    # hybrid RRF: text ranks from the quantized-BM25 top-50 total order,
+    # vector ranks from the round-4 cosine top-50 total order, fused
+    # 1/(60+r) text-arm-first (the engine's float64 summation order);
+    # integer ranks make the fused doubles bit-exact across engines
+    o["hy_rrf"] = f"""
+WITH bm AS (
+  SELECT * FROM ({_bm25_sql(QS["or2"], "OR", limit=50)}
+  )
+),
+bmr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+         AS rank_text
+  FROM bm
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(embedding::DOUBLE[], qv.v), 4)
+         AS cosine
+  FROM embeddings, qv
+  ORDER BY cosine DESC, vec_id
+  LIMIT 50
+),
+vr AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT)
+         AS rank_vec
+  FROM vec
+)
+SELECT coalesce(bmr.doc_id, vr.vec_id) AS doc_id,
+       coalesce(1.0 / (60.0 + rank_text), 0.0)
+       + coalesce(1.0 / (60.0 + rank_vec), 0.0) AS rrf_score,
+       rank_text, rank_vec
+FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.vec_id
+ORDER BY rrf_score DESC, doc_id
 LIMIT 10"""
 
     o["mm_binary_meta"] = """
