@@ -204,6 +204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_topk_and2"] = _mk_search("and2", "AND")
     q["ft_topk_or2"] = _mk_search("or2", "OR")
     q["ft_topk_or3_wand"] = _mk_search("or3", "OR", use_wand=True)
+    # minimum_should_match floor: >= 2 of the 3 or3 terms; qualifying
+    # docs keep the full disjunctive sum (bit-identical to plain OR)
+    q["ft_msm"] = _mk_search("or3", "OR", min_should_match=2)
 
     def ft_prefix(spark, sf):
         return _scores(_index(spark, sf).search_prefix(QS["prefix"], k=10,
@@ -1536,7 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cursor pagination inside the WAND kernel
         "mm_wav_meta", "mm_png_meta", "mm_jpeg_meta", "ft_search_after",
         "tx_c4_filters", "ft_compacted_topk", "ft_classic_topk",
-        "ft_lmd_topk", "ft_regexp", "hy_rrf",
+        "ft_lmd_topk", "ft_regexp", "hy_rrf", "ft_msm",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -1599,7 +1602,8 @@ def _bm25_sql(terms: list[str], mode: str, limit: int = 10,
               offset: int = 0, src: str = "documents",
               where_scored: str | None = None,
               extra_ctes: str = "",
-              boosts: dict[str, float] | None = None) -> str:
+              boosts: dict[str, float] | None = None,
+              min_match: int | None = None) -> str:
     """Top-10 BM25 with explicit ascending-term summation order (float64
     parity with the engine). ``src`` re-bases the corpus (time-travel oracle:
     post-vacuum stats over survivors); ``where_scored`` filters scored docs
@@ -1613,6 +1617,8 @@ def _bm25_sql(terms: list[str], mode: str, limit: int = 10,
     add_chain = " + ".join(f"coalesce(s_{i}, 0.0)" for i in range(len(terms)))
     having = (f"HAVING count(DISTINCT term) = {len(terms)}"
               if mode == "AND" else "")
+    if min_match:   # minimum_should_match floor (OR mode)
+        having = f"HAVING count(DISTINCT term) >= {int(min_match)}"
     wsc = f"WHERE {where_scored} " if where_scored else ""
     xc = f"{extra_ctes}," if extra_ctes else ""
     # term boost: the engine's per-stream scalar is (weight*idf)*boost —
@@ -1923,6 +1929,7 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_topk_and2"] = _bm25_sql(QS["and2"], "AND")
     o["ft_topk_or2"] = _bm25_sql(QS["or2"], "OR")
     o["ft_topk_or3_wand"] = _bm25_sql(QS["or3"], "OR")
+    o["ft_msm"] = _bm25_sql(QS["or3"], "OR", min_match=2)
     o["ft_not"] = _bm25_sql(
         QS["or2"], "OR",
         where_scored="doc_id NOT IN (SELECT doc_id FROM tfs "

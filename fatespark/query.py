@@ -32,7 +32,7 @@ from .analysis import ANALYZERS, ascii_fold
 from .codec import decode_positions, get_codec
 from .oracle import idf as idf_fn
 from .wand import (B, K1, TermBlocks, score_and, score_bmw_or,
-                   score_exhaustive_or)
+                   score_exhaustive_or, score_or_msm)
 
 RESULT_SCHEMA = "doc_id long, score double"
 
@@ -336,7 +336,8 @@ class SearchIndex:
                boosts: dict[str, float] | None = None,
                rebase_stats: bool = False,
                search_after: tuple[float, int] | None = None,
-               similarity: str = "bm25", mu: float = 2000.0) -> DataFrame:
+               similarity: str = "bm25", mu: float = 2000.0,
+               min_should_match: int | None = None) -> DataFrame:
         """Top-k BM25. Returns DataFrame (doc_id, score[, url]) in total
         order (score DESC, doc_id ASC), sliced [offset, offset+k).
 
@@ -409,12 +410,31 @@ class SearchIndex:
         filters — without it, scores use unfiltered-corpus statistics
         (the default, bit-unchanged). A rebased search over filter F
         returns exactly what an index built over only F's docs would
-        (tested)."""
+        (tested).
+
+        ``min_should_match=m`` (OR mode only) is the Lucene
+        minimum-should-match floor: a doc must contain at least ``m``
+        distinct query terms (in any field) to be scored; qualifying docs
+        keep the full disjunctive sum, so their scores are bit-identical
+        to the plain OR path (ranks back-fill bucket-locally — buckets
+        are doc-disjoint, so the floor composes with sharding exactly).
+        ``m <= 1`` is plain OR; ``m == len(terms)`` selects the AND doc
+        set. Not combinable with ``use_wand`` (block-max bounds don't
+        model the match-count floor; the exhaustive msm kernel is used)."""
         if search_after is not None and offset:
             raise ValueError("search_after and offset are mutually "
                              "exclusive (cursor pages replace offsets)")
         if similarity not in ("bm25", "classic", "lmd"):
             raise ValueError("similarity must be bm25|classic|lmd")
+        msm = int(min_should_match) if min_should_match else None
+        if msm is not None and msm <= 1:
+            msm = None
+        if msm is not None:
+            if mode != "OR":
+                raise ValueError("min_should_match requires mode='OR'")
+            if use_wand:
+                raise ValueError("min_should_match is exhaustive-only "
+                                 "(WAND bounds ignore the match floor)")
         if similarity != "bm25" and rebase_stats:
             raise ValueError("rebase_stats currently supports bm25 only")
         qterms = _fold_terms(query, self.analyzer)
@@ -490,13 +510,16 @@ class SearchIndex:
                              stats[t][f]["cf"]
                              / max(self.field_sumdl.get(f, 0.0), 1.0))
                     for (t, f) in idfs}
+        if msm is not None and len({t for t, _ in idfs}) < msm:
+            return self._empty()   # floor can never be met
         scored = self._score_buckets(present, idfs, k + offset, mode, use_wand,
                                      quantize, exclude_terms=xpresent,
                                      required_terms=fpresent or None,
                                      required_field=filter_field,
                                      avgdl_override=avg_over,
                                      field_avgdl_override=favg_over,
-                                     after=search_after, sims=sims)
+                                     after=search_after, sims=sims,
+                                     msm=msm)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k + offset)
         if offset:
             out = out.offset(offset)
@@ -693,7 +716,8 @@ class SearchIndex:
                        avgdl_override: float | None = None,
                        field_avgdl_override: dict | None = None,
                        after: tuple[float, int] | None = None,
-                       sims: dict | None = None
+                       sims: dict | None = None,
+                       msm: int | None = None
                        ) -> DataFrame:
         # rebased-stats searches override the corpus length norms
         # (everything else about the scan/scoring is identical)
@@ -763,6 +787,11 @@ class SearchIndex:
                           for t in sorted(terms_here)]
                 docs, scores = score_and(groups, avgdl, k_local, qmul,
                                          after=cursor)
+            elif msm is not None:
+                groups = [[by_tf[k] for k in keys if k[0] == t]
+                          for t in sorted(terms_here)]
+                docs, scores = score_or_msm(groups, avgdl, k_local, msm,
+                                            qmul, after=cursor)
             elif use_wand:
                 docs, scores = score_bmw_or([by_tf[k] for k in keys], avgdl,
                                             k_local, qmul, after=cursor)

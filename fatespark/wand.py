@@ -345,6 +345,47 @@ def _group_docs(group: list[TermBlocks]) -> np.ndarray:
     return parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
 
 
+def score_or_msm(terms, avgdl: float, k: int, msm: int,
+                 qmul: float | None = None,
+                 after: tuple[float, int] | None = None):
+    """Disjunctive scoring with a minimum-should-match floor (the Lucene
+    ``minimum_should_match`` contract): a doc qualifies only if it matches
+    at least ``msm`` distinct query TERMS (in any field); qualifying docs
+    score the full disjunctive sum. ``terms`` is one TermBlocks (or one
+    list of field streams, ascending field order) per query term, in
+    ascending term order — contributions are summed in the same global
+    ascending (term, field) order as ``score_exhaustive_or`` so scores are
+    bit-identical to the plain OR path for qualifying docs. msm=1 is plain
+    OR; msm=n_terms selects exactly the AND candidate set."""
+    groups = [[g] if isinstance(g, TermBlocks) else list(g) for g in terms]
+    live = [[t for t in g if t.total] for g in groups]
+    live = [g for g in live if g]
+    if len(live) < msm:   # not enough present terms to ever qualify
+        z = np.zeros(0, dtype=np.int64)
+        return z, np.zeros(0, dtype=np.float64)
+    decoded = [[t.decode_all() for t in g] for g in live]
+    all_docs = np.unique(np.concatenate(
+        [d[0] for g in decoded for d in g]))
+    counts = np.zeros(all_docs.size, dtype=np.int64)
+    for g in decoded:
+        gmask = np.zeros(all_docs.size, dtype=bool)
+        for docs, _, _ in g:
+            gmask[np.searchsorted(all_docs, docs)] = True
+        counts += gmask
+    cand = all_docs[counts >= msm]
+    if cand.size == 0:
+        return cand, np.zeros(0, dtype=np.float64)
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for g, dg in zip(live, decoded):   # ascending (term, field) order
+        for t, (docs, tfs, dls) in zip(g, dg):
+            idx = np.searchsorted(docs, cand)
+            hit = idx < docs.size
+            hit[hit] = docs[idx[hit]] == cand[hit]
+            scores[hit] += t.idf * t.part(tfs[idx[hit]], dls[idx[hit]],
+                                          avgdl)
+    return topk_select(cand, _quantize(scores, qmul), k, after)
+
+
 def score_and(terms, avgdl: float, k: int, qmul: float | None = None,
               after: tuple[float, int] | None = None):
     """Conjunctive over query TERMS (a doc must contain every term in at
