@@ -605,6 +605,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             QS["mf"], k=10, mode="OR", weights=[1.0, 2.0], quantize=4))
     q["ft_multifield_topk"] = ft_multifield_topk
 
+    def ft_dismax(spark, sf):
+        """Lucene DisjunctionMax / best_fields over the two-field index:
+        per term, best field score + 0.3x the rest (wand.score_dismax),
+        summed over terms — the cross-field ranking that doesn't double-
+        count a term appearing in both title-like and body-like fields."""
+        return _scores(_mf_index(spark, sf).search(
+            QS["mf"], k=10, mode="OR", weights=[1.0, 1.0], quantize=4,
+            combine="dismax", tie_breaker=0.3))
+    q["ft_dismax"] = ft_dismax
+
     def ft_filtered(spark, sf):
         """Index-side metadata filter (filters-as-postings): score 'batch'
         over the text field only, restricted to docs whose source FIELD
@@ -1539,7 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cursor pagination inside the WAND kernel
         "mm_wav_meta", "mm_png_meta", "mm_jpeg_meta", "ft_search_after",
         "tx_c4_filters", "ft_compacted_topk", "ft_classic_topk",
-        "ft_lmd_topk", "ft_regexp", "hy_rrf", "ft_msm",
+        "ft_lmd_topk", "ft_regexp", "hy_rrf", "ft_msm", "ft_dismax",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -2268,6 +2278,25 @@ per_doc AS (
 scored AS (SELECT doc_id, {mf_add} AS score FROM per_doc)
 SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
 FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
+
+    # dis_max / best_fields twin: same two-field CTEs with w=1.0 both
+    # fields; per term, greatest(field scores) + 0.3 * (sum - greatest),
+    # absent streams coalesce to exactly 0.0 (engine's dense-zero arrays),
+    # terms summed ascending — wand.score_dismax float64 parity
+    def _dismax_contrib(i0: int, i1: int) -> str:
+        c0, c1 = f"coalesce(s_{i0}, 0.0)", f"coalesce(s_{i1}, 0.0)"
+        g = f"greatest({c0}, {c1})"
+        return f"({g} + 0.3 * (({c0} + {c1}) - {g}))"
+
+    dm_add = " + ".join(
+        _dismax_contrib(2 * ti, 2 * ti + 1) for ti in range(len(mf_terms)))
+    dm_body = o["ft_multifield_topk"].replace(
+        "(VALUES (0, 1.0), (1, 2.0)) w(field, w)",
+        "(VALUES (0, 1.0), (1, 1.0)) w(field, w)").replace(
+        f"scored AS (SELECT doc_id, {mf_add} AS score FROM per_doc)",
+        f"scored AS (SELECT doc_id, {dm_add} AS score FROM per_doc)")
+    assert dm_add in dm_body and "(1, 1.0)" in dm_body
+    o["ft_dismax"] = dm_body
 
     # snippet: ±30 chars around the first (ascending-term) match in the
     # ASCII-folded text — char semantics match Spark locate/substring

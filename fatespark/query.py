@@ -32,7 +32,7 @@ from .analysis import ANALYZERS, ascii_fold
 from .codec import decode_positions, get_codec
 from .oracle import idf as idf_fn
 from .wand import (B, K1, TermBlocks, score_and, score_bmw_or,
-                   score_exhaustive_or, score_or_msm)
+                   score_dismax, score_exhaustive_or, score_or_msm)
 
 RESULT_SCHEMA = "doc_id long, score double"
 
@@ -337,7 +337,9 @@ class SearchIndex:
                rebase_stats: bool = False,
                search_after: tuple[float, int] | None = None,
                similarity: str = "bm25", mu: float = 2000.0,
-               min_should_match: int | None = None) -> DataFrame:
+               min_should_match: int | None = None,
+               combine: str = "sum",
+               tie_breaker: float = 0.0) -> DataFrame:
         """Top-k BM25. Returns DataFrame (doc_id, score[, url]) in total
         order (score DESC, doc_id ASC), sliced [offset, offset+k).
 
@@ -420,7 +422,14 @@ class SearchIndex:
         are doc-disjoint, so the floor composes with sharding exactly).
         ``m <= 1`` is plain OR; ``m == len(terms)`` selects the AND doc
         set. Not combinable with ``use_wand`` (block-max bounds don't
-        model the match-count floor; the exhaustive msm kernel is used)."""
+        model the match-count floor; the exhaustive msm kernel is used).
+
+        ``combine="dismax"`` switches multi-field term combination from
+        the BM25F field-sum (default, ``"sum"``) to Lucene
+        DisjunctionMax / best_fields: a term contributes its best field
+        score plus ``tie_breaker`` times the other fields' scores
+        (``tie_breaker=1.0`` is bit-identical to the sum path; 0.0 is
+        pure best-field). OR mode, exhaustive kernel only."""
         if search_after is not None and offset:
             raise ValueError("search_after and offset are mutually "
                              "exclusive (cursor pages replace offsets)")
@@ -435,6 +444,14 @@ class SearchIndex:
             if use_wand:
                 raise ValueError("min_should_match is exhaustive-only "
                                  "(WAND bounds ignore the match floor)")
+        if combine not in ("sum", "dismax"):
+            raise ValueError("combine must be sum|dismax")
+        dismax_tie = None
+        if combine == "dismax":
+            if mode != "OR" or use_wand or msm is not None:
+                raise ValueError("combine='dismax' requires mode='OR', "
+                                 "no use_wand, no min_should_match")
+            dismax_tie = float(tie_breaker)
         if similarity != "bm25" and rebase_stats:
             raise ValueError("rebase_stats currently supports bm25 only")
         qterms = _fold_terms(query, self.analyzer)
@@ -519,7 +536,7 @@ class SearchIndex:
                                      avgdl_override=avg_over,
                                      field_avgdl_override=favg_over,
                                      after=search_after, sims=sims,
-                                     msm=msm)
+                                     msm=msm, dismax_tie=dismax_tie)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k + offset)
         if offset:
             out = out.offset(offset)
@@ -717,7 +734,8 @@ class SearchIndex:
                        field_avgdl_override: dict | None = None,
                        after: tuple[float, int] | None = None,
                        sims: dict | None = None,
-                       msm: int | None = None
+                       msm: int | None = None,
+                       dismax_tie: float | None = None
                        ) -> DataFrame:
         # rebased-stats searches override the corpus length norms
         # (everything else about the scan/scoring is identical)
@@ -792,6 +810,11 @@ class SearchIndex:
                           for t in sorted(terms_here)]
                 docs, scores = score_or_msm(groups, avgdl, k_local, msm,
                                             qmul, after=cursor)
+            elif dismax_tie is not None:
+                groups = [[by_tf[k] for k in keys if k[0] == t]
+                          for t in sorted(terms_here)]
+                docs, scores = score_dismax(groups, avgdl, k_local,
+                                            dismax_tie, qmul, after=cursor)
             elif use_wand:
                 docs, scores = score_bmw_or([by_tf[k] for k in keys], avgdl,
                                             k_local, qmul, after=cursor)

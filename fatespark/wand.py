@@ -386,6 +386,46 @@ def score_or_msm(terms, avgdl: float, k: int, msm: int,
     return topk_select(cand, _quantize(scores, qmul), k, after)
 
 
+def score_dismax(terms, avgdl: float, k: int, tie: float = 0.0,
+                 qmul: float | None = None,
+                 after: tuple[float, int] | None = None):
+    """Per-term disjunction-max over field streams (the Lucene
+    DisjunctionMaxQuery / best_fields contract): a term's contribution is
+    its BEST field score plus ``tie`` times the rest,
+
+        contrib(t, d) = max_f s_{t,f}(d) + tie * (sum_f s_{t,f}(d) - max_f)
+
+    then contributions sum over terms. ``tie=1.0`` degenerates to the
+    BM25F field-sum (score_exhaustive_or); ``tie=0.0`` is pure best-field.
+    ``terms``: one list of field streams per query term, ascending field
+    order within, terms ascending — sums and maxes fold in that order, and
+    absent streams contribute exactly 0.0 (BM25 scores are positive, so
+    max against an absent field's 0 never wins), which is what the SQL
+    twin's coalesce-0 + greatest computes: bit-identical."""
+    groups = [[g] if isinstance(g, TermBlocks) else list(g) for g in terms]
+    live = [[t for t in g if t.total] for g in groups]
+    live = [g for g in live if g]
+    if not live:
+        z = np.zeros(0, dtype=np.int64)
+        return z, np.zeros(0, dtype=np.float64)
+    decoded = [[t.decode_all() for t in g] for g in live]
+    all_docs = np.unique(np.concatenate(
+        [d[0] for g in decoded for d in g]))
+    scores = np.zeros(all_docs.size, dtype=np.float64)
+    tie = float(tie)
+    for g, dg in zip(live, decoded):   # terms ascending
+        gsum = np.zeros(all_docs.size, dtype=np.float64)
+        gmax = np.zeros(all_docs.size, dtype=np.float64)
+        for t, (docs, tfs, dls) in zip(g, dg):   # fields ascending
+            v = np.zeros(all_docs.size, dtype=np.float64)
+            idx = np.searchsorted(all_docs, docs)
+            v[idx] = t.idf * t.part(tfs, dls, avgdl)
+            gsum += v
+            np.maximum(gmax, v, out=gmax)
+        scores += gmax + tie * (gsum - gmax)
+    return topk_select(all_docs, _quantize(scores, qmul), k, after)
+
+
 def score_and(terms, avgdl: float, k: int, qmul: float | None = None,
               after: tuple[float, int] | None = None):
     """Conjunctive over query TERMS (a doc must contain every term in at
