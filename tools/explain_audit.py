@@ -272,6 +272,57 @@ def main() -> None:
             plan_of(substring_window_hashes(
                 docs, w=13, stride=4))))
 
+        # ---- round-4 operators ------------------------------------------
+        from fatespark.dedup import substring_cut_df
+        from fatespark.hybrid import hybrid_rrf
+        from fatespark.textops import c4_filters_df
+
+        docs4 = corpus.withColumn("doc_id", F.xxhash64("url"))
+        emb = docs4.select(
+            F.col("doc_id").alias("vec_id"),
+            F.array(*[(F.hash(F.col("doc_id"), F.lit(i)) % 1000)
+                      .cast("double") for i in range(8)]).alias("embedding"))
+        sections.append((
+            "Hybrid RRF fusion (hybrid_rrf)",
+            "Both arms end in a bounded top-N (text: per-bucket "
+            "FlatMapGroupsInPandas scorer -> TakeOrderedAndProject; "
+            "vector: whole-stage-codegen cosine -> TakeOrderedAndProject), "
+            "so the fusion join runs over <= 2N rows REGARDLESS of corpus "
+            "size — the rank windows are single-partition by construction "
+            "and bounded by N, which is the point. The scalable work "
+            "stays in the arms (WAND pruning, partition-pruned vector "
+            "probes).",
+            plan_of(hybrid_rrf(idx, emb, ["smith", "jones"],
+                               [1.0] * 8, k=10, n_candidates=20))))
+
+        sections.append((
+            "dis_max / minimum_should_match top-k",
+            "Same physical shape as the BM25 top-k plan — postings scan "
+            "with PushedFilters In(term,...), per-bucket "
+            "FlatMapGroupsInPandas scorer, TakeOrderedAndProject — the "
+            "match-count floor and the per-term field-max both apply "
+            "INSIDE the bucket kernel before local top-k selection, so "
+            "no new exchange appears.",
+            plan_of(idx.search(["smith", "jones"], k=10, mode="OR",
+                               min_should_match=2))))
+
+        sections.append((
+            "ExactSubstr span surgery (substring_cut_df) — round-4 plan",
+            "The duplicated-hash table (boilerplate-sized, NOT corpus-"
+            "sized) BROADCASTS into the window join — the corpus side is "
+            "never shuffled for the match step; the only wide exchange "
+            "left is the canonical-occurrence pick, a map-side-combinable "
+            "min aggregate on whash.",
+            plan_of(substring_cut_df(docs4, w=13, stride=1))))
+
+        sections.append((
+            "C4 cleaning rules (c4_filters_df)",
+            "Pure NARROW — line split, per-line retention predicates, "
+            "sentence count, and the page verdict are all JVM "
+            "higher-order-function expressions inside one projection; "
+            "zero exchanges, WholeStageCodegen end to end.",
+            plan_of(c4_filters_df(docs4))))
+
     out = ["# EXPLAIN — physical plans of the hot paths",
            "",
            "Captured by `tools/explain_audit.py` (re-run to refresh). "
