@@ -1253,6 +1253,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.min("keep_id").alias("keep_id")))
     q["dd_exact_streaming"] = dd_exact_streaming
 
+    def st_windowed_counts(spark, sf):
+        """Event-time tumbling-window counts with a watermark
+        (streaming.streaming_windowed_counts): the events table streams in
+        as THREE parquet micro-batches; the third redelivers rows whose
+        1-day windows closed under the 2-day watermark, and those are
+        DROPPED (Spark's two-watermark late-record contract, pinned by
+        test_streaming_windows). The oracle is the batch recompute over
+        the kept rows: batches 0+1 in full, plus batch-2 rows whose
+        window END exceeds (max batch-0 event time - 2 days)."""
+        import shutil
+        import time
+        import uuid
+
+        from fatespark.streaming import streaming_windowed_counts
+        tag = _corpus_tag(sf)
+        run = uuid.uuid4().hex[:8]
+        src = f"/tmp/fatespark_entry_stream/{tag}_stwsrc_{run}"
+        ckpt = f"/tmp/fatespark_entry_stream/{tag}_stwckpt_{run}"
+        ev = _read(spark, sf, "events").select("event_id", "ts")
+        shutil.rmtree(src, ignore_errors=True)
+        for pred in [(F.col("event_id") % 4).isin(1, 2),
+                     F.col("event_id") % 4 == 3,
+                     F.col("event_id") % 4 == 0]:
+            ev.filter(pred).coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.05)   # distinct mtimes -> deterministic batch order
+        stream = (spark.readStream.schema("event_id long, ts timestamp")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        name = f"stw_{run}"
+        sq = (streaming_windowed_counts(stream, ts_col="ts", window="1 day",
+                                        watermark="2 days")
+              .writeStream.format("memory").queryName(name)
+              .outputMode("update").option("checkpointLocation", ckpt)
+              .trigger(availableNow=True).start())
+        sq.awaitTermination(300)
+        # update-mode emissions are cumulative per window: latest == max
+        return (spark.table(name)
+                .groupBy(F.col("win_start").cast("date").alias("win_start"))
+                .agg(F.max("n_events").alias("n_events"))
+                .orderBy("win_start"))
+    q["st_windowed_counts"] = st_windowed_counts
+
     def dd_ngram_jaccard(spark, sf):
         d = _read(spark, sf, "documents")
         return (dedup.ngram_jaccard_pairs_str(d, k=3, threshold=0.2)
@@ -1550,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_wav_meta", "mm_png_meta", "mm_jpeg_meta", "ft_search_after",
         "tx_c4_filters", "ft_compacted_topk", "ft_classic_topk",
         "ft_lmd_topk", "ft_regexp", "hy_rrf", "ft_msm", "ft_dismax",
+        "st_windowed_counts",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -3134,6 +3176,26 @@ FROM fp GROUP BY fingerprint"""
     # the streaming ingest dedup's final state is defined to equal the
     # batch recompute over the union of all micro-batches — same twin
     o["dd_exact_streaming"] = o["dd_exact_groups"]
+
+    # streaming windowed counts: the batch recompute over the KEPT rows
+    # under the two-watermark late-record rule (test_streaming_windows):
+    # batch-2 (event_id%4==0) rows drop iff their 1-day window END <=
+    # max event time of batch 0 (event_id%4 in (1,2)) minus 2 days
+    o["st_windowed_counts"] = """
+WITH wm AS (
+  SELECT max(ts) - INTERVAL 2 DAY AS w FROM events
+  WHERE event_id % 4 IN (1, 2)
+),
+kept AS (
+  SELECT ts FROM events WHERE event_id % 4 <> 0
+  UNION ALL
+  SELECT e.ts FROM events e, wm
+  WHERE e.event_id % 4 = 0
+    AND date_trunc('day', e.ts) + INTERVAL 1 DAY > wm.w
+)
+SELECT CAST(date_trunc('day', ts) AS DATE) AS win_start,
+       count(*) AS n_events
+FROM kept GROUP BY win_start ORDER BY win_start"""
 
     o["dd_ngram_jaccard"] = f"""
 WITH {_SHINGLE_CTE},

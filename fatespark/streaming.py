@@ -222,6 +222,52 @@ def index_stream(stream_df: DataFrame, builder: IndexBuilder, *,
     return writer.start(), sink
 
 
+def streaming_windowed_counts(stream_df: DataFrame, *, ts_col: str = "ts",
+                              key_col: str | None = None,
+                              window: str = "1 day",
+                              watermark: str = "2 days") -> DataFrame:
+    """Event-time tumbling-window counts with a WATERMARK — the canonical
+    Structured Streaming late-data contract: rows are bucketed by their
+    EVENT time (not arrival time), per-window state is kept only until the
+    watermark (max observed event time minus the allowed lateness) passes
+    the window, and rows arriving for an already-closed window are DROPPED.
+
+    Built entirely from Spark's native stateful machinery
+    (``withWatermark`` + ``groupBy(window(...)).count()`` — no custom
+    state), so the 100 TB shape is Spark's own: state shuffles once on the
+    (window, key) grouping, partial counts combine map-side, and state
+    size is bounded by (windows inside the lateness horizon) x (keys), NOT
+    by stream length — that bound is what the watermark buys and why an
+    unbounded-lateness aggregation would OOM a year-long stream.
+
+    Determinism for the oracle: with a fixed batch split, the watermark
+    before batch N is max event time over batches < N minus the lateness
+    delay, and a batch-N row is dropped iff its WINDOW END <= that
+    watermark (Spark filters late data on the window's event-time bound,
+    not the row timestamp — verified by test_streaming_windows). In
+    update mode the emitted count per touched window is the cumulative
+    state, monotone in stream progress, so latest == max across emitted
+    rows == the batch recompute over the kept rows.
+
+    Output: (win_start timestamp, win_end timestamp[, key], n_events).
+    """
+    from pyspark.sql import functions as F
+
+    # watermarks require TIMESTAMP (tz-aware); parquet TIMESTAMP_NTZ data
+    # casts wall-clock-identically under the session timezone
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    g = [F.window(F.col(ts_col), window)]
+    if key_col is not None:
+        g.append(F.col(key_col))
+    out = (stream_df.withWatermark(ts_col, watermark)
+           .groupBy(*g).agg(F.count(F.lit(1)).alias("n_events")))
+    cols = [F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end")]
+    if key_col is not None:
+        cols.append(F.col(key_col))
+    return out.select(*cols, "n_events")
+
+
 def streaming_exact_dedup(stream_df: DataFrame, *, id_col: str = "doc_id",
                           text_col: str = "text"):
     """Cross-batch exact dedup at ingest via ``applyInPandasWithState`` —
