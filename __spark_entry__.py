@@ -1561,6 +1561,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("user_id", "event_id", "rn"))
     q["q_events_top3_per_user"] = q_events_top3_per_user
 
+    def q_sessionize(spark, sf):
+        """Gap-based sessionization (30-min inactivity) per user
+        (sessions.session_stats): ONE shuffle on user_id carries both
+        window passes (lag -> new-session flag -> running sum = session
+        id), then the per-user rollup reuses the same partitioning (no
+        second exchange — grouping keys are prefixes of the window
+        partition key). All-integer output: hash-safe."""
+        from fatespark.sessions import session_stats
+        return session_stats(_read(spark, sf, "events"), gap_seconds=1800)
+    q["q_sessionize"] = q_sessionize
+
     # -- driver-budget ordering -------------------------------------------
     # Dict order is the harness's execution order and its budget reached 50
     # rows in round 3 — so the rotation FLIPS each round: the 40 queries
@@ -1591,7 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_wav_meta", "mm_png_meta", "mm_jpeg_meta", "ft_search_after",
         "tx_c4_filters", "ft_compacted_topk", "ft_classic_topk",
         "ft_lmd_topk", "ft_regexp", "hy_rrf", "ft_msm", "ft_dismax",
-        "st_windowed_counts",
+        "st_windowed_counts", "q_sessionize",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -3196,6 +3207,33 @@ kept AS (
 SELECT CAST(date_trunc('day', ts) AS DATE) AS win_start,
        count(*) AS n_events
 FROM kept GROUP BY win_start ORDER BY win_start"""
+
+    # sessionization: same lag -> flag -> running-sum -> two rollups,
+    # gap compare in exact integer microseconds (epoch_us twin of
+    # unix_micros) so the 1800 s boundary can never disagree
+    o["q_sessionize"] = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM s
+),
+per_sess AS (
+  SELECT user_id, sess_id, count(*) AS n FROM sid
+  GROUP BY user_id, sess_id
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS max_session_events
+FROM per_sess GROUP BY user_id ORDER BY user_id"""
 
     o["dd_ngram_jaccard"] = f"""
 WITH {_SHINGLE_CTE},
