@@ -1572,6 +1572,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return session_stats(_read(spark, sf, "events"), gap_seconds=1800)
     q["q_sessionize"] = q_sessionize
 
+    def q_percentiles(spark, sf):
+        """Exact interpolated percentiles (p50/p90/p99) of event value per
+        type — Spark's exact `percentile` aggregate (sort-based, one
+        shuffle on the group key; the ROW-bounded per-group sort is the
+        exact-quantile cost, approx_percentile is the sketch alternative
+        at 10^12 rows). Interpolation a + (b-a)*frac matches DuckDB
+        quantile_cont bit-for-bit; round(6) is cross-libm insurance."""
+        e = _read(spark, sf, "events")
+        return (e.groupBy("event_type")
+                .agg(F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+                     .alias("p"))
+                .select("event_type",
+                        F.round(F.col("p")[0], 6).alias("p50"),
+                        F.round(F.col("p")[1], 6).alias("p90"),
+                        F.round(F.col("p")[2], 6).alias("p99"))
+                .orderBy("event_type"))
+    q["q_percentiles"] = q_percentiles
+
     # -- driver-budget ordering -------------------------------------------
     # Dict order is the harness's execution order and its budget reached 50
     # rows in round 3 — so the rotation FLIPS each round: the 40 queries
@@ -1602,7 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_wav_meta", "mm_png_meta", "mm_jpeg_meta", "ft_search_after",
         "tx_c4_filters", "ft_compacted_topk", "ft_classic_topk",
         "ft_lmd_topk", "ft_regexp", "hy_rrf", "ft_msm", "ft_dismax",
-        "st_windowed_counts", "q_sessionize",
+        "st_windowed_counts", "q_sessionize", "q_percentiles",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -3234,6 +3252,15 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(sum(n) AS BIGINT) AS n_events,
        CAST(max(n) AS BIGINT) AS max_session_events
 FROM per_sess GROUP BY user_id ORDER BY user_id"""
+
+    # exact interpolated percentiles: quantile_cont == Spark percentile
+    # (same a + (b-a)*frac interpolation), round(6) both sides
+    o["q_percentiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type"""
 
     o["dd_ngram_jaccard"] = f"""
 WITH {_SHINGLE_CTE},
