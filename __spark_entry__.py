@@ -1572,6 +1572,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return session_stats(_read(spark, sf, "events"), gap_seconds=1800)
     q["q_sessionize"] = q_sessionize
 
+    def tx_quality_classifier(spark, sf):
+        """Model-based quality filter (qualitymodel.quality_logit_df):
+        fasttext-style linear classifier over hashed token features —
+        logit = bias + mean of w[md5_u64(tok) mod 256], weights inlined
+        as plan literals (DSIR pattern), position-ordered fold, zero
+        shuffles. Weights are deterministic splitmix64 stand-ins; a
+        trained model drops in as a plain float array."""
+        from fatespark.qualitymodel import pseudo_weights, quality_logit_df
+        d = _read(spark, sf, "documents")
+        return quality_logit_df(d, pseudo_weights(256, seed=77),
+                                bias=0.05).orderBy("doc_id")
+    q["tx_quality_classifier"] = tx_quality_classifier
+
     def q_percentiles(spark, sf):
         """Exact interpolated percentiles (p50/p90/p99) of event value per
         type — Spark's exact `percentile` aggregate (sort-based, one
@@ -1621,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_c4_filters", "ft_compacted_topk", "ft_classic_topk",
         "ft_lmd_topk", "ft_regexp", "hy_rrf", "ft_msm", "ft_dismax",
         "st_windowed_counts", "q_sessionize", "q_percentiles",
+        "tx_quality_classifier",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -3261,6 +3275,12 @@ SELECT event_type,
        round(quantile_cont(value, 0.9), 6) AS p90,
        round(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY event_type ORDER BY event_type"""
+
+    # linear quality classifier: generated twin (same weight literals,
+    # same md5-u64 bucket, same position-ordered fold)
+    from fatespark.qualitymodel import pseudo_weights, quality_logit_sql
+    o["tx_quality_classifier"] = quality_logit_sql(
+        pseudo_weights(256, seed=77), bias=0.05)
 
     o["dd_ngram_jaccard"] = f"""
 WITH {_SHINGLE_CTE},
