@@ -549,6 +549,41 @@ def main() -> None:
         def _iq(ivf_idx=ivf_idx):
             return ivf_idx.topk(spark, qv, k=10, n_probes=3).collect()
 
+    # -- round-4 session-2 operators ----------------------------------------
+    @timed("q_msm", reps=3)
+    def _msm():  # minimum_should_match floor: 2 of 3, same scan as q_or3
+        return idx.search(["the", "smith", "zyzzyva"], k=10, mode="OR",
+                          min_should_match=2).collect()
+
+    from fatespark.hybrid import hybrid_rrf as _hy
+
+    @timed("q_hybrid", reps=3)
+    def _hyb():  # RRF fusion over (WAND text arm, 100k-vector cosine arm);
+        # the fusion join itself is N-bounded — this measures arms + fuse
+        return _hy(idx, _synth_emb(100_000), ["smith", "jones"], qv,
+                   k=10, n_candidates=50, use_wand=True).collect()
+
+    from fatespark.qualitymodel import pseudo_weights as _pw, \
+        quality_logit_df as _qld
+    _qw = _pw(256, seed=77)
+
+    @timed("tx_quality_classifier_200k", reps=3, pre=clean_room)
+    def _qlc():  # zero-shuffle literal-weight scoring over the full corpus
+        return (_qld(corpus.select(F.xxhash64("url").alias("doc_id"),
+                                   "text"), _qw, bias=0.05)
+                .agg(F.sum(F.col("keep").cast("long")),
+                     F.sum("logit")).collect())
+
+    from fatespark.sessions import session_stats as _ss
+    _sess_events = corpus.select(
+        F.xxhash64("url").alias("event_id"),
+        F.pmod(F.xxhash64("url", "lang"), F.lit(5000)).alias("user_id"),
+        F.col("warc_ts").cast("timestamp").alias("ts"))
+
+    @timed("q_sessionize_200k", reps=3, pre=clean_room)
+    def _sess():  # one user_id shuffle: lag->flag->cumsum + two rollups
+        return _ss(_sess_events, gap_seconds=1800).count()
+
     # -- once-per-round linear-scaling probe of the heavy new-tier ops ------
     # same plans at 10x the pages (sf1-ish): a 200k-page suite can hide
     # super-linear behavior; ratios land in the artifact so the check is
