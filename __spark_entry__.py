@@ -273,6 +273,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                      k=10, quantize=4))
     q["ft_near"] = ft_near
 
+    def ft_near_ordered(spark, sf):
+        """ORDERED span-near (Lucene SpanNearQuery ordered=true): 'merge'
+        then 'scan' at strictly increasing positions with at most 2
+        intervening tokens (slop = gap slack, slop=0 is the phrase);
+        greedy earliest-next chain in the bucket kernel — equivalent to
+        the SQL EXISTS twin by monotonicity."""
+        return _scores(_index(spark, sf).search_near(
+            QS["near"], slop=2, k=10, quantize=4, ordered=True))
+    q["ft_near_ordered"] = ft_near_ordered
+
     def ft_batch(spark, sf):
         """Batched query-log replay (SearchIndex.search_many): three OR
         queries answered from ONE postings scan — per-(term,field) streams
@@ -1634,7 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_c4_filters", "ft_compacted_topk", "ft_classic_topk",
         "ft_lmd_topk", "ft_regexp", "hy_rrf", "ft_msm", "ft_dismax",
         "st_windowed_counts", "q_sessionize", "q_percentiles",
-        "tx_quality_classifier",
+        "tx_quality_classifier", "ft_near_ordered",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -2181,6 +2191,21 @@ prox AS (
     o["ft_near"] = _bm25_sql(
         QS["near"], "AND", extra_ctes=near_ctes,
         where_scored="doc_id IN (SELECT doc_id FROM prox)")
+
+    # ordered span-near: first term strictly before the second, gap slack
+    # (pb - pa) - 1 <= slop; EXISTS-any == the engine's greedy chain
+    on_a, on_b = QS["near"][0], QS["near"][1]
+    onear_ctes = near_ctes.replace(
+        "prox AS (", "oprox_unused AS (") + f""",
+oprox AS (
+  SELECT DISTINCT a.doc_id
+  FROM nptok a JOIN nptok b ON b.doc_id = a.doc_id
+  WHERE a.term = '{on_a}' AND b.term = '{on_b}'
+    AND b.pos > a.pos AND (b.pos - a.pos) - 1 <= 2
+)"""
+    o["ft_near_ordered"] = _bm25_sql(
+        QS["near"], "AND", extra_ctes=onear_ctes,
+        where_scored="doc_id IN (SELECT doc_id FROM oprox)")
 
     o["ft_prefix"] = _bm25_prefix_sql(QS["prefix"])
     # compat veneer: same LIKE expansion, reference default field weight —

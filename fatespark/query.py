@@ -932,7 +932,8 @@ class SearchIndex:
     def search_near(self, query: str | list[str], slop: int, k: int = 10,
                     offset: int = 0, with_url: bool = False,
                     quantize: int | None = None,
-                    weights: list[float] | None = None) -> DataFrame:
+                    weights: list[float] | None = None,
+                    ordered: bool = False) -> DataFrame:
         """Proximity (SLOP) search: documents where ALL query terms co-occur
         within a token window of span <= ``slop`` (unordered; span = max
         position - min position) in at least one field, ranked by the
@@ -951,6 +952,19 @@ class SearchIndex:
         if not self.store_positions:
             raise ValueError("index built without positions; proximity "
                              "search disabled")
+        oterms: list[str] | None = None
+        if ordered:
+            # preserve QUERY order through the analyzer (Lucene ordered
+            # SpanNear: slop counts allowed intervening positions;
+            # slop=0 is the consecutive phrase). Repeated terms would
+            # need per-occurrence consumption — rejected, documented.
+            tok, _ = ANALYZERS[self.analyzer]
+            parts = [query] if isinstance(query, str) else \
+                [t for t in query if t]
+            oterms = [ascii_fold(t) for p in parts for t in tok(p)]
+            if len(set(oterms)) != len(oterms):
+                raise ValueError("ordered near does not support repeated "
+                                 "query terms")
         qterms = _fold_terms(query, self.analyzer)
         stats = self.term_stats(qterms)
         if any(t not in stats for t in qterms) or not qterms:
@@ -975,7 +989,10 @@ class SearchIndex:
                         for t, g in fpdf.groupby("term")}
                 if any(t not in data for t in uniq):
                     continue
-                m = _near_match_docs(data, uniq, sl, tombs)
+                if oterms is not None:
+                    m = _ordered_near_match_docs(data, oterms, sl, tombs)
+                else:
+                    m = _near_match_docs(data, uniq, sl, tombs)
                 if m.size:
                     allowed.append(m)
             if not allowed:
@@ -1508,6 +1525,52 @@ def _near_match_docs(data: dict, terms: list[str], slop: int,
             ((nxt >> np.int64(32)) == (starts >> np.int64(32)))
         gap = (nxt & pos_mask) - (starts & pos_mask)
         ok &= in_doc & (gap <= slop)
+    if not ok.any():
+        return np.zeros(0, dtype=np.int64)
+    ranks = np.unique(starts[ok] >> np.int64(32))
+    return cand[ranks].astype(np.int64, copy=False)
+
+
+def _ordered_near_match_docs(data: dict, terms: list[str], slop: int,
+                             tombs: np.ndarray | None) -> np.ndarray:
+    """Sorted doc ids containing the (distinct) ``terms`` IN QUERY ORDER at
+    strictly increasing positions with gap slack
+    ``(p_last - p_first) - (len(terms) - 1) <= slop`` — Lucene's ordered
+    SpanNearQuery contract (slop counts the intervening positions allowed;
+    slop=0 is the consecutive phrase).
+
+    Greedy minimal chain, fully vectorized: from every occurrence of the
+    first term, each subsequent term takes its EARLIEST occurrence after
+    the running position (one ``searchsorted(side='right')`` per term over
+    composite (doc_rank << 32) | pos keys). Earliest-next minimizes the
+    chain end monotonically, so a doc matches under the greedy chain iff
+    ANY valid ordered chain exists — the SQL EXISTS twin is equivalent."""
+    tu = sorted(set(terms))
+    cand = data[tu[0]]["docs"]
+    for t in tu[1:]:
+        cand = np.intersect1d(cand, data[t]["docs"], assume_unique=True)
+    if tombs is not None and cand.size:
+        cand = cand[~np.isin(cand, tombs)]
+    if cand.size == 0:
+        return cand.astype(np.int64, copy=False)
+    keys = {}
+    for t in tu:
+        kt, _ = _gather_doc_positions(data[t], cand, 0)
+        keys[t] = kt                      # rank asc, pos asc => sorted
+    pos_mask = np.int64(0xFFFFFFFF)
+    starts = keys[terms[0]]
+    ok = np.ones(starts.size, dtype=bool)
+    cur = starts
+    for t in terms[1:]:
+        kt = keys[t]
+        idx = np.searchsorted(kt, cur, side="right")   # strictly after
+        valid = idx < kt.size
+        nxt = kt[np.minimum(idx, kt.size - 1)] if kt.size else cur
+        ok &= valid & ((nxt >> np.int64(32)) == (starts >> np.int64(32)))
+        cur = nxt        # garbage where ~ok — masked, never re-enables
+    slack = (cur & pos_mask) - (starts & pos_mask) - np.int64(
+        len(terms) - 1)
+    ok &= slack <= slop
     if not ok.any():
         return np.zeros(0, dtype=np.int64)
     ranks = np.unique(starts[ok] >> np.int64(32))
