@@ -1595,6 +1595,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 bias=0.05).orderBy("doc_id")
     q["tx_quality_classifier"] = tx_quality_classifier
 
+    def q_session_window(spark, sf):
+        """Spark's NATIVE session_window (gap-merged event-time sessions,
+        batch mode) — cross-validated against the lag/cumsum sessionizer:
+        both implement 'new session iff gap > 30 min, transitively
+        merged' (pinned empirically: an event at exactly start+gap
+        merges), so the oracle is the sessionize SQL's per-session
+        rollup. Output in integer epoch-micros: hash-safe."""
+        e = _read(spark, sf, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+        return (e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+                .agg(F.count("*").alias("n_events"))
+                .select("user_id",
+                        F.unix_micros(F.col("session_window.start"))
+                        .alias("sess_start_us"), "n_events")
+                .orderBy("user_id", "sess_start_us"))
+    q["q_session_window"] = q_session_window
+
     def q_percentiles(spark, sf):
         """Exact interpolated percentiles (p50/p90/p99) of event value per
         type — Spark's exact `percentile` aggregate (sort-based, one
@@ -1644,7 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_c4_filters", "ft_compacted_topk", "ft_classic_topk",
         "ft_lmd_topk", "ft_regexp", "hy_rrf", "ft_msm", "ft_dismax",
         "st_windowed_counts", "q_sessionize", "q_percentiles",
-        "tx_quality_classifier", "ft_near_ordered",
+        "tx_quality_classifier", "ft_near_ordered", "q_session_window",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -3291,6 +3308,28 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(sum(n) AS BIGINT) AS n_events,
        CAST(max(n) AS BIGINT) AS max_session_events
 FROM per_sess GROUP BY user_id ORDER BY user_id"""
+
+    # native session_window twin: same gap rule as sessionize (new
+    # session iff gap > 30 min), session start = min ts of the session
+    o["q_session_window"] = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM s
+)
+SELECT user_id, epoch_us(min(ts)) AS sess_start_us,
+       count(*) AS n_events
+FROM sid GROUP BY user_id, sess_id
+ORDER BY user_id, sess_start_us"""
 
     # exact interpolated percentiles: quantile_cont == Spark percentile
     # (same a + (b-a)*frac interpolation), round(6) both sides

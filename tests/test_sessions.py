@@ -50,6 +50,26 @@ def test_ts_tie_breaks_by_order_col(spark):
     assert got == {0: 1, 1: 1, 2: 2}
 
 
+def test_native_session_window_parity(spark):
+    """Spark's native session_window implements the SAME gap rule as the
+    lag/cumsum sessionizer (new session iff gap > duration, transitive
+    merge, inclusive at exactly start+gap) — cross-validated per session
+    on the events fixture."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    native = {(r["user_id"], r["s"]): r["n"] for r in
+              (ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+               .agg(F.count("*").alias("n"))
+               .select("user_id", F.unix_micros(
+                   F.col("session_window.start")).alias("s"), "n")
+               .collect())}
+    ours = {(r["user_id"], r["s"]): r["n"] for r in
+            (sessionize(ev).groupBy("user_id", "sess_id")
+             .agg(F.unix_micros(F.min("ts")).alias("s"),
+                  F.count("*").alias("n")).collect())}
+    assert native == ours and len(native) > 0
+
+
 def test_single_shuffle_plan(spark):
     """The rollups reuse the window's user_id partitioning: exactly one
     hash exchange before the final output sort."""
