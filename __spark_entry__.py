@@ -1335,6 +1335,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("id"))
     q["dd_clusters"] = dd_clusters
 
+    def dd_minhash_keep(spark, sf):
+        """Fuzzy-dedup corpus MATERIALIZATION — the keep-one step on top
+        of the MinHash near-dup clusters: the survivor of each component
+        is its min-label root (id == cluster_id), singletons survive
+        trivially. This is the step that actually shrinks the corpus;
+        composes the banded pair join + O(log d) component rounds, both
+        already bucketed (no all-pairs)."""
+        d = _read(spark, sf, "documents")
+        pairs = dedup.minhash_dedup_pairs(d, threshold=0.35, num_hashes=64,
+                                          bands=16)
+        cl = dedup.dup_clusters(pairs, ids_df=d.select("doc_id"))
+        return (cl.filter(F.col("id") == F.col("cluster_id"))
+                .select(F.col("id").alias("doc_id"), "cluster_size")
+                .orderBy("doc_id"))
+    q["dd_minhash_keep"] = dd_minhash_keep
+
     def dd_embdup(spark, sf):
         """Exact cosine≥0.4 pairs via the block-tiled equi-join (no
         BroadcastNestedLoopJoin/cartesian; dedup.embedding_dup_pairs)."""
@@ -1662,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_lmd_topk", "ft_regexp", "hy_rrf", "ft_msm", "ft_dismax",
         "st_windowed_counts", "q_sessionize", "q_percentiles",
         "tx_quality_classifier", "ft_near_ordered", "q_session_window",
+        "dd_minhash_keep",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -3372,6 +3389,11 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2"""
     o["dd_clusters"] = sqloracles.clusters_sql(
         sqloracles.minhash_pairs_sql(threshold=0.35, num_hashes=64, k=3,
                                      bands=16)) + "\nORDER BY id"
+    # keep-one materialization: component roots (id == cluster_id)
+    o["dd_minhash_keep"] = (
+        "SELECT id AS doc_id, cluster_size FROM (\n"
+        + o["dd_clusters"].replace("\nORDER BY id", "")
+        + "\n) WHERE id = cluster_id ORDER BY doc_id")
     o["ann_lsh_topk"] = sqloracles.lsh_topk_sql(
         dim=64, n_planes=10, n_probes=128, seed=5, k=10)
     o["ann_ivf_topk"] = sqloracles.ivf_topk_sql(
