@@ -1372,6 +1372,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("id_a", "id_b"))
     q["dd_embdup_banded"] = dd_embdup_banded
 
+    def dd_semdedup(spark, sf):
+        """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings
+        (reusing the deterministic IVF Lloyd), compare cosine only WITHIN
+        a cluster via the (cell, tile) block grid, drop any doc with a
+        smaller-id same-cell neighbor at cosine ≥ 0.4. The oracle
+        replicates the clustering AND the survivor rule bit-exactly
+        (dedup.semdedup / sqloracles.semdedup_sql)."""
+        e = _read(spark, sf, "embeddings")
+        return (dedup.semdedup(e, threshold=0.4, n_centroids=8, n_iters=2,
+                               seed="ivf", dim=64)
+                .select(F.col("id").alias("vec_id"), "ivf_cid", "keep")
+                .orderBy("vec_id"))
+    q["dd_semdedup"] = dd_semdedup
+
     # -- similarity search ---------------------------------------------------
     def ann_topk(spark, sf):
         e = _read(spark, sf, "embeddings")
@@ -1678,7 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_lmd_topk", "ft_regexp", "hy_rrf", "ft_msm", "ft_dismax",
         "st_windowed_counts", "q_sessionize", "q_percentiles",
         "tx_quality_classifier", "ft_near_ordered", "q_session_window",
-        "dd_minhash_keep",
+        "dd_minhash_keep", "dd_semdedup",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -3401,6 +3415,8 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2"""
     o["dd_embdup_banded"] = sqloracles.banded_embdup_sql(
         dim=64, threshold=0.4, n_bands=16, planes_per_band=4, seed=5) + \
         "\nORDER BY id_a, id_b"
+    o["dd_semdedup"] = sqloracles.semdedup_sql(
+        dim=64, threshold=0.4, n_centroids=8, n_iters=2, seed="ivf")
 
     # NB: cast to DOUBLE[] — duckdb's list_cosine_similarity on FLOAT[]
     # computes in float32; the engine computes in float64

@@ -898,3 +898,76 @@ def substring_cut_df(df: DataFrame, w: int = 50, stride: int = 1,
         (ntok - F.size(F.col("_kept"))).cast("long").alias("n_cut"),
         F.length(clean).cast("long").alias("clean_len"),
         F.md5(clean).alias("clean_md5"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication inside k-means cells (Abbas et al. 2023)
+
+
+def semdedup(emb_df: DataFrame, threshold: float = 0.5,
+             n_centroids: int = 8, n_iters: int = 2, seed: str = "ivf",
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int | None = None, n_blocks: int = 8,
+             centroids: "np.ndarray | None" = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 §3): cluster the
+    embedding space with k-means, compare cosine similarity only WITHIN a
+    cluster, and drop every document that has a semantic duplicate — a
+    same-cell neighbor with cosine ≥ ``threshold`` and a smaller id (the
+    deterministic keep-min-id tie contract; the paper keeps a per-group
+    exemplar, which this greedy rule implements without an extra
+    cluster-the-duplicates pass). Output: (id, ivf_cid, keep) for every
+    input vector, ``keep = false`` iff the doc is a semantic dup.
+
+    100 TB shape: clustering reuses ``ann.ivf_train`` (per-iteration ONE
+    narrow Arrow pass of map-side partial sums — the corpus is never
+    shuffled) and assignment is one narrow pass against the broadcast
+    codebook. The within-cell quadratic compare — SemDeDup's inherent
+    cost, bounded by cluster granularity (the paper runs 110k clusters so
+    cells stay ~10⁴ docs) — lands as a (cell, tile) equi-join using the
+    same 1-bucket-theta block grid as ``embedding_dup_pairs``: per-task
+    memory is a (|cell|/G)² tile, never a whole cell, and NO
+    BroadcastNestedLoopJoin/cartesian appears in the plan. Skewed giant
+    cells split across G(G+1)/2 balanced tasks; AQE handles the residue.
+    Deterministic end-to-end (grid-quantized Lloyd, ordered-fold cosine),
+    so the DuckDB oracle replicates cells AND survivors bit-exactly.
+
+    Reference analogue: none (fates has no embedding surface);
+    target-new per the survey's LLM-data dedup mandate."""
+    from . import ann
+
+    if dim is None:
+        row = emb_df.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError("cannot infer vector dim from an empty "
+                             "DataFrame; pass dim= explicitly")
+        dim = len(row[0])
+    if centroids is None:
+        centroids = ann.ivf_train(emb_df, dim, n_centroids=n_centroids,
+                                  n_iters=n_iters, seed=seed,
+                                  id_col=id_col, vec_col=vec_col)
+    assigned = ann.ivf_assign(emb_df, centroids, id_col=id_col,
+                              vec_col=vec_col)
+    base = assigned.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).cast("array<double>").alias("v"),
+                           "ivf_cid")
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    grid = emb_df.sparkSession.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "ga int, gb int")
+    a = (base.withColumn("ga", blk)
+         .join(F.broadcast(grid), "ga").alias("a"))
+    b = (base.withColumn("gb", blk)
+         .join(F.broadcast(grid), "gb").alias("b"))
+    pairs = (a.join(b, ["ivf_cid", "ga", "gb"])
+             .filter((F.col("ga") < F.col("gb"))
+                     | (F.col("a.id") < F.col("b.id"))))
+    # removed = the GREATER id of every dup pair (keep-min-id); a doc may
+    # appear in many pairs — distinct keeps the anti-join side tight
+    removed = (pairs.filter(_pair_cosine() >= threshold)
+               .select(F.greatest(F.col("a.id"),
+                                  F.col("b.id")).alias("id"))
+               .distinct())
+    return (assigned.select(F.col(id_col).alias("id"), "ivf_cid")
+            .join(removed.withColumn("__rm", F.lit(True)), "id", "left")
+            .select("id", "ivf_cid",
+                    F.col("__rm").isNull().alias("keep")))

@@ -329,25 +329,26 @@ def _ivf_dist_chain(v: str, c: str, dim: int) -> str:
     return "(0.0" + terms + ")"
 
 
-def ivf_topk_sql(dim: int = 64, n_centroids: int = 8, n_iters: int = 2,
-                 n_probes: int = 3, seed: str = "ivf", k: int = 10) -> str:
-    """Twin of ``ann.IvfVectorIndex`` for query vector = embeddings[vec_id=0],
-    corpus = vec_id<>0 (the driver query): replicates the WHOLE training —
-    md5-ordered seeding, ``n_iters`` unrolled Lloyd iterations over
-    floor(v*4096) quantized vectors with 1/1024-grid centroids (all
-    distance arithmetic exact in float64, so aggregation order cannot
-    matter), nearest-cell assignment with (dist, cid) ties, probe-cell
-    selection, and the exact cosine top-k over probed cells. The PRUNING is replicated bit-exactly, not just the output."""
+def _ivf_train_ctes(dim: int, n_centroids: int, n_iters: int, seed: str,
+                    where: str = "") -> list[str]:
+    """Unrolled deterministic-Lloyd CTE chain shared by ``ivf_topk_sql``
+    and ``semdedup_sql``: ``qv`` (floor(v*4096) quantized vectors,
+    optionally filtered by ``where``), ``c0`` (md5-ordered seeding), then
+    per iteration ``a{i}`` (nearest-cell assignment, (dist, cid) ties) and
+    ``c{i}`` (1/1024-grid means, empty cells keep their centroid). The
+    final assignment is ``a{n_iters}``, the final codebook ``c{n_iters}``
+    — bit-exact twins of ``ann.ivf_train``/``ann.ivf_assign``."""
     # centroid grid: floor((sum * 1024) / n) / 1024 — sum and *1024 are
     # exact doubles, so the one rounding (the division) is shared bit-wise
     # with the engine's numpy floor(s * 1024 / n) / 1024
     mean_list = ", ".join(
         f"floor(sum(qv[{d + 1}]) * 1024.0 / count(*)) / 1024.0"
         for d in range(dim))
+    src = f"FROM embeddings {where}".rstrip()
     ctes = [f"""qv AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[], x -> floor(x * 4096.0)) AS qv
-  FROM embeddings WHERE vec_id <> 0
+  {src}
 ),
 c0 AS (
   SELECT (row_number() OVER (
@@ -373,6 +374,58 @@ c{i} AS (
     SELECT cid, [{mean_list}] AS carr
     FROM a{i} GROUP BY cid) u USING (cid)
 )""")
+    return ctes
+
+
+def semdedup_sql(dim: int = 64, threshold: float = 0.5,
+                 n_centroids: int = 8, n_iters: int = 2,
+                 seed: str = "ivf") -> str:
+    """Twin of ``dedup.semdedup``: the full unrolled-Lloyd clustering over
+    ALL embeddings, then within-cell duplicate pairs by exact cosine
+    (DuckDB's ``list_cosine_similarity`` over DOUBLE[] matches the
+    engine's ordered ``zip_with``/``aggregate`` fold bit-for-bit — proven
+    by the dd_embdup rows), and keep = no same-cell neighbor with a
+    smaller id at cosine ≥ threshold. Output (vec_id, ivf_cid, keep)."""
+    ctes = _ivf_train_ctes(dim, n_centroids, n_iters, seed)
+    cn = f"c{n_iters}"
+    # final assignment against the FINAL codebook (a{i} in the chain is the
+    # assignment against c{i-1} that produced c{i} — one codebook behind)
+    dist_f = _ivf_dist_chain("v.qv", "c.carr", dim)
+    ctes.append(f"""af AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist_f}, c.cid) AS rn
+    FROM qv v CROSS JOIN {cn} c) WHERE rn = 1
+)""")
+    an = "af"
+    return "WITH " + ",\n".join(ctes) + f""",
+removed AS (
+  SELECT DISTINCT y.vec_id AS id
+  FROM {an} x
+  JOIN {an} y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  JOIN embeddings ea ON ea.vec_id = x.vec_id
+  JOIN embeddings eb ON eb.vec_id = y.vec_id
+  WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                               eb.embedding::DOUBLE[]) >= {threshold}
+)
+SELECT a.vec_id, a.cid AS ivf_cid,
+       (r.id IS NULL) AS keep
+FROM {an} a LEFT JOIN removed r ON r.id = a.vec_id
+ORDER BY a.vec_id"""
+
+
+def ivf_topk_sql(dim: int = 64, n_centroids: int = 8, n_iters: int = 2,
+                 n_probes: int = 3, seed: str = "ivf", k: int = 10) -> str:
+    """Twin of ``ann.IvfVectorIndex`` for query vector = embeddings[vec_id=0],
+    corpus = vec_id<>0 (the driver query): replicates the WHOLE training —
+    md5-ordered seeding, ``n_iters`` unrolled Lloyd iterations over
+    floor(v*4096) quantized vectors with 1/1024-grid centroids (all
+    distance arithmetic exact in float64, so aggregation order cannot
+    matter), nearest-cell assignment with (dist, cid) ties, probe-cell
+    selection, and the exact cosine top-k over probed cells. The PRUNING is replicated bit-exactly, not just the output."""
+    ctes = _ivf_train_ctes(dim, n_centroids, n_iters, seed,
+                           where="WHERE vec_id <> 0")
     cn = f"c{n_iters}"
     dist_q = _ivf_dist_chain("qq.qq", "c.carr", dim)
     dist_f = _ivf_dist_chain("v.qv", "c.carr", dim)

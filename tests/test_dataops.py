@@ -792,3 +792,63 @@ class TestCorpusStatsPlanShape:
         assert len(a) == len(b) == 400
         assert (a["ntok"].to_numpy() == b["ntok"].to_numpy()).all()
         assert (a["surprisal"].to_numpy() == b["surprisal"].to_numpy()).all()
+
+
+class TestSemDeDup:
+    """SemDeDup (Abbas et al. 2023): within-cell semantic dedup — engine
+    vs a numpy brute reference that re-derives clustering + survivor rule
+    from the same deterministic primitives."""
+
+    @pytest.fixture(scope="class")
+    def emb60(self, spark):
+        rng = np.random.default_rng(23)
+        vecs = rng.normal(size=(60, 16))
+        vecs[33] = vecs[7] + 0.01 * rng.normal(size=16)   # planted dup
+        vecs[50] = vecs[7] + 0.01 * rng.normal(size=16)   # planted dup
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        df = spark.createDataFrame(
+            [(i, vecs[i].tolist()) for i in range(60)],
+            "vec_id long, embedding array<double>")
+        return df, vecs
+
+    @staticmethod
+    def _brute(df, vecs, threshold, n_centroids=4):
+        from fatespark import ann
+        cent = ann.ivf_train(df, 16, n_centroids=n_centroids, n_iters=2)
+        cid = ann._ivf_nearest(ann._ivf_quant(vecs), cent)
+        sims = vecs @ vecs.T
+        removed = set()
+        for i in range(len(vecs)):
+            for j in range(i + 1, len(vecs)):
+                if cid[i] == cid[j] and sims[i, j] >= threshold:
+                    removed.add(j)
+        return cid, removed
+
+    def test_matches_brute_reference(self, emb60):
+        df, vecs = emb60
+        cid, removed = self._brute(df, vecs, 0.5)
+        got = dedup.semdedup(df, threshold=0.5, n_centroids=4,
+                             n_iters=2, dim=16, n_blocks=4).collect()
+        assert len(got) == 60
+        for r in got:
+            assert r["ivf_cid"] == cid[r["id"]]
+            assert r["keep"] == (r["id"] not in removed)
+        # the planted dups of doc 7 land in its cell and are dropped
+        assert {33, 50} <= removed
+
+    def test_block_count_invariance(self, emb60):
+        df, _ = emb60
+        one = {(r["id"], r["keep"]) for r in dedup.semdedup(
+            df, 0.5, n_centroids=4, n_iters=2, dim=16, n_blocks=1).collect()}
+        five = {(r["id"], r["keep"]) for r in dedup.semdedup(
+            df, 0.5, n_centroids=4, n_iters=2, dim=16, n_blocks=5).collect()}
+        assert one == five
+
+    def test_plan_has_no_cartesian(self, emb60):
+        df, _ = emb60
+        from fatespark import ann
+        cent = ann.ivf_train(df, 16, n_centroids=4, n_iters=2)
+        plan = _physical_plan(dedup.semdedup(
+            df, 0.5, n_centroids=4, n_iters=2, dim=16, centroids=cent))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
