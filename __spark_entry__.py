@@ -786,6 +786,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         textops.token_count_col("text").alias("n_tokens"))
     q["tx_token_count"] = tx_token_count
 
+    def tx_pack(spark, sf):
+        """Sequence packing (concat-and-chunk): which fixed-512-token
+        training sequence(s) each doc lands in, via the two-phase
+        distributed prefix-sum scan (fatespark.packing.pack_sequences —
+        ONE range shuffle + two narrow passes, no single-partition
+        window). The oracle is the textbook one-window formulation, so a
+        green row proves the distributed scan bit-equal to it."""
+        from fatespark import packing
+        d = _read(spark, sf, "documents")
+        return (packing.pack_sequences(d, budget=512)
+                .withColumnRenamed("id", "doc_id")
+                .orderBy("doc_id"))
+    q["tx_pack"] = tx_pack
+
     def tx_bpe_count(spark, sf):
         """BPE-ish pre-tokenizer segment count (GPT-2 pretokenize shape,
         ASCII-restricted; textops.BPE_RE) — the scan-speed proxy for
@@ -1692,7 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_lmd_topk", "ft_regexp", "hy_rrf", "ft_msm", "ft_dismax",
         "st_windowed_counts", "q_sessionize", "q_percentiles",
         "tx_quality_classifier", "ft_near_ordered", "q_session_window",
-        "dd_minhash_keep", "dd_semdedup",
+        "dd_minhash_keep", "dd_semdedup", "tx_pack",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -2475,6 +2489,9 @@ SELECT doc_id, score,
             ELSE substring(text, CAST(greatest(p - 30, 1) AS INT), 60)
        END AS snippet
 FROM j"""
+
+    from fatespark import packing as _packing
+    o["tx_pack"] = _packing.pack_sequences_sql(budget=512)
 
     o["tx_token_count"] = f"""
 SELECT doc_id,
