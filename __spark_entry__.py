@@ -800,6 +800,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["tx_pack"] = tx_pack
 
+    def tx_mixture(spark, sf):
+        """Source-weighted corpus mixing (Pile/Dolma recipe): per-doc copy
+        counts hitting a 60k-token budget split by integer source weights
+        (w = srcN's N % 3 + 1), fractional epochs decided by the md5
+        bucket primitive — deterministic, RNG-free, integer-exact
+        (sampling.mixture_sample; one tiny agg + broadcast plan, no
+        corpus shuffle)."""
+        from fatespark import sampling
+        d = _read(spark, sf, "documents")
+        srcs = [r["source"] for r in d.select("source").distinct().collect()]
+        weights = {s: int(s[3:]) % 3 + 1 for s in srcs}
+        return (sampling.mixture_sample(d, weights, token_budget=60_000)
+                .withColumnRenamed("id", "doc_id")
+                .select("doc_id", "source", "n_tokens", "n_copies")
+                .orderBy("doc_id"))
+    q["tx_mixture"] = tx_mixture
+
     def tx_bpe_count(spark, sf):
         """BPE-ish pre-tokenizer segment count (GPT-2 pretokenize shape,
         ASCII-restricted; textops.BPE_RE) — the scan-speed proxy for
@@ -1706,7 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_lmd_topk", "ft_regexp", "hy_rrf", "ft_msm", "ft_dismax",
         "st_windowed_counts", "q_sessionize", "q_percentiles",
         "tx_quality_classifier", "ft_near_ordered", "q_session_window",
-        "dd_minhash_keep", "dd_semdedup", "tx_pack",
+        "dd_minhash_keep", "dd_semdedup", "tx_pack", "tx_mixture",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -2492,6 +2509,11 @@ FROM j"""
 
     from fatespark import packing as _packing
     o["tx_pack"] = _packing.pack_sequences_sql(budget=512)
+
+    from fatespark import sampling as _sampling
+    o["tx_mixture"] = _sampling.mixture_sample_sql(
+        weight_sql="CAST(substr(source, 4) AS BIGINT) % 3 + 1",
+        token_budget=60_000)
 
     o["tx_token_count"] = f"""
 SELECT doc_id,
