@@ -1023,6 +1023,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return weburl.url_normalize_df(d)
     q["tx_url_normalize"] = tx_url_normalize
 
+    def tx_url_filter(spark, sf):
+        """UT1-style URL blocklist filter over the planted crawl URLs:
+        registered-domain broadcast blocklist + banned path substring,
+        both evaluated on the NORMALIZED url (weburl.url_filter)."""
+        from fatespark import weburl
+        d = _read(spark, sf, "documents").withColumn("url", _planted_url())
+        return (weburl.url_filter(
+                    d, blocked_domains=["example.net", "example.io"],
+                    blocked_substrings=["/articles/item1"])
+                .withColumnRenamed("id", "doc_id")
+                .orderBy("doc_id"))
+    q["tx_url_filter"] = tx_url_filter
+
     def tx_gopher_quality(spark, sf):
         """Gopher Table A1 non-repetition quality filters (the repetition
         half is tx_repetition): word count, mean word length, alpha-word
@@ -1724,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_windowed_counts", "q_sessionize", "q_percentiles",
         "tx_quality_classifier", "ft_near_ordered", "q_session_window",
         "dd_minhash_keep", "dd_semdedup", "tx_pack", "tx_mixture",
+        "tx_url_filter",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -2869,6 +2883,16 @@ FROM m"""
     o["tx_url_normalize"] = f"""
 WITH {_url_ctes}
 SELECT doc_id AS id, url_norm, host, domain FROM unorm"""
+
+    o["tx_url_filter"] = f"""
+WITH {_url_ctes}
+SELECT doc_id, domain,
+       (domain IN ('example.net', 'example.io')) AS blocked_domain,
+       (instr(lower(url_norm), '/articles/item1') > 0) AS blocked_pattern,
+       (domain NOT IN ('example.net', 'example.io')
+        AND instr(lower(url_norm), '/articles/item1') = 0) AS keep
+FROM unorm
+ORDER BY doc_id"""
 
     o["tx_domain_cap"] = f"""
 WITH {_url_ctes},

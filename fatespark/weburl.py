@@ -137,3 +137,46 @@ def per_domain_cap(df: DataFrame, cap: int, domain_col: str = "domain",
     return (df.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= cap)
             .drop("_rk"))
+
+
+def url_filter(df: DataFrame, blocked_domains: list[str],
+               blocked_substrings: list[str] | None = None,
+               url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """URL blocklist filter (the UT1/Blacklists-UT-Capitole step FineWeb
+    and friends apply before any content filtering): flag a page when its
+    REGISTERED DOMAIN is on a blocklist, or when its normalized URL
+    contains any banned substring (the path/query keyword rule). Output
+    (id, domain, blocked_domain, blocked_pattern, keep) per row.
+
+    100 TB shape: the domain check is a broadcast LEFT join against the
+    blocklist — real blocklists run to millions of domains (UT1 'adult'
+    alone is ~4M), far past `isin` literal-plan territory but trivially
+    broadcastable (~100 MB), and the corpus side never shuffles. The
+    substring rule is a narrow JVM `contains` chain (banned-keyword lists
+    are small); both flags evaluate inside the scan stage. Normalization
+    reuses ``normalize_url_col``, so ``?Item1`` vs ``#Item1`` vs tracking
+    params can't dodge the filter.
+
+    Reference analogue: none (fates has no web surface); target-new per
+    the survey's LLM-data ops mandate."""
+    u = F.col(url_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        normalize_url_col(u).alias("url_norm"),
+        registered_domain_col(u).alias("domain"))
+    spark = df.sparkSession
+    bl = spark.createDataFrame(
+        [(d.lower(),) for d in sorted(set(blocked_domains))],
+        "domain string").withColumn("__bd", F.lit(True))
+    out = base.join(F.broadcast(bl), "domain", "left")
+    # keyword match is case-insensitive on the whole normalized URL —
+    # normalization lowercases scheme+host only (path case is significant
+    # per RFC 3986), but a blocklist keyword must not be dodgeable by case
+    bp = F.lit(False)
+    for s in (blocked_substrings or []):
+        bp = bp | F.contains(F.lower(F.col("url_norm")), F.lit(s.lower()))
+    return out.select(
+        "id", "domain",
+        F.coalesce(F.col("__bd"), F.lit(False)).alias("blocked_domain"),
+        bp.alias("blocked_pattern"),
+        (F.col("__bd").isNull() & ~bp).alias("keep"))

