@@ -817,6 +817,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["tx_mixture"] = tx_mixture
 
+    def tx_bpe_train(spark, sf):
+        """Distributed BPE tokenizer training (Sennrich 2016): 8 merge
+        rounds over the corpus word-count table — ONE corpus shuffle,
+        then vocab-scale rounds (fatespark.bpetrain). Deterministic
+        (count desc, left, right) tie contract; the oracle unrolls the
+        same rounds as CTEs and matches the merge table exactly."""
+        from fatespark import bpetrain
+        d = _read(spark, sf, "documents")
+        return bpetrain.bpe_train_df(d, n_merges=8)
+    q["tx_bpe_train"] = tx_bpe_train
+
     def tx_bpe_count(spark, sf):
         """BPE-ish pre-tokenizer segment count (GPT-2 pretokenize shape,
         ASCII-restricted; textops.BPE_RE) — the scan-speed proxy for
@@ -1737,7 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_windowed_counts", "q_sessionize", "q_percentiles",
         "tx_quality_classifier", "ft_near_ordered", "q_session_window",
         "dd_minhash_keep", "dd_semdedup", "tx_pack", "tx_mixture",
-        "tx_url_filter",
+        "tx_url_filter", "tx_bpe_train",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -2523,6 +2534,9 @@ FROM j"""
 
     from fatespark import packing as _packing
     o["tx_pack"] = _packing.pack_sequences_sql(budget=512)
+
+    from fatespark import bpetrain as _bpetrain
+    o["tx_bpe_train"] = _bpetrain.bpe_train_sql(n_merges=8)
 
     from fatespark import sampling as _sampling
     o["tx_mixture"] = _sampling.mixture_sample_sql(
