@@ -470,6 +470,41 @@ def main() -> None:
         return (dedup.decontaminate_flags(d, bench_docs, n=13)
                 .select(F.sum(F.col("contaminated").cast("long"))).collect())
 
+    from fatespark import bpetrain as _bpetrain
+    from fatespark import packing as _packing
+    from fatespark import sampling as _sampling
+    from fatespark import weburl as _weburl
+
+    @timed("tx_pack_200k", reps=3, pre=clean_room, record_samples=True)
+    def _pk():  # sequence packing: two-phase prefix-sum scan, ONE range
+        # shuffle + two narrow passes (no single-partition window)
+        d = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+        return (_packing.pack_sequences(d, budget=2048)
+                .agg(F.max("seq_id"), F.sum("n_seqs")).collect())
+
+    @timed("tx_mixture_200k", pre=clean_room)
+    def _mx():  # per-source token agg + broadcast plan + narrow scoring
+        d = corpus.select(F.xxhash64("url").alias("doc_id"),
+                          F.col("lang").alias("source"), "text")
+        langs = [r["source"] for r in d.select("source").distinct().collect()]
+        return (_sampling.mixture_sample(
+                    d, {s: len(s) % 3 + 1 for s in langs},
+                    token_budget=30_000_000)
+                .agg(F.sum("n_copies")).collect())
+
+    @timed("tx_url_filter_200k", pre=clean_room)
+    def _uf():  # 10k-domain broadcast blocklist + keyword rule, all narrow
+        d = corpus.select(F.xxhash64("url").alias("doc_id"), "url")
+        bl = [f"blocked{i}.test" for i in range(10_000)]
+        return (_weburl.url_filter(d, blocked_domains=bl,
+                                   blocked_substrings=["/p/1"])
+                .agg(F.sum(F.col("keep").cast("long"))).collect())
+
+    @timed("tx_bpe_train_200k", reps=3, pre=clean_room,
+           record_samples=True)
+    def _bt():  # 8 BPE merge rounds: ONE corpus shuffle, then vocab-scale
+        return _bpetrain.bpe_train(corpus.select("text"), n_merges=8)
+
     clean_room()
 
     @timed("dd_exact")
@@ -562,6 +597,15 @@ def main() -> None:
         # the fusion join itself is N-bounded — this measures arms + fuse
         return _hy(idx, _synth_emb(100_000), ["smith", "jones"], qv,
                    k=10, n_candidates=50, use_wand=True).collect()
+
+    @timed("dd_semdedup_100k", reps=3, pre=clean_room, record_samples=True)
+    def _sdd():  # SemDeDup: IVF train (2 narrow Lloyd passes) + assign +
+        # per-(cell, tile) BLAS kernel over 100k synthetic vectors (the
+        # numpy throughput kernel; the fold kernel is the oracle path)
+        return (dedup.semdedup(_synth_emb(100_000), threshold=0.5,
+                               n_centroids=64, n_iters=2, dim=64,
+                               n_blocks=8, kernel="numpy")
+                .agg(F.sum(F.col("keep").cast("long"))).collect())
 
     from fatespark.qualitymodel import pseudo_weights as _pw, \
         quality_logit_df as _qld

@@ -852,3 +852,23 @@ class TestSemDeDup:
             df, 0.5, n_centroids=4, n_iters=2, dim=16, centroids=cent))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_numpy_kernel_matches_fold(self, emb60):
+        """The BLAS tile kernel (the throughput path) and the oracle-exact
+        fold kernel agree on every survivor, at two block counts."""
+        df, _ = emb60
+        from fatespark import ann
+        cent = ann.ivf_train(df, 16, n_centroids=4, n_iters=2)
+        fold = sorted(map(tuple, dedup.semdedup(
+            df, 0.5, n_centroids=4, dim=16, centroids=cent,
+            n_blocks=3, kernel="fold").collect()))
+        for nb in (1, 3):
+            fast = sorted(map(tuple, dedup.semdedup(
+                df, 0.5, n_centroids=4, dim=16, centroids=cent,
+                n_blocks=nb, kernel="numpy").collect()))
+            assert fast == fold
+
+    def test_unknown_kernel_rejected(self, emb60):
+        df, _ = emb60
+        with pytest.raises(ValueError):
+            dedup.semdedup(df, 0.5, dim=16, kernel="simd")
