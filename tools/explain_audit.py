@@ -323,6 +323,59 @@ def main() -> None:
             "zero exchanges, WholeStageCodegen end to end.",
             plan_of(c4_filters_df(docs4))))
 
+        # ---- round-4 session-3 operators --------------------------------
+        from fatespark import ann as _ann
+        from fatespark.dedup import semdedup
+        from fatespark.packing import pack_sequences
+        from fatespark.sampling import mixture_sample
+        from fatespark.weburl import url_filter
+
+        emb64 = docs4.select(
+            F.col("doc_id").alias("vec_id"),
+            F.array(*[((F.hash(F.col("doc_id"), F.lit(i)) % 1000) / 500.0)
+                      .cast("double") for i in range(16)]).alias("embedding"))
+        cent = _ann.ivf_train(emb64, 16, n_centroids=4, n_iters=1)
+        sections.append((
+            "SemDeDup within-cell dedup (semdedup, numpy kernel)",
+            "Assignment is one narrow MapInPandas against the broadcast "
+            "codebook; the (cell, tile) grid joins are BroadcastHashJoin "
+            "(grid is tiny); the quadratic compare runs inside "
+            "FlatMapGroupsInPandas per (ivf_cid, ga, gb) — one exchange "
+            "on the tile key, per-task memory one tile, NO cartesian/"
+            "BroadcastNestedLoopJoin anywhere; only removed ids exit.",
+            plan_of(semdedup(emb64, threshold=0.5, dim=16,
+                             centroids=cent, kernel="numpy"))))
+
+        sections.append((
+            "Sequence packing (pack_sequences)",
+            "ONE Exchange rangepartitioning(id) + Sort within partitions, "
+            "then a narrow MapInPandas running-sum pass with the driver-"
+            "computed partition offsets closed over. NO Window operator "
+            "and NO Exchange SinglePartition — the textbook "
+            "sum-over-order-by would serialize the corpus through one "
+            "task; this plan never does.",
+            plan_of(pack_sequences(docs4, budget=512))))
+
+        sections.append((
+            "Source-weighted mixture sampling (mixture_sample)",
+            "The per-source plan table is a tiny LocalTableScan riding a "
+            "BroadcastHashJoin into a narrow projection (md5 bucket "
+            "compare + integer epoch add) — the corpus never shuffles; "
+            "the only jobs beyond the scan are the |sources|-row "
+            "aggregate this plan was built from.",
+            plan_of(mixture_sample(
+                docs4.withColumn("source", F.col("lang")),
+                {"en": 2, "de": 1}, token_budget=10_000))))
+
+        sections.append((
+            "URL blocklist filter (url_filter)",
+            "Normalization + registered domain + keyword flags are one "
+            "narrow whole-stage-codegen projection; the domain blocklist "
+            "is a BroadcastHashJoin LEFT OUTER — no SortMergeJoin, no "
+            "corpus exchange.",
+            plan_of(url_filter(corpus, ["example.net"], ["/casino"],
+                               id_col="url"))))
+
     out = ["# EXPLAIN — physical plans of the hot paths",
            "",
            "Captured by `tools/explain_audit.py` (re-run to refresh). "
