@@ -283,6 +283,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             QS["near"], slop=2, k=10, quantize=4, ordered=True))
     q["ft_near_ordered"] = ft_near_ordered
 
+    def ft_span_first(spark, sf):
+        """SpanFirstQuery (Lucene): the phrase must END within the first
+        30 tokens of the doc — the title/lead-zone constraint; tf and df
+        count only qualifying spans (SearchIndex.search_span_first)."""
+        return _scores(_index(spark, sf).search_span_first(
+            QS["phrase"], max_end=30, k=10, quantize=4))
+    q["ft_span_first"] = ft_span_first
+
+    def ft_span_not(spark, sf):
+        """SpanNotQuery (Lucene): phrase occurrences with no 'scan'
+        within 3 tokens either side survive; a doc whose every span is
+        poisoned drops out (SearchIndex.search_span_not)."""
+        return _scores(_index(spark, sf).search_span_not(
+            QS["phrase"], "scan", pre=3, post=3, k=10, quantize=4))
+    q["ft_span_not"] = ft_span_not
+
     def ft_batch(spark, sf):
         """Batched query-log replay (SearchIndex.search_many): three OR
         queries answered from ONE postings scan — per-(term,field) streams
@@ -1748,7 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_windowed_counts", "q_sessionize", "q_percentiles",
         "tx_quality_classifier", "ft_near_ordered", "q_session_window",
         "dd_minhash_keep", "dd_semdedup", "tx_pack", "tx_mixture",
-        "tx_url_filter", "tx_bpe_train",
+        "tx_url_filter", "tx_bpe_train", "ft_span_first", "ft_span_not",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -1918,7 +1934,10 @@ LIMIT {limit}"""
 
 
 def _bm25_phrase_sql(first: str | list[str], second: str | None = None,
-                     prefix: bool = False, limit: int = 10) -> str:
+                     prefix: bool = False, limit: int = 10,
+                     max_end: int | None = None,
+                     exclude: list[str] | None = None,
+                     pre: int = 0, post: int = 0) -> str:
     """Top-k BM25 for an N-token phrase scored as a pseudo-term: adjacency
     via a chain of self-joins on pos+i over the zipped unnest +
     generate_subscripts token list (positions = engine token positions);
@@ -1938,6 +1957,17 @@ def _bm25_phrase_sql(first: str | list[str], second: str | None = None,
             conds.append(f"t{i}.term LIKE '{t}%'")
         else:
             conds.append(f"t{i}.term = '{t}'")
+    L = len(toks)
+    if max_end is not None:
+        # span end (exclusive, engine 0-indexed) = t0.pos - 1 + L
+        conds.append(f"t0.pos - 1 + {L} <= {max_end}")
+    if exclude:
+        exc = ", ".join(f"'{t}'" for t in exclude)
+        conds.append(
+            f"NOT EXISTS (SELECT 1 FROM ptok e\n"
+            f"    WHERE e.doc_id = t0.doc_id AND e.term IN ({exc})\n"
+            f"      AND e.pos - 1 >= t0.pos - 1 - {pre}\n"
+            f"      AND e.pos - 1 <= t0.pos - 1 + {L} - 1 + {post})")
     where = " AND ".join(conds)
     return f"""
 WITH ptok AS (
@@ -2319,6 +2349,9 @@ oprox AS (
     ph_first, ph_second = QS["phrase"].split()
     o["ft_phrase"] = _bm25_phrase_sql(ph_first, ph_second)
     o["ft_phrase3"] = _bm25_phrase_sql(QS["phrase3"].split())
+    o["ft_span_first"] = _bm25_phrase_sql(ph_first, ph_second, max_end=30)
+    o["ft_span_not"] = _bm25_phrase_sql(ph_first, ph_second,
+                                        exclude=["scan"], pre=3, post=3)
 
     hit_terms = ", ".join(f"'{t}'" for t in QS["hits"])
     o["ft_hits"] = f"""

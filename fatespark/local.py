@@ -436,10 +436,14 @@ class LocalSearchIndex:
         keep = t["term"].astype(str).str.startswith(p)
         return int(t.loc[keep, "cf"].sum())
 
-    def _phrase_match_rows(self,
-                           variants: list[list[str]]) -> pd.DataFrame | None:
+    def _phrase_match_rows(self, variants: list[list[str]],
+                           max_end: int | None = None,
+                           exclude: list[str] | None = None,
+                           pre: int = 0, post: int = 0
+                           ) -> pd.DataFrame | None:
         """(doc_id, field, tf, dl) matches of ANY variant, tf summed — the
-        local twin of ``SearchIndex._phrase_matches``."""
+        local twin of ``SearchIndex._phrase_matches`` (span constraints
+        included: same shared kernel)."""
         from .query import _decode_with_positions, _variants_match_rows
         if not bool(self.meta.get("store_positions", True)):
             raise ValueError("index built without positions; phrase disabled")
@@ -448,14 +452,17 @@ class LocalSearchIndex:
         variants = [v for v in variants if all(t in stats for t in v)]
         if not variants:
             return None
-        uniq = sorted({t for v in variants for t in v})
+        uniq = sorted({t for v in variants for t in v}
+                      | set(exclude or []))
         pdf = self._post_ix.read(uniq, ["bucket", "term", "field", "n",
                                         "docs", "tfs", "dls", "poss"])
         frames = []
         for (_, fid), fpdf in pdf.groupby(["bucket", "field"]):
             data = {t: _decode_with_positions(g, self.codec_name)
                     for t, g in fpdf.groupby("term")}
-            m = _variants_match_rows(data, variants, self.tombstones)
+            m = _variants_match_rows(data, variants, self.tombstones,
+                                     max_end=max_end, exclude=exclude,
+                                     pre=pre, post=post)
             if m is not None:
                 frames.append(m.assign(field=np.int32(fid)))
         if not frames:
@@ -503,6 +510,40 @@ class LocalSearchIndex:
         """Local twin of ``SearchIndex.search_phrase_prefix``."""
         m = self._phrase_match_rows(
             self._phrase_variants(phrase, max_expansions))
+        if m is None:
+            return _empty_result()
+        return self._score_phrase_rows(m, k, offset, quantize, weights)
+
+    def search_span_first(self, phrase: str, max_end: int, k: int = 10,
+                          offset: int = 0, quantize: int | None = None,
+                          weights: list[float] | None = None
+                          ) -> pd.DataFrame:
+        """Local twin of ``SearchIndex.search_span_first`` (same span
+        kernel, identical results)."""
+        if max_end <= 0:
+            raise ValueError("max_end must be positive")
+        m = self._phrase_match_rows(self._phrase_variants(phrase),
+                                    max_end=int(max_end))
+        if m is None:
+            return _empty_result()
+        return self._score_phrase_rows(m, k, offset, quantize, weights)
+
+    def search_span_not(self, phrase: str, exclude: str | list[str],
+                        k: int = 10, pre: int = 0, post: int = 0,
+                        offset: int = 0, quantize: int | None = None,
+                        weights: list[float] | None = None) -> pd.DataFrame:
+        """Local twin of ``SearchIndex.search_span_not``."""
+        from .analysis import ANALYZERS, ascii_fold
+        if pre < 0 or post < 0:
+            raise ValueError("pre/post must be >= 0")
+        tok, _ = ANALYZERS[self.analyzer]
+        parts = [exclude] if isinstance(exclude, str) else list(exclude)
+        ex = sorted({ascii_fold(t) for p in parts for t in tok(p)})
+        if not ex:
+            raise ValueError("empty exclude terms")
+        m = self._phrase_match_rows(self._phrase_variants(phrase),
+                                    exclude=ex, pre=int(pre),
+                                    post=int(post))
         if m is None:
             return _empty_result()
         return self._score_phrase_rows(m, k, offset, quantize, weights)

@@ -841,12 +841,18 @@ class SearchIndex:
         return _phrase_variants_for(self.analyzer, self.expand_prefix,
                                     phrase, max_expansions)
 
-    def _phrase_matches(self, variants: list[list[str]]) -> DataFrame | None:
+    def _phrase_matches(self, variants: list[list[str]],
+                        max_end: int | None = None,
+                        exclude: list[str] | None = None,
+                        pre: int = 0, post: int = 0) -> DataFrame | None:
         """(doc_id, field, tf, dl) for docs matching ANY variant, tf summed
         across variants — at a given token position exactly one variant can
         match (a position holds one term), so occurrences are disjoint and
         the sum is the exact total. One match pass decodes each term once
-        per (bucket, field) no matter how many variants share it."""
+        per (bucket, field) no matter how many variants share it.
+        ``max_end``/``exclude``/``pre``/``post`` are the span constraints
+        (see ``_match_variant_rows``); excluded terms ride the same
+        postings fetch but never gate the match."""
         if not self.store_positions:
             raise ValueError("index built without positions; phrase disabled")
         variants = [v for v in variants if v]
@@ -854,7 +860,8 @@ class SearchIndex:
         variants = [v for v in variants if all(t in stats for t in v)]
         if not variants:
             return None
-        uniq = sorted({t for v in variants for t in v})
+        uniq = sorted({t for v in variants for t in v}
+                      | set(exclude or []))
 
         tombs_ref = self._tombs_ref()
         codec = self.codec_name
@@ -872,7 +879,9 @@ class SearchIndex:
             for fid, fpdf in pdf.groupby("field"):
                 data = {t: _decode_with_positions(g, codec)
                         for t, g in fpdf.groupby("term")}
-                m = _variants_match_rows(data, variants, tombs)
+                m = _variants_match_rows(data, variants, tombs,
+                                         max_end=max_end, exclude=exclude,
+                                         pre=pre, post=post)
                 if m is not None:
                     outs.append(pd.DataFrame({
                         "doc_id": m["doc_id"].astype("int64"),
@@ -908,6 +917,57 @@ class SearchIndex:
         then JVM-side BM25 over the (tiny) match set. ``quantize``/
         ``weights`` as in ``search``."""
         m = self._phrase_matches(self._phrase_variants(phrase))
+        if m is None:
+            return self._empty()
+        return self._score_phrase_matches(m, k, offset, with_url, quantize,
+                                          weights)
+
+    def search_span_first(self, phrase: str, max_end: int, k: int = 10,
+                          offset: int = 0, with_url: bool = False,
+                          quantize: int | None = None,
+                          weights: list[float] | None = None) -> DataFrame:
+        """Lucene SpanFirstQuery: the phrase (or single term) must occur
+        with EXCLUSIVE end position <= ``max_end`` — i.e. entirely inside
+        the field's first ``max_end`` tokens (the lead-paragraph /
+        title-zone constraint). Scored as a pseudo-term over the spans
+        that qualify (tf = qualifying occurrences, df = docs with >= 1),
+        so a doc whose only hits are deep in the body neither matches nor
+        inflates df. Same one-postings-scan shape as ``search_phrase``;
+        the end-position filter is two vector ops inside the bucket
+        kernel. Reference analogue: offset-bounded suffix-array range scan
+        (``lib/suffix_array_reader.rb:45-72`` exposes match offsets);
+        Lucene parity target-new."""
+        if max_end <= 0:
+            raise ValueError("max_end must be positive")
+        m = self._phrase_matches(self._phrase_variants(phrase),
+                                 max_end=int(max_end))
+        if m is None:
+            return self._empty()
+        return self._score_phrase_matches(m, k, offset, with_url, quantize,
+                                          weights)
+
+    def search_span_not(self, phrase: str, exclude: str | list[str],
+                        k: int = 10, pre: int = 0, post: int = 0,
+                        offset: int = 0, with_url: bool = False,
+                        quantize: int | None = None,
+                        weights: list[float] | None = None) -> DataFrame:
+        """Lucene SpanNotQuery: occurrences of the include phrase that do
+        NOT have any ``exclude`` term within [start - pre, end - 1 + post]
+        (pre/post widen the forbidden zone, Lucene's overlap slack).
+        tf counts only surviving spans and df only docs that keep >= 1 —
+        a doc whose every occurrence is poisoned drops out entirely.
+        Excluded terms ride the same postings fetch (no extra scan); an
+        exclude term absent from the index excludes nothing, per Lucene.
+        Lucene parity target-new."""
+        if pre < 0 or post < 0:
+            raise ValueError("pre/post must be >= 0")
+        tok, _ = ANALYZERS[self.analyzer]
+        parts = [exclude] if isinstance(exclude, str) else list(exclude)
+        ex = sorted({ascii_fold(t) for p in parts for t in tok(p)})
+        if not ex:
+            raise ValueError("empty exclude terms")
+        m = self._phrase_matches(self._phrase_variants(phrase),
+                                 exclude=ex, pre=int(pre), post=int(post))
         if m is None:
             return self._empty()
         return self._score_phrase_matches(m, k, offset, with_url, quantize,
@@ -1458,12 +1518,24 @@ def _gather_doc_positions(data: dict, cand: np.ndarray,
 
 
 def _match_variant_rows(data: dict, v: list[str],
-                        tombs: np.ndarray | None) -> pd.DataFrame | None:
+                        tombs: np.ndarray | None,
+                        max_end: int | None = None,
+                        exclude: list[str] | None = None,
+                        pre: int = 0, post: int = 0
+                        ) -> pd.DataFrame | None:
     """All (doc, tf, dl) matches of ONE token-sequence variant within one
     (bucket, field)'s decoded postings — vectorized document-at-a-time-free
     adjacency: term i's positions shifted by -i are intersected as composite
     (doc_rank, pos) keys across the whole candidate set at once (no per-doc
-    Python loop). Positions fit 32 bits (dl < 2^31), so keys are exact."""
+    Python loop). Positions fit 32 bits (dl < 2^31), so keys are exact.
+
+    Span constraints (both optional, composable):
+    - ``max_end``: keep only spans whose EXCLUSIVE end position (Lucene
+      SpanFirstQuery ``end``) is <= max_end;
+    - ``exclude`` + ``pre``/``post``: drop spans that have an occurrence of
+      any excluded term within [start - pre, end - 1 + post] (Lucene
+      SpanNotQuery with pre/post slack), via two searchsorted range probes
+      per span over the excluded terms' composite keys."""
     vu = sorted(set(v))
     cand = data[vu[0]]["docs"]
     for t in vu[1:]:
@@ -1480,6 +1552,38 @@ def _match_variant_rows(data: dict, v: list[str],
             matched, keys, assume_unique=True)
         if matched.size == 0:
             return None
+    # matched key = (doc_rank << 32) | (start + L): the pos field IS the
+    # exclusive span end, which both constraints below are defined on
+    if max_end is not None:
+        matched = matched[(matched & np.int64(0xFFFFFFFF))
+                          <= np.int64(max_end)]
+        if matched.size == 0:
+            return None
+    if exclude:
+        ex_keys = []
+        for t in exclude:
+            if t not in data:
+                continue
+            common = np.intersect1d(cand, data[t]["docs"],
+                                    assume_unique=True)
+            if common.size == 0:
+                continue
+            keys, _ = _gather_doc_positions(data[t], common, 0)
+            # remap common-relative ranks into cand-relative ranks
+            remap = np.searchsorted(cand, common)
+            ex_keys.append((remap[keys >> np.int64(32)] << np.int64(32))
+                           | (keys & np.int64(0xFFFFFFFF)))
+        if ex_keys:
+            ex = np.sort(np.concatenate(ex_keys))
+            ends = matched & np.int64(0xFFFFFFFF)
+            rank_hi = matched & ~np.int64(0xFFFFFFFF)
+            lo = rank_hi | np.maximum(ends - L - pre, 0)
+            hi = rank_hi | (ends + post)
+            killed = (np.searchsorted(ex, hi, side="left")
+                      > np.searchsorted(ex, lo, side="left"))
+            matched = matched[~killed]
+            if matched.size == 0:
+                return None
     ranks = (matched >> np.int64(32))
     uniq_ranks, tf = np.unique(ranks, return_counts=True)
     docs = cand[uniq_ranks]
@@ -1578,14 +1682,20 @@ def _ordered_near_match_docs(data: dict, terms: list[str], slop: int,
 
 
 def _variants_match_rows(data: dict, variants: list[list[str]],
-                         tombs: np.ndarray | None) -> pd.DataFrame | None:
+                         tombs: np.ndarray | None,
+                         max_end: int | None = None,
+                         exclude: list[str] | None = None,
+                         pre: int = 0, post: int = 0
+                         ) -> pd.DataFrame | None:
     """(doc_id, tf, dl) of docs matching ANY variant, tf summed across
-    variants (disjoint occurrences — one term per position)."""
+    variants (disjoint occurrences — one term per position). Span
+    constraints pass through to ``_match_variant_rows``."""
     frames = []
     for v in variants:
         if any(t not in data for t in v):
             continue
-        m = _match_variant_rows(data, v, tombs)
+        m = _match_variant_rows(data, v, tombs, max_end=max_end,
+                                exclude=exclude, pre=pre, post=post)
         if m is not None:
             frames.append(m)
     if not frames:

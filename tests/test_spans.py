@@ -1,0 +1,135 @@
+"""Span-family queries: SpanFirstQuery and SpanNotQuery parity."""
+
+import pytest
+
+from fatespark.build import BuildConfig, IndexBuilder
+from fatespark.local import LocalSearchIndex
+from fatespark.query import SearchIndex
+
+DOCS = [
+    (1, "merge scan deep in the body merge scan"),  # spans at 0 and 6
+    (2, "alpha beta merge scan"),                   # span at 2 (end 4)
+    (3, "merge scan"),                              # span at 0 (end 2)
+    (4, "alpha merge scan error trail"),            # scan followed by error
+    (5, "error merge scan clean"),                  # error BEFORE the span
+    (6, "merge scan error merge scan clean here"),  # one poisoned, one not
+    (7, "nothing relevant"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_root):
+    d = str(tmp_root / "span_idx")
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    IndexBuilder(d, BuildConfig(n_buckets=2, salt_bits=0)).build(
+        spark, df, id_col="doc_id", url_col="doc_id", text_col="text",
+        build_id="span")
+    return SearchIndex(spark, d), LocalSearchIndex(d)
+
+
+def _ids(df):
+    rows = df.collect() if hasattr(df, "collect") else df.itertuples()
+    return {getattr(r, "doc_id", None) or r["doc_id"] for r in df.collect()} \
+        if hasattr(df, "collect") else {r["doc_id"] for _, r in df.iterrows()}
+
+
+def _rows(df):
+    if hasattr(df, "collect"):
+        return sorted((r["doc_id"], round(r["score"], 9))
+                      for r in df.collect())
+    return sorted((int(r["doc_id"]), round(float(r["score"]), 9))
+                  for _, r in df.iterrows())
+
+
+class TestSpanFirst:
+    def test_end_bound(self, idx):
+        si, _ = idx
+        # spans: d1 (0,2)+(6,8); d2 (2,4); d3 (0,2); d4 (1,3); d5 (1,3);
+        # d6 (0,2)+(3,5)
+        assert {r["doc_id"] for r in
+                si.search_span_first("merge scan", 2).collect()} == {1, 3, 6}
+        assert {r["doc_id"] for r in
+                si.search_span_first("merge scan", 4).collect()} \
+            == {1, 2, 3, 4, 5, 6}
+
+    def test_tf_counts_only_qualifying_spans(self, idx):
+        si, _ = idx
+        v = si._phrase_variants("merge scan")
+        wide = {r["doc_id"]: r["tf"] for r in
+                si._phrase_matches(v, max_end=100).collect()}
+        tight = {r["doc_id"]: r["tf"] for r in
+                 si._phrase_matches(v, max_end=2).collect()}
+        # doc 1 has 2 spans total but only 1 early
+        assert wide[1] == 2 and tight[1] == 1
+
+    def test_validation(self, idx):
+        si, _ = idx
+        with pytest.raises(ValueError):
+            si.search_span_first("merge scan", 0)
+
+    def test_reader_parity(self, idx):
+        si, li = idx
+        assert _rows(si.search_span_first("merge scan", 4, quantize=4)) \
+            == _rows(li.search_span_first("merge scan", 4, quantize=4))
+
+
+class TestSpanNot:
+    def test_post_zone(self, idx):
+        si, _ = idx
+        # exclude 'error' with post=1: a span whose next token is error dies
+        got = {r["doc_id"] for r in
+               si.search_span_not("merge scan", "error", post=1).collect()}
+        # doc 4 dies (scan error); doc 6 keeps its second span; doc 5's
+        # error is BEFORE the span (pre=0) so it survives
+        assert got == {1, 2, 3, 5, 6}
+
+    def test_pre_zone(self, idx):
+        si, _ = idx
+        got = {r["doc_id"] for r in
+               si.search_span_not("merge scan", "error",
+                                  pre=1, post=1).collect()}
+        # pre=1 kills doc 5 (error just before its span) AND doc 6's
+        # second span (error at start-1), leaving doc 6 span-less
+        assert got == {1, 2, 3}
+
+    def test_zero_slack_requires_overlap(self, idx):
+        si, _ = idx
+        # pre=post=0: exclusion only when the exclude term is INSIDE the
+        # span — never true here, so everything with the phrase matches
+        got = {r["doc_id"] for r in
+               si.search_span_not("merge scan", "error").collect()}
+        assert got == {1, 2, 3, 4, 5, 6}
+
+    def test_absent_exclude_is_noop(self, idx):
+        si, _ = idx
+        a = _rows(si.search_span_not("merge scan", "zzznope", post=3,
+                                     quantize=4))
+        b = _rows(si.search_phrase("merge scan", quantize=4))
+        assert a == b
+
+    def test_tf_counts_surviving_spans(self, idx):
+        si, _ = idx
+        v = si._phrase_variants("merge scan")
+        full = {r["doc_id"]: r["tf"] for r in
+                si._phrase_matches(v).collect()}
+        cut = {r["doc_id"]: r["tf"] for r in
+               si._phrase_matches(v, exclude=["error"],
+                                  post=1).collect()}
+        # doc 6 loses its first span (error at end-1+post) but keeps the
+        # second; doc 4 loses its only span
+        assert full[6] == 2 and cut[6] == 1
+        assert 4 in full and 4 not in cut
+
+    def test_reader_parity(self, idx):
+        si, li = idx
+        assert _rows(si.search_span_not("merge scan", "error", pre=1,
+                                        post=1, quantize=4)) \
+            == _rows(li.search_span_not("merge scan", "error", pre=1,
+                                        post=1, quantize=4))
+
+    def test_validation(self, idx):
+        si, _ = idx
+        with pytest.raises(ValueError):
+            si.search_span_not("merge scan", "error", pre=-1)
+        with pytest.raises(ValueError):
+            si.search_span_not("merge scan", "")
