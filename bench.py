@@ -211,6 +211,15 @@ def main() -> None:
     def _nr():  # proximity: same tokens as q_phrase, unordered 4-window
         return idx.search_near(["big", "array"], slop=4, k=10).collect()
 
+    @timed("q_span_first", reps=3)
+    def _spf():  # SpanFirst: phrase must end in the first 40 tokens
+        return idx.search_span_first("big array", 40, k=10).collect()
+
+    @timed("q_span_not", reps=3)
+    def _spn():  # SpanNot: phrase spans with no 'scan' within 3 tokens
+        return idx.search_span_not("big array", "scan", pre=3, post=3,
+                                   k=10).collect()
+
     @timed("q_batch3", reps=3)
     def _qb():  # 3 queries, one postings scan (vs 3x the single-query cost)
         return idx.search_many(
