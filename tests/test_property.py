@@ -132,3 +132,109 @@ def test_pfor_single_frame_vs_varint_agree(vals):
         out[name] = c.decode(buf, v.size)
     assert (out["varint"] == out["pfor"]).all()
     assert (out["pfor"] == v).all()
+
+
+# ---------------------------------------------------------------------------
+# span-match kernel: random corpora vs a brute re-scan
+
+
+def _span_data(docs_tokens):
+    """Build the per-term decoded-postings dict (_decode_with_positions
+    shape) directly from token lists."""
+    terms = {}
+    dl = {}
+    for did, toks in docs_tokens:
+        dl[did] = len(toks)
+        for p, t in enumerate(toks):
+            terms.setdefault(t, {}).setdefault(did, []).append(p)
+    out = {}
+    for t, m in terms.items():
+        dids = sorted(m)
+        tfs = np.array([len(m[d]) for d in dids], dtype=np.int64)
+        out[t] = {
+            "docs": np.array(dids, dtype=np.int64),
+            "tfs": tfs,
+            "dls": np.array([dl[d] for d in dids], dtype=np.int64),
+            "poss": np.array([p for d in dids for p in m[d]],
+                             dtype=np.int64),
+            "tok_starts": np.concatenate(
+                [np.zeros(1, dtype=np.int64), np.cumsum(tfs)]),
+        }
+    return out
+
+
+def _brute_spans(docs_tokens, phrase, max_end=None, exclude=None,
+                 pre=0, post=0):
+    L = len(phrase)
+    res = {}
+    for did, toks in docs_tokens:
+        tf = 0
+        for s in range(len(toks) - L + 1):
+            if toks[s:s + L] != phrase:
+                continue
+            e = s + L
+            if max_end is not None and e > max_end:
+                continue
+            if exclude:
+                lo, hi = max(s - pre, 0), min(e - 1 + post, len(toks) - 1)
+                if any(toks[q] in exclude for q in range(lo, hi + 1)):
+                    continue
+            tf += 1
+        if tf:
+            res[did] = tf
+    return res
+
+
+_tok = st.sampled_from(["a", "b", "c", "x"])
+_doc = st.lists(_tok, min_size=0, max_size=12)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_corpus,
+       st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3),
+       st.one_of(st.none(), st.integers(min_value=1, max_value=10)),
+       st.booleans(),
+       st.integers(min_value=0, max_value=3),
+       st.integers(min_value=0, max_value=3))
+def test_span_kernel_matches_brute(corpus, phrase, max_end, use_exc,
+                                   pre, post):
+    from fatespark.query import _match_variant_rows
+    docs_tokens = [(i, toks) for i, toks in enumerate(corpus)]
+    data = _span_data(docs_tokens)
+    exclude = ["x"] if use_exc else None
+    want = _brute_spans(docs_tokens, phrase, max_end=max_end,
+                        exclude=exclude, pre=pre, post=post)
+    if any(t not in data for t in phrase):
+        return  # kernel contract: caller pre-filters missing terms
+    m = _match_variant_rows(data, list(phrase), None, max_end=max_end,
+                            exclude=exclude, pre=pre, post=post)
+    got = {} if m is None else dict(zip(m["doc_id"], m["tf"]))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: the integer scan law on arbitrary id/count multisets
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=-10**6, max_value=10**6),
+                          st.integers(min_value=0, max_value=500)),
+                min_size=1, max_size=40,
+                unique_by=lambda t: t[0]),
+       st.integers(min_value=1, max_value=300))
+def test_packing_law(rows, budget):
+    """Pure-python law the distributed scan must satisfy (the Spark twin is
+    asserted equal to brute in tests/test_packing.py): offsets are the
+    exclusive prefix sum in id order, seq spans derive from integer
+    division, and totals telescope."""
+    rows = sorted(rows)
+    run = 0
+    for i, (did, n) in enumerate(rows):
+        start = run
+        run += n
+        seq = start // budget
+        last = max(start + n - 1, start)
+        assert seq <= last // budget
+        assert (last // budget - seq + 1) >= 1
+    assert run == sum(n for _, n in rows)
