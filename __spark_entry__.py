@@ -1010,6 +1010,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.decontaminate_flags(d, bench, n=6)
     q["tx_decontam"] = tx_decontam
 
+    def tx_decontam_fuzzy(spark, sf):
+        """FUZZY benchmark decontamination (the Llama-style second pass on
+        top of the 13-gram rule): MinHash near-dup flags of corpus docs vs
+        an eval set. Benchmark = doc_id % 25 == 0; docs at % 25 == 1 are
+        planted light edits of their bench neighbor (text + 3 tokens), so
+        both the paraphrase path AND the self-containment path are
+        exercised non-vacuously (dedup.decontaminate_fuzzy_flags)."""
+        d = _read(spark, sf, "documents")
+        prev = d.select((F.col("doc_id") + 1).alias("doc_id"),
+                        F.col("text").alias("_prev"))
+        planted = (d.join(prev, "doc_id", "left")
+                   .withColumn("text", F.when(
+                       (F.col("doc_id") % 25 == 1)
+                       & F.col("_prev").isNotNull(),
+                       F.concat(F.col("_prev"), F.lit(" zz extra filler")))
+                       .otherwise(F.col("text")))
+                   .select("doc_id", "text"))
+        bench = planted.filter(F.col("doc_id") % 25 == 0)
+        return (dedup.decontaminate_fuzzy_flags(planted, bench,
+                                                threshold=0.5)
+                .withColumnRenamed("id", "doc_id")
+                .orderBy("doc_id"))
+    q["tx_decontam_fuzzy"] = tx_decontam_fuzzy
+
     def _planted_url():
         """Deterministic doc_id-derived messy URL: mixed case, default and
         non-default ports, tracking params, fragments, trailing slashes,
@@ -1765,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_quality_classifier", "ft_near_ordered", "q_session_window",
         "dd_minhash_keep", "dd_semdedup", "tx_pack", "tx_mixture",
         "tx_url_filter", "tx_bpe_train", "ft_span_first", "ft_span_not",
+        "tx_decontam_fuzzy",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -2930,6 +2955,15 @@ FROM m"""
     o["tx_url_normalize"] = f"""
 WITH {_url_ctes}
 SELECT doc_id AS id, url_norm, host, domain FROM unorm"""
+
+    o["tx_decontam_fuzzy"] = sqloracles.fuzzy_decontam_sql(
+        threshold=0.5, num_hashes=64, k=3, bands=16,
+        planted_cte="""planted AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 25 = 1 AND p.text IS NOT NULL
+              THEN p.text || ' zz extra filler' ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+)""")
 
     o["tx_url_filter"] = f"""
 WITH {_url_ctes}

@@ -261,17 +261,24 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 64, k: int = 3,
         gen, schema="doc_id long, sig array<long>")
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16,
-                        rows_per_band: int = 4) -> DataFrame:
-    """Band the signatures and equi-join on (band, band_hash) buckets —
-    the all-pairs-free near-dup candidate generation that scales."""
-    b = sig_df.select(
+def _sig_bands(sig_df: DataFrame, bands: int,
+               rows_per_band: int) -> DataFrame:
+    """(doc_id, band, band_hash): one row per signature band — the shared
+    banding step of every MinHash-LSH join."""
+    return sig_df.select(
         "doc_id",
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda i: F.xxhash64(F.slice(
                 "sig", i * rows_per_band + 1, rows_per_band).cast("string"))
         )).alias("band", "band_hash"))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16,
+                        rows_per_band: int = 4) -> DataFrame:
+    """Band the signatures and equi-join on (band, band_hash) buckets —
+    the all-pairs-free near-dup candidate generation that scales."""
+    b = _sig_bands(sig_df, bands, rows_per_band)
     x, y = b.alias("x"), b.alias("y")
     return (x.join(y, (F.col("x.band") == F.col("y.band"))
                    & (F.col("x.band_hash") == F.col("y.band_hash"))
@@ -281,10 +288,14 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16,
             .distinct())
 
 
-def minhash_jaccard_estimate(sig_df: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Estimated Jaccard = matching signature positions / num_hashes."""
+def minhash_jaccard_estimate(sig_df: DataFrame, pairs: DataFrame,
+                             sig_df_b: DataFrame | None = None) -> DataFrame:
+    """Estimated Jaccard = matching signature positions / num_hashes.
+    ``sig_df_b`` supplies the id_b side for bipartite (cross-set) pairs;
+    default is the self-join case."""
     sa = sig_df.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sig", "sig_a")
-    sb = sig_df.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sig", "sig_b")
+    sb = (sig_df if sig_df_b is None else sig_df_b) \
+        .withColumnRenamed("doc_id", "id_b").withColumnRenamed("sig", "sig_b")
     eq = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b:
                                     (a == b).cast("int")), lambda v: v == 1))
     return (pairs.join(sa, "id_a").join(sb, "id_b")
@@ -1041,3 +1052,58 @@ def _semdedup_removed_numpy(base: DataFrame, grid: DataFrame, blk,
 
     return (both.groupBy("ivf_cid", "ga", "gb")
             .applyInPandas(tile, "id long").distinct())
+
+
+# ---------------------------------------------------------------------------
+# fuzzy benchmark decontamination (cross-set MinHash near-dup flags)
+
+
+def decontaminate_fuzzy_flags(corpus_df: DataFrame, bench_df: DataFrame,
+                              threshold: float = 0.5, num_hashes: int = 64,
+                              k: int = 3, bands: int = 16,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """FUZZY benchmark decontamination: flag every corpus document that is
+    a MinHash near-duplicate (estimated Jaccard ≥ ``threshold``) of ANY
+    benchmark document. The n-gram rule (``decontaminate_flags``) catches
+    verbatim leaks; this catches paraphrased / lightly-edited leaks — the
+    Llama-style second decontamination pass. Output per corpus doc:
+    (id, fuzzy_contaminated, n_bench_matches, max_jaccard_est).
+
+    100 TB shape: both sides get constant-size signatures (one narrow
+    Arrow pass each); the benchmark side is EVAL-SET-SIZED, so its banded
+    signature table BROADCASTS into the candidate join — the corpus is
+    never shuffled for candidate generation (same contract as the n-gram
+    rule, plan-asserted in tests). Only banded collisions reach the
+    estimate join and the per-doc aggregate, both bounded by the hit
+    count, not the corpus. Deterministic signatures (splitmix64/md5), so
+    the DuckDB oracle replicates candidates AND estimates bit-exactly.
+
+    Reference analogue: none; target-new per the survey's LLM-data ops
+    mandate (composes with ``dedup.decontaminate_flags``)."""
+    rows_per_band = num_hashes // bands
+    csig = minhash_signatures(corpus_df, num_hashes, k, text_col, id_col)
+    bsig = minhash_signatures(bench_df, num_hashes, k, text_col,
+                              id_col).cache()
+    cb = _sig_bands(csig, bands, rows_per_band).alias("x")
+    bb = F.broadcast(_sig_bands(bsig, bands, rows_per_band)).alias("y")
+    cand = (cb.join(bb, (F.col("x.band") == F.col("y.band"))
+                    & (F.col("x.band_hash") == F.col("y.band_hash")))
+            .select(F.col("x.doc_id").alias("id_a"),
+                    F.col("y.doc_id").alias("id_b"))
+            .distinct())
+    est = minhash_jaccard_estimate(csig, cand, sig_df_b=F.broadcast(bsig))
+    hits = (est.filter(F.col("jaccard_est") >= threshold)
+            .groupBy("id_a")
+            .agg(F.count("*").alias("n_bench_matches"),
+                 F.max("jaccard_est").alias("max_jaccard_est")))
+    return (corpus_df.select(F.col(id_col).alias("id"))
+            .join(hits.withColumnRenamed("id_a", "id"), "id", "left")
+            .select(
+                "id",
+                F.col("n_bench_matches").isNotNull()
+                .alias("fuzzy_contaminated"),
+                F.coalesce("n_bench_matches", F.lit(0)).cast("long")
+                .alias("n_bench_matches"),
+                F.round(F.coalesce("max_jaccard_est", F.lit(0.0)), 4)
+                .alias("max_jaccard_est")))

@@ -102,16 +102,14 @@ SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
 
 
-def minhash_pairs_sql(threshold: float = 0.35, num_hashes: int = 64,
-                      k: int = 3, bands: int = 16, seed: int = 7,
-                      shingle_seed: int = 1337) -> str:
-    """Twin of ``dedup.minhash_dedup_pairs``: rolling-polynomial k-shingle
-    hashes, per-seed minima, banded candidates, signature-estimate filter.
-    Output (id_a, id_b, jaccard_est). Only k=3 window joins are generated
-    (matches the engine default)."""
+def _minhash_sig_ctes(num_hashes: int, k: int, seed: int,
+                      shingle_seed: int, docs_table: str = "documents",
+                      ptoks_cte: str | None = None) -> str:
+    """Shared signature-derivation CTE chain (ptoks → win → wh → mh → sigv
+    → sig) used by ``minhash_pairs_sql`` and ``fuzzy_decontam_sql``; k=3
+    only (matches the engine default)."""
     if k != 3:
         raise NotImplementedError("SQL twin generated for k=3 only")
-    rows_per_band = num_hashes // bands
     init = sq.splitmix64_py(shingle_seed)
     r0 = (init * _M) % sq.U64
     seeds = [sq.splitmix64_py(i + seed * 0x9E3779B9)
@@ -120,8 +118,7 @@ def minhash_pairs_sql(threshold: float = 0.35, num_hashes: int = 64,
                           for i, s in enumerate(seeds))
     w_steps, w_final = sq.splitmix64_steps("r3", "w")
     m_steps, m_final = sq.splitmix64_steps(sq.xor64("wh", "s.sv"), "m")
-    return f"""
-WITH {_PTOKS_CTE},
+    return f"""{ptoks_cte if ptoks_cte is not None else _PTOKS_CTE},
 win AS (
   SELECT doc_id,
          {sq.md5_u64('toks[i]')} AS h1,
@@ -150,10 +147,82 @@ sigv AS (
 sig AS (
   SELECT d.doc_id, g.i,
          coalesce({sq.to_i64('s.mv')}, {_I64MAX}) AS v
-  FROM documents d
+  FROM {docs_table} d
   CROSS JOIN generate_series(0, {num_hashes - 1}) g(i)
   LEFT JOIN sigv s ON s.doc_id = d.doc_id AND s.i = g.i
+)"""
+
+
+def fuzzy_decontam_sql(threshold: float = 0.5, num_hashes: int = 64,
+                       k: int = 3, bands: int = 16, seed: int = 7,
+                       shingle_seed: int = 1337,
+                       planted_cte: str | None = None,
+                       bench_pred: str = "doc_id % 25 = 0") -> str:
+    """Twin of ``dedup.decontaminate_fuzzy_flags`` over a planted corpus:
+    signatures over all docs, corpus bands × bench bands candidates, the
+    same signature-estimate filter, per-corpus-doc aggregate. Output
+    (doc_id, fuzzy_contaminated, n_bench_matches, max_jaccard_est)."""
+    rows_per_band = num_hashes // bands
+    up, lo, ws = _UP, _LO, _WS_SQL
+    src = "planted" if planted_cte is not None else "documents"
+    ptoks = f"""
+ptoks AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(coalesce(text, ''), '{ws}'),
+                       x -> x <> ''),
+           x -> translate(x, '{up}', '{lo}')) AS toks
+  FROM {src}
+)"""
+    head = (f"{planted_cte},{ptoks}" if planted_cte is not None else ptoks)
+    sig_chain = _minhash_sig_ctes(num_hashes, k, seed, shingle_seed,
+                                  docs_table=src, ptoks_cte=head)
+    return f"""
+WITH {sig_chain},
+bands AS (
+  SELECT doc_id, i // {rows_per_band} AS band, list(v ORDER BY i) AS key
+  FROM sig GROUP BY doc_id, i // {rows_per_band}
 ),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key
+  WHERE y.doc_id IN (SELECT doc_id FROM {src} WHERE {bench_pred})
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / {float(num_hashes)}
+           AS jaccard_est
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+  GROUP BY c.id_a, c.id_b
+),
+hits AS (
+  SELECT id_a, count(*) AS n_bench_matches,
+         max(jaccard_est) AS max_jaccard_est
+  FROM est WHERE jaccard_est >= {threshold}
+  GROUP BY id_a
+)
+SELECT d.doc_id,
+       (h.n_bench_matches IS NOT NULL) AS fuzzy_contaminated,
+       coalesce(h.n_bench_matches, 0)::BIGINT AS n_bench_matches,
+       round(coalesce(h.max_jaccard_est, 0.0), 4) AS max_jaccard_est
+FROM {src} d LEFT JOIN hits h ON h.id_a = d.doc_id
+ORDER BY d.doc_id"""
+
+
+def minhash_pairs_sql(threshold: float = 0.35, num_hashes: int = 64,
+                      k: int = 3, bands: int = 16, seed: int = 7,
+                      shingle_seed: int = 1337) -> str:
+    """Twin of ``dedup.minhash_dedup_pairs``: rolling-polynomial k-shingle
+    hashes, per-seed minima, banded candidates, signature-estimate filter.
+    Output (id_a, id_b, jaccard_est). Only k=3 window joins are generated
+    (matches the engine default)."""
+    rows_per_band = num_hashes // bands
+    sig_chain = _minhash_sig_ctes(num_hashes, k, seed, shingle_seed)
+    return f"""
+WITH {sig_chain},
 bands AS (
   SELECT doc_id, i // {rows_per_band} AS band, list(v ORDER BY i) AS key
   FROM sig GROUP BY doc_id, i // {rows_per_band}

@@ -872,3 +872,50 @@ class TestSemDeDup:
         df, _ = emb60
         with pytest.raises(ValueError):
             dedup.semdedup(df, 0.5, dim=16, kernel="simd")
+
+
+class TestFuzzyDecontam:
+    @pytest.fixture(scope="class")
+    def sets(self, spark):
+        corpus = [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "the quick brown fox jumps over the lazy dog today ok"),
+            (2, "completely different words about spark and parquet io"),
+            (3, "benchmark question alpha beta gamma delta epsilon zeta"),
+            (4, "unrelated content entirely nothing shared anywhere here"),
+        ]
+        bench = [
+            (100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "benchmark question alpha beta gamma delta epsilon zeta"),
+        ]
+        return (spark.createDataFrame(corpus, "doc_id long, text string"),
+                spark.createDataFrame(bench, "doc_id long, text string"))
+
+    def test_flags(self, sets):
+        c, b = sets
+        got = {r["id"]: r for r in dedup.decontaminate_fuzzy_flags(
+            c, b, threshold=0.5).collect()}
+        assert got[0]["fuzzy_contaminated"]          # verbatim leak
+        assert got[0]["max_jaccard_est"] == 1.0
+        assert got[1]["fuzzy_contaminated"]          # light edit
+        assert got[3]["fuzzy_contaminated"]          # verbatim leak
+        assert not got[2]["fuzzy_contaminated"]
+        assert not got[4]["fuzzy_contaminated"]
+        assert got[2]["n_bench_matches"] == 0
+        assert got[2]["max_jaccard_est"] == 0.0
+
+    def test_bench_side_broadcasts(self, sets):
+        c, b = sets
+        plan = _physical_plan(dedup.decontaminate_fuzzy_flags(c, b))
+        # the candidate join against the benchmark bands must be a
+        # broadcast join: the corpus is never shuffled for candidates
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_threshold_monotone(self, sets):
+        c, b = sets
+        lo = {r["id"] for r in dedup.decontaminate_fuzzy_flags(
+            c, b, threshold=0.3).collect() if r["fuzzy_contaminated"]}
+        hi = {r["id"] for r in dedup.decontaminate_fuzzy_flags(
+            c, b, threshold=0.9).collect() if r["fuzzy_contaminated"]}
+        assert hi <= lo
