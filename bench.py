@@ -514,6 +514,18 @@ def main() -> None:
     def _bt():  # 8 BPE merge rounds: ONE corpus shuffle, then vocab-scale
         return _bpetrain.bpe_train(corpus.select("text"), n_merges=8)
 
+    @timed("tx_decontam_fuzzy_200k", reps=3, pre=clean_room,
+           record_samples=True)
+    def _dcf():  # MinHash cross-set flags vs a 200-page eval set; bench
+        # bands broadcast, corpus never shuffled for candidates
+        d = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+        bench_docs = corpus.limit(200).select(
+            F.xxhash64("url").alias("doc_id"), "text")
+        return (dedup.decontaminate_fuzzy_flags(d, bench_docs,
+                                                threshold=0.5)
+                .agg(F.sum(F.col("fuzzy_contaminated").cast("long")))
+                .collect())
+
     clean_room()
 
     @timed("dd_exact")
