@@ -299,6 +299,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             QS["phrase"], "scan", pre=3, post=3, k=10, quantize=4))
     q["ft_span_not"] = ft_span_not
 
+    def ft_span_or(spark, sf):
+        """SpanOrQuery (Lucene): docs matching ANY of two phrase clauses
+        ('big data' OR 'merge scan'), scored as ONE pseudo-term — tf sums
+        occurrences across clauses; one postings scan covers both
+        (SearchIndex.search_phrases_any)."""
+        return _scores(_index(spark, sf).search_phrases_any(
+            [QS["phrase"], "merge scan"], k=10, quantize=4))
+    q["ft_span_or"] = ft_span_or
+
     def ft_batch(spark, sf):
         """Batched query-log replay (SearchIndex.search_many): three OR
         queries answered from ONE postings scan — per-(term,field) streams
@@ -1789,7 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_quality_classifier", "ft_near_ordered", "q_session_window",
         "dd_minhash_keep", "dd_semdedup", "tx_pack", "tx_mixture",
         "tx_url_filter", "tx_bpe_train", "ft_span_first", "ft_span_not",
-        "tx_decontam_fuzzy",
+        "tx_decontam_fuzzy", "ft_span_or",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -2019,6 +2028,57 @@ ph AS (
   {joins}
   WHERE {where}
   GROUP BY t0.doc_id
+),
+pstats AS (SELECT count(*) AS df FROM ph),
+scored AS (
+  SELECT ph.doc_id,
+         ln(1 + (stats.n_docs - pstats.df + 0.5) / (pstats.df + 0.5))
+         * (ph.tf * {_K1P1} / (ph.tf + {_K1} *
+            ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS score
+  FROM ph JOIN dls USING (doc_id) CROSS JOIN stats CROSS JOIN pstats
+)
+SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
+FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT {limit}"""
+
+
+def _bm25_phrases_any_sql(clauses: list[list[str]], limit: int = 10) -> str:
+    """SpanOr twin: per-clause adjacency chains UNION ALL'd, then the same
+    pseudo-term BM25 tail as ``_bm25_phrase_sql`` (tf = total occurrences
+    across clauses, df = docs matching any)."""
+    arms = []
+    for toks in clauses:
+        joins = "\n      ".join(
+            f"JOIN ptok t{i} ON t{i}.doc_id = t0.doc_id"
+            f" AND t{i}.pos = t0.pos + {i}"
+            for i in range(1, len(toks)))
+        where = " AND ".join(f"t{i}.term = '{t}'"
+                             for i, t in enumerate(toks))
+        arms.append(f"    SELECT t0.doc_id FROM ptok t0\n      {joins}\n"
+                    f"    WHERE {where}")
+    union = "\n    UNION ALL\n".join(arms)
+    return f"""
+WITH ptok AS (
+  SELECT doc_id, translate(unnest(toks), '{_UP}', '{_LO}') AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                 '{_WS_SQL}'),
+                           x -> x <> '') AS toks
+        FROM documents)
+),
+dls AS (
+  SELECT d.doc_id, coalesce(x.dl, 0) AS dl
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*) AS dl FROM ptok GROUP BY doc_id) x USING (doc_id)
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dls
+),
+ph AS (
+  SELECT doc_id, count(*) AS tf FROM (
+{union}
+  ) GROUP BY doc_id
 ),
 pstats AS (SELECT count(*) AS df FROM ph),
 scored AS (
@@ -2375,6 +2435,8 @@ oprox AS (
     o["ft_phrase"] = _bm25_phrase_sql(ph_first, ph_second)
     o["ft_phrase3"] = _bm25_phrase_sql(QS["phrase3"].split())
     o["ft_span_first"] = _bm25_phrase_sql(ph_first, ph_second, max_end=30)
+    o["ft_span_or"] = _bm25_phrases_any_sql(
+        [QS["phrase"].split(), ["merge", "scan"]])
     o["ft_span_not"] = _bm25_phrase_sql(ph_first, ph_second,
                                         exclude=["scan"], pre=3, post=3)
 

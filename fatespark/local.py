@@ -514,6 +514,22 @@ class LocalSearchIndex:
             return _empty_result()
         return self._score_phrase_rows(m, k, offset, quantize, weights)
 
+    def search_phrases_any(self, phrases: list[str], k: int = 10,
+                           offset: int = 0, quantize: int | None = None,
+                           weights: list[float] | None = None
+                           ) -> pd.DataFrame:
+        """Local twin of ``SearchIndex.search_phrases_any`` (SpanOr over
+        phrase clauses)."""
+        variants = []
+        for p in phrases:
+            variants.extend(self._phrase_variants(p))
+        if not variants:
+            return _empty_result()
+        m = self._phrase_match_rows(variants)
+        if m is None:
+            return _empty_result()
+        return self._score_phrase_rows(m, k, offset, quantize, weights)
+
     def search_span_first(self, phrase: str, max_end: int, k: int = 10,
                           offset: int = 0, quantize: int | None = None,
                           weights: list[float] | None = None

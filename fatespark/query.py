@@ -922,6 +922,28 @@ class SearchIndex:
         return self._score_phrase_matches(m, k, offset, with_url, quantize,
                                           weights)
 
+    def search_phrases_any(self, phrases: list[str], k: int = 10,
+                           offset: int = 0, with_url: bool = False,
+                           quantize: int | None = None,
+                           weights: list[float] | None = None) -> DataFrame:
+        """Lucene SpanOrQuery over phrase clauses: docs matching ANY of the
+        given phrases (lengths may differ), scored as ONE pseudo-term —
+        tf = total occurrences across clauses, df = docs matching any.
+        This is exactly the analyzer-variant machinery ``search_phrase``
+        already runs for multi-token expansions, surfaced for caller-
+        provided clauses; one postings scan covers every clause (shared
+        terms decode once per bucket/field). Lucene parity target-new."""
+        variants = []
+        for p in phrases:
+            variants.extend(self._phrase_variants(p))
+        if not variants:
+            return self._empty()
+        m = self._phrase_matches(variants)
+        if m is None:
+            return self._empty()
+        return self._score_phrase_matches(m, k, offset, with_url, quantize,
+                                          weights)
+
     def search_span_first(self, phrase: str, max_end: int, k: int = 10,
                           offset: int = 0, with_url: bool = False,
                           quantize: int | None = None,

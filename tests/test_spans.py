@@ -133,3 +133,42 @@ class TestSpanNot:
             si.search_span_not("merge scan", "error", pre=-1)
         with pytest.raises(ValueError):
             si.search_span_not("merge scan", "")
+
+
+class TestSpanOr:
+    def test_union_and_tf(self, idx):
+        si, _ = idx
+        v = (si._phrase_variants("merge scan")
+             + si._phrase_variants("alpha beta"))
+        m = {r["doc_id"]: r["tf"] for r in si._phrase_matches(v).collect()}
+        # doc 2 "alpha beta merge scan" matches BOTH clauses: tf 2
+        assert m[2] == 2
+        # doc 1 matches only "merge scan", twice
+        assert m[1] == 2
+        assert 7 not in m
+
+    def test_clause_lengths_may_differ(self, idx):
+        si, _ = idx
+        got = {r["doc_id"] for r in si.search_phrases_any(
+            ["merge scan error", "clean"]).collect()}
+        # 3-token clause hits docs 4 and 6; 1-token clause hits 5 and 6
+        assert got == {4, 5, 6}
+
+    def test_superset_of_each_clause(self, idx):
+        si, _ = idx
+        both = {r["doc_id"] for r in si.search_phrases_any(
+            ["merge scan", "alpha beta"]).collect()}
+        a = {r["doc_id"] for r in si.search_phrase("merge scan").collect()}
+        b = {r["doc_id"] for r in si.search_phrase("alpha beta").collect()}
+        assert both == a | b
+
+    def test_reader_parity(self, idx):
+        si, li = idx
+        assert _rows(si.search_phrases_any(
+            ["merge scan", "clean"], quantize=4)) \
+            == _rows(li.search_phrases_any(
+                ["merge scan", "clean"], quantize=4))
+
+    def test_empty_input(self, idx):
+        si, _ = idx
+        assert si.search_phrases_any([]).count() == 0
