@@ -1764,6 +1764,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("event_type"))
     q["q_percentiles"] = q_percentiles
 
+    def q_asof_join(spark, sf):
+        """As-of join (temporal.asof_join): each purchase picks the
+        latest click by the same user at ts <= purchase ts — the
+        union/carry-forward plan: ONE shuffle on user_id, one window
+        sort, `last(ignorenulls)` carry, no range explosion on either
+        side. Clicks are pre-deduped to one row per (user, ts) (max
+        event_id) so the contract is deterministic and DuckDB's native
+        ASOF JOIN — an independent implementation — is the oracle.
+        Integer-microsecond output: hash-safe."""
+        from fatespark.temporal import asof_join
+        e = _read(spark, sf, "events")
+        clicks = (e.filter(F.col("event_type") == "click")
+                  .groupBy("user_id", "ts")
+                  .agg(F.max("event_id").alias("click_id")))
+        p = (e.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts"))
+        out = asof_join(p, clicks, on=["user_id"],
+                        right_cols=["click_id"], suffix="_click")
+        return (out.select(
+            "event_id", "user_id", F.col("ts_click_us"),
+            F.col("click_id_click").alias("click_id"),
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.col("ts_click_us")).alias("gap_us"))
+            .orderBy("event_id"))
+    q["q_asof_join"] = q_asof_join
+
+    def q_interval_join(spark, sf):
+        """Interval (point-in-range) join (temporal.interval_join):
+        purchases falling inside any same-user signup window
+        [signup_ts, signup_ts + 2h) — bucketized range join: windows
+        explode to the <=3 hour-buckets they cover, points equi-join
+        their single bucket, exact predicate after; the cartesian never
+        appears in the plan and pairs are emitted at most once by
+        construction. Oracle: DuckDB's native IEJoin range join."""
+        from fatespark.temporal import interval_join
+        e = _read(spark, sf, "events")
+        su = (e.filter(F.col("event_type") == "signup")
+              .select(F.col("event_id").alias("signup_id"), "user_id",
+                      F.col("ts").alias("start"),
+                      (F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+                      .alias("end")))
+        p = (e.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"),
+                     "user_id", "ts"))
+        return (interval_join(p, su, on=["user_id"],
+                              bucket_width_us=3_600_000_000)
+                .select("signup_id", "purchase_id", "user_id")
+                .orderBy("signup_id", "purchase_id"))
+    q["q_interval_join"] = q_interval_join
+
     # -- driver-budget ordering -------------------------------------------
     # Dict order is the harness's execution order and its budget reached 50
     # rows in round 3 — so the rotation FLIPS each round: the 40 queries
@@ -1798,7 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_quality_classifier", "ft_near_ordered", "q_session_window",
         "dd_minhash_keep", "dd_semdedup", "tx_pack", "tx_mixture",
         "tx_url_filter", "tx_bpe_train", "ft_span_first", "ft_span_not",
-        "tx_decontam_fuzzy", "ft_span_or",
+        "tx_decontam_fuzzy", "ft_span_or", "q_asof_join", "q_interval_join",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -3770,5 +3820,30 @@ SELECT user_id, event_id, rn FROM (
                             ORDER BY value DESC, event_id) AS rn
   FROM events WHERE user_id < 20)
 WHERE rn <= 3"""
+
+    o["q_asof_join"] = """
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+p AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       epoch_us(c.ts) AS ts_click_us, c.click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id"""
+
+    o["q_interval_join"] = """
+WITH su AS (SELECT event_id AS signup_id, user_id, ts AS start,
+                   ts + INTERVAL 2 HOUR AS "end"
+            FROM events WHERE event_type = 'signup'),
+p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+SELECT su.signup_id, p.purchase_id, p.user_id
+FROM p JOIN su ON p.user_id = su.user_id
+ AND p.ts >= su.start AND p.ts < su."end"
+ORDER BY signup_id, purchase_id"""
 
     return o
