@@ -308,6 +308,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [QS["phrase"], "merge scan"], k=10, quantize=4))
     q["ft_span_or"] = ft_span_or
 
+    def ft_span_within(spark, sf):
+        """SpanWithinQuery (Lucene): occurrences of 'row' OR 'sort'
+        (SpanOr little side) enclosed in an occurrence of the phrase
+        'row column sort' — tf counts only enclosed little spans (2 per
+        phrase hit), so bare 'row'/'sort' elsewhere neither match nor
+        inflate df (SearchIndex.search_span_within)."""
+        return _scores(_index(spark, sf).search_span_within(
+            ["row", "sort"], QS["phrase3"], k=10, quantize=4))
+    q["ft_span_within"] = ft_span_within
+
+    def ft_span_containing(spark, sf):
+        """SpanContainingQuery (Lucene): occurrences of 'big data' OR
+        'merge scan' (SpanOr big side) that contain an occurrence of
+        'data' — only the 'big data' spans qualify, so the clause gate is
+        exercised non-vacuously (SearchIndex.search_span_containing)."""
+        return _scores(_index(spark, sf).search_span_containing(
+            [QS["phrase"], "merge scan"], "data", k=10, quantize=4))
+    q["ft_span_containing"] = ft_span_containing
+
     def ft_batch(spark, sf):
         """Batched query-log replay (SearchIndex.search_many): three OR
         queries answered from ONE postings scan — per-(term,field) streams
@@ -1849,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_keep", "dd_semdedup", "tx_pack", "tx_mixture",
         "tx_url_filter", "tx_bpe_train", "ft_span_first", "ft_span_not",
         "tx_decontam_fuzzy", "ft_span_or", "q_asof_join", "q_interval_join",
+        "ft_span_within", "ft_span_containing",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -2105,6 +2125,84 @@ def _bm25_phrases_any_sql(clauses: list[list[str]], limit: int = 10) -> str:
                              for i, t in enumerate(toks))
         arms.append(f"    SELECT t0.doc_id FROM ptok t0\n      {joins}\n"
                     f"    WHERE {where}")
+    union = "\n    UNION ALL\n".join(arms)
+    return f"""
+WITH ptok AS (
+  SELECT doc_id, translate(unnest(toks), '{_UP}', '{_LO}') AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                 '{_WS_SQL}'),
+                           x -> x <> '') AS toks
+        FROM documents)
+),
+dls AS (
+  SELECT d.doc_id, coalesce(x.dl, 0) AS dl
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*) AS dl FROM ptok GROUP BY doc_id) x USING (doc_id)
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dls
+),
+ph AS (
+  SELECT doc_id, count(*) AS tf FROM (
+{union}
+  ) GROUP BY doc_id
+),
+pstats AS (SELECT count(*) AS df FROM ph),
+scored AS (
+  SELECT ph.doc_id,
+         ln(1 + (stats.n_docs - pstats.df + 0.5) / (pstats.df + 0.5))
+         * (ph.tf * {_K1P1} / (ph.tf + {_K1} *
+            ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS score
+  FROM ph JOIN dls USING (doc_id) CROSS JOIN stats CROSS JOIN pstats
+)
+SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
+FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT {limit}"""
+
+
+def _bm25_span_enclosure_sql(keeps: list[list[str]],
+                             others: list[list[str]], mode: str,
+                             limit: int = 10) -> str:
+    """SpanWithin / SpanContaining twin: keep-clause adjacency chains
+    UNION ALL'd, each span gated by an EXISTS over the other side's
+    chains with the enclosure inequalities —
+      within:     w.pos <= t.pos AND w.pos + Lw >= t.pos + Lk
+      containing: w.pos >= t.pos AND w.pos + Lw <= t.pos + Lk
+    then the same pseudo-term BM25 tail (tf = surviving keep spans)."""
+    arms = []
+    for toks in keeps:
+        lk = len(toks)
+        joins = "\n      ".join(
+            f"JOIN ptok t{i} ON t{i}.doc_id = t0.doc_id"
+            f" AND t{i}.pos = t0.pos + {i}"
+            for i in range(1, lk))
+        terms = " AND ".join(f"t{i}.term = '{t}'"
+                             for i, t in enumerate(toks))
+        exists = []
+        for o in others:
+            lw = len(o)
+            ojoins = "\n          ".join(
+                f"JOIN ptok w{i} ON w{i}.doc_id = w0.doc_id"
+                f" AND w{i}.pos = w0.pos + {i}"
+                for i in range(1, lw))
+            oterms = " AND ".join(f"w{i}.term = '{t}'"
+                                  for i, t in enumerate(o))
+            if mode == "within":
+                ineq = (f"w0.pos <= t0.pos"
+                        f" AND w0.pos + {lw} >= t0.pos + {lk}")
+            else:
+                ineq = (f"w0.pos >= t0.pos"
+                        f" AND w0.pos + {lw} <= t0.pos + {lk}")
+            exists.append(
+                f"EXISTS (SELECT 1 FROM ptok w0\n          {ojoins}\n"
+                f"        WHERE w0.doc_id = t0.doc_id AND {oterms}\n"
+                f"          AND {ineq})")
+        gate = "(" + "\n       OR ".join(exists) + ")"
+        jblock = f"\n      {joins}" if joins else ""
+        arms.append(f"    SELECT t0.doc_id FROM ptok t0{jblock}\n"
+                    f"    WHERE {terms} AND {gate}")
     union = "\n    UNION ALL\n".join(arms)
     return f"""
 WITH ptok AS (
@@ -2487,6 +2585,11 @@ oprox AS (
     o["ft_span_first"] = _bm25_phrase_sql(ph_first, ph_second, max_end=30)
     o["ft_span_or"] = _bm25_phrases_any_sql(
         [QS["phrase"].split(), ["merge", "scan"]])
+    o["ft_span_within"] = _bm25_span_enclosure_sql(
+        [["row"], ["sort"]], [QS["phrase3"].split()], "within")
+    o["ft_span_containing"] = _bm25_span_enclosure_sql(
+        [[ph_first, ph_second], ["merge", "scan"]], [["data"]],
+        "containing")
     o["ft_span_not"] = _bm25_phrase_sql(ph_first, ph_second,
                                         exclude=["scan"], pre=3, post=3)
 

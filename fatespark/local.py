@@ -564,6 +564,70 @@ class LocalSearchIndex:
             return _empty_result()
         return self._score_phrase_rows(m, k, offset, quantize, weights)
 
+    def _spanor_variants(self, q) -> list[list[str]]:
+        parts = [q] if isinstance(q, str) else [p for p in q if p]
+        out: list[list[str]] = []
+        for p in parts:
+            out.extend(self._phrase_variants(p))
+        return out
+
+    def _enclosure_match_rows(self, keeps: list[list[str]],
+                              others: list[list[str]],
+                              mode: str) -> pd.DataFrame | None:
+        """Local twin of ``SearchIndex._enclosure_matches`` (same shared
+        ``_variants_enclosure_rows`` kernel, identical results)."""
+        from .query import _decode_with_positions, _variants_enclosure_rows
+        if not bool(self.meta.get("store_positions", True)):
+            raise ValueError("index built without positions; span "
+                             "queries disabled")
+        keeps = [v for v in keeps if v]
+        others = [v for v in others if v]
+        stats = self.term_stats(sorted({t for v in keeps + others
+                                        for t in v}))
+        keeps = [v for v in keeps if all(t in stats for t in v)]
+        others = [v for v in others if all(t in stats for t in v)]
+        if not keeps or not others:
+            return None
+        uniq = sorted({t for v in keeps + others for t in v})
+        pdf = self._post_ix.read(uniq, ["bucket", "term", "field", "n",
+                                        "docs", "tfs", "dls", "poss"])
+        frames = []
+        for (_, fid), fpdf in pdf.groupby(["bucket", "field"]):
+            data = {t: _decode_with_positions(g, self.codec_name)
+                    for t, g in fpdf.groupby("term")}
+            m = _variants_enclosure_rows(data, keeps, others,
+                                         self.tombstones, mode)
+            if m is not None:
+                frames.append(m.assign(field=np.int32(fid)))
+        if not frames:
+            return None
+        return pd.concat(frames, ignore_index=True)[
+            ["doc_id", "field", "tf", "dl"]]
+
+    def search_span_within(self, little, big, k: int = 10,
+                           offset: int = 0, quantize: int | None = None,
+                           weights: list[float] | None = None
+                           ) -> pd.DataFrame:
+        """Local twin of ``SearchIndex.search_span_within``."""
+        m = self._enclosure_match_rows(self._spanor_variants(little),
+                                       self._spanor_variants(big),
+                                       "within")
+        if m is None:
+            return _empty_result()
+        return self._score_phrase_rows(m, k, offset, quantize, weights)
+
+    def search_span_containing(self, big, little, k: int = 10,
+                               offset: int = 0, quantize: int | None = None,
+                               weights: list[float] | None = None
+                               ) -> pd.DataFrame:
+        """Local twin of ``SearchIndex.search_span_containing``."""
+        m = self._enclosure_match_rows(self._spanor_variants(big),
+                                       self._spanor_variants(little),
+                                       "containing")
+        if m is None:
+            return _empty_result()
+        return self._score_phrase_rows(m, k, offset, quantize, weights)
+
     def search_near(self, query: str | list[str], slop: int, k: int = 10,
                     offset: int = 0, quantize: int | None = None,
                     weights: list[float] | None = None) -> pd.DataFrame:

@@ -995,6 +995,99 @@ class SearchIndex:
         return self._score_phrase_matches(m, k, offset, with_url, quantize,
                                           weights)
 
+    def _enclosure_matches(self, keeps: list[list[str]],
+                           others: list[list[str]],
+                           mode: str) -> DataFrame | None:
+        """(doc_id, field, tf, dl) for span-enclosure matches — the
+        two-span-set analogue of ``_phrase_matches``; both sides ride ONE
+        postings scan (shared terms decode once per bucket/field)."""
+        if not self.store_positions:
+            raise ValueError("index built without positions; span "
+                             "queries disabled")
+        keeps = [v for v in keeps if v]
+        others = [v for v in others if v]
+        stats = self.term_stats(sorted({t for v in keeps + others
+                                        for t in v}))
+        keeps = [v for v in keeps if all(t in stats for t in v)]
+        others = [v for v in others if all(t in stats for t in v)]
+        if not keeps or not others:
+            return None                  # no enclosure possible
+        uniq = sorted({t for v in keeps + others for t in v})
+        tombs_ref, codec = self._tombs_ref(), self.codec_name
+
+        def matcher(pdf: pd.DataFrame) -> pd.DataFrame:
+            tombs = tombs_ref.get()
+            empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                  "field": pd.array([], dtype="int32"),
+                                  "tf": pd.array([], dtype="int32"),
+                                  "dl": pd.array([], dtype="int32")})
+            outs = [empty]
+            for fid, fpdf in pdf.groupby("field"):
+                data = {t: _decode_with_positions(g, codec)
+                        for t, g in fpdf.groupby("term")}
+                m = _variants_enclosure_rows(data, keeps, others, tombs,
+                                             mode)
+                if m is not None:
+                    outs.append(pd.DataFrame({
+                        "doc_id": m["doc_id"].astype("int64"),
+                        "field": np.full(len(m), int(fid), dtype=np.int32),
+                        "tf": m["tf"].astype("int32"),
+                        "dl": m["dl"].astype("int32")}))
+            return pd.concat(outs, ignore_index=True)
+
+        blocks = self.postings.filter(F.col("term").isin(uniq)).select(
+            "bucket", "term", "field", "n", "docs", "tfs", "dls", "poss")
+        return blocks.groupBy("bucket").applyInPandas(
+            matcher, "doc_id long, field int, tf int, dl int")
+
+    def _spanor_variants(self, q: str | list[str]) -> list[list[str]]:
+        parts = [q] if isinstance(q, str) else [p for p in q if p]
+        out: list[list[str]] = []
+        for p in parts:
+            out.extend(self._phrase_variants(p))
+        return out
+
+    def search_span_within(self, little: str | list[str],
+                           big: str | list[str], k: int = 10,
+                           offset: int = 0, with_url: bool = False,
+                           quantize: int | None = None,
+                           weights: list[float] | None = None) -> DataFrame:
+        """Lucene SpanWithinQuery: occurrences of ``little`` (a phrase or
+        a SpanOr list of phrases) that lie ENTIRELY inside an occurrence
+        of ``big`` — start >= big start and end <= big end. tf counts
+        only enclosed little spans and df only docs keeping >= 1, so a
+        doc whose little hits all fall outside big neither matches nor
+        inflates df. One postings scan carries both span sets; the
+        enclosure test is two searchsorted probes per (clause, length).
+        Scored as one pseudo-term like every span query here. Lucene
+        parity target-new; reference analogue: position-filtered
+        suffix-array hits (``lib/suffix_array_reader.rb:45-72``)."""
+        m = self._enclosure_matches(self._spanor_variants(little),
+                                    self._spanor_variants(big), "within")
+        if m is None:
+            return self._empty()
+        return self._score_phrase_matches(m, k, offset, with_url, quantize,
+                                          weights)
+
+    def search_span_containing(self, big: str | list[str],
+                               little: str | list[str], k: int = 10,
+                               offset: int = 0, with_url: bool = False,
+                               quantize: int | None = None,
+                               weights: list[float] | None = None
+                               ) -> DataFrame:
+        """Lucene SpanContainingQuery: occurrences of ``big`` that CONTAIN
+        at least one occurrence of ``little`` (both sides SpanOr phrase
+        lists). The dual of ``search_span_within`` — tf counts qualifying
+        big spans; same one-scan, searchsorted-probe kernel with the
+        enclosure interval reversed."""
+        m = self._enclosure_matches(self._spanor_variants(big),
+                                    self._spanor_variants(little),
+                                    "containing")
+        if m is None:
+            return self._empty()
+        return self._score_phrase_matches(m, k, offset, with_url, quantize,
+                                          weights)
+
     def search_phrase_prefix(self, phrase: str, k: int = 10, offset: int = 0,
                              max_expansions: int = 16,
                              with_url: bool = False,
@@ -1539,6 +1632,36 @@ def _gather_doc_positions(data: dict, cand: np.ndarray,
     return (rank << np.int64(32)) | (data["poss"][gather] + shift), lens
 
 
+def _variant_cand_docs(data: dict, v: list[str],
+                       tombs: np.ndarray | None) -> np.ndarray | None:
+    """Sorted candidate doc ids containing ALL terms of one variant,
+    tombstones removed; None when empty."""
+    vu = sorted(set(v))
+    cand = data[vu[0]]["docs"]
+    for t in vu[1:]:
+        cand = np.intersect1d(cand, data[t]["docs"], assume_unique=True)
+    if tombs is not None and cand.size:
+        cand = cand[~np.isin(cand, tombs)]
+    return cand if cand.size else None
+
+
+def _variant_matched_keys(data: dict, v: list[str],
+                          cand: np.ndarray) -> np.ndarray | None:
+    """Sorted composite match keys ``(doc_rank << 32) | (start + L)`` of
+    one token-sequence variant over ``cand`` (rank = index into cand) —
+    the adjacency-intersection core shared by the phrase and span-
+    enclosure kernels. The pos field is the EXCLUSIVE span end."""
+    L = len(v)
+    matched = None
+    for i, t in enumerate(v):
+        keys, _ = _gather_doc_positions(data[t], cand, L - i)
+        matched = keys if matched is None else np.intersect1d(
+            matched, keys, assume_unique=True)
+        if matched.size == 0:
+            return None
+    return matched
+
+
 def _match_variant_rows(data: dict, v: list[str],
                         tombs: np.ndarray | None,
                         max_end: int | None = None,
@@ -1558,22 +1681,13 @@ def _match_variant_rows(data: dict, v: list[str],
       any excluded term within [start - pre, end - 1 + post] (Lucene
       SpanNotQuery with pre/post slack), via two searchsorted range probes
       per span over the excluded terms' composite keys."""
-    vu = sorted(set(v))
-    cand = data[vu[0]]["docs"]
-    for t in vu[1:]:
-        cand = np.intersect1d(cand, data[t]["docs"], assume_unique=True)
-    if tombs is not None and cand.size:
-        cand = cand[~np.isin(cand, tombs)]
-    if cand.size == 0:
+    cand = _variant_cand_docs(data, v, tombs)
+    if cand is None:
         return None
     L = len(v)
-    matched = None
-    for i, t in enumerate(v):
-        keys, _ = _gather_doc_positions(data[t], cand, L - i)
-        matched = keys if matched is None else np.intersect1d(
-            matched, keys, assume_unique=True)
-        if matched.size == 0:
-            return None
+    matched = _variant_matched_keys(data, v, cand)
+    if matched is None:
+        return None
     # matched key = (doc_rank << 32) | (start + L): the pos field IS the
     # exclusive span end, which both constraints below are defined on
     if max_end is not None:
@@ -1727,6 +1841,86 @@ def _variants_match_rows(data: dict, variants: list[list[str]],
            .agg(tf=("tf", "sum"), dl=("dl", "first"))
            .sort_values("doc_id", kind="mergesort"))
     return out
+
+
+def _variants_enclosure_rows(data: dict, keeps: list[list[str]],
+                             others: list[list[str]],
+                             tombs: np.ndarray | None,
+                             mode: str) -> pd.DataFrame | None:
+    """(doc_id, tf, dl) of docs where a ``keeps`` span survives the
+    enclosure test against ``others`` spans — the Lucene SpanWithinQuery
+    (mode='within': keep spans enclosed by SOME other span) and
+    SpanContainingQuery (mode='containing': keep spans enclosing SOME
+    other span) kernels. Each side is a SpanOr of phrase clauses.
+
+    Fully vectorized: keep spans are composite (rank << 32 | end) keys;
+    other spans of clause length Lo reduce the enclosure test to an
+    inclusive end-range probe in the SAME rank space —
+      within:     other_end in [end, end - Lk + Lo]
+      containing: other_end in [end - Lk + Lo, end]
+    (empty interval when Lo < Lk / Lo > Lk respectively: a shorter span
+    cannot contain a longer one). Two ``searchsorted`` per (keep clause,
+    other length): O(spans x clauses x log), no per-doc Python loop."""
+    mask = np.int64(0xFFFFFFFF)
+    frames = []
+    for v in keeps:
+        if any(t not in data for t in v):
+            continue
+        cand = _variant_cand_docs(data, v, tombs)
+        if cand is None:
+            continue
+        matched = _variant_matched_keys(data, v, cand)
+        if matched is None:
+            continue
+        lk = len(v)
+        by_len: dict[int, list[np.ndarray]] = {}
+        for o in others:
+            if any(t not in data for t in o):
+                continue
+            lo = len(o)
+            if (lo < lk) if mode == "within" else (lo > lk):
+                continue                      # provably empty interval
+            common = _variant_cand_docs(data, o, None)
+            if common is None:
+                continue
+            common = np.intersect1d(cand, common, assume_unique=True)
+            if common.size == 0:
+                continue
+            keys = _variant_matched_keys(data, o, common)
+            if keys is None:
+                continue
+            # remap common-relative ranks into cand-relative ranks
+            remap = np.searchsorted(cand, common)
+            by_len.setdefault(lo, []).append(
+                (remap[keys >> np.int64(32)] << np.int64(32))
+                | (keys & mask))
+        ok = np.zeros(matched.size, dtype=bool)
+        ends = matched & mask
+        rank_hi = matched & ~mask
+        for lo, key_lists in by_len.items():
+            ot = np.sort(np.concatenate(key_lists))
+            d = np.int64(lo - lk)
+            if mode == "within":
+                lo_k, hi_k = rank_hi | ends, rank_hi | (ends + d)
+            else:
+                lo_k, hi_k = rank_hi | (ends + d), rank_hi | ends
+            ok |= (np.searchsorted(ot, hi_k, side="right")
+                   > np.searchsorted(ot, lo_k, side="left"))
+        if not ok.any():
+            continue
+        ranks = matched[ok] >> np.int64(32)
+        uniq_ranks, tf = np.unique(ranks, return_counts=True)
+        docs = cand[uniq_ranks]
+        idx0 = np.searchsorted(data[v[0]]["docs"], docs)
+        frames.append(pd.DataFrame({
+            "doc_id": docs, "tf": tf.astype(np.int64),
+            "dl": data[v[0]]["dls"][idx0].astype(np.int64)}))
+    if not frames:
+        return None
+    return (pd.concat(frames, ignore_index=True)
+            .groupby("doc_id", as_index=False)
+            .agg(tf=("tf", "sum"), dl=("dl", "first"))
+            .sort_values("doc_id", kind="mergesort"))
 
 
 def _decode_with_positions(g: pd.DataFrame, codec: str = "varint") -> dict:

@@ -172,3 +172,78 @@ class TestSpanOr:
     def test_empty_input(self, idx):
         si, _ = idx
         assert si.search_phrases_any([]).count() == 0
+
+
+class TestSpanWithin:
+    def test_enclosed_only(self, idx):
+        si, _ = idx
+        # scans preceded by merge are enclosed; d7 has no span at all
+        tf = {r["doc_id"]: r["tf"] for r in si._enclosure_matches(
+            [["scan"]], [["merge", "scan"]], "within").collect()}
+        assert tf == {1: 2, 2: 1, 3: 1, 4: 1, 5: 1, 6: 2}
+
+    def test_outside_little_never_counts(self, idx):
+        si, _ = idx
+        # 'deep' (d1 pos 2) is never inside a 'merge scan' span
+        assert si.search_span_within(
+            "deep", "merge scan").count() == 0
+
+    def test_spanor_little_counts_each_span(self, idx):
+        si, _ = idx
+        tf = {r["doc_id"]: r["tf"] for r in si._enclosure_matches(
+            [["merge"], ["scan"]], [["merge", "scan"]],
+            "within").collect()}
+        # both little terms enclosed per big occurrence -> 2x span count
+        assert tf == {1: 4, 2: 2, 3: 2, 4: 2, 5: 2, 6: 4}
+
+    def test_equal_span_encloses_itself(self, idx):
+        si, _ = idx
+        tf = {r["doc_id"]: r["tf"] for r in si._enclosure_matches(
+            [["merge", "scan"]], [["merge", "scan"]],
+            "within").collect()}
+        assert tf == {1: 2, 2: 1, 3: 1, 4: 1, 5: 1, 6: 2}
+
+    def test_mixed_big_lengths(self, idx):
+        si, _ = idx
+        # 'deep' only inside the 3-token big clause (d1: merge scan deep)
+        tf = {r["doc_id"]: r["tf"] for r in si._enclosure_matches(
+            [["deep"]], [["merge", "scan"], ["merge", "scan", "deep"]],
+            "within").collect()}
+        assert tf == {1: 1}
+
+    def test_reader_parity(self, idx):
+        si, li = idx
+        assert _rows(si.search_span_within(
+            ["merge", "scan"], "merge scan", quantize=4)) == \
+            _rows(li.search_span_within(
+                ["merge", "scan"], "merge scan", quantize=4))
+
+
+class TestSpanContaining:
+    def test_big_without_little_drops(self, idx):
+        si, _ = idx
+        # no 'merge scan' span ever contains 'error'
+        assert si.search_span_containing(
+            "merge scan", "error").count() == 0
+
+    def test_contains_little(self, idx):
+        si, _ = idx
+        # only the 'scan deep' span (d1) contains 'deep'
+        tf = {r["doc_id"]: r["tf"] for r in si._enclosure_matches(
+            [["merge", "scan"], ["scan", "deep"]], [["deep"]],
+            "containing").collect()}
+        assert tf == {1: 1}
+
+    def test_missing_side_empty(self, idx):
+        si, _ = idx
+        assert si.search_span_containing(
+            "merge scan", "zzz_absent").count() == 0
+        assert si.search_span_within(
+            "zzz_absent", "merge scan").count() == 0
+
+    def test_reader_parity(self, idx):
+        si, li = idx
+        assert _rows(si.search_span_containing(
+            ["merge scan", "scan deep"], "deep", quantize=4)) == \
+            _rows(li.search_span_containing(
+                ["merge scan", "scan deep"], "deep", quantize=4))
