@@ -220,6 +220,15 @@ def main() -> None:
         return idx.search_span_not("big array", "scan", pre=3, post=3,
                                    k=10).collect()
 
+    @timed("q_span_within", reps=3)
+    def _spw():  # SpanWithin: 'array' spans enclosed in a 'big array' span
+        return idx.search_span_within("array", "big array", k=10).collect()
+
+    @timed("q_span_containing", reps=3)
+    def _spc():  # SpanContaining: big-side SpanOr, only one clause can hold
+        return idx.search_span_containing(["big array", "merge scan"],
+                                          "array", k=10).collect()
+
     @timed("q_batch3", reps=3)
     def _qb():  # 3 queries, one postings scan (vs 3x the single-query cost)
         return idx.search_many(
@@ -648,6 +657,25 @@ def main() -> None:
     @timed("q_sessionize_200k", reps=3, pre=clean_room)
     def _sess():  # one user_id shuffle: lag->flag->cumsum + two rollups
         return _ss(_sess_events, gap_seconds=1800).count()
+
+    from fatespark.temporal import asof_join as _aj, interval_join as _ij
+    # marker events (~1/7th): the as-of reference / interval-source side
+    _markers = _sess_events.filter(
+        F.pmod(F.col("event_id"), F.lit(7)) == 0).select(
+        "user_id", "ts", F.col("event_id").alias("marker_id"))
+
+    @timed("q_asof_join_200k", reps=3, pre=clean_room)
+    def _asof():  # union/carry-forward: ONE user_id shuffle, no explosion
+        return _aj(_sess_events, _markers, on=["user_id"],
+                   right_cols=["marker_id"], how="inner").count()
+
+    @timed("q_interval_join_200k", reps=3, pre=clean_room)
+    def _ivj():  # bucketized range join: markers open 2h windows
+        iv = _markers.select(
+            "user_id", F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"))
+        return _ij(_sess_events, iv, on=["user_id"],
+                   bucket_width_us=3_600_000_000).count()
 
     # -- once-per-round linear-scaling probe of the heavy new-tier ops ------
     # same plans at 10x the pages (sf1-ish): a 200k-page suite can hide

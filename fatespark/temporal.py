@@ -154,11 +154,13 @@ def interval_join(points: DataFrame, intervals: DataFrame, *,
     s_us = F.unix_micros(F.col(start).cast("timestamp"))
     e_us = F.unix_micros(F.col(end).cast("timestamp"))
 
+    # integer `div`, not floor(double /): exact int64 bucket ids; both
+    # sides share the (monotonic) expression so pairing can never split
     p = points.withColumn("__p_us", p_us).withColumn(
-        _BUCKET, F.floor(F.col("__p_us") / w))
+        _BUCKET, F.expr(f"__p_us div {w}"))
     iv = (intervals.withColumn("__s_us", s_us).withColumn("__e_us", e_us)
           .withColumn(_BUCKET, F.explode(F.sequence(
-              F.floor(F.col("__s_us") / w), F.floor(F.col("__e_us") / w)))))
+              F.expr(f"__s_us div {w}"), F.expr(f"__e_us div {w}")))))
     if broadcast_intervals:
         iv = F.broadcast(iv)
     cond = F.col("__p_us") >= F.col("__s_us")
