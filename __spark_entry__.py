@@ -872,6 +872,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bpetrain.bpe_train_df(d, n_merges=8)
     q["tx_bpe_train"] = tx_bpe_train
 
+    def tx_bpe_encode(spark, sf):
+        """The APPLY side of BPE training: per-doc (n_words, n_tokens)
+        under the 8-merge tokenizer trained on the same corpus — each
+        DISTINCT word encoded once in an Arrow pass (merge list in the
+        closure), broadcast word->count map, ONE doc_id agg
+        (fatespark.bpetrain.bpe_encode). The oracle re-trains with the
+        identical CTE rounds and joins per-doc words to their final
+        symbol counts — end-to-end train+encode parity."""
+        from fatespark import bpetrain
+        d = _read(spark, sf, "documents")
+        merges = [(a, b) for _, a, b, _ in bpetrain.bpe_train(
+            d, n_merges=8)]
+        return (bpetrain.bpe_encode(d, merges).orderBy("doc_id"))
+    q["tx_bpe_encode"] = tx_bpe_encode
+
     def tx_bpe_count(spark, sf):
         """BPE-ish pre-tokenizer segment count (GPT-2 pretokenize shape,
         ASCII-restricted; textops.BPE_RE) — the scan-speed proxy for
@@ -1868,7 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_keep", "dd_semdedup", "tx_pack", "tx_mixture",
         "tx_url_filter", "tx_bpe_train", "ft_span_first", "ft_span_not",
         "tx_decontam_fuzzy", "ft_span_or", "q_asof_join", "q_interval_join",
-        "ft_span_within", "ft_span_containing",
+        "ft_span_within", "ft_span_containing", "tx_bpe_encode",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -2810,6 +2825,7 @@ FROM j"""
 
     from fatespark import bpetrain as _bpetrain
     o["tx_bpe_train"] = _bpetrain.bpe_train_sql(n_merges=8)
+    o["tx_bpe_encode"] = _bpetrain.bpe_encode_sql(n_merges=8)
 
     from fatespark import sampling as _sampling
     o["tx_mixture"] = _sampling.mixture_sample_sql(

@@ -523,6 +523,16 @@ def main() -> None:
     def _bt():  # 8 BPE merge rounds: ONE corpus shuffle, then vocab-scale
         return _bpetrain.bpe_train(corpus.select("text"), n_merges=8)
 
+    _bpe_merges = [(a, b) for _, a, b, _ in _bpetrain.bpe_train(
+        corpus.select("text").limit(20000), n_merges=8)]
+
+    @timed("tx_bpe_encode_200k", reps=3, pre=clean_room,
+           record_samples=True)
+    def _be():  # apply side: distinct words encoded once, one doc_id agg
+        return _bpetrain.bpe_encode(
+            corpus.select(F.xxhash64("url").alias("doc_id"), "text"),
+            _bpe_merges).agg(F.sum("n_tokens")).collect()
+
     @timed("tx_decontam_fuzzy_200k", reps=3, pre=clean_room,
            record_samples=True)
     def _dcf():  # MinHash cross-set flags vs a 200-page eval set; bench

@@ -177,3 +177,130 @@ v{r} AS (
         for r in range(1, n_merges + 1))
     return ("WITH " + ",\n".join(ctes)
             + f"\n{unions}\nORDER BY merge_rank")
+
+
+def _encode_word_py(word: str, merges: list[tuple[str, str]]) -> int:
+    """Token count of one word under the trained merge list — each rule
+    applied in RANK ORDER with the greedy left-to-right chaining fold
+    (``_merge_fold`` semantics, == the training-time scan, == the SQL
+    twin's delimiter replace)."""
+    syms = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return len(syms)
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text", id_col: str = "doc_id",
+               broadcast_vocab: bool = True) -> DataFrame:
+    """Per-doc token accounting under a TRAINED tokenizer:
+    (doc_id, n_words, n_tokens) with n_tokens = sum over the doc's words
+    of their BPE symbol count — the apply side of ``bpe_train`` (token
+    budgets, mixture weights and packing all consume this number).
+
+    Scale shape: each DISTINCT word is encoded exactly ONCE — the encode
+    kernel (an Arrow ``mapInPandas`` pass carrying the rank-ordered merge
+    list in its closure) runs over the Heaps-law-bounded distinct-word
+    table, never the corpus; the corpus side is a narrow tokenize +
+    explode, one join against the (word -> n_tokens) map — broadcast by
+    default (real vocabs are ~10^5-10^7 rows of short strings), or a
+    shuffle join via ``broadcast_vocab=False`` when the distinct-word
+    table outgrows broadcast — and ONE doc_id aggregation. Encoding cost
+    is O(distinct_words x merges x word_len), independent of corpus
+    duplication. Docs with no words produce no row (same as the SQL
+    twin's inner join).
+    """
+    import pandas as pd
+
+    rules = [(str(a), str(b)) for a, b in merges]
+
+    toks = F.filter(
+        F.split(fold_col(F.coalesce(F.col(text_col), F.lit(""))),
+                r"[ \t\n\r\f\v]+"),
+        lambda x: x != F.lit(""))
+    words = df.select(F.col(id_col), F.explode(toks).alias("word"))
+    distinct = words.select("word").distinct()
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "word": pdf["word"],
+                "n_tokens": [_encode_word_py(w, rules)
+                             for w in pdf["word"]]})
+
+    wmap = distinct.mapInPandas(enc, "word string, n_tokens int")
+    if broadcast_vocab:
+        wmap = F.broadcast(wmap)
+    return (words.join(wmap, "word")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("n_tokens").alias("n_tokens")))
+
+
+def bpe_encode_sql(n_merges: int = 8, table: str = "documents",
+                   text_col: str = "text", min_count: int = 1) -> str:
+    """DuckDB twin of ``bpe_train`` + ``bpe_encode`` over the same corpus:
+    the training CTEs (identical to ``bpe_train_sql``) carry the word
+    through each round, then per-doc words join their final symbol count.
+    """
+    up = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    lo = "abcdefghijklmnopqrstuvwxyz"
+    ws = r"[ \t\n\r\f\v]+"
+    s = "chr(31)"
+    ctes = [f"""wd AS (
+  SELECT doc_id, t AS word
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(
+                 translate(coalesce({text_col}, ''), '{up}', '{lo}'),
+                 '{ws}')) AS t
+        FROM {table})
+  WHERE t <> ''
+),
+w AS (
+  SELECT word, count(*)::BIGINT AS cnt FROM wd GROUP BY word
+  HAVING count(*) >= {min_count}
+),
+v0 AS (
+  SELECT word,
+         list_reduce(list_transform(string_split(word, ''),
+                                    ch -> {s} || ch || {s}),
+                     (x, y) -> x || y) AS enc,
+         cnt
+  FROM w
+)"""]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""p{r} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r2, sum(cnt)::BIGINT AS c
+  FROM (SELECT string_split(trim(enc, {s}), {s} || {s}) AS syms, cnt
+        FROM v{r - 1} WHERE len(trim(enc, {s})) > 0),
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+m{r} AS (
+  SELECT {r - 1} AS merge_rank, l, r2, c FROM p{r}
+  ORDER BY c DESC, l, r2 LIMIT 1
+),
+v{r} AS (
+  SELECT v.word,
+         CASE WHEN m.l IS NULL THEN v.enc
+         ELSE replace(v.enc, {s} || m.l || {s} || {s} || m.r2 || {s},
+                      {s} || m.l || m.r2 || {s}) END AS enc,
+         v.cnt
+  FROM v{r - 1} v LEFT JOIN m{r} m ON TRUE
+)""")
+    return ("WITH " + ",\n".join(ctes) + f""",
+wtok AS (
+  SELECT word,
+         len(string_split(trim(enc, {s}), {s} || {s}))::INT AS n_tokens
+  FROM v{n_merges}
+)
+SELECT wd.doc_id, count(*)::BIGINT AS n_words,
+       sum(wtok.n_tokens)::BIGINT AS n_tokens
+FROM wd JOIN wtok USING (word)
+GROUP BY wd.doc_id ORDER BY wd.doc_id""")

@@ -70,3 +70,67 @@ class TestBpeTrain:
                                    "doc_id long, text string")
         got = bpetrain.bpe_train(df, n_merges=1)
         assert got == [(0, "a", "b", 4)]
+
+
+def _ref_encode_word(word, merges):
+    syms = list(word)
+    for a, b in merges:
+        new, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                new.append(a + b)
+                i += 2
+            else:
+                new.append(syms[i])
+                i += 1
+        syms = new
+    return len(syms)
+
+
+class TestBpeEncode:
+    DOCS = ["the cat sat on the mat",
+            "the thin cat ate the fat rat",
+            "that cat and that rat sat"]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.DOCS)],
+            "doc_id long, text string")
+
+    def test_matches_reference_end_to_end(self, spark):
+        df = self._df(spark)
+        merges = [(a, b) for _, a, b, _ in bpetrain.bpe_train(
+            df, n_merges=6)]
+        got = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+               for r in bpetrain.bpe_encode(df, merges).collect()}
+        want = {}
+        for i, t in enumerate(self.DOCS):
+            ws = t.split()
+            want[i] = (len(ws), sum(_ref_encode_word(w, merges)
+                                    for w in ws))
+        assert got == want
+
+    def test_chained_merges_single_token(self, spark):
+        df = spark.createDataFrame([(0, "aaaa")], "doc_id long, text string")
+        got = bpetrain.bpe_encode(
+            df, [("a", "a"), ("aa", "aa")]).collect()[0]
+        assert (got["n_words"], got["n_tokens"]) == (1, 1)
+
+    def test_shuffle_vocab_path_equal(self, spark):
+        df = self._df(spark)
+        merges = [(a, b) for _, a, b, _ in bpetrain.bpe_train(
+            df, n_merges=4)]
+        a = sorted(map(tuple, bpetrain.bpe_encode(
+            df, merges, broadcast_vocab=True).collect()))
+        b = sorted(map(tuple, bpetrain.bpe_encode(
+            df, merges, broadcast_vocab=False).collect()))
+        assert a == b
+        plan = bpetrain.bpe_encode(df, merges)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_empty_doc_absent(self, spark):
+        df = spark.createDataFrame([(0, "cat"), (1, "   "), (2, None)],
+                                   "doc_id long, text string")
+        got = bpetrain.bpe_encode(df, [("c", "a")]).collect()
+        assert {r["doc_id"] for r in got} == {0}
