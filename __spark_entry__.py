@@ -887,6 +887,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (bpetrain.bpe_encode(d, merges).orderBy("doc_id"))
     q["tx_bpe_encode"] = tx_bpe_encode
 
+    def tx_html_extract(spark, sf):
+        """General HTML -> text extraction (htmlx.extracted_text_col):
+        each doc's text is wrapped in deterministic real markup — title,
+        css style element, script containing '<' and quotes, comment,
+        double-encoded entity tail — then extracted back by the pure-JVM
+        regexp chain (script/style/comment drop, tag strip, 6-entity
+        decode with &amp; last, whitespace collapse). ok=1 iff the
+        round-trip equals the expected normalized text, so every rule is
+        exercised non-vacuously (the tx_pii_mask planted pattern). Zero
+        shuffles: runs inside the scan stage."""
+        from fatespark.htmlx import extracted_text_col
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        html_str = F.concat(
+            F.lit('<html><head><title>pagetitle</title>'
+                  '<style type="text/css">p { color: red; }</style>'
+                  '</head><body><!-- nav --><script>var a = 1 < 2 && '
+                  '"x";</script><p>'),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit('</p><div>id &amp; tail</div></body></html>'))
+        pages = d.withColumn("html", F.encode(html_str, "UTF-8"))
+        ext = extracted_text_col(F.col("html"))
+        expected = F.trim(F.regexp_replace(
+            F.concat(F.lit("pagetitle "),
+                     F.coalesce(F.col("text"), F.lit("")),
+                     F.lit(" id & tail")), " +", " "))
+        return (pages.select(
+            "doc_id", F.length(ext).cast("long").alias("n_chars"),
+            (ext == expected).cast("int").alias("ok"))
+            .orderBy("doc_id"))
+    q["tx_html_extract"] = tx_html_extract
+
     def tx_bpe_count(spark, sf):
         """BPE-ish pre-tokenizer segment count (GPT-2 pretokenize shape,
         ASCII-restricted; textops.BPE_RE) — the scan-speed proxy for
@@ -1884,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_url_filter", "tx_bpe_train", "ft_span_first", "ft_span_not",
         "tx_decontam_fuzzy", "ft_span_or", "q_asof_join", "q_interval_join",
         "ft_span_within", "ft_span_containing", "tx_bpe_encode",
+        "tx_html_extract",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -2826,6 +2858,25 @@ FROM j"""
     from fatespark import bpetrain as _bpetrain
     o["tx_bpe_train"] = _bpetrain.bpe_train_sql(n_merges=8)
     o["tx_bpe_encode"] = _bpetrain.bpe_encode_sql(n_merges=8)
+
+    from fatespark.htmlx import extraction_sql_expr as _htmlx_expr
+    o["tx_html_extract"] = f"""
+WITH pages AS (
+  SELECT doc_id, text,
+         '<html><head><title>pagetitle</title>'
+         || '<style type="text/css">p {{ color: red; }}</style>'
+         || '</head><body><!-- nav --><script>var a = 1 < 2 && '
+         || '"x";</script><p>' || coalesce(text, '')
+         || '</p><div>id &amp; tail</div></body></html>' AS html
+  FROM documents),
+ex AS (
+  SELECT doc_id, {_htmlx_expr("html")} AS ext,
+         trim(regexp_replace('pagetitle ' || coalesce(text, '')
+                             || ' id & tail', ' +', ' ', 'g')) AS expected
+  FROM pages)
+SELECT doc_id, length(ext)::BIGINT AS n_chars,
+       CAST(ext = expected AS INT) AS ok
+FROM ex ORDER BY doc_id"""
 
     from fatespark import sampling as _sampling
     o["tx_mixture"] = _sampling.mixture_sample_sql(

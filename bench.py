@@ -533,6 +533,14 @@ def main() -> None:
             corpus.select(F.xxhash64("url").alias("doc_id"), "text"),
             _bpe_merges).agg(F.sum("n_tokens")).collect()
 
+    @timed("tx_html_extract_200k", pre=clean_room)
+    def _hx():  # general markup -> text, pure JVM regexp chain, zero
+        # shuffles (runs inside the scan stage)
+        from fatespark import htmlx as _htmlx
+        return (_htmlx.extract_pages(corpus.select("url", "html"),
+                                     out_col="t")
+                .agg(F.sum(F.length("t"))).collect())
+
     @timed("tx_decontam_fuzzy_200k", reps=3, pre=clean_room,
            record_samples=True)
     def _dcf():  # MinHash cross-set flags vs a 200-page eval set; bench
