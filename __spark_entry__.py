@@ -918,6 +918,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id"))
     q["tx_html_extract"] = tx_html_extract
 
+    def _wg_fixture(spark, sf):
+        """Deterministic link fixture over documents: every doc whose
+        id is not a multiple of 10 carries three anchors — two affine
+        targets (id*7+13 and id*31+7 mod N, so in-degree varies) and a
+        'home' link to doc 0 (the head-skew hub every real web graph
+        has); multiples of 10 carry none (10% dangling mass). Anchor
+        text exercises the cleaner (inner <b> markup, &amp; entity).
+        Returns (pages_df with html string col, n_docs)."""
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        n = d.count()
+        i = F.col("doc_id")
+        d1 = F.pmod(i * 7 + 13, F.lit(n)).cast("string")
+        d2 = F.pmod(i * 31 + 7, F.lit(n)).cast("string")
+
+        def link(dst, anchor):
+            return F.concat(F.lit('<a href="http://s'), dst,
+                            F.lit('.test/p">'), anchor, F.lit("</a>"))
+
+        anchors = F.concat(
+            link(d1, F.concat(F.lit("go <b>"), d1, F.lit("</b> now"))),
+            F.lit(" "), link(d2, F.lit("next &amp; more")),
+            F.lit(" "), link(F.lit("0"), F.lit("home")))
+        html = F.concat(
+            F.lit("<html><body><p>"),
+            F.coalesce(F.col("text"), F.lit("")), F.lit("</p>"),
+            F.when(i % 10 == 0, F.lit("")).otherwise(anchors),
+            F.lit("</body></html>"))
+        return d.withColumn("html", html), n
+
+    def wg_links(spark, sf):
+        """Link extraction (linkgraph.extract_links): pure-JVM regexp
+        chain, one narrow explode, zero shuffles before the output
+        sort. dst parsed back to a doc id so values are engine-neutral."""
+        from fatespark.linkgraph import extract_links
+        pages, _ = _wg_fixture(spark, sf)
+        links = extract_links(pages, html_col="html", src_col="doc_id")
+        return (links.select(
+            F.col("doc_id").alias("src"),
+            F.regexp_extract("dst_url", r"s(\d+)\.test", 1)
+            .cast("long").alias("dst"), "anchor")
+            .orderBy("src", "dst", "anchor"))
+    q["wg_links"] = wg_links
+
+    def wg_pagerank(spark, sf):
+        """End-to-end web-graph rank: extract links -> integer-exact
+        PageRank (5 iterations, d=0.85, scale 1e12). Fixed-point
+        arithmetic makes the result hash-exact vs the oracle despite 5
+        rounds of distributed aggregation — float PageRank could never
+        be. Per-iteration shape: one src-partitioned join + one
+        map-side-combinable contribution agg (linkgraph.pagerank)."""
+        from fatespark.linkgraph import extract_links, pagerank
+        pages, _ = _wg_fixture(spark, sf)
+        links = extract_links(pages, html_col="html", src_col="doc_id")
+        edges = links.select(
+            F.col("doc_id").alias("src"),
+            F.regexp_extract("dst_url", r"s(\d+)\.test", 1)
+            .cast("long").alias("dst"))
+        return pagerank(edges, iterations=5).orderBy("node")
+    q["wg_pagerank"] = wg_pagerank
+
     def tx_bpe_count(spark, sf):
         """BPE-ish pre-tokenizer segment count (GPT-2 pretokenize shape,
         ASCII-restricted; textops.BPE_RE) — the scan-speed proxy for
@@ -1915,7 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_url_filter", "tx_bpe_train", "ft_span_first", "ft_span_not",
         "tx_decontam_fuzzy", "ft_span_or", "q_asof_join", "q_interval_join",
         "ft_span_within", "ft_span_containing", "tx_bpe_encode",
-        "tx_html_extract",
+        "tx_html_extract", "wg_links", "wg_pagerank",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -2877,6 +2937,38 @@ ex AS (
 SELECT doc_id, length(ext)::BIGINT AS n_chars,
        CAST(ext = expected AS INT) AS ok
 FROM ex ORDER BY doc_id"""
+
+    from fatespark import linkgraph as _lg
+    _wg_dst1 = ("CAST((doc_id*7+13) % (SELECT n FROM nn) AS VARCHAR)")
+    _wg_dst2 = ("CAST((doc_id*31+7) % (SELECT n FROM nn) AS VARCHAR)")
+    _WG_PAGES = f"""
+nn AS (SELECT count(*) AS n FROM documents),
+pages AS (
+  SELECT doc_id,
+    '<html><body><p>' || coalesce(text, '') || '</p>' ||
+    CASE WHEN doc_id % 10 = 0 THEN '' ELSE
+      '<a href="http://s' || {_wg_dst1} || '.test/p">go <b>'
+      || {_wg_dst1} || '</b> now</a> '
+      || '<a href="http://s' || {_wg_dst2}
+      || '.test/p">next &amp; more</a> '
+      || '<a href="http://s0.test/p">home</a>'
+    END || '</body></html>' AS html
+  FROM documents),{_lg.links_sql("pages")}"""
+
+    o["wg_links"] = f"""
+WITH {_WG_PAGES}
+SELECT src,
+       CAST(regexp_extract(dst_url, 's(\\d+)\\.test', 1) AS BIGINT) AS dst,
+       anchor
+FROM lg_links ORDER BY src, dst, anchor"""
+
+    o["wg_pagerank"] = f"""
+WITH {_WG_PAGES},
+lg_edges AS (
+  SELECT src,
+         CAST(regexp_extract(dst_url, 's(\\d+)\\.test', 1) AS BIGINT) AS dst
+  FROM lg_links),{_lg.pagerank_sql("lg_edges", iterations=5)}
+SELECT node, rank FROM pr_out ORDER BY node"""
 
     from fatespark import sampling as _sampling
     o["tx_mixture"] = _sampling.mixture_sample_sql(

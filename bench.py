@@ -541,6 +541,34 @@ def main() -> None:
                                      out_col="t")
                 .agg(F.sum(F.length("t"))).collect())
 
+    @timed("wg_links_200k", pre=clean_room)
+    def _wgl():  # href/anchor extraction over the full page markup:
+        # regexp scan + one narrow explode; three planted anchors/page
+        from fatespark import linkgraph as _lg
+        i = F.xxhash64("url")
+        d1 = F.pmod(i * 7 + 13, F.lit(n_pages)).cast("string")
+        pages = corpus.select("url", F.concat(
+            F.decode("html", "UTF-8"),
+            F.lit('<a href="http://s'), d1, F.lit('.test/p">go <b>'),
+            d1, F.lit('</b> now</a><a href="http://s0.test/p">home</a>')
+        ).alias("html"))
+        return (_lg.extract_links(pages).agg(F.count("*")).collect())
+
+    @timed("wg_pagerank_200k", reps=3, pre=clean_room,
+           record_samples=True)
+    def _wgp():  # integer-exact PageRank, 5 iterations over a 200k-node
+        # / 600k-edge affine graph with a head hub (node 0): per
+        # iteration one src-partitioned join + one combinable agg
+        from fatespark import linkgraph as _lg
+        nodes = spark.range(n_pages).select(F.col("id").alias("src"))
+        edges = nodes.select("src", F.explode(F.array(
+            F.pmod(F.col("src") * 7 + 13, F.lit(n_pages)),
+            F.pmod(F.col("src") * 31 + 7, F.lit(n_pages)),
+            F.lit(0).cast("long"))).alias("dst")).where(
+                F.col("src") % 10 != 0)
+        return (_lg.pagerank(edges, iterations=5)
+                .agg(F.sum("rank")).collect())
+
     @timed("tx_decontam_fuzzy_200k", reps=3, pre=clean_room,
            record_samples=True)
     def _dcf():  # MinHash cross-set flags vs a 200-page eval set; bench

@@ -1,0 +1,222 @@
+"""Web link graph: href/anchor extraction from page markup and an
+integer-exact PageRank — the web-graph tier of the ingest pipeline
+(crawl frontier priority, spam demotion, quality priors for the
+training-data mix all consume these ranks; the reference indexes flat
+records — ``lib/fates.rb:23-31`` — so the graph layer is an engine
+extension, not a port).
+
+Extraction (``extract_links``) is a pure-JVM regexp chain like
+``htmlx``: full ``<a href="...">...</a>`` matches via
+``regexp_extract_all`` then one narrow explode; href and anchor are
+per-match group extracts; the anchor inner markup is stripped with the
+same tag->space / entity / whitespace rules the page extractor uses.
+Zero shuffles; runs in the scan stage.
+
+PageRank (``pagerank``) is FIXED-POINT INTEGER arithmetic throughout:
+ranks are int64 in units of ``1/scale``; every divide is integral
+(Spark ``div`` == DuckDB ``//`` on non-negative operands) and every
+sum is an int64 sum — so the result is EXACTLY reproducible regardless
+of partitioning, agg order, or engine (float PageRank is
+order-of-summation dependent and can never be hash-compared across
+engines). The recurrence, per node v with in-edges E(v), damping
+``num/den`` and ``N`` nodes::
+
+    base        = ((den - num) * scale) div den
+    contrib(v)  = sum over (u,v) in E of  rank(u) div outdeg(u)
+    share       = (sum of rank over dangling nodes) div N
+    rank'(v)    = base + (num * (contrib(v) + share)) div den
+
+Floor losses strictly shrink total mass (bounded by one unit per
+divide), never grow it; ``sum(rank) <= N*scale`` is an invariant, so
+``num * (contrib + share) <= num * N * scale`` bounds the widest
+intermediate — pick ``scale`` such that ``den * N * scale < 2**63``
+(the default 10**12 is safe to N ~ 10**5; pass ``scale=2**62 //
+(den*N)`` for web-scale graphs, or swap int64 for decimal(38,0)).
+
+Scale shape: edges are hash-partitioned by ``src`` ONCE and
+checkpointed; each iteration is one partition-local join on src (the
+exchange is reused) plus one shuffle of contributions by dst — the
+minimal movement a power iteration admits. The dangling-node set is
+computed once; its per-iteration mass is a single bounded agg. Lineage
+is cut every iteration via localCheckpoint (the ``dedup.py:544``
+connected-components pattern). Head skew (every page linking "home")
+lands in the contribution agg, which is map-side combinable; AQE
+handles the residual join skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# anchor tag: double-quoted href (the deterministic-fixture contract;
+# single-quoted/unquoted attrs are real-web noise out of scope), inner
+# markup allowed, non-greedy to the matching close. No backreferences or
+# lookaround: the Java and RE2 (DuckDB) engines run the same pattern text.
+LINK_RE = '(?is)<a\\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def _clean_anchor(c: Column) -> Column:
+    """Anchor inner markup -> text: tag strip, the htmlx entity decode
+    (&amp; last), whitespace collapse + trim."""
+    from fatespark.htmlx import ENTITIES
+    h = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, ch in ENTITIES:
+        h = F.replace(h, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(h, "[ \t\r\n\f]+", " "))
+
+
+def extract_links(pages: DataFrame, html_col: str = "html",
+                  src_col: str = "url") -> DataFrame:
+    """One row per ``<a href="...">`` occurrence: (``src_col``,
+    ``dst_url``, ``anchor``). Binary html is decoded as UTF-8. The
+    explode emits the raw matched tag (a cheap scalar) and group
+    extraction happens on the emitted row — the Generate-re-evaluation
+    rule every explode in this repo follows."""
+    h = F.col(html_col)
+    if dict(pages.dtypes).get(html_col) == "binary":
+        h = F.decode(h, "UTF-8")
+    tags = F.regexp_extract_all(h, F.lit(LINK_RE), 0)
+    out = pages.select(src_col, F.explode(tags).alias("_tag"))
+    return out.select(
+        src_col,
+        F.regexp_extract("_tag", LINK_RE, 1).alias("dst_url"),
+        _clean_anchor(F.regexp_extract("_tag", LINK_RE, 2)).alias("anchor"))
+
+
+def pagerank(edges: DataFrame, iterations: int = 5,
+             damping_num: int = 85, damping_den: int = 100,
+             scale: int = 10 ** 12) -> DataFrame:
+    """Integer-exact PageRank over an edge list with columns
+    (``src``, ``dst``); returns (``node``, ``rank``) with rank int64 in
+    units of 1/``scale`` (initial mass: ``scale`` per node). Duplicate
+    edges count twice (multigraph semantics — dedup upstream if not
+    wanted). Deterministic bit-for-bit: see the module contract."""
+    num, den = damping_num, damping_den
+    edges = (edges.select(F.col("src").cast("long"),
+                          F.col("dst").cast("long"))
+             .repartition("src").localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    outdeg = (edges.groupBy("src").agg(F.count("*").alias("deg"))
+              .localCheckpoint(eager=True))
+    dangling = (nodes.join(outdeg, nodes.node == outdeg.src, "left_anti")
+                .localCheckpoint(eager=True))
+    base = ((den - num) * scale) // den
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iterations):
+        dang = (dangling.join(ranks, "node")
+                .agg(F.sum("rank")).collect()[0][0]) or 0
+        share = dang // n
+        contribs = (edges
+                    .join(ranks.withColumnRenamed("node", "src"), "src")
+                    .join(outdeg, "src")
+                    .select(F.col("dst").alias("node"),
+                            F.expr("rank div deg").alias("c"))
+                    .groupBy("node")
+                    .agg(F.sum("c").alias("contrib")))
+        ranks = (nodes.join(contribs, "node", "left")
+                 .select("node", (F.lit(base) + F.expr(
+                     f"({num}L * (coalesce(contrib, 0L) + {share}L)) "
+                     f"div {den}L")).alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks
+
+
+def pagerank_local(edge_list, iterations: int = 5, damping_num: int = 85,
+                   damping_den: int = 100, scale: int = 10 ** 12) -> dict:
+    """Driver-local twin of ``pagerank`` (plain dict/loop), the test
+    oracle: the identical integer recurrence with none of the
+    distribution."""
+    num, den = damping_num, damping_den
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    outdeg: dict = {}
+    for u, _ in edge_list:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = ((den - num) * scale) // den
+    rank = {v: scale for v in nodes}
+    for _ in range(iterations):
+        dang = sum(rank[v] for v in nodes if v not in outdeg)
+        share = dang // n
+        contrib = {v: 0 for v in nodes}
+        for u, v in edge_list:
+            contrib[v] += rank[u] // outdeg[u]
+        rank = {v: base + (num * (contrib[v] + share)) // den
+                for v in nodes}
+    return rank
+
+
+def clean_anchor_sql(expr: str) -> str:
+    """DuckDB scalar twin of ``_clean_anchor`` (same rule order)."""
+    from fatespark.htmlx import ENTITIES
+    e = f"regexp_replace({expr}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, ch in ENTITIES:
+        sq = ch.replace("'", "''")
+        e = f"replace({e}, '{ent}', '{sq}')"
+    return f"trim(regexp_replace({e}, '[ \\t\\r\\n\\f]+', ' ', 'g'))"
+
+
+def links_sql(pages_cte: str, html_col: str = "html",
+              src_col: str = "doc_id") -> str:
+    """DuckDB oracle twin of ``extract_links``: CTE block text whose
+    final CTE ``lg_links`` is (src, dst_url, anchor) — the same regex
+    text (RE2 runs Java-compatible syntax here: no backrefs), same
+    match order (regexp_extract_all preserves document order)."""
+    pat = LINK_RE.replace("\\s", "\\s")  # literal; single-quoted SQL
+    return f"""
+lg_tags AS (
+  SELECT {src_col} AS src,
+         unnest(regexp_extract_all({html_col}, '{pat}', 0)) AS tag
+  FROM {pages_cte}),
+lg_links AS (
+  SELECT src, regexp_extract(tag, '{pat}', 1) AS dst_url,
+         {clean_anchor_sql(f"regexp_extract(tag, '{pat}', 2)")} AS anchor
+  FROM lg_tags)"""
+
+
+def pagerank_sql(edges_cte: str, iterations: int = 5,
+                 damping_num: int = 85, damping_den: int = 100,
+                 scale: int = 10 ** 12) -> str:
+    """DuckDB oracle twin: unrolled power-iteration CTE chain over an
+    existing edges CTE/relation with columns (src, dst). Returns the
+    CTE block text (to splice after the caller's WITH list) whose final
+    CTE ``pr_out`` is (node, rank BIGINT). Same integer ops in the same
+    order as ``pagerank`` (`//` == Spark ``div`` on non-negatives)."""
+    num, den = damping_num, damping_den
+    base = ((den - num) * scale) // den
+    parts = [f"""
+pr_nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM {edges_cte}
+    UNION ALL SELECT dst FROM {edges_cte})),
+pr_n AS (SELECT count(*) AS n FROM pr_nodes),
+pr_deg AS (SELECT src, count(*) AS deg FROM {edges_cte} GROUP BY src),
+pr_r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM pr_nodes)"""]
+    for i in range(iterations):
+        r, r2 = f"pr_r{i}", f"pr_r{i + 1}"
+        parts.append(f"""
+pr_d{i} AS (
+  SELECT CAST(coalesce(sum(rank), 0) AS BIGINT)
+         // (SELECT n FROM pr_n) AS share
+  FROM {r} WHERE node NOT IN (SELECT src FROM pr_deg)),
+pr_c{i} AS (
+  SELECT e.dst AS node,
+         CAST(sum(r.rank // d.deg) AS BIGINT) AS contrib
+  FROM {edges_cte} e
+  JOIN {r} r ON r.node = e.src
+  JOIN pr_deg d ON d.src = e.src
+  GROUP BY e.dst),
+{r2} AS (
+  SELECT nd.node,
+         CAST({base} + ({num} * (coalesce(c.contrib, 0)
+              + (SELECT share FROM pr_d{i}))) // {den} AS BIGINT) AS rank
+  FROM pr_nodes nd LEFT JOIN pr_c{i} c ON c.node = nd.node)""")
+    parts.append(f"""
+pr_out AS (SELECT node, rank FROM pr_r{iterations})""")
+    return ",".join(parts)

@@ -1,0 +1,107 @@
+"""Link extraction semantics + integer-exact PageRank: local-twin
+parity, hand-computed fixed points, invariants, and plan shape."""
+
+import pandas as pd
+import pytest
+
+from fatespark.linkgraph import (extract_links, pagerank, pagerank_local,
+                                 pagerank_sql)
+
+
+def _links(spark, html: str):
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["u0"], "html": [html]}))
+    return [(r["dst_url"], r["anchor"])
+            for r in extract_links(df).collect()]
+
+
+class TestExtractLinks:
+    def test_basic_and_order(self, spark):
+        h = ('<p><a href="http://a.test/1">first</a> text '
+             '<a class="x" href="http://b.test/2">second link</a></p>')
+        assert _links(spark, h) == [("http://a.test/1", "first"),
+                                    ("http://b.test/2", "second link")]
+
+    def test_anchor_markup_stripped_entities(self, spark):
+        h = '<a href="/r">a <b>bold</b>&nbsp;&amp;amp; x</a>'
+        assert _links(spark, h) == [("/r", "a bold &amp; x")]
+
+    def test_multiline_and_case(self, spark):
+        h = '<A HREF="http://c.test">line\none</A>'
+        assert _links(spark, h) == [("http://c.test", "line one")]
+
+    def test_no_links(self, spark):
+        assert _links(spark, "<p>plain</p>") == []
+
+    def test_binary_html_decoded(self, spark):
+        df = spark.createDataFrame(pd.DataFrame(
+            {"url": ["u"], "html": [b'<a href="x">t</a>']}))
+        assert extract_links(df).collect()[0]["dst_url"] == "x"
+
+
+def _run(spark, edge_list, **kw):
+    df = spark.createDataFrame(
+        pd.DataFrame(edge_list, columns=["src", "dst"]))
+    got = {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+    want = pagerank_local(edge_list, **kw)
+    return got, want
+
+
+class TestPagerank:
+    def test_cycle_uniform(self, spark):
+        # 3-cycle: perfectly symmetric, every node keeps mass == scale
+        # up to floor loss; all equal.
+        got, want = _run(spark, [(0, 1), (1, 2), (2, 0)])
+        assert got == want
+        assert len(set(got.values())) == 1
+
+    def test_star_with_dangling(self, spark):
+        # 1,2,3 -> 0; 0 has no out-edges (dangling hub)
+        edges = [(1, 0), (2, 0), (3, 0)]
+        got, want = _run(spark, edges)
+        assert got == want
+        assert got[0] > got[1] == got[2] == got[3]
+
+    def test_multigraph_double_edge_counts_twice(self, spark):
+        g1, _ = _run(spark, [(0, 1), (0, 1), (0, 2), (1, 0), (2, 0)])
+        g2, _ = _run(spark, [(0, 1), (0, 2), (1, 0), (2, 0)])
+        assert g1[1] > g2[1]
+
+    def test_mass_conservation_upper_bound(self, spark):
+        edges = [(i, (i * 7 + 3) % 20) for i in range(20) if i % 5]
+        got, want = _run(spark, edges, iterations=8)
+        assert got == want
+        n = len(got)
+        assert sum(got.values()) <= n * 10 ** 12
+        # floor losses are bounded: within 1% of total mass here
+        assert sum(got.values()) >= int(0.99 * n * 10 ** 12)
+
+    def test_deterministic_across_runs(self, spark):
+        edges = [(i, (i * 13 + 7) % 50) for i in range(50)]
+        a, _ = _run(spark, edges)
+        b, _ = _run(spark, edges)
+        assert a == b
+
+    def test_empty(self, spark):
+        df = spark.createDataFrame([], "src long, dst long")
+        assert pagerank(df).count() == 0
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+        edges = [(i, (i * 7 + 13) % 30) for i in range(30) if i % 10] + \
+                [(i, 0) for i in range(30) if i % 10]
+        _, want = _run(spark, edges, iterations=4)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+        con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+        sql = "WITH " + pagerank_sql("e", iterations=4) + \
+              " SELECT node, rank FROM pr_out"
+        got = dict(con.execute(sql).fetchall())
+        assert got == want
+
+    def test_no_cartesian_in_plan(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame([(0, 1), (1, 0)], columns=["src", "dst"]))
+        plan = pagerank(df, iterations=1)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Cartesian" not in plan
