@@ -947,6 +947,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("</body></html>"))
         return d.withColumn("html", html), n
 
+    def tx_warc_parse(spark, sf):
+        """WARC ingest round-trip (warc.split_warc/parse_warc): each
+        10-doc group becomes ONE archive blob of WARC/1.0 response
+        records (big-blob shape, like a CC segment), then the blob
+        table is exploded and parsed back — ok=1 iff url-derived
+        doc_id, deterministic WARC-Date, status 200 and the exact
+        html body all round-trip. Few-blobs -> many-records is the
+        real ingest fan-out; everything is JVM split/regexp."""
+        from fatespark.warc import CRLF, read_warc, warc_record_col
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        i = F.col("doc_id")
+
+        def ts_col(c):
+            return F.concat(
+                F.lit("2026-01-"),
+                F.lpad((1 + F.floor(c / 1440) % 28).cast("string"),
+                       2, "0"),
+                F.lit("T"),
+                F.lpad((F.floor(c / 60) % 24).cast("string"), 2, "0"),
+                F.lit(":"), F.lpad((c % 60).cast("string"), 2, "0"),
+                F.lit(":00Z"))
+
+        body = F.concat(F.lit("<html><body><p>"),
+                        F.coalesce(F.col("text"), F.lit("")),
+                        F.lit("</p></body></html>"))
+        url = F.concat(F.lit("http://w"), i.cast("string"),
+                       F.lit(".test/p"))
+        rec = warc_record_col(url, ts_col(i), body)
+        blobs = (d.select((i / 10).cast("long").alias("blob_id"), i,
+                          rec.alias("rec"))
+                 .groupBy("blob_id")
+                 .agg(F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.struct("doc_id", "rec"))),
+                         lambda s: s["rec"]),
+                     CRLF + CRLF).alias("blob")))
+        parsed = read_warc(blobs).select(
+            F.regexp_extract("url", r"w(\d+)\.test", 1).cast("long")
+            .alias("doc_id"), "warc_date", "http_status", "body")
+        j = parsed.join(d, "doc_id")
+        expected_body = F.concat(F.lit("<html><body><p>"),
+                                 F.coalesce(F.col("text"), F.lit("")),
+                                 F.lit("</p></body></html>"))
+        ok = ((F.col("body") == expected_body)
+              & (F.col("warc_date") == ts_col(F.col("doc_id")))
+              & (F.col("http_status") == 200))
+        return (j.select("doc_id", "http_status",
+                         ok.cast("int").alias("ok"))
+                .orderBy("doc_id"))
+    q["tx_warc_parse"] = tx_warc_parse
+
     def wg_links(spark, sf):
         """Link extraction (linkgraph.extract_links): pure-JVM regexp
         chain, one narrow explode, zero shuffles before the output
@@ -1975,7 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_url_filter", "tx_bpe_train", "ft_span_first", "ft_span_not",
         "tx_decontam_fuzzy", "ft_span_or", "q_asof_join", "q_interval_join",
         "ft_span_within", "ft_span_containing", "tx_bpe_encode",
-        "tx_html_extract", "wg_links", "wg_pagerank",
+        "tx_html_extract", "wg_links", "wg_pagerank", "tx_warc_parse",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -2937,6 +2989,34 @@ ex AS (
 SELECT doc_id, length(ext)::BIGINT AS n_chars,
        CAST(ext = expected AS INT) AS ok
 FROM ex ORDER BY doc_id"""
+
+    from fatespark import warc as _warc
+    _wts = ("'2026-01-' || lpad(CAST(1 + (doc_id // 1440) % 28 AS VARCHAR),"
+            " 2, '0') || 'T' || lpad(CAST((doc_id // 60) % 24 AS VARCHAR),"
+            " 2, '0') || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')"
+            " || ':00Z'")
+    _wbody = ("'<html><body><p>' || coalesce(text, '') "
+              "|| '</p></body></html>'")
+    o["tx_warc_parse"] = f"""
+WITH recs AS (
+  SELECT doc_id, doc_id // 10 AS blob_id,
+         {_warc.warc_record_sql(
+             "'http://w' || CAST(doc_id AS VARCHAR) || '.test/p'",
+             _wts, _wbody)} AS rec
+  FROM documents),
+blobs AS (
+  SELECT string_agg(rec, chr(13)||chr(10)||chr(13)||chr(10)
+                    ORDER BY doc_id) AS blob
+  FROM recs GROUP BY blob_id),{_warc.split_parse_sql("blobs")},
+parsed AS (
+  SELECT CAST(regexp_extract(url, 'w(\\d+)\\.test', 1) AS BIGINT)
+           AS doc_id, warc_date, http_status, body
+  FROM warc_rows)
+SELECT p.doc_id, p.http_status,
+       CAST(p.body = {_wbody} AND p.warc_date = ({_wts.replace(
+           "doc_id", "p.doc_id")}) AND p.http_status = 200 AS INT) AS ok
+FROM parsed p JOIN documents USING (doc_id)
+ORDER BY p.doc_id"""
 
     from fatespark import linkgraph as _lg
     _wg_dst1 = ("CAST((doc_id*7+13) % (SELECT n FROM nn) AS VARCHAR)")

@@ -541,6 +541,28 @@ def main() -> None:
                                      out_col="t")
                 .agg(F.sum(F.length("t"))).collect())
 
+    # WARC blob table (200 blobs x ~1000 records) materialized once,
+    # untimed — the timed entry measures the ingest split+parse fan-out
+    from fatespark import warc as _warc
+    warc_path = f"/tmp/fatespark_bench_warc_{n_pages}"
+    if not os.path.exists(os.path.join(warc_path, "_SUCCESS")):
+        _rec = _warc.warc_record_col(
+            F.col("url"), F.lit("2026-01-01T00:00:00Z"),
+            F.decode("html", "UTF-8"))
+        (corpus.select((F.xxhash64("url") % 200).alias("blob_id"),
+                       F.col("url"), _rec.alias("rec"))
+         .groupBy("blob_id")
+         .agg(F.array_join(F.transform(
+             F.sort_array(F.collect_list(F.struct("url", "rec"))),
+             lambda s: s["rec"]), _warc.CRLF + _warc.CRLF).alias("blob"))
+         .write.mode("overwrite").parquet(warc_path))
+    warc_blobs = spark.read.parquet(warc_path)
+
+    @timed("tx_warc_parse_200k", pre=clean_room)
+    def _wp():  # archive ingest: blob explode + header/body extracts
+        return (_warc.read_warc(warc_blobs.select("blob"))
+                .agg(F.count("*"), F.sum(F.length("body"))).collect())
+
     @timed("wg_links_200k", pre=clean_room)
     def _wgl():  # href/anchor extraction over the full page markup:
         # regexp scan + one narrow explode; three planted anchors/page
