@@ -999,6 +999,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["tx_warc_parse"] = tx_warc_parse
 
+    def wg_robots(spark, sf):
+        """robots.txt gate (robots.parse_robots + robots_filter): 50
+        synthetic hosts, every 5th with an exact fatesbot group that
+        overrides the * group (RFC 9309 precedence); urls hit deny,
+        longer-allow-override, no-rule and exact-group-deny paths, so
+        group splitting, precedence, longest-match and the allow tie
+        are all non-vacuous. Parse is per-host window work; the filter
+        is one broadcast join + a combinable struct-max per url."""
+        from fatespark.robots import parse_robots, robots_filter
+        d = _read(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        h = F.pmod(i, F.lit(49))
+        hosts = d.select(h.alias("h")).distinct()
+        nl = "\n"
+        star = ("User-agent: otherbot" + nl + "Disallow: /" + nl + nl +
+                "User-agent: *" + nl + "Disallow: /p/private" + nl +
+                "Allow: /p/private/pub" + nl + "Disallow: /tmp")
+        robots = hosts.select(
+            F.concat(F.lit("s"), F.col("h").cast("string"),
+                     F.lit(".test")).alias("host"),
+            F.concat(
+                F.when(F.col("h") % 5 == 0, F.concat(
+                    F.lit("User-agent: fatesbot" + nl + "Disallow: /deny"),
+                    F.col("h").cast("string"), F.lit(nl + nl)))
+                .otherwise(F.lit("")),
+                F.lit(star)).alias("robots_txt"))
+        urls = d.select("doc_id", F.concat(
+            F.lit("http://s"), h.cast("string"), F.lit(".test"),
+            F.when(i % 5 == 0, F.lit("/p/private/x"))
+            .when(i % 5 == 1, F.lit("/p/private/pub/y"))
+            .when(i % 5 == 2, F.lit("/tmp/z"))
+            .when(i % 5 == 3, F.lit("/ok"))
+            .otherwise(F.concat(F.lit("/deny"), h.cast("string"),
+                                F.lit("/d")))).alias("url"))
+        rules = parse_robots(robots, agent="fatesbot")
+        out = robots_filter(urls, rules)
+        return (out.select("doc_id",
+                           F.col("allowed").cast("int").alias("allowed"),
+                           "rule")
+                .orderBy("doc_id"))
+    q["wg_robots"] = wg_robots
+
     def wg_links(spark, sf):
         """Link extraction (linkgraph.extract_links): pure-JVM regexp
         chain, one narrow explode, zero shuffles before the output
@@ -2028,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_decontam_fuzzy", "ft_span_or", "q_asof_join", "q_interval_join",
         "ft_span_within", "ft_span_containing", "tx_bpe_encode",
         "tx_html_extract", "wg_links", "wg_pagerank", "tx_warc_parse",
+        "wg_robots",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -3017,6 +3060,93 @@ SELECT p.doc_id, p.http_status,
            "doc_id", "p.doc_id")}) AND p.http_status = 200 AS INT) AS ok
 FROM parsed p JOIN documents USING (doc_id)
 ORDER BY p.doc_id"""
+
+    _ROB_DIR = "'^[ \\t]*([A-Za-z-]+)[ \\t]*:[ \\t]*(.*?)[ \\t]*$'"
+    o["wg_robots"] = f"""
+WITH hosts AS (SELECT DISTINCT doc_id % 49 AS h FROM documents),
+robots AS (
+  SELECT 's' || CAST(h AS VARCHAR) || '.test' AS host,
+         CASE WHEN h % 5 = 0 THEN
+           'User-agent: fatesbot' || chr(10) || 'Disallow: /deny'
+           || CAST(h AS VARCHAR) || chr(10) || chr(10) ELSE '' END
+         || 'User-agent: otherbot' || chr(10) || 'Disallow: /'
+         || chr(10) || chr(10) || 'User-agent: *' || chr(10)
+         || 'Disallow: /p/private' || chr(10)
+         || 'Allow: /p/private/pub' || chr(10) || 'Disallow: /tmp'
+           AS txt
+  FROM hosts),
+lines0 AS (
+  SELECT host,
+         unnest(generate_series(1, len(string_split_regex(txt, '\\r?\\n'))))
+           AS pos,
+         unnest(string_split_regex(txt, '\\r?\\n')) AS raw
+  FROM robots),
+lines1 AS (
+  SELECT host, pos, regexp_replace(raw, '#.*$', '') AS line
+  FROM lines0),
+lines AS (
+  SELECT host, pos,
+         lower(regexp_extract(line, {_ROB_DIR}, 1)) AS dir,
+         regexp_extract(line, {_ROB_DIR}, 2) AS val
+  FROM lines1
+  WHERE lower(regexp_extract(line, {_ROB_DIR}, 1))
+        IN ('user-agent', 'allow', 'disallow')),
+marks AS (
+  SELECT *, (dir = 'user-agent') AS is_ua,
+         CASE WHEN dir = 'user-agent' AND NOT coalesce(
+           lag(dir = 'user-agent') OVER (PARTITION BY host ORDER BY pos),
+           FALSE) THEN 1 ELSE 0 END AS new_grp
+  FROM lines),
+grps AS (
+  SELECT *, sum(new_grp) OVER (PARTITION BY host ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marks),
+agents AS (
+  SELECT host, grp,
+         max(CASE WHEN lower(val) = 'fatesbot' THEN 1 ELSE 0 END)
+           AS has_exact,
+         max(CASE WHEN val = '*' THEN 1 ELSE 0 END) AS has_star
+  FROM grps WHERE is_ua GROUP BY host, grp),
+hostexact AS (
+  SELECT host, max(has_exact) AS exact_any FROM agents GROUP BY host),
+sel AS (
+  SELECT a.host, a.grp
+  FROM agents a JOIN hostexact he USING (host)
+  WHERE a.has_exact = 1 OR (he.exact_any = 0 AND a.has_star = 1)),
+rules AS (
+  SELECT g.host, (dir = 'allow') AS allow, val AS path
+  FROM grps g JOIN sel USING (host, grp)
+  WHERE NOT is_ua AND val <> ''),
+urls AS (
+  SELECT doc_id,
+         'http://s' || CAST(doc_id % 49 AS VARCHAR) || '.test' ||
+         CASE doc_id % 5
+           WHEN 0 THEN '/p/private/x'
+           WHEN 1 THEN '/p/private/pub/y'
+           WHEN 2 THEN '/tmp/z'
+           WHEN 3 THEN '/ok'
+           ELSE '/deny' || CAST(doc_id % 49 AS VARCHAR) || '/d'
+         END AS url
+  FROM documents),
+u2 AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         coalesce(nullif(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1),
+                         ''), '/') AS path
+  FROM urls),
+j AS (
+  SELECT u.doc_id, r.allow, r.path AS rpath
+  FROM u2 u LEFT JOIN rules r
+    ON r.host = u.host AND starts_with(u.path, r.path)),
+best AS (
+  SELECT doc_id,
+         max(CASE WHEN rpath IS NULL THEN NULL ELSE struct_pack(
+           l := length(rpath), a := CAST(allow AS INT), p := rpath)
+         END) AS b
+  FROM j GROUP BY doc_id)
+SELECT doc_id, CAST(coalesce(b.a = 1, TRUE) AS INT) AS allowed,
+       b.p AS rule
+FROM best ORDER BY doc_id"""
 
     from fatespark import linkgraph as _lg
     _wg_dst1 = ("CAST((doc_id*7+13) % (SELECT n FROM nn) AS VARCHAR)")

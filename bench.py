@@ -563,6 +563,25 @@ def main() -> None:
         return (_warc.read_warc(warc_blobs.select("blob"))
                 .agg(F.count("*"), F.sum(F.length("body"))).collect())
 
+    @timed("wg_robots_200k", pre=clean_room)
+    def _wgr():  # parse 10k hosts' robots.txt (window work over tiny
+        # per-host groups) + gate 200k urls (broadcast join, struct max)
+        from fatespark import robots as _robots
+        hosts = spark.range(10_000).select(
+            F.concat(F.lit("h"), F.col("id").cast("string"),
+                     F.lit(".test")).alias("host"),
+            F.concat(F.lit("User-agent: *\nDisallow: /private\n"
+                           "Allow: /private/pub\nDisallow: /tmp")
+                     ).alias("robots_txt"))
+        urls = corpus.select(F.concat(
+            F.lit("http://h"),
+            F.pmod(F.xxhash64("url"), F.lit(10_000)).cast("string"),
+            F.lit(".test/private/"), F.substring("url", -8, 8))
+            .alias("u"))
+        rules = _robots.parse_robots(hosts)
+        return (_robots.robots_filter(urls, rules, url_col="u")
+                .agg(F.sum(F.col("allowed").cast("long"))).collect())
+
     @timed("wg_links_200k", pre=clean_room)
     def _wgl():  # href/anchor extraction over the full page markup:
         # regexp scan + one narrow explode; three planted anchors/page
