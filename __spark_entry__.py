@@ -1072,6 +1072,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagerank(edges, iterations=5).orderBy("node")
     q["wg_pagerank"] = wg_pagerank
 
+    def wg_anchor_topk(spark, sf):
+        """Anchor-text ranking — the classic web signal: incoming
+        anchors aggregated per target page (deterministic order:
+        sorted by (src, anchor)) become a second index field; BM25F
+        with the anchor field boosted 2x over body text. 'home' only
+        exists in anchors (doc 0 carries ~0.9N of them — real head
+        skew), 'batch' only in body text, 'go' in many targets'
+        anchors, so both fields and the weight mix are non-vacuous.
+        Composes linkgraph extraction with the multifield index
+        machinery (wand.py BM25F)."""
+        from fatespark.linkgraph import extract_links
+        tag = _corpus_tag(sf)
+        d = f"/tmp/fatespark_entry_idx/{tag}_anchor"
+        docs = _read(spark, sf, "documents")
+        n = docs.count()
+        try:
+            idx = SearchIndex(spark, d)
+            if idx.n_docs != n or idx.n_fields != 2:
+                raise ValueError("stale index")
+        except Exception:
+            pages, _ = _wg_fixture(spark, sf)
+            links = extract_links(pages, html_col="html",
+                                  src_col="doc_id")
+            anch = (links.select(
+                F.regexp_extract("dst_url", r"s(\d+)\.test", 1)
+                .cast("long").alias("target"),
+                F.col("doc_id").alias("src"), "anchor")
+                .groupBy("target")
+                .agg(F.array_join(F.transform(
+                    F.sort_array(F.collect_list(
+                        F.struct("src", "anchor"))),
+                    lambda s: s["anchor"]), " ").alias("anchor")))
+            adocs = (docs.join(
+                anch.withColumnRenamed("target", "doc_id"),
+                "doc_id", "left")
+                .withColumn("anchor",
+                            F.coalesce("anchor", F.lit(""))))
+            IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=0)).build(
+                spark, adocs, id_col="doc_id", url_col="doc_id",
+                text_cols=["text", "anchor"], build_id="entry-anchor")
+            idx = SearchIndex(spark, d)
+        return _scores(idx.search(
+            ["batch", "go", "home"], k=10, mode="OR",
+            weights=[1.0, 2.0], quantize=4))
+    q["wg_anchor_topk"] = wg_anchor_topk
+
     def tx_bpe_count(spark, sf):
         """BPE-ish pre-tokenizer segment count (GPT-2 pretokenize shape,
         ASCII-restricted; textops.BPE_RE) — the scan-speed proxy for
@@ -2070,7 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_decontam_fuzzy", "ft_span_or", "q_asof_join", "q_interval_join",
         "ft_span_within", "ft_span_containing", "tx_bpe_encode",
         "tx_html_extract", "wg_links", "wg_pagerank", "tx_warc_parse",
-        "wg_robots",
+        "wg_robots", "wg_anchor_topk",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -3179,6 +3225,70 @@ lg_edges AS (
          CAST(regexp_extract(dst_url, 's(\\d+)\\.test', 1) AS BIGINT) AS dst
   FROM lg_links),{_lg.pagerank_sql("lg_edges", iterations=5)}
 SELECT node, rank FROM pr_out ORDER BY node"""
+
+    _an_terms = sorted({"batch", "go", "home"})
+    _an_keys = [(t, f) for t in _an_terms for f in (0, 1)]
+    _an_pivot = ",\n      ".join(
+        f"max(CASE WHEN term = '{t}' AND field = {f} THEN s END) AS s_{i}"
+        for i, (t, f) in enumerate(_an_keys))
+    _an_add = " + ".join(
+        f"coalesce(s_{i}, 0.0)" for i in range(len(_an_keys)))
+    _an_in = ", ".join(f"'{t}'" for t in _an_terms)
+    o["wg_anchor_topk"] = f"""
+WITH {_WG_PAGES},
+anch AS (
+  SELECT CAST(regexp_extract(dst_url, 's(\\d+)\\.test', 1) AS BIGINT)
+           AS doc_id,
+         string_agg(anchor, ' ' ORDER BY src, anchor) AS anchor
+  FROM lg_links GROUP BY 1),
+docs2 AS (
+  SELECT d.doc_id, d.text, coalesce(a.anchor, '') AS anchor
+  FROM documents d LEFT JOIN anch a USING (doc_id)),
+tok AS (
+  SELECT doc_id, 0 AS field, translate(t, '{_UP}', '{_LO}') AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}')) AS t
+        FROM docs2) WHERE t <> ''
+  UNION ALL
+  SELECT doc_id, 1 AS field, translate(t, '{_UP}', '{_LO}') AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(coalesce(anchor, ''), '{_WS_SQL}')) AS t
+        FROM docs2) WHERE t <> ''
+),
+nd AS (SELECT count(*) AS n_docs FROM docs2),
+dls AS (
+  SELECT d.doc_id, fs.field, coalesce(x.dl, 0) AS dl
+  FROM docs2 d CROSS JOIN (VALUES (0), (1)) fs(field)
+  LEFT JOIN (SELECT doc_id, field, count(*) AS dl FROM tok
+             GROUP BY doc_id, field) x
+    ON x.doc_id = d.doc_id AND x.field = fs.field),
+stats AS (
+  SELECT field, CAST(sum(dl) AS DOUBLE) / (SELECT n_docs FROM nd) AS avgdl
+  FROM dls GROUP BY field),
+tfs AS (SELECT doc_id, field, term, count(*) AS tf FROM tok
+        GROUP BY doc_id, field, term),
+dfs AS (SELECT term, field, count(*) AS df FROM tfs GROUP BY term, field),
+contrib AS (
+  SELECT tfs.doc_id, tfs.term, tfs.field,
+         (w.w * ln(1 + (nd.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)))
+         * (tfs.tf * {_K1P1} / (tfs.tf + {_K1} *
+            ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS s
+  FROM tfs
+  JOIN dfs ON dfs.term = tfs.term AND dfs.field = tfs.field
+  JOIN dls ON dls.doc_id = tfs.doc_id AND dls.field = tfs.field
+  JOIN stats ON stats.field = tfs.field
+  JOIN (VALUES (0, 1.0), (1, 2.0)) w(field, w) ON w.field = tfs.field
+  CROSS JOIN nd
+  WHERE tfs.term IN ({_an_in})
+),
+per_doc AS (
+  SELECT doc_id, {_an_pivot}
+  FROM contrib GROUP BY doc_id
+),
+scored AS (SELECT doc_id, {_an_add} AS score FROM per_doc)
+SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
+FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
+
 
     from fatespark import sampling as _sampling
     o["tx_mixture"] = _sampling.mixture_sample_sql(
