@@ -1072,6 +1072,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagerank(edges, iterations=5).orderBy("node")
     q["wg_pagerank"] = wg_pagerank
 
+    def wg_redirects(spark, sf):
+        """Redirect-chain resolution (linkgraph.resolve_redirects):
+        pointer DOUBLING over a (src, dst) map — chains up to 2^rounds
+        in O(log) self-joins, loops flagged cyclic (never
+        mis-resolved). Fixture: 5-hop chains (doc_id%10 in 1..5 ->
+        +1), a planted 2-cycle (%100 = 48<->49) and a walk-into-cycle
+        entry (%100 = 57 -> 48), so chain/terminal/cycle/entry paths
+        are all non-vacuous."""
+        from fatespark.linkgraph import resolve_redirects
+        d = _read(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        m = i % 100
+        r = (d.select(i.alias("src"), (
+            F.when(m == 48, i + 1)
+            .when(m == 49, i - 1)
+            .when(m == 57, i - 9)
+            .when((i % 10).between(1, 5), i + 1)).alias("dst"))
+            .where(F.col("dst").isNotNull()))
+        out = resolve_redirects(r, rounds=6)
+        return (out.select("src", "final", "hops",
+                           F.col("cyclic").cast("int").alias("cyclic"))
+                .orderBy("src"))
+    q["wg_redirects"] = wg_redirects
+
     def wg_anchor_topk(spark, sf):
         """Anchor-text ranking — the classic web signal: incoming
         anchors aggregated per target page (deterministic order:
@@ -2116,7 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_decontam_fuzzy", "ft_span_or", "q_asof_join", "q_interval_join",
         "ft_span_within", "ft_span_containing", "tx_bpe_encode",
         "tx_html_extract", "wg_links", "wg_pagerank", "tx_warc_parse",
-        "wg_robots", "wg_anchor_topk",
+        "wg_robots", "wg_anchor_topk", "wg_redirects",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -3078,6 +3102,20 @@ ex AS (
 SELECT doc_id, length(ext)::BIGINT AS n_chars,
        CAST(ext = expected AS INT) AS ok
 FROM ex ORDER BY doc_id"""
+
+    from fatespark.linkgraph import resolve_redirects_sql as _rr_sql
+    o["wg_redirects"] = f"""
+WITH red AS (
+  SELECT src, dst FROM (
+    SELECT doc_id AS src,
+           CASE WHEN doc_id % 100 = 48 THEN doc_id + 1
+                WHEN doc_id % 100 = 49 THEN doc_id - 1
+                WHEN doc_id % 100 = 57 THEN doc_id - 9
+                WHEN doc_id % 10 BETWEEN 1 AND 5 THEN doc_id + 1
+           END AS dst
+    FROM documents) WHERE dst IS NOT NULL),{_rr_sql("red", rounds=6)}
+SELECT src, final, hops, CAST(cyclic AS INT) AS cyclic
+FROM rr_out ORDER BY src"""
 
     from fatespark import warc as _warc
     _wts = ("'2026-01-' || lpad(CAST(1 + (doc_id // 1440) % 28 AS VARCHAR),"

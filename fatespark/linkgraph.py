@@ -152,6 +152,74 @@ def pagerank_local(edge_list, iterations: int = 5, damping_num: int = 85,
     return rank
 
 
+def resolve_redirects(redirects: DataFrame,
+                      rounds: int = 16) -> DataFrame:
+    """Resolve every redirect source to its terminal target by pointer
+    DOUBLING: ``rounds`` self-joins reach chains up to ``2**rounds``
+    hops (16 covers any real redirect chain; a crawl would cap far
+    lower). ``redirects`` is (src, dst) with at most one dst per src
+    (dedup upstream). Returns (src, final, hops, cyclic): rows whose
+    walk never leaves the redirect map — a loop — get final=NULL,
+    hops=NULL, cyclic=true, so loops are flagged, never mis-resolved.
+
+    Deterministic for any rounds >= log2(longest acyclic chain):
+    once a walk reaches a terminal (a node that is no source), further
+    doubling rounds are identity for it, so Spark and the unrolled SQL
+    twin agree regardless of extra rounds. Scale shape: each round is
+    ONE equi-join of the map with itself on the moving pointer (the
+    dd_clusters pointer-jump shape), lineage cut per round; O(log
+    chain) rounds total, never O(chain)."""
+    m = (redirects.select(F.col("src"), F.col("dst").alias("cur"),
+                          F.lit(1).cast("long").alias("hops"))
+         .localCheckpoint(eager=True))
+    srcs = redirects.select("src").distinct().localCheckpoint(eager=True)
+    for _ in range(rounds):
+        b = m.select(F.col("src").alias("b_src"),
+                     F.col("cur").alias("b_cur"),
+                     F.col("hops").alias("b_hops"))
+        m = (m.join(b, m.cur == b.b_src, "left")
+             .select("src",
+                     F.coalesce("b_cur", "cur").alias("cur"),
+                     (F.col("hops") + F.coalesce("b_hops", F.lit(0)))
+                     .alias("hops"))
+             .localCheckpoint(eager=True))
+    cyc = (m.join(srcs.withColumnRenamed("src", "cur"), "cur",
+                  "left_semi").select("src")
+           .withColumn("_c", F.lit(True)))
+    return (m.join(cyc, "src", "left")
+            .select("src",
+                    F.when(F.col("_c").isNull(), F.col("cur"))
+                    .alias("final"),
+                    F.when(F.col("_c").isNull(), F.col("hops"))
+                    .alias("hops"),
+                    F.coalesce("_c", F.lit(False)).alias("cyclic")))
+
+
+def resolve_redirects_sql(redirects_cte: str, rounds: int = 4) -> str:
+    """DuckDB twin: unrolled pointer-doubling CTE chain; final CTE
+    ``rr_out`` is (src, final, hops, cyclic) — identical semantics for
+    rounds >= log2(longest acyclic chain)."""
+    parts = [f"""
+rr_m0 AS (SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops
+          FROM {redirects_cte})"""]
+    for i in range(rounds):
+        parts.append(f"""
+rr_m{i + 1} AS (
+  SELECT a.src, coalesce(b.cur, a.cur) AS cur,
+         a.hops + coalesce(b.hops, 0) AS hops
+  FROM rr_m{i} a LEFT JOIN rr_m{i} b ON b.src = a.cur)""")
+    parts.append(f"""
+rr_out AS (
+  SELECT src,
+         CASE WHEN cur IN (SELECT src FROM {redirects_cte})
+              THEN NULL ELSE cur END AS final,
+         CASE WHEN cur IN (SELECT src FROM {redirects_cte})
+              THEN NULL ELSE hops END AS hops,
+         cur IN (SELECT src FROM {redirects_cte}) AS cyclic
+  FROM rr_m{rounds})""")
+    return ",".join(parts)
+
+
 def clean_anchor_sql(expr: str) -> str:
     """DuckDB scalar twin of ``_clean_anchor`` (same rule order)."""
     from fatespark.htmlx import ENTITIES

@@ -105,3 +105,45 @@ class TestPagerank:
         plan = pagerank(df, iterations=1)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Cartesian" not in plan
+
+
+class TestRedirects:
+    def _run(self, spark, pairs, rounds=16):
+        from fatespark.linkgraph import resolve_redirects
+        df = spark.createDataFrame(
+            pd.DataFrame(pairs, columns=["src", "dst"]))
+        return {r["src"]: (r["final"], r["hops"], r["cyclic"])
+                for r in resolve_redirects(df, rounds=rounds).collect()}
+
+    def test_chain_and_hops(self, spark):
+        got = self._run(spark, [(1, 2), (2, 3), (3, 4), (10, 4)])
+        assert got[1] == (4, 3, False)
+        assert got[2] == (4, 2, False)
+        assert got[10] == (4, 1, False)
+
+    def test_cycle_flagged_not_misresolved(self, spark):
+        got = self._run(spark, [(1, 2), (2, 1), (5, 1)])
+        # 5 walks into the cycle: also unresolvable
+        assert got[1] == (None, None, True)
+        assert got[2] == (None, None, True)
+        assert got[5] == (None, None, True)
+
+    def test_long_chain_log_rounds(self, spark):
+        pairs = [(i, i + 1) for i in range(200)]
+        got = self._run(spark, pairs, rounds=8)  # 2^8 >= 200
+        assert got[0] == (200, 200, False)
+
+    def test_sql_twin(self, spark):
+        import duckdb
+        pairs = [(i, i + 1) for i in range(1, 6)] + \
+                [(8, 9), (9, 8), (20, 3)]
+        want = self._run(spark, pairs, rounds=4)
+        from fatespark.linkgraph import resolve_redirects_sql
+        con = duckdb.connect()
+        con.execute("CREATE TABLE r(src BIGINT, dst BIGINT)")
+        con.executemany("INSERT INTO r VALUES (?, ?)", pairs)
+        sql = ("WITH " + resolve_redirects_sql("r", rounds=4) +
+               " SELECT * FROM rr_out")
+        got = {s: (f, h, c)
+               for s, f, h, c in con.execute(sql).fetchall()}
+        assert got == want
