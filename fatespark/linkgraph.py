@@ -29,9 +29,11 @@ engines). The recurrence, per node v with in-edges E(v), damping
 Floor losses strictly shrink total mass (bounded by one unit per
 divide), never grow it; ``sum(rank) <= N*scale`` is an invariant, so
 ``num * (contrib + share) <= num * N * scale`` bounds the widest
-intermediate — pick ``scale`` such that ``den * N * scale < 2**63``
-(the default 10**12 is safe to N ~ 10**5; pass ``scale=2**62 //
-(den*N)`` for web-scale graphs, or swap int64 for decimal(38,0)).
+intermediate — ``scale`` must satisfy ``den * N * scale < 2**63``.
+The default (``scale=None``) computes the safe maximum ``2**62 //
+(den*N)`` from the node count (``_auto_scale``; the SQL twin derives
+the identical value in-query), good to N ~ 10**9; a trillion-node
+graph needs decimal(38,0) columns instead of int64.
 
 Scale shape: edges are hash-partitioned by ``src`` ONCE and
 checkpointed; each iteration is one partition-local join on src (the
@@ -83,12 +85,25 @@ def extract_links(pages: DataFrame, html_col: str = "html",
         _clean_anchor(F.regexp_extract("_tag", LINK_RE, 2)).alias("anchor"))
 
 
+def _auto_scale(n: int, den: int) -> int:
+    """The largest overflow-safe scale: num*(contrib+share) is bounded
+    by num*N*scale <= (num/den)*2**62 < 2**63. Found the hard way: at
+    N=2M a 0.9N-in-edge hub overflowed the fixed 10**12 default (ANSI
+    mode failed loudly, as designed). Past N ~ 10**9 the quotient gets
+    coarse (< ~4600 units/node) — switch to decimal(38,0) columns for
+    a trillion-node graph; int64 is the fast path below that."""
+    return max((2 ** 62) // (den * n), 1)
+
+
 def pagerank(edges: DataFrame, iterations: int = 5,
              damping_num: int = 85, damping_den: int = 100,
-             scale: int = 10 ** 12) -> DataFrame:
+             scale: int | None = None) -> DataFrame:
     """Integer-exact PageRank over an edge list with columns
     (``src``, ``dst``); returns (``node``, ``rank``) with rank int64 in
-    units of 1/``scale`` (initial mass: ``scale`` per node). Duplicate
+    units of 1/``scale`` (initial mass: ``scale`` per node).
+    ``scale=None`` (default) picks the overflow-safe maximum from the
+    node count (``_auto_scale``) — pass an explicit scale only when
+    units must be pinned across differently-sized graphs. Duplicate
     edges count twice (multigraph semantics — dedup upstream if not
     wanted). Deterministic bit-for-bit: see the module contract."""
     num, den = damping_num, damping_den
@@ -101,6 +116,8 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0).cast("long"))
+    if scale is None:
+        scale = _auto_scale(n, den)
     outdeg = (edges.groupBy("src").agg(F.count("*").alias("deg"))
               .localCheckpoint(eager=True))
     dangling = (nodes.join(outdeg, nodes.node == outdeg.src, "left_anti")
@@ -127,7 +144,8 @@ def pagerank(edges: DataFrame, iterations: int = 5,
 
 
 def pagerank_local(edge_list, iterations: int = 5, damping_num: int = 85,
-                   damping_den: int = 100, scale: int = 10 ** 12) -> dict:
+                   damping_den: int = 100,
+                   scale: int | None = None) -> dict:
     """Driver-local twin of ``pagerank`` (plain dict/loop), the test
     oracle: the identical integer recurrence with none of the
     distribution."""
@@ -136,6 +154,8 @@ def pagerank_local(edge_list, iterations: int = 5, damping_num: int = 85,
     n = len(nodes)
     if n == 0:
         return {}
+    if scale is None:
+        scale = _auto_scale(n, den)
     outdeg: dict = {}
     for u, _ in edge_list:
         outdeg[u] = outdeg.get(u, 0) + 1
@@ -250,22 +270,34 @@ lg_links AS (
 
 def pagerank_sql(edges_cte: str, iterations: int = 5,
                  damping_num: int = 85, damping_den: int = 100,
-                 scale: int = 10 ** 12) -> str:
+                 scale: int | None = None) -> str:
     """DuckDB oracle twin: unrolled power-iteration CTE chain over an
     existing edges CTE/relation with columns (src, dst). Returns the
     CTE block text (to splice after the caller's WITH list) whose final
     CTE ``pr_out`` is (node, rank BIGINT). Same integer ops in the same
-    order as ``pagerank`` (`//` == Spark ``div`` on non-negatives)."""
+    order as ``pagerank`` (`//` == Spark ``div`` on non-negatives);
+    ``scale=None`` computes the same ``_auto_scale`` bound from the
+    node count inside SQL."""
     num, den = damping_num, damping_den
-    base = ((den - num) * scale) // den
+    if scale is None:
+        scale_expr = "(SELECT s FROM pr_scale)"
+        scale_cte = (f",\npr_scale AS (SELECT greatest("
+                     f"4611686018427387904 // ({den} * n), 1) AS s "
+                     f"FROM pr_n)")
+        base = f"(({den - num} * {scale_expr}) // {den})"
+    else:
+        scale_expr = f"CAST({scale} AS BIGINT)"
+        scale_cte = ""
+        base = str(((den - num) * scale) // den)
     parts = [f"""
 pr_nodes AS (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM {edges_cte}
     UNION ALL SELECT dst FROM {edges_cte})),
-pr_n AS (SELECT count(*) AS n FROM pr_nodes),
+pr_n AS (SELECT count(*) AS n FROM pr_nodes){scale_cte},
 pr_deg AS (SELECT src, count(*) AS deg FROM {edges_cte} GROUP BY src),
-pr_r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM pr_nodes)"""]
+pr_r0 AS (SELECT node, CAST({scale_expr} AS BIGINT) AS rank
+          FROM pr_nodes)"""]
     for i in range(iterations):
         r, r2 = f"pr_r{i}", f"pr_r{i + 1}"
         parts.append(f"""

@@ -69,12 +69,25 @@ class TestPagerank:
 
     def test_mass_conservation_upper_bound(self, spark):
         edges = [(i, (i * 7 + 3) % 20) for i in range(20) if i % 5]
-        got, want = _run(spark, edges, iterations=8)
+        got, want = _run(spark, edges, iterations=8, scale=10 ** 12)
         assert got == want
         n = len(got)
         assert sum(got.values()) <= n * 10 ** 12
         # floor losses are bounded: within 1% of total mass here
         assert sum(got.values()) >= int(0.99 * n * 10 ** 12)
+
+    def test_auto_scale_matches_local_and_hub_safe(self, spark):
+        # head-hub graph (everyone -> 0): the shape that overflowed a
+        # fixed 10**12 scale at 2M nodes; auto scale keeps num*N*scale
+        # < 2**63 by construction and the twin derives the same value
+        from fatespark.linkgraph import _auto_scale
+        edges = [(i, 0) for i in range(1, 40)] + [(0, 1)]
+        got, want = _run(spark, edges)  # scale=None both sides
+        assert got == want
+        assert max(got.values()) < 2 ** 62 // 85
+        assert want[0] > want[2]
+        s = _auto_scale(40, 100)
+        assert 100 * 40 * s < 2 ** 63
 
     def test_deterministic_across_runs(self, spark):
         edges = [(i, (i * 13 + 7) % 50) for i in range(50)]
