@@ -1072,6 +1072,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagerank(edges, iterations=5).orderBy("node")
     q["wg_pagerank"] = wg_pagerank
 
+    def tx_sitemap_parse(spark, sf):
+        """sitemap.xml ingest (sitemap.parse_sitemap): 10-doc <urlset>
+        blobs, entries exercising the entity decode (&amp; in loc),
+        absent lastmod (doc_id%3==0), and malformed priority
+        (doc_id%7==0 -> 'high' -> NULL via try_cast). Values flow
+        through to the output so the hash pins every field."""
+        from fatespark.sitemap import parse_sitemap
+        d = _read(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        dd = F.lpad((1 + i % 28).cast("string"), 2, "0")
+        pr = F.when(i % 7 == 0, F.lit("high")).otherwise(
+            F.concat(F.lit("0."), (i % 10).cast("string")))
+        entry_s = F.concat(
+            F.lit("<url><loc>http://w"), i.cast("string"),
+            F.lit(".test/p?a=1&amp;b=2</loc>"),
+            F.when(i % 3 == 0, F.lit("")).otherwise(F.concat(
+                F.lit("<lastmod>2026-01-"), dd, F.lit("</lastmod>"))),
+            F.lit("<priority>"), pr, F.lit("</priority></url>"))
+        blobs = (d.select((i / 10).cast("long").alias("blob_id"), i,
+                          entry_s.alias("e"))
+                 .groupBy("blob_id")
+                 .agg(F.concat(
+                     F.lit("<urlset>"),
+                     F.array_join(F.transform(
+                         F.sort_array(F.collect_list(
+                             F.struct("doc_id", "e"))),
+                         lambda s: s["e"]), "\n"),
+                     F.lit("</urlset>")).alias("xml")))
+        out = parse_sitemap(blobs.select("xml"))
+        return (out.select(
+            F.regexp_extract("loc", r"w(\d+)\.test", 1).cast("long")
+            .alias("doc_id"), "loc", "lastmod", "priority")
+            .orderBy("doc_id"))
+    q["tx_sitemap_parse"] = tx_sitemap_parse
+
     def wg_redirects(spark, sf):
         """Redirect-chain resolution (linkgraph.resolve_redirects):
         pointer DOUBLING over a (src, dst) map — chains up to 2^rounds
@@ -2141,6 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_within", "ft_span_containing", "tx_bpe_encode",
         "tx_html_extract", "wg_links", "wg_pagerank", "tx_warc_parse",
         "wg_robots", "wg_anchor_topk", "wg_redirects",
+        "tx_sitemap_parse",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -3102,6 +3138,29 @@ ex AS (
 SELECT doc_id, length(ext)::BIGINT AS n_chars,
        CAST(ext = expected AS INT) AS ok
 FROM ex ORDER BY doc_id"""
+
+    from fatespark.sitemap import parse_sitemap_sql as _sm_sql
+    o["tx_sitemap_parse"] = f"""
+WITH entries AS (
+  SELECT doc_id, doc_id // 10 AS blob_id,
+         '<url><loc>http://w' || CAST(doc_id AS VARCHAR)
+         || '.test/p?a=1&amp;b=2</loc>'
+         || CASE WHEN doc_id % 3 = 0 THEN '' ELSE
+              '<lastmod>2026-01-'
+              || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+              || '</lastmod>' END
+         || '<priority>'
+         || CASE WHEN doc_id % 7 = 0 THEN 'high'
+                 ELSE '0.' || CAST(doc_id % 10 AS VARCHAR) END
+         || '</priority></url>' AS e
+  FROM documents),
+blobs AS (
+  SELECT '<urlset>' || string_agg(e, chr(10) ORDER BY doc_id)
+         || '</urlset>' AS xml
+  FROM entries GROUP BY blob_id),{_sm_sql("blobs")}
+SELECT CAST(regexp_extract(loc, 'w(\\d+)\\.test', 1) AS BIGINT)
+         AS doc_id, loc, lastmod, priority
+FROM sm_out ORDER BY doc_id"""
 
     from fatespark.linkgraph import resolve_redirects_sql as _rr_sql
     o["wg_redirects"] = f"""
