@@ -1072,6 +1072,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagerank(edges, iterations=5).orderBy("node")
     q["wg_pagerank"] = wg_pagerank
 
+    def tx_ingest_pipeline(spark, sf):
+        """The whole crawl front-end as ONE declarative plan: WARC
+        archive blobs -> records (warc.read_warc) -> real-markup HTML
+        bodies -> extracted text (htmlx) -> per-page token/char
+        signals (textops). Apart from the blob-grouping fixture prep,
+        the measured pipeline is scan-stage only: one Generate explode
+        and narrow JVM projections — the exact shape that feeds the
+        index build at 10^12 pages. Hash pins url->doc_id, extracted
+        length and token count per page."""
+        from fatespark.warc import CRLF, read_warc, warc_record_col
+        from fatespark.htmlx import extracted_text_col
+        from fatespark import textops
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        i = F.col("doc_id")
+        body = F.concat(
+            F.lit('<html><head><title>pagetitle</title>'
+                  '<style type="text/css">p { color: red; }</style>'
+                  '</head><body><!-- nav --><script>var a = 1 < 2 && '
+                  '"x";</script><p>'),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit('</p><div>id &amp; tail</div></body></html>'))
+        url = F.concat(F.lit("http://w"), i.cast("string"),
+                       F.lit(".test/p"))
+        rec = warc_record_col(url, F.lit("2026-01-01T00:00:00Z"), body)
+        blobs = (d.select((i / 10).cast("long").alias("blob_id"), i,
+                          rec.alias("rec"))
+                 .groupBy("blob_id")
+                 .agg(F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.struct("doc_id", "rec"))),
+                         lambda s: s["rec"]),
+                     CRLF + CRLF).alias("blob")))
+        pages = read_warc(blobs)
+        ext = extracted_text_col(F.encode(F.col("body"), "UTF-8"))
+        p2 = pages.select(
+            F.regexp_extract("url", r"w(\d+)\.test", 1).cast("long")
+            .alias("doc_id"), ext.alias("_ext"))
+        return (p2.select(
+            "doc_id",
+            F.length("_ext").cast("long").alias("n_chars"),
+            textops.token_count_col("_ext").alias("n_tokens"))
+            .orderBy("doc_id"))
+    q["tx_ingest_pipeline"] = tx_ingest_pipeline
+
     def tx_sitemap_parse(spark, sf):
         """sitemap.xml ingest (sitemap.parse_sitemap): 10-doc <urlset>
         blobs, entries exercising the entity decode (&amp; in loc),
@@ -2176,7 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_within", "ft_span_containing", "tx_bpe_encode",
         "tx_html_extract", "wg_links", "wg_pagerank", "tx_warc_parse",
         "wg_robots", "wg_anchor_topk", "wg_redirects",
-        "tx_sitemap_parse",
+        "tx_sitemap_parse", "tx_ingest_pipeline",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -3138,6 +3183,37 @@ ex AS (
 SELECT doc_id, length(ext)::BIGINT AS n_chars,
        CAST(ext = expected AS INT) AS ok
 FROM ex ORDER BY doc_id"""
+
+    from fatespark import warc as _warc
+    from fatespark.htmlx import extraction_sql_expr as _hx_expr
+    _ing_body = ("'<html><head><title>pagetitle</title>'"
+                 " || '<style type=\"text/css\">p {{ color: red; }}"
+                 "</style>' || '</head><body><!-- nav --><script>"
+                 "var a = 1 < 2 && \"x\";</script><p>'"
+                 " || coalesce(text, '')"
+                 " || '</p><div>id &amp; tail</div></body></html>'"
+                 ).format()
+    o["tx_ingest_pipeline"] = f"""
+WITH recs AS (
+  SELECT doc_id, doc_id // 10 AS blob_id,
+         {_warc.warc_record_sql(
+             "'http://w' || CAST(doc_id AS VARCHAR) || '.test/p'",
+             "'2026-01-01T00:00:00Z'", _ing_body)} AS rec
+  FROM documents),
+blobs AS (
+  SELECT string_agg(rec, chr(13)||chr(10)||chr(13)||chr(10)
+                    ORDER BY doc_id) AS blob
+  FROM recs GROUP BY blob_id),{_warc.split_parse_sql("blobs")},
+ext AS (
+  SELECT CAST(regexp_extract(url, 'w(\\d+)\\.test', 1) AS BIGINT)
+           AS doc_id,
+         {_hx_expr("body")} AS t
+  FROM warc_rows)
+SELECT doc_id, length(t)::BIGINT AS n_chars,
+       len(list_filter(regexp_split_to_array(coalesce(t, ''),
+                       '[ \\t\\n\\r\\f\\v]+'), x -> x <> ''))
+         AS n_tokens
+FROM ext ORDER BY doc_id"""
 
     from fatespark.sitemap import parse_sitemap_sql as _sm_sql
     o["tx_sitemap_parse"] = f"""

@@ -563,6 +563,21 @@ def main() -> None:
         return (_warc.read_warc(warc_blobs.select("blob"))
                 .agg(F.count("*"), F.sum(F.length("body"))).collect())
 
+    @timed("tx_sitemap_parse_200k", pre=clean_room)
+    def _smp():  # urlset blob explode + field extracts (warc shape)
+        from fatespark import sitemap as _sm
+        entries = corpus.select(
+            (F.xxhash64("url") % 200).alias("blob_id"),
+            F.concat(F.lit("<url><loc>"), F.col("url"),
+                     F.lit("</loc><lastmod>2026-01-01</lastmod>"
+                           "<priority>0.5</priority></url>")).alias("e"))
+        blobs = (entries.groupBy("blob_id")
+                 .agg(F.concat(F.lit("<urlset>"),
+                               F.array_join(F.collect_list("e"), "\n"),
+                               F.lit("</urlset>")).alias("xml")))
+        return (_sm.parse_sitemap(blobs.select("xml"))
+                .agg(F.count("*"), F.count("priority")).collect())
+
     @timed("wg_robots_200k", pre=clean_room)
     def _wgr():  # parse 10k hosts' robots.txt (window work over tiny
         # per-host groups) + gate 200k urls (broadcast join, struct max)
@@ -586,7 +601,7 @@ def main() -> None:
     def _wgl():  # href/anchor extraction over the full page markup:
         # regexp scan + one narrow explode; three planted anchors/page
         from fatespark import linkgraph as _lg
-        i = F.xxhash64("url")
+        i = F.pmod(F.xxhash64("url"), F.lit(n_pages))
         d1 = F.pmod(i * 7 + 13, F.lit(n_pages)).cast("string")
         pages = corpus.select("url", F.concat(
             F.decode("html", "UTF-8"),
