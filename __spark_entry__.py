@@ -1152,6 +1152,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id"))
     q["tx_sitemap_parse"] = tx_sitemap_parse
 
+    def wg_hits(spark, sf):
+        """Kleinberg HITS over the extracted link graph
+        (linkgraph.hits): integer-exact hubs/authorities — per
+        half-step the float L2 normalization is replaced by an
+        integral cap divisor (max div 2^40 + 1), preserving ratios up
+        to one truncation unit while keeping five rounds of
+        distributed aggregation bit-reproducible and hash-comparable.
+        Doc 0 (the home hub target) should dominate authority; pages
+        linking it with varied second targets separate on hub score."""
+        from fatespark.linkgraph import extract_links, hits
+        pages, _ = _wg_fixture(spark, sf)
+        links = extract_links(pages, html_col="html", src_col="doc_id")
+        edges = links.select(
+            F.col("doc_id").alias("src"),
+            F.regexp_extract("dst_url", r"s(\d+)\.test", 1)
+            .cast("long").alias("dst"))
+        return hits(edges, iterations=5).orderBy("node")
+    q["wg_hits"] = wg_hits
+
     def wg_redirects(spark, sf):
         """Redirect-chain resolution (linkgraph.resolve_redirects):
         pointer DOUBLING over a (src, dst) map — chains up to 2^rounds
@@ -2221,7 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_within", "ft_span_containing", "tx_bpe_encode",
         "tx_html_extract", "wg_links", "wg_pagerank", "tx_warc_parse",
         "wg_robots", "wg_anchor_topk", "wg_redirects",
-        "tx_sitemap_parse", "tx_ingest_pipeline",
+        "tx_sitemap_parse", "tx_ingest_pipeline", "wg_hits",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -3393,11 +3412,21 @@ FROM lg_links ORDER BY src, dst, anchor"""
 
     o["wg_pagerank"] = f"""
 WITH {_WG_PAGES},
-lg_edges AS (
+lg_edges AS MATERIALIZED (
   SELECT src,
          CAST(regexp_extract(dst_url, 's(\\d+)\\.test', 1) AS BIGINT) AS dst
   FROM lg_links),{_lg.pagerank_sql("lg_edges", iterations=5)}
 SELECT node, rank FROM pr_out ORDER BY node"""
+
+    from fatespark.linkgraph import hits_sql as _hits_sql
+    o["wg_hits"] = f"""
+WITH {_WG_PAGES},
+lg_edges AS MATERIALIZED (
+  SELECT src,
+         CAST(regexp_extract(dst_url, 's(\\d+)\\.test', 1) AS BIGINT)
+           AS dst
+  FROM lg_links),{_hits_sql("lg_edges", iterations=5)}
+SELECT node, hub, authority FROM hits_out ORDER BY node"""
 
     _an_terms = sorted({"batch", "go", "home"})
     _an_keys = [(t, f) for t in _an_terms for f in (0, 1)]

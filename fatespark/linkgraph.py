@@ -172,6 +172,123 @@ def pagerank_local(edge_list, iterations: int = 5, damping_num: int = 85,
     return rank
 
 
+def hits(edges: DataFrame, iterations: int = 5,
+         cap_bits: int = 40) -> DataFrame:
+    """Integer-exact HITS (Kleinberg hubs/authorities) over (``src``,
+    ``dst``) edges -> (``node``, ``hub``, ``authority``) int64 scores.
+
+    Classic HITS L2-normalizes each half-step — impossible to make
+    bit-reproducible across engines. Instead each half-step divides by
+    the integral cap divisor ``max(raw) div 2**cap_bits + 1``, which
+    (a) keeps every score <= ~2**cap_bits so the next sum is bounded by
+    ``deg_max * 2**(cap_bits+1)`` (cap_bits=40 is safe to deg_max ~2M
+    on int64; drop cap_bits for hub-ier graphs), (b) preserves the
+    score RATIOS up to one unit of integer truncation — the same
+    fixed-point trade ``pagerank`` makes — and (c) is exactly
+    reproducible: sums are int64 sums, the divisor derives from an
+    exact max, and the SQL twin (``hits_sql``) runs the identical
+    recurrence. Scores are therefore in arbitrary-but-fixed units;
+    compare within a run, not across graphs. Scale shape per
+    iteration: two edge joins + two map-side-combinable aggs + two
+    bounded max scalars; the edges exchange is checkpointed once."""
+    cap = 2 ** cap_bits
+    edges = (edges.select(F.col("src").cast("long"),
+                          F.col("dst").cast("long"))
+             .repartition("src").localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    if nodes.count() == 0:
+        return nodes.select("node", F.lit(0).alias("hub"),
+                            F.lit(0).alias("authority"))
+    h = nodes.select("node", F.lit(cap).cast("long").alias("s"))
+    a = None
+    for _ in range(iterations):
+        a_raw = (edges.join(h.withColumnRenamed("node", "src"), "src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("s").alias("raw")))
+        da = (a_raw.agg(F.max("raw")).collect()[0][0] or 0) // cap + 1
+        a = (nodes.join(a_raw, "node", "left")
+             .select("node", F.expr(f"coalesce(raw, 0L) div {da}L")
+                     .alias("s"))
+             .localCheckpoint(eager=True))
+        h_raw = (edges.join(a.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("s").alias("raw")))
+        dh = (h_raw.agg(F.max("raw")).collect()[0][0] or 0) // cap + 1
+        h = (nodes.join(h_raw, "node", "left")
+             .select("node", F.expr(f"coalesce(raw, 0L) div {dh}L")
+                     .alias("s"))
+             .localCheckpoint(eager=True))
+    return (h.withColumnRenamed("s", "hub")
+            .join(a.withColumnRenamed("s", "authority"), "node"))
+
+
+def hits_local(edge_list, iterations: int = 5,
+               cap_bits: int = 40) -> dict:
+    """Driver-local twin of ``hits``: identical integer recurrence."""
+    cap = 2 ** cap_bits
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    if not nodes:
+        return {}
+    h = {v: cap for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(iterations):
+        a_raw = {v: 0 for v in nodes}
+        for u, v in edge_list:
+            a_raw[v] += h[u]
+        da = (max(a_raw.values()) if a_raw else 0) // cap + 1
+        a = {v: a_raw[v] // da for v in nodes}
+        h_raw = {v: 0 for v in nodes}
+        for u, v in edge_list:
+            h_raw[u] += a[v]
+        dh = (max(h_raw.values()) if h_raw else 0) // cap + 1
+        h = {v: h_raw[v] // dh for v in nodes}
+    return {v: (h[v], a[v]) for v in nodes}
+
+
+def hits_sql(edges_cte: str, iterations: int = 5,
+             cap_bits: int = 40) -> str:
+    """DuckDB twin: unrolled CTE chain; final CTE ``hits_out`` is
+    (node, hub, authority)."""
+    cap = 2 ** cap_bits
+    parts = [f"""
+ht_nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM {edges_cte}
+    UNION ALL SELECT dst FROM {edges_cte})),
+ht_h0 AS MATERIALIZED (SELECT node, CAST({cap} AS BIGINT) AS s FROM ht_nodes)"""]
+    for i in range(iterations):
+        hp, ap, h2 = f"ht_h{i}", f"ht_a{i + 1}", f"ht_h{i + 1}"
+        parts.append(f"""
+ht_ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum(h.s) AS BIGINT) AS raw
+  FROM {edges_cte} e JOIN {hp} h ON h.node = e.src GROUP BY e.dst),
+ht_da{i} AS MATERIALIZED (
+  SELECT coalesce(max(raw), 0) // {cap} + 1 AS d FROM ht_ar{i}),
+{ap} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(coalesce(r.raw, 0) // (SELECT d FROM ht_da{i}) AS BIGINT)
+           AS s
+  FROM ht_nodes n LEFT JOIN ht_ar{i} r ON r.node = n.node),
+ht_hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, CAST(sum(a.s) AS BIGINT) AS raw
+  FROM {edges_cte} e JOIN {ap} a ON a.node = e.dst GROUP BY e.src),
+ht_dh{i} AS MATERIALIZED (
+  SELECT coalesce(max(raw), 0) // {cap} + 1 AS d FROM ht_hr{i}),
+{h2} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(coalesce(r.raw, 0) // (SELECT d FROM ht_dh{i}) AS BIGINT)
+           AS s
+  FROM ht_nodes n LEFT JOIN ht_hr{i} r ON r.node = n.node)""")
+    parts.append(f"""
+hits_out AS (
+  SELECT h.node, h.s AS hub, a.s AS authority
+  FROM ht_h{iterations} h
+  JOIN ht_a{iterations} a ON a.node = h.node)""")
+    return ",".join(parts)
+
+
 def resolve_redirects(redirects: DataFrame,
                       rounds: int = 16) -> DataFrame:
     """Resolve every redirect source to its terminal target by pointer
@@ -220,11 +337,11 @@ def resolve_redirects_sql(redirects_cte: str, rounds: int = 4) -> str:
     ``rr_out`` is (src, final, hops, cyclic) — identical semantics for
     rounds >= log2(longest acyclic chain)."""
     parts = [f"""
-rr_m0 AS (SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops
+rr_m0 AS MATERIALIZED (SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops
           FROM {redirects_cte})"""]
     for i in range(rounds):
         parts.append(f"""
-rr_m{i + 1} AS (
+rr_m{i + 1} AS MATERIALIZED (
   SELECT a.src, coalesce(b.cur, a.cur) AS cur,
          a.hops + coalesce(b.hops, 0) AS hops
   FROM rr_m{i} a LEFT JOIN rr_m{i} b ON b.src = a.cur)""")
@@ -281,7 +398,7 @@ def pagerank_sql(edges_cte: str, iterations: int = 5,
     num, den = damping_num, damping_den
     if scale is None:
         scale_expr = "(SELECT s FROM pr_scale)"
-        scale_cte = (f",\npr_scale AS (SELECT greatest("
+        scale_cte = (f",\npr_scale AS MATERIALIZED (SELECT greatest("
                      f"4611686018427387904 // ({den} * n), 1) AS s "
                      f"FROM pr_n)")
         base = f"(({den - num} * {scale_expr}) // {den})"
@@ -290,29 +407,29 @@ def pagerank_sql(edges_cte: str, iterations: int = 5,
         scale_cte = ""
         base = str(((den - num) * scale) // den)
     parts = [f"""
-pr_nodes AS (
+pr_nodes AS MATERIALIZED (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM {edges_cte}
     UNION ALL SELECT dst FROM {edges_cte})),
 pr_n AS (SELECT count(*) AS n FROM pr_nodes){scale_cte},
 pr_deg AS (SELECT src, count(*) AS deg FROM {edges_cte} GROUP BY src),
-pr_r0 AS (SELECT node, CAST({scale_expr} AS BIGINT) AS rank
+pr_r0 AS MATERIALIZED (SELECT node, CAST({scale_expr} AS BIGINT) AS rank
           FROM pr_nodes)"""]
     for i in range(iterations):
         r, r2 = f"pr_r{i}", f"pr_r{i + 1}"
         parts.append(f"""
-pr_d{i} AS (
+pr_d{i} AS MATERIALIZED (
   SELECT CAST(coalesce(sum(rank), 0) AS BIGINT)
          // (SELECT n FROM pr_n) AS share
   FROM {r} WHERE node NOT IN (SELECT src FROM pr_deg)),
-pr_c{i} AS (
+pr_c{i} AS MATERIALIZED (
   SELECT e.dst AS node,
          CAST(sum(r.rank // d.deg) AS BIGINT) AS contrib
   FROM {edges_cte} e
   JOIN {r} r ON r.node = e.src
   JOIN pr_deg d ON d.src = e.src
   GROUP BY e.dst),
-{r2} AS (
+{r2} AS MATERIALIZED (
   SELECT nd.node,
          CAST({base} + ({num} * (coalesce(c.contrib, 0)
               + (SELECT share FROM pr_d{i}))) // {den} AS BIGINT) AS rank

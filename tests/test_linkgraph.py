@@ -160,3 +160,59 @@ class TestRedirects:
         got = {s: (f, h, c)
                for s, f, h, c in con.execute(sql).fetchall()}
         assert got == want
+
+
+class TestHits:
+    def _run(self, spark, pairs, **kw):
+        from fatespark.linkgraph import hits, hits_local
+        df = spark.createDataFrame(
+            pd.DataFrame(pairs, columns=["src", "dst"]))
+        got = {r["node"]: (r["hub"], r["authority"])
+               for r in hits(df, **kw).collect()}
+        want = hits_local(pairs, **kw)
+        return got, want
+
+    def test_star_hub_authority_separation(self, spark):
+        # 1,2,3 all point at 0; 0 points nowhere: 0 is the authority,
+        # 1..3 are (equal) hubs, 0 has no hub score, 1..3 no authority
+        got, want = self._run(spark, [(1, 0), (2, 0), (3, 0)])
+        assert got == want
+        assert got[0][1] > 0 and got[0][0] == 0
+        assert got[1] == got[2] == got[3]
+        assert got[1][0] > 0 and got[1][1] == 0
+
+    def test_bipartite_degree_order(self, spark):
+        # authority ordering follows weighted in-degree from hub mass
+        pairs = [(10, 1), (10, 2), (11, 1), (12, 1), (12, 3)]
+        got, want = self._run(spark, pairs)
+        assert got == want
+        assert got[1][1] > got[2][1] >= got[3][1]
+
+    def test_deterministic_and_sql_twin(self, spark):
+        import duckdb
+        from fatespark.linkgraph import hits_sql
+        pairs = [(i, (i * 7 + 13) % 30) for i in range(30) if i % 10] + \
+                [(i, 0) for i in range(30) if i % 10]
+        got, want = self._run(spark, pairs, iterations=4)
+        assert got == want
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+        con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+        sql = ("WITH " + hits_sql("e", iterations=4) +
+               " SELECT node, hub, authority FROM hits_out")
+        got_sql = {n: (h, a)
+                   for n, h, a in con.execute(sql).fetchall()}
+        assert got_sql == want
+
+    def test_cap_bound_holds(self, spark):
+        # heavy hub: 200 -> one target; scores stay under 2^(cap+1)
+        pairs = [(i, 0) for i in range(1, 201)]
+        got, want = self._run(spark, pairs, cap_bits=20)
+        assert got == want
+        assert max(v for hv, av in got.values()
+                   for v in (hv, av)) < 2 ** 21
+
+    def test_empty(self, spark):
+        from fatespark.linkgraph import hits
+        df = spark.createDataFrame([], "src long, dst long")
+        assert hits(df).count() == 0
