@@ -999,15 +999,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["tx_warc_parse"] = tx_warc_parse
 
-    def wg_robots(spark, sf):
-        """robots.txt gate (robots.parse_robots + robots_filter): 50
-        synthetic hosts, every 5th with an exact fatesbot group that
-        overrides the * group (RFC 9309 precedence); urls hit deny,
-        longer-allow-override, no-rule and exact-group-deny paths, so
-        group splitting, precedence, longest-match and the allow tie
-        are all non-vacuous. Parse is per-host window work; the filter
-        is one broadcast join + a combinable struct-max per url."""
-        from fatespark.robots import parse_robots, robots_filter
+    def _rob_fixture(spark, sf):
+        """Shared robots fixture (wg_robots, wg_frontier): 49 hosts
+        (coprime with the 5 url paths so every branch is exercised),
+        every 5th host carrying an exact fatesbot group that overrides
+        the * group; urls hit deny, longer-allow-override, no-rule and
+        exact-group-deny paths. Returns (robots_df, urls_df)."""
         d = _read(spark, sf, "documents").select("doc_id")
         i = F.col("doc_id")
         h = F.pmod(i, F.lit(49))
@@ -1033,6 +1030,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .when(i % 5 == 3, F.lit("/ok"))
             .otherwise(F.concat(F.lit("/deny"), h.cast("string"),
                                 F.lit("/d")))).alias("url"))
+        return robots, urls
+
+    def wg_robots(spark, sf):
+        """robots.txt gate (robots.parse_robots + robots_filter): 49
+        synthetic hosts, every 5th with an exact fatesbot group that
+        overrides the * group (RFC 9309 precedence); urls hit deny,
+        longer-allow-override, no-rule and exact-group-deny paths, so
+        group splitting, precedence, longest-match and the allow tie
+        are all non-vacuous. Parse is per-host window work; the filter
+        is one broadcast join + a combinable struct-max per url."""
+        from fatespark.robots import parse_robots, robots_filter
+        robots, urls = _rob_fixture(spark, sf)
         rules = parse_robots(robots, agent="fatesbot")
         out = robots_filter(urls, rules)
         return (out.select("doc_id",
@@ -1151,6 +1160,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("doc_id"), "loc", "lastmod", "priority")
             .orderBy("doc_id"))
     q["tx_sitemap_parse"] = tx_sitemap_parse
+
+    def wg_frontier(spark, sf):
+        """Crawl-frontier policy composition: candidate urls (the
+        robots fixture's 5-path mix) gated by robots.txt, prioritized
+        by the host's integer-exact PageRank from the extracted link
+        graph — discover, gate, prioritize, the three decisions a
+        frontier scheduler makes, each built from an independently
+        oracle-verified operator. Priority is rank(host index), so
+        the hub host (0) tops the queue; denied urls carry allowed=0
+        and still show their would-be priority (auditable policy)."""
+        from fatespark.robots import parse_robots, robots_filter
+        from fatespark.linkgraph import extract_links, pagerank
+        pages, _ = _wg_fixture(spark, sf)
+        links = extract_links(pages, html_col="html", src_col="doc_id")
+        edges = links.select(
+            F.col("doc_id").alias("src"),
+            F.regexp_extract("dst_url", r"s(\d+)\.test", 1)
+            .cast("long").alias("dst"))
+        ranks = pagerank(edges, iterations=5)
+        robots, urls = _rob_fixture(spark, sf)
+        rules = parse_robots(robots, agent="fatesbot")
+        gated = robots_filter(urls, rules)
+        j = (gated.withColumn("h", F.pmod(F.col("doc_id"), F.lit(49)))
+             .join(ranks.withColumnRenamed("node", "h"), "h", "left"))
+        return (j.select(
+            "doc_id",
+            F.col("allowed").cast("int").alias("allowed"),
+            F.coalesce("rank", F.lit(0)).alias("priority"))
+            .orderBy("doc_id"))
+    q["wg_frontier"] = wg_frontier
 
     def wg_hits(spark, sf):
         """Kleinberg HITS over the extracted link graph
@@ -2241,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_html_extract", "wg_links", "wg_pagerank", "tx_warc_parse",
         "wg_robots", "wg_anchor_topk", "wg_redirects",
         "tx_sitemap_parse", "tx_ingest_pipeline", "wg_hits",
+        "wg_frontier",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -3300,8 +3340,8 @@ FROM parsed p JOIN documents USING (doc_id)
 ORDER BY p.doc_id"""
 
     _ROB_DIR = "'^[ \\t]*([A-Za-z-]+)[ \\t]*:[ \\t]*(.*?)[ \\t]*$'"
-    o["wg_robots"] = f"""
-WITH hosts AS (SELECT DISTINCT doc_id % 49 AS h FROM documents),
+    _ROB_CTES = f"""
+hosts AS (SELECT DISTINCT doc_id % 49 AS h FROM documents),
 robots AS (
   SELECT 's' || CAST(h AS VARCHAR) || '.test' AS host,
          CASE WHEN h % 5 = 0 THEN
@@ -3381,7 +3421,9 @@ best AS (
          max(CASE WHEN rpath IS NULL THEN NULL ELSE struct_pack(
            l := length(rpath), a := CAST(allow AS INT), p := rpath)
          END) AS b
-  FROM j GROUP BY doc_id)
+  FROM j GROUP BY doc_id)"""
+    o["wg_robots"] = f"""
+WITH {_ROB_CTES}
 SELECT doc_id, CAST(coalesce(b.a = 1, TRUE) AS INT) AS allowed,
        b.p AS rule
 FROM best ORDER BY doc_id"""
@@ -3427,6 +3469,20 @@ lg_edges AS MATERIALIZED (
            AS dst
   FROM lg_links),{_hits_sql("lg_edges", iterations=5)}
 SELECT node, hub, authority FROM hits_out ORDER BY node"""
+
+    o["wg_frontier"] = f"""
+WITH {_ROB_CTES},
+{_WG_PAGES.lstrip()},
+lg_edges AS MATERIALIZED (
+  SELECT src,
+         CAST(regexp_extract(dst_url, 's(\\d+)\\.test', 1) AS BIGINT)
+           AS dst
+  FROM lg_links),{_lg.pagerank_sql("lg_edges", iterations=5)}
+SELECT b.doc_id,
+       CAST(coalesce(b.b.a = 1, TRUE) AS INT) AS allowed,
+       coalesce(pr.rank, 0) AS priority
+FROM best b LEFT JOIN pr_out pr ON pr.node = b.doc_id % 49
+ORDER BY b.doc_id"""
 
     _an_terms = sorted({"batch", "go", "home"})
     _an_keys = [(t, f) for t in _an_terms for f in (0, 1)]
