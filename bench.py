@@ -625,6 +625,19 @@ def main() -> None:
         return (_lg.pagerank(edges, iterations=5)
                 .agg(F.sum("rank")).collect())
 
+    @timed("wg_hits_200k", pre=clean_room)
+    def _wgh():  # integer-exact HITS, 5 iterations over the same
+        # 200k-node affine graph (two pagerank-shaped halves/round)
+        from fatespark import linkgraph as _lg
+        nodes = spark.range(n_pages).select(F.col("id").alias("src"))
+        edges = nodes.select("src", F.explode(F.array(
+            F.pmod(F.col("src") * 7 + 13, F.lit(n_pages)),
+            F.pmod(F.col("src") * 31 + 7, F.lit(n_pages)),
+            F.lit(0).cast("long"))).alias("dst")).where(
+                F.col("src") % 10 != 0)
+        return (_lg.hits(edges, iterations=5)
+                .agg(F.sum("hub"), F.sum("authority")).collect())
+
     @timed("tx_decontam_fuzzy_200k", reps=3, pre=clean_room,
            record_samples=True)
     def _dcf():  # MinHash cross-set flags vs a 200-page eval set; bench
