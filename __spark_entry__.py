@@ -1751,6 +1751,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["tx_curate"] = tx_curate
 
+    def tx_webcurate(spark, sf):
+        """The curation pipeline on EXTRACTED web text: real-markup
+        pages (the tx_html_extract wrapper) -> htmlx extraction ->
+        curate_corpus quality/lang/dedup/split — i.e. tx_curate's
+        plan with the extraction chain fused into the same scan stage
+        (extraction adds zero shuffles). Quality, fingerprints and
+        splits are computed over the text the extractor actually
+        produced, which is what a crawl pipeline curates."""
+        from fatespark.htmlx import extract_pages
+        from fatespark.curate import curate_corpus
+        d = _read(spark, sf, "documents").select("doc_id", "text",
+                                                 "lang")
+        html_str = F.concat(
+            F.lit('<html><head><title>pagetitle</title>'
+                  '<style type="text/css">p { color: red; }</style>'
+                  '</head><body><!-- nav --><script>var a = 1 < 2 && '
+                  '"x";</script><p>'),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit('</p><div>id &amp; tail</div></body></html>'))
+        pages = d.select("doc_id", "lang",
+                         F.encode(html_str, "UTF-8").alias("html"))
+        docs = extract_pages(pages, html_col="html", out_col="text")
+        return (curate_corpus(docs, min_quality=0.25,
+                              langs=["en", "de", "es"])
+                .orderBy("doc_id"))
+    q["tx_webcurate"] = tx_webcurate
+
     # -- dedup ---------------------------------------------------------------
     def dd_exact_groups(spark, sf):
         d = _read(spark, sf, "documents")
@@ -2280,7 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_html_extract", "wg_links", "wg_pagerank", "tx_warc_parse",
         "wg_robots", "wg_anchor_topk", "wg_redirects",
         "tx_sitemap_parse", "tx_ingest_pipeline", "wg_hits",
-        "wg_frontier",
+        "wg_frontier", "tx_webcurate",
         # round-3-vintage rows, in their round-3 order
         "dd_paradedup", "dd_substring_cut", "dd_substring",
         "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
@@ -4379,6 +4406,21 @@ SELECT p.doc_id, p.lang, p.quality,
             ELSE 'test' END AS split
 FROM pass p JOIN keep USING (doc_id)
 ORDER BY p.doc_id"""
+
+    _wc_wrap = ("'<html><head><title>pagetitle</title>'"
+                " || '<style type=\"text/css\">p { color: red; }"
+                "</style>' || '</head><body><!-- nav --><script>"
+                "var a = 1 < 2 && \"x\";</script><p>'"
+                " || coalesce(text, '')"
+                " || '</p><div>id &amp; tail</div></body></html>'")
+    _wc_src = (
+        "webdocs AS MATERIALIZED (\n"
+        "  SELECT doc_id, lang, " + _hx_expr("html") + " AS text\n"
+        "  FROM (SELECT doc_id, lang, " + _wc_wrap
+        + " AS html FROM documents))")
+    o["tx_webcurate"] = ("WITH " + _wc_src + ","
+                         + o["tx_curate"][len("\nWITH "):]
+                         .replace("FROM documents", "FROM webdocs"))
 
     o["dd_exact_groups"] = f"""
 WITH fp AS ({_FP_SQL})
