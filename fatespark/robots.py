@@ -86,7 +86,10 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
     """urls + (``allowed`` boolean, ``rule`` matched pattern or NULL):
     longest-prefix match, Allow wins ties, no-match allows. ``rules``
     is ``parse_robots`` output; broadcast by default (robots tables
-    are hosts-sized — set False to shuffle-join a giant one)."""
+    are hosts-sized — set False to shuffle-join a giant one). The
+    per-url max groups by ALL of ``urls``' columns, so fully-duplicate
+    url rows collapse to one output row (give rows a distinct id
+    upstream if duplicates must survive)."""
     u = (urls.withColumn(
         "_host", F.regexp_extract(url_col, "^[a-z]+://([^/]+)", 1))
         .withColumn("_path", F.coalesce(
