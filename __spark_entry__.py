@@ -702,6 +702,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _scores(idx.search(QS["and2"], k=10, mode="AND", quantize=4))
     q["ft_pfor_topk"] = ft_pfor_topk
 
+    def ft_ef_topk(spark, sf):
+        """Same AND query as ft_topk_and2 over an index built with the
+        quasi-succinct Elias-Fano block codec (BuildConfig(codec='ef'),
+        ef.py — Vigna WSDM 2013, the Lucene 8+/PISA doc-id encoding) —
+        shares ft_topk_and2's oracle, proving the third codec is
+        bit-transparent at the driver surface."""
+        tag = _corpus_tag(sf)
+        d = f"/tmp/fatespark_entry_idx/{tag}_ef"
+        docs = _read(spark, sf, "documents")
+        n = docs.count()
+        try:
+            idx = SearchIndex(spark, d)
+            if idx.n_docs != n or idx.codec_name != "ef":
+                raise ValueError("stale index")
+        except Exception:
+            IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=0,
+                                        codec="ef")).build(
+                spark, docs, id_col="doc_id", url_col="doc_id",
+                text_col="text", build_id="entry-ef")
+            idx = SearchIndex(spark, d)
+        return _scores(idx.search(QS["and2"], k=10, mode="AND", quantize=4))
+    q["ft_ef_topk"] = ft_ef_topk
+
     def ft_stemmed_topk(spark, sf):  # rows-only (Porter not SQL-expressible)
         tag = _corpus_tag(sf)
         d = f"/tmp/fatespark_entry_idx/{tag}_porter"
@@ -2304,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_url_filter", "tx_bpe_train", "ft_span_first", "ft_span_not",
         "tx_decontam_fuzzy", "ft_span_or", "q_asof_join", "q_interval_join",
         "ft_span_within", "ft_span_containing", "tx_bpe_encode",
+        "ft_ef_topk",
         "tx_html_extract", "wg_links", "wg_pagerank", "tx_warc_parse",
         "wg_robots", "wg_anchor_topk", "wg_redirects",
         "tx_sitemap_parse", "tx_ingest_pipeline", "wg_hits",
@@ -3149,6 +3173,7 @@ FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
     o["ft_search_after"] = _bm25_sql(QS["or3"], "OR", limit=5, offset=5)
     o["ft_local_topk"] = _bm25_sql(QS["or2"], "OR")  # same oracle as or2
     o["ft_pfor_topk"] = _bm25_sql(QS["and2"], "AND")  # codec-transparent
+    o["ft_ef_topk"] = _bm25_sql(QS["and2"], "AND")    # codec-transparent
 
     # weighted two-field BM25 (fields: 0=text w=1.0, 1=source w=2.0);
     # summation order = ascending (term, field), engine parity

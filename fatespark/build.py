@@ -106,8 +106,9 @@ class BuildConfig:
     store_positions: bool = True
     on_duplicate: str = "error"
     # posting-block codec for the merged index (north rule names both):
-    # "varint" (delta+LEB128 streams) or "pfor" (NewPFD frames with varint
-    # fallback, ~15-60% smaller blocks; codec.get_codec / pfor.py)
+    # "varint" (delta+LEB128 streams), "pfor" (NewPFD frames with varint
+    # fallback, ~15-60% smaller blocks; codec.get_codec / pfor.py), or
+    # "ef" (quasi-succinct Elias-Fano frames, Vigna WSDM 2013; ef.py)
     codec: str = "varint"
 
     def field_analyzers(self, n_fields: int) -> list[str]:

@@ -249,4 +249,7 @@ def get_codec(name) -> type[PostingCodec]:
     if name == "pfor":
         from .pfor import PForPostingCodec
         return PForPostingCodec
+    if name == "ef":
+        from .ef import EliasFanoPostingCodec
+        return EliasFanoPostingCodec
     raise ValueError(f"unknown posting codec: {name!r}")
