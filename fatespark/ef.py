@@ -59,6 +59,7 @@ from .codec import (
     PostingCodec,
     _u64_to_i64_ordered,
     segmented_cumsum_u64,
+    segmented_delta,
     varint_byte_lengths,
     varint_decode,
 )
@@ -216,12 +217,106 @@ def ef_decode(buf: bytes, n: int) -> np.ndarray:
 def ef_decode_concat(bufs: list[bytes], ns: np.ndarray,
                      total: int | None = None) -> np.ndarray:
     """Decode many frames -> one flat uint64 stream (per-frame counts are
-    required — EF frames are not self-delimiting the way LEB128 is)."""
-    parts = [ef_decode(bb, int(n)) for bb, n in zip(bufs, ns)]
-    out = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint64)
-    if total is not None and out.size != total:
+    required — EF frames are not self-delimiting the way LEB128 is).
+
+    Batch-vectorized across frames: per-frame Python touches only the
+    header byte and base varint (O(frames)); all bit unpacking happens in
+    width-class-batched ``np.unpackbits`` calls and ONE global
+    ``flatnonzero`` over the concatenated high bitvectors — the shape that
+    keeps full-index re-reads (vacuum / compaction, ``merge.py:94-97``)
+    off the per-block interpreter loop."""
+    bufs = list(bufs)
+    ns = np.asarray(ns, dtype=np.int64)
+    F = len(bufs)
+    if F == 0:
+        return np.zeros(0, dtype=np.uint64)
+    out_total = int(ns.sum())
+    if total is not None and out_total != total:
         raise ValueError(f"ef_decode_concat: expected {total}, got "
-                         f"{out.size}")
+                         f"{out_total}")
+    out = np.empty(out_total, dtype=np.uint64)
+    starts = np.zeros(F, dtype=np.int64)
+    np.cumsum(ns[:-1], out=starts[1:])
+
+    # ---- headers: width byte + base varint (cheap per-frame scalar) -------
+    l_arr = np.zeros(F, dtype=np.int64)
+    base = np.zeros(F, dtype=np.uint64)
+    low_off = np.zeros(F, dtype=np.int64)
+    fallback = np.zeros(F, dtype=bool)
+    for i, b in enumerate(bufs):
+        l = b[0]
+        if l == _FALLBACK:
+            fallback[i] = True
+            continue
+        l_arr[i] = l
+        j, v, sh = 1, 0, 0
+        while True:
+            byte = b[j]
+            v |= (byte & 0x7F) << sh
+            j += 1
+            sh += 7
+            if not byte & 0x80:
+                break
+        base[i] = np.uint64(v & 0xFFFFFFFFFFFFFFFF)
+        low_off[i] = j
+
+    # ---- fallback frames: one concatenated varint decode -------------------
+    if fallback.any():
+        fb = np.flatnonzero(fallback)
+        n_fb = ns[fb]
+        vals = varint_decode(b"".join(bufs[i][1:] for i in fb),
+                             int(n_fb.sum()))
+        within = np.arange(vals.size, dtype=np.int64) - np.repeat(
+            np.cumsum(n_fb) - n_fb, n_fb)
+        out[np.repeat(starts[fb], n_fb) + within] = vals
+
+    ef = np.flatnonzero(~fallback)
+    if ef.size == 0:
+        return out
+    n_ef = ns[ef]
+    l_ef = l_arr[ef]
+    n8 = ((n_ef + 7) // 8) * 8
+    lb = n8 * l_ef // 8
+
+    # ---- low bits: width-class-batched unpack into the padded value space --
+    pad_starts = np.zeros(ef.size, dtype=np.int64)
+    np.cumsum(n8[:-1], out=pad_starts[1:])
+    low_all = np.zeros(int(n8.sum()), dtype=np.uint64)
+    for l in np.unique(l_ef[l_ef > 0]):
+        sel = l_ef == l
+        lowb = b"".join(bufs[ef[i]][low_off[ef[i]]:low_off[ef[i]] + lb[i]]
+                        for i in np.flatnonzero(sel))
+        bits = np.unpackbits(np.frombuffer(lowb, dtype=np.uint8),
+                             bitorder="little").reshape(-1, int(l))
+        vals = np.zeros(bits.shape[0], dtype=np.uint64)
+        for k in range(int(l)):
+            vals |= bits[:, k].astype(np.uint64) << np.uint64(k)
+        n8_sel = n8[sel]
+        within = np.arange(int(n8_sel.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(n8_sel) - n8_sel, n8_sel)
+        low_all[np.repeat(pad_starts[sel], n8_sel) + within] = vals
+
+    # ---- high bits: ONE unpack + flatnonzero over all frames ---------------
+    hb_parts = [bufs[ef[i]][low_off[ef[i]] + lb[i]:]
+                for i in range(ef.size)]
+    hb_lens = np.fromiter((len(x) for x in hb_parts), dtype=np.int64,
+                          count=ef.size)
+    hb = np.unpackbits(np.frombuffer(b"".join(hb_parts), dtype=np.uint8),
+                       bitorder="little")
+    gpos = np.flatnonzero(hb)  # exactly n_i set bits per frame region
+    hb_bit_start = np.zeros(ef.size, dtype=np.int64)
+    np.cumsum(hb_lens[:-1] * 8, out=hb_bit_start[1:])
+    within = np.arange(gpos.size, dtype=np.int64) - np.repeat(
+        np.cumsum(n_ef) - n_ef, n_ef)
+    h = (gpos - np.repeat(hb_bit_start, n_ef) - within).astype(np.uint64)
+    low = low_all[np.repeat(pad_starts, n_ef) + within]
+    shift = np.repeat(l_ef, n_ef).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        mono = ((h << shift) | low) + np.repeat(base[ef], n_ef)
+    ef_starts = np.zeros(ef.size, dtype=np.int64)
+    np.cumsum(n_ef[:-1], out=ef_starts[1:])
+    vals = segmented_delta(mono, ef_starts)
+    out[np.repeat(starts[ef], n_ef) + within] = vals
     return out
 
 

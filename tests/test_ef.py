@@ -66,6 +66,33 @@ class TestFrameRoundTrip:
         back = ef_decode_concat(bufs, glens, int(glens.sum()))
         assert (back == flat).all()
 
+    @pytest.mark.parametrize("seed", range(4))
+    def test_concat_matches_per_frame_decode(self, seed):
+        """The batch-vectorized decode_concat must equal frame-at-a-time
+        ef_decode on a mix of EF and fallback frames."""
+        rng = np.random.default_rng(100 + seed)
+        G = int(rng.integers(2, 30))
+        glens = rng.integers(1, 150, G)
+        vals = []
+        for gi, L in enumerate(glens):
+            if gi % 3 == 2:  # every third group: huge sparse gaps -> fallback
+                vals.append(rng.integers(2**40, 2**60, int(L),
+                                         dtype=np.int64).astype(np.uint64))
+            else:
+                first = np.uint64(rng.integers(0, 2**62, dtype=np.int64))
+                gaps = rng.integers(1, 9, int(L) - 1).astype(np.uint64) \
+                    if L > 1 else np.zeros(0, np.uint64)
+                vals.append(np.concatenate(([first], gaps)))
+        flat = np.concatenate(vals).astype(np.uint64)
+        starts = np.zeros(G, dtype=np.int64)
+        np.cumsum(glens[:-1], out=starts[1:])
+        bufs = ef_encode_grouped(flat, starts)
+        per_frame = np.concatenate(
+            [ef_decode(b, int(n)) for b, n in zip(bufs, glens)])
+        batched = ef_decode_concat(bufs, glens, int(glens.sum()))
+        assert (batched == per_frame).all()
+        assert (batched == flat).all()
+
     def test_hybrid_never_much_worse_than_varint(self):
         """The fallback branch guarantees <= varint + 1 byte per frame."""
         rng = np.random.default_rng(3)
