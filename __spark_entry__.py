@@ -1104,6 +1104,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagerank(edges, iterations=5).orderBy("node")
     q["wg_pagerank"] = wg_pagerank
 
+    def ft_static_rank(spark, sf):
+        """PageRank-prior ranking fusion (rescore.static_rank_topk):
+        exact BM25 top-50 window boosted by the normalized integer-exact
+        PageRank of the extracted link graph — the Brin & Page 1998
+        composition, end-to-end: extract -> 5-iteration fixed-point
+        PageRank -> score * (rank/max_rank) -> re-rank to top-10. The
+        candidate set broadcasts; the prior is never shuffled."""
+        from fatespark.linkgraph import extract_links, pagerank
+        from fatespark.rescore import static_rank_topk
+        pages, _ = _wg_fixture(spark, sf)
+        links = extract_links(pages, html_col="html", src_col="doc_id")
+        edges = links.select(
+            F.col("doc_id").alias("src"),
+            F.regexp_extract("dst_url", r"s(\d+)\.test", 1)
+            .cast("long").alias("dst"))
+        pr = pagerank(edges, iterations=5)
+        idx = _index(spark, sf)
+        return static_rank_topk(idx, pr, QS["or2"], k=10, pool=50,
+                                mode="OR", quantize=4)
+    q["ft_static_rank"] = ft_static_rank
+
     def tx_ingest_pipeline(spark, sf):
         """The whole crawl front-end as ONE declarative plan: WARC
         archive blobs -> records (warc.read_warc) -> real-markup HTML
@@ -2327,7 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_url_filter", "tx_bpe_train", "ft_span_first", "ft_span_not",
         "tx_decontam_fuzzy", "ft_span_or", "q_asof_join", "q_interval_join",
         "ft_span_within", "ft_span_containing", "tx_bpe_encode",
-        "ft_ef_topk",
+        "ft_ef_topk", "ft_static_rank",
         "tx_html_extract", "wg_links", "wg_pagerank", "tx_warc_parse",
         "wg_robots", "wg_anchor_topk", "wg_redirects",
         "tx_sitemap_parse", "tx_ingest_pipeline", "wg_hits",
@@ -3511,6 +3532,27 @@ lg_edges AS MATERIALIZED (
          CAST(regexp_extract(dst_url, 's(\\d+)\\.test', 1) AS BIGINT) AS dst
   FROM lg_links),{_lg.pagerank_sql("lg_edges", iterations=5)}
 SELECT node, rank FROM pr_out ORDER BY node"""
+
+    # PageRank-prior fusion: the same pr_out CTEs, the same exact BM25
+    # top-50 window as ft_recency/ft_collapse, fused multiplicatively on
+    # the normalized integer rank (identical int64 inputs -> identical
+    # float64 division/product -> identical floor in both engines)
+    o["ft_static_rank"] = f"""
+WITH {_WG_PAGES},
+lg_edges AS MATERIALIZED (
+  SELECT src,
+         CAST(regexp_extract(dst_url, 's(\\d+)\\.test', 1) AS BIGINT) AS dst
+  FROM lg_links),{_lg.pagerank_sql("lg_edges", iterations=5)},
+mx AS (SELECT CAST(max(rank) AS DOUBLE) AS mr FROM pr_out)
+SELECT c.doc_id,
+       floor(c.score * (CAST(pr.rank AS DOUBLE) / mx.mr) * 10000.0)
+       / 10000.0 AS score
+FROM ({_bm25_sql(QS["or2"], "OR", limit=50)}
+) c
+JOIN pr_out pr ON pr.node = c.doc_id
+CROSS JOIN mx
+ORDER BY score DESC, doc_id
+LIMIT 10"""
 
     from fatespark.linkgraph import hits_sql as _hits_sql
     o["wg_hits"] = f"""

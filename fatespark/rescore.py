@@ -97,3 +97,41 @@ def collapsed_topk(index, meta: DataFrame, query, *, group_col: str,
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .select("doc_id", group_col, "score", "grp_rank"))
+
+
+def static_rank_topk(index, prior: DataFrame, query, *,
+                     rank_col: str = "rank", node_col: str = "node",
+                     k: int = 10, pool: int = 100, mode: str = "OR",
+                     quantize: int | None = None,
+                     use_wand: bool = False) -> DataFrame:
+    """Top-k by static-rank-fused BM25: ``score * (rank / max_rank)`` —
+    the classic web-search prior fusion (Brin & Page, "The Anatomy of a
+    Large-Scale Hypertextual Web Search Engine", WWW 1998: the IR score
+    combined with PageRank as a query-independent prior).
+
+    ``prior`` carries (``node_col``, ``rank_col``) keyed by doc_id —
+    e.g. ``linkgraph.pagerank`` output, whose integer fixed-point ranks
+    divide bit-reproducibly. Normalizing by the prior's max makes the
+    fusion factor <= 1, so recency_topk's window-exactness argument
+    holds verbatim: a doc whose raw BM25 is below the final k-th fused
+    score can never enter the top-k, and the top-``pool`` window is
+    exact whenever the pool's BM25 floor sits below it. Docs absent
+    from ``prior`` are dropped (zero static evidence — densify the
+    prior upstream to keep them).
+
+    Scale shape: ONE bounded scalar agg for the normalizer; the
+    ``pool``-row candidate set broadcasts into the join, so the
+    corpus-sized prior table is never shuffled.
+    """
+    cand = index.search(query, k=pool, mode=mode, quantize=quantize,
+                        use_wand=use_wand)
+    mx = prior.agg(F.max(F.col(rank_col)).alias("m")).collect()[0]["m"]
+    if mx is None or mx <= 0:
+        raise ValueError("static_rank_topk: empty or non-positive prior")
+    pnorm = F.col(rank_col).cast("double") / F.lit(float(mx))
+    j = (prior.select(F.col(node_col).alias("doc_id"), pnorm.alias("_p"))
+         .join(F.broadcast(cand), "doc_id"))
+    boosted = _quantize(F.col("score") * F.col("_p"), quantize)
+    return (j.select("doc_id", boosted.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))

@@ -163,3 +163,53 @@ class TestPlans:
         assert "BroadcastHashJoin" in p
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+class TestStaticRank:
+    """static_rank_topk: PageRank-prior fusion over the exact BM25
+    window."""
+
+    def test_matches_bruteforce_full_window(self, built, spark):
+        from fatespark.rescore import static_rank_topk
+        idx, _ = built
+        # deterministic integer prior (fixed-point-PageRank-shaped)
+        prior_rows = [(i, 1000 + 137 * ((i * 7) % 11)) for i in
+                      range(1, 11)]
+        prior = spark.createDataFrame(prior_rows, "node long, rank long")
+        got = static_rank_topk(idx, prior, ["apple", "cherry"], k=5,
+                               pool=100).collect()
+        bm = _bm25_all(idx, ["apple", "cherry"])
+        mx = float(max(r for _, r in prior_rows))
+        want = sorted(((d, bm[d] * (r / mx)) for d, r in prior_rows
+                       if d in bm),
+                      key=lambda x: (-x[1], x[0]))[:5]
+        assert [(r["doc_id"], r["score"]) for r in got] == want
+
+    def test_prior_normalized_leq_one(self, built, spark):
+        """Fused scores never exceed raw BM25 (factor <= 1 — the window
+        exactness invariant)."""
+        from fatespark.rescore import static_rank_topk
+        idx, _ = built
+        prior = spark.createDataFrame(
+            [(i, i * 100) for i in range(1, 11)], "node long, rank long")
+        bm = _bm25_all(idx, ["banana"])
+        for r in static_rank_topk(idx, prior, ["banana"], k=10,
+                                  pool=100).collect():
+            assert r["score"] <= bm[r["doc_id"]] + 1e-12
+
+    def test_missing_prior_drops_doc(self, built, spark):
+        from fatespark.rescore import static_rank_topk
+        idx, _ = built
+        prior = spark.createDataFrame([(1, 10), (2, 5)],
+                                      "node long, rank long")
+        got = {r["doc_id"] for r in
+               static_rank_topk(idx, prior, ["apple"], k=10,
+                                pool=100).collect()}
+        assert got <= {1, 2}
+
+    def test_empty_prior_raises(self, built, spark):
+        from fatespark.rescore import static_rank_topk
+        idx, _ = built
+        prior = spark.createDataFrame([], "node long, rank long")
+        with pytest.raises(ValueError):
+            static_rank_topk(idx, prior, ["apple"], k=5)
