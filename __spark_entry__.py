@@ -36,6 +36,12 @@ _B = repr(B)
 
 _NOW_TS = 1700000000  # fixed "now" for the recency rescorer (reproducible)
 
+_EVAL_QUERIES = {  # ft_eval's fixed evaluation set (qid -> terms)
+    "e_and2": ["batch", "join"],
+    "e_or2": ["merge", "scan"],
+    "e_or3": ["batch", "join", "scan"],
+}
+
 QS = {  # the reference-style query set over the documents vocabulary
     "single": ["batch"],
     "and2": ["batch", "join"],
@@ -1124,6 +1130,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return static_rank_topk(idx, pr, QS["or2"], k=10, pool=50,
                                 mode="OR", quantize=4)
     q["ft_static_rank"] = ft_static_rank
+
+    def ft_eval(spark, sf):
+        """Ranking-quality evaluation (evalmetrics.ranking_eval): MRR@10
+        and NDCG@10 for three reference queries against the derived
+        conjunctive qrel (a doc is relevant iff it contains ALL the
+        query's terms). Gains are shared float literals in both engines
+        (no libm log anywhere), DCG a fixed-order chain — so the metric
+        values themselves hash-compare exactly, not just approximately."""
+        from fatespark.evalmetrics import ranking_eval
+        idx = _index(spark, sf)
+        docs = _read(spark, sf, "documents")
+        return ranking_eval(idx, docs, _EVAL_QUERIES, k=10)
+    q["ft_eval"] = ft_eval
 
     def tx_ingest_pipeline(spark, sf):
         """The whole crawl front-end as ONE declarative plan: WARC
@@ -2348,7 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_url_filter", "tx_bpe_train", "ft_span_first", "ft_span_not",
         "tx_decontam_fuzzy", "ft_span_or", "q_asof_join", "q_interval_join",
         "ft_span_within", "ft_span_containing", "tx_bpe_encode",
-        "ft_ef_topk", "ft_static_rank",
+        "ft_ef_topk", "ft_static_rank", "ft_eval",
         "tx_html_extract", "wg_links", "wg_pagerank", "tx_warc_parse",
         "wg_robots", "wg_anchor_topk", "wg_redirects",
         "tx_sitemap_parse", "tx_ingest_pipeline", "wg_hits",
@@ -3553,6 +3572,55 @@ JOIN pr_out pr ON pr.node = c.doc_id
 CROSS JOIN mx
 ORDER BY score DESC, doc_id
 LIMIT 10"""
+
+    # ranking-quality eval: per query, the BM25 top-10 twin ranked, the
+    # derived conjunctive qrel, and MRR/NDCG folded from the SAME float
+    # literals the engine embeds (evalmetrics.sql_gains contract) — no
+    # log() call in either engine, DCG a fixed-order chain
+    from fatespark.evalmetrics import dcg_gain, idcg as _idcg, rr_gain
+    _ev_blocks, _ev_sel = [], []
+    _EK = 10
+    for _n, (_qid, _terms) in enumerate(sorted(_EVAL_QUERIES.items()), 1):
+        _tl = ", ".join(f"'{t}'" for t in sorted(set(_terms)))
+        _pivots = ", ".join(
+            f"max(CASE WHEN rk.rnk = {i} AND r.doc_id IS NOT NULL "
+            f"THEN 1 ELSE 0 END) AS r{i}" for i in range(1, _EK + 1))
+        _ev_blocks.append(f"""
+rk{_n} AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM ({_bm25_sql(_terms, "OR", limit=_EK)}
+  ) s{_n}),
+rel{_n} AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, translate(t, '{_UP}', '{_LO}') AS term
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(coalesce(text, ''),
+                                              '{_WS_SQL}')) AS t
+          FROM documents)
+    WHERE t <> '')
+  WHERE term IN ({_tl})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(_terms))}),
+m{_n} AS (
+  SELECT {_pivots}
+  FROM rk{_n} rk LEFT JOIN rel{_n} r ON r.doc_id = rk.doc_id),
+c{_n} AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM rel{_n})""")
+        _dcg = " + ".join(f"CAST({dcg_gain(i)!r} AS DOUBLE) * r{i}"
+                          for i in range(1, _EK + 1))
+        _mrr = " ".join(f"WHEN r{i} = 1 THEN CAST({rr_gain(i)!r} AS DOUBLE)"
+                        for i in range(1, _EK + 1))
+        _ic = " ".join(f"WHEN {nn} THEN CAST({_idcg(nn, _EK)!r} AS DOUBLE)"
+                       for nn in range(1, _EK + 1))
+        _ev_sel.append(f"""
+SELECT '{_qid}' AS qid, c{_n}.n_rel,
+       CASE {_mrr} ELSE CAST(0.0 AS DOUBLE) END AS mrr,
+       CASE WHEN c{_n}.n_rel = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+         ({_dcg}) / (CASE least(c{_n}.n_rel, {_EK}) {_ic} END)
+       END AS ndcg
+FROM m{_n} CROSS JOIN c{_n}""")
+    o["ft_eval"] = ("WITH " + ",".join(_ev_blocks)
+                    + "\nSELECT * FROM ("
+                    + "\nUNION ALL".join(_ev_sel)
+                    + ") ORDER BY qid")
 
     from fatespark.linkgraph import hits_sql as _hits_sql
     o["wg_hits"] = f"""
