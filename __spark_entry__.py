@@ -1573,6 +1573,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return weburl.url_normalize_df(d)
     q["tx_url_normalize"] = tx_url_normalize
 
+    def tx_recrawl(spark, sf):
+        """Recrawl version resolution (weburl.recrawl_latest) over a
+        deterministic two-crawl fixture on (url, warc_ts): every doc has
+        a first crawl; doc_id%3==0 gets a CHANGED recrawl (text +
+        ' updated'), doc_id%5==0 (and not %3) a byte-identical one.
+        Keeps the latest version per url with n_versions and the changed
+        freshness flag — ONE window shuffle on url."""
+        from fatespark.weburl import recrawl_latest
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        url = F.concat(F.lit("http://w"), F.col("doc_id").cast("string"),
+                       F.lit(".test/p"))
+        ts0 = F.lit(1700000000) + F.col("doc_id")
+        txt = F.coalesce(F.col("text"), F.lit(""))
+        base = d.select("doc_id", url.alias("url"), ts0.alias("warc_ts"),
+                        txt.alias("text"))
+        re3 = F.col("doc_id") % 3 == 0
+        rec = (d.filter(re3 | (F.col("doc_id") % 5 == 0))
+               .select("doc_id", url.alias("url"),
+                       (ts0 + F.lit(86400)).alias("warc_ts"),
+                       F.when(re3, F.concat(txt, F.lit(" updated")))
+                       .otherwise(txt).alias("text")))
+        out = recrawl_latest(base.unionByName(rec))
+        return (out.select("doc_id", F.col("warc_ts").alias("latest_ts"),
+                           "n_versions", "changed")
+                .orderBy("doc_id"))
+    q["tx_recrawl"] = tx_recrawl
+
     def tx_url_filter(spark, sf):
         """UT1-style URL blocklist filter over the planted crawl URLs:
         registered-domain broadcast blocklist + banned path substring,
@@ -2367,7 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_url_filter", "tx_bpe_train", "ft_span_first", "ft_span_not",
         "tx_decontam_fuzzy", "ft_span_or", "q_asof_join", "q_interval_join",
         "ft_span_within", "ft_span_containing", "tx_bpe_encode",
-        "ft_ef_topk", "ft_static_rank", "ft_eval",
+        "ft_ef_topk", "ft_static_rank", "ft_eval", "tx_recrawl",
         "tx_html_extract", "wg_links", "wg_pagerank", "tx_warc_parse",
         "wg_robots", "wg_anchor_topk", "wg_redirects",
         "tx_sitemap_parse", "tx_ingest_pipeline", "wg_hits",
@@ -4069,6 +4096,29 @@ FROM m"""
     o["tx_url_normalize"] = f"""
 WITH {_url_ctes}
 SELECT doc_id AS id, url_norm, host, domain FROM unorm"""
+
+    o["tx_recrawl"] = """
+WITH base AS (
+  SELECT doc_id,
+         'http://w' || CAST(doc_id AS VARCHAR) || '.test/p' AS url,
+         1700000000 + doc_id AS warc_ts,
+         coalesce(text, '') AS text
+  FROM documents),
+rec AS (
+  SELECT doc_id, url, warc_ts + 86400 AS warc_ts,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' updated'
+              ELSE text END AS text
+  FROM base WHERE doc_id % 3 = 0 OR doc_id % 5 = 0),
+v AS (SELECT * FROM base UNION ALL SELECT * FROM rec),
+x AS (
+  SELECT doc_id, warc_ts, text,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn,
+         count(*) OVER (PARTITION BY url) AS n_versions,
+         lag(text) OVER (PARTITION BY url ORDER BY warc_ts) AS prev
+  FROM v)
+SELECT doc_id, warc_ts AS latest_ts, n_versions,
+       CAST(prev IS NOT NULL AND text <> prev AS INT) AS changed
+FROM x WHERE rn = 1 ORDER BY doc_id"""
 
     o["tx_decontam_fuzzy"] = sqloracles.fuzzy_decontam_sql(
         threshold=0.5, num_hashes=64, k=3, bands=16,

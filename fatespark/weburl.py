@@ -180,3 +180,40 @@ def url_filter(df: DataFrame, blocked_domains: list[str],
         F.coalesce(F.col("__bd"), F.lit(False)).alias("blocked_domain"),
         bp.alias("blocked_pattern"),
         (F.col("__bd").isNull() & ~bp).alias("keep"))
+
+
+def recrawl_latest(pages: DataFrame, url_col: str = "url",
+                   ts_col: str = "warc_ts",
+                   text_col: str = "text") -> DataFrame:
+    """Recrawl version resolution over a ``(url, warc_ts)``-keyed corpus:
+    keep each url's LATEST crawl and report how it got there —
+    ``n_versions`` (how many crawls of this url the corpus holds) and
+    ``changed`` (1 iff the latest crawl's text differs from the previous
+    version's; 0 for first-seen urls and byte-identical recrawls).
+
+    This is the step between raw Common-Crawl ingest and every
+    downstream operator: indexes, dedup and quality filters all want ONE
+    row per url, and the change flag is the freshness signal a
+    re-crawl scheduler feeds on. Change detection compares the text
+    column itself (exact, definitional — hash upstream if the text is
+    huge). Crawl timestamps must be unique per url (the WARC contract);
+    ties would make "latest" ambiguous.
+
+    Scale shape: ONE window shuffle on url (all three window functions
+    share the same partitioning); no joins, nothing corpus-sized
+    collected.
+    """
+    from pyspark.sql.window import Window
+    w_url = Window.partitionBy(url_col)
+    w_desc = w_url.orderBy(F.desc(ts_col))
+    w_asc = w_url.orderBy(F.asc(ts_col))
+    prev = F.lag(F.col(text_col)).over(w_asc)
+    keep = [c for c in pages.columns]
+    return (pages
+            .withColumn("_rn", F.row_number().over(w_desc))
+            .withColumn("n_versions", F.count(F.lit(1)).over(w_url))
+            .withColumn("changed",
+                        (prev.isNotNull()
+                         & (F.col(text_col) != prev)).cast("int"))
+            .filter(F.col("_rn") == 1)
+            .select(*keep, "n_versions", "changed"))
