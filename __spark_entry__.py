@@ -56,6 +56,23 @@ QS = {  # the reference-style query set over the documents vocabulary
     "mf": ["batch", "src3"],
 }
 
+# Stored-query registry for the percolator (ft_percolate): saved searches
+# over the documents vocabulary, exercising every msm shape (AND / OR /
+# m-of-n), the analyzer fold, per-query term dedup, and a never-matching
+# term. The oracle synthesizes the SAME registry as a VALUES list.
+PERC_QUERIES = [
+    (1, ["batch", "join"], None),             # pure conjunction
+    (2, ["merge", "scan"], 1),                # pure disjunction
+    (3, ["batch", "join", "scan"], 2),        # 2-of-3
+    (4, ["zzz_missing"], 1),                  # matches nothing
+    (5, ["big", "data"], 2),
+    (6, ["row", "column", "sort"], 3),
+    (7, ["the", "Vector"], 1),                # fold exercised
+    (8, ["stream", "window"], 2),
+    (9, ["hash", "filter", "small", "slow"], 3),
+    (10, ["spark", "Spark", "SPARK"], None),  # dedups to one term
+]
+
 
 # Boilerplate trailers planted into the synthetic corpus for the
 # substring-dedup / repetition / decontamination queries (the tx_pii_mask
@@ -674,6 +691,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             QS["mf"], k=10, mode="OR", weights=[1.0, 1.0], quantize=4,
             combine="dismax", tie_breaker=0.3))
     q["ft_dismax"] = ft_dismax
+
+    def ft_percolate(spark, sf):
+        """Percolator (reverse search): the PERC_QUERIES saved-search
+        registry matched against the documents stream — (doc_id, query_id,
+        n_matched) for every doc holding >= min_match distinct terms of
+        the stored query (fatespark.percolate). The registry broadcasts;
+        the corpus never shuffles before the bounded match agg."""
+        from fatespark.percolate import percolate
+        d = _read(spark, sf, "documents")
+        qs = spark.createDataFrame(
+            PERC_QUERIES, "query_id long, terms array<string>, min_match int")
+        return percolate(d, qs)
+    q["ft_percolate"] = ft_percolate
 
     def ft_filtered(spark, sf):
         """Index-side metadata filter (filters-as-postings): score 'batch'
@@ -2367,6 +2397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # on round-4 code; the 50 that got official round-3 rows follow in
     # their round-3 order.
     first = [
+        # session-6 NEW ops run first: their rows must land inside the
+        # driver budget so the board checks them on this session's code
+        "ft_percolate",
         "ft_phrase3", "ft_hits", "ft_near", "ft_batch", "ft_phrase_prefix",
         "ft_not", "ft_query_string", "ft_fuzzy", "ft_fuzzy2", "ft_suggest",
         "ft_mlt", "ft_boost", "ft_synonyms", "ft_first_match", "ft_recency",
@@ -2932,6 +2965,47 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_topk_or2"] = _bm25_sql(QS["or2"], "OR")
     o["ft_topk_or3_wand"] = _bm25_sql(QS["or3"], "OR")
     o["ft_msm"] = _bm25_sql(QS["or3"], "OR", min_match=2)
+
+    # percolator twin: same registry as a VALUES list, same fold /
+    # distinct-term / msm-floor semantics in plain SQL
+    _perc_vals = ", ".join(
+        "({}, [{}], {})".format(
+            qid, ", ".join("'" + t.replace("'", "''") + "'" for t in terms),
+            "NULL::INT" if msm is None else str(msm))
+        for qid, terms, msm in PERC_QUERIES)
+    o["ft_percolate"] = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, translate(t, '{_UP}', '{_LO}') AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+qreg AS (SELECT * FROM (VALUES {_perc_vals})
+         AS t(query_id, terms, min_match)),
+qn AS (
+  SELECT query_id,
+         list_distinct(list_filter(
+             list_transform(terms, x -> translate(x, '{_UP}', '{_LO}')),
+             x -> x <> '')) AS terms,
+         min_match
+  FROM qreg
+),
+qt AS (
+  SELECT query_id,
+         greatest(1, coalesce(min_match, len(terms))) AS mm,
+         unnest(terms) AS term
+  FROM qn
+),
+m AS (
+  SELECT d.doc_id, qt.query_id, any_value(qt.mm) AS mm,
+         count(*) AS n_matched
+  FROM dt d JOIN qt USING (term)
+  GROUP BY d.doc_id, qt.query_id
+)
+SELECT doc_id, query_id::INT AS query_id, n_matched
+FROM m WHERE n_matched >= mm
+ORDER BY doc_id, query_id"""
     o["ft_not"] = _bm25_sql(
         QS["or2"], "OR",
         where_scored="doc_id NOT IN (SELECT doc_id FROM tfs "
