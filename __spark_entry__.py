@@ -2110,6 +2110,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("vec_id", F.round("cosine", 4).alias("cosine")))
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def ann_pq_topk(spark, sf):
+        """Product-quantization ANN (Jegou et al. 2011): the corpus stored
+        as m_sub=4 one-byte-scale codes per vector (the ~64x-smaller scan
+        at 10^12 vectors), queried by ADC — per-subspace exact distance
+        tables as literal arrays, element_at lookups summed JVM-side, top-k
+        ascending. Training, encoding AND scoring live on the IVF exactness
+        grids, so the DuckDB twin (sqloracles.pq_topk_sql) reproduces the
+        whole pipeline hash-exactly — the approximation itself is checked,
+        not just row counts."""
+        import shutil
+        tag = _corpus_tag(sf)
+        d = f"/tmp/fatespark_entry_idx/{tag}_pq"
+        e = _read(spark, sf, "embeddings")
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        corpus = e.filter(F.col("vec_id") != 0)
+        n = corpus.count()
+        idx = ann.PqVectorIndex(d, dim=64, m_sub=4, n_centroids=8,
+                                n_iters=2, seed="pq")
+        try:
+            if idx._read(spark).count() != n:
+                raise ValueError("stale index")
+        except Exception:
+            shutil.rmtree(d, ignore_errors=True)
+            idx = ann.PqVectorIndex.build(corpus, d, dim=64, m_sub=4,
+                                          n_centroids=8, n_iters=2,
+                                          seed="pq")
+        return idx.topk(spark, list(qv), k=10)
+    q["ann_pq_topk"] = ann_pq_topk
+
     def hy_rrf(spark, sf):
         """Hybrid retrieval: reciprocal-rank fusion of the BM25 text arm
         and the exact-cosine vector arm over the shared doc_id/vec_id
@@ -2399,7 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
-        "ft_percolate",
+        "ft_percolate", "ann_pq_topk",
         "ft_phrase3", "ft_hits", "ft_near", "ft_batch", "ft_phrase_prefix",
         "ft_not", "ft_query_string", "ft_fuzzy", "ft_fuzzy2", "ft_suggest",
         "ft_mlt", "ft_boost", "ft_synonyms", "ft_first_match", "ft_recency",
@@ -4809,6 +4838,8 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2"""
         dim=64, n_planes=10, n_probes=128, seed=5, k=10)
     o["ann_ivf_topk"] = sqloracles.ivf_topk_sql(
         dim=64, n_centroids=8, n_iters=2, n_probes=3, seed="ivf", k=10)
+    o["ann_pq_topk"] = sqloracles.pq_topk_sql(
+        dim=64, m_sub=4, n_centroids=8, n_iters=2, seed="pq", k=10)
     o["dd_embdup_banded"] = sqloracles.banded_embdup_sql(
         dim=64, threshold=0.4, n_bands=16, planes_per_band=4, seed=5) + \
         "\nORDER BY id_a, id_b"

@@ -409,3 +409,244 @@ class IvfVectorIndex:
         probe = ivf_probe_cells(qv, self.centroids(), n_probes)
         cand = self._read(spark).filter(F.col("ivf_cid").isin(probe))
         return cosine_topk(cand, query_vec, k, self.id_col, self.vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the 10^12-vector compression path
+# ---------------------------------------------------------------------------
+# Jegou, Douze, Schmid: "Product Quantization for Nearest Neighbor Search"
+# (TPAMI 2011). The vector is split into m_sub contiguous subspaces; each
+# subspace gets its own k-means codebook (the same deterministic Lloyd as
+# IVF, on the same exact grids); a vector is stored as m_sub small codes
+# (here int32 for parquet friendliness; 1 byte each at K<=256 in a binary
+# layout). Queries score candidates with ADC (asymmetric distance
+# computation): per subspace a K-entry table of exact squared-L2 distances
+# from the QUANTIZED query slice to the centroids, then each candidate's
+# distance is m_sub table lookups summed — no raw vector ever read.
+#
+# Why it matters at 100 TB: raw float32 embeddings at dim=64 are 256 B/vec
+# (~256 TB at 10^12 vectors); PQ codes at m_sub=4 are 4 B/vec logical — the
+# ADC scan reads ~1/64th the bytes, and the distance-table lookups stay
+# whole-stage-codegen JVM expressions (element_at on literal arrays). The
+# same exactness contract as IVF makes it hash-checkable: vectors on the
+# integer floor(x*4096) grid, centroids on the 1/1024 grid, so every
+# (q_i - c_i)^2 term, every dsub-term subspace sum, and the final m_sub-way
+# ADC sum are exact in float64 — summation order cannot matter, and the
+# DuckDB twin (sqloracles.pq_topk_sql) reproduces training, encoding AND
+# scoring bit-for-bit.
+
+
+def pq_train(emb_df: DataFrame, dim: int, m_sub: int = 4,
+             n_centroids: int = 8, n_iters: int = 2, seed: str = "pq",
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic per-subspace Lloyd: returns the float64
+    (m_sub, n_centroids, dim // m_sub) codebook tensor. ALL subspaces train
+    in the SAME narrow Arrow pass per iteration (partials are per
+    (subspace, cell) component sums, map-side combined) — the corpus is
+    scanned n_iters times total, not m_sub * n_iters, and never shuffled.
+    Seeding: the n_centroids md5-smallest ids seed every subspace (one
+    shared ordering; seed diversity across subspaces buys nothing and a
+    shared ordering keeps the SQL twin one CTE)."""
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    spark = emb_df.sparkSession
+    src = emb_df.select(F.col(id_col).alias("__id"),
+                        F.col(vec_col).cast("array<double>").alias("__v"))
+    src = src.persist()
+    try:
+        key = F.md5(F.concat(F.lit(f"{seed}:"),
+                             F.col("__id").cast("string")))
+        seeds = (src.withColumn("__k", key).orderBy("__k", "__id")
+                 .limit(n_centroids).collect())
+        if not seeds:
+            raise ValueError("cannot train PQ on an empty corpus")
+        full = _ivf_quant(np.array([r["__v"] for r in seeds],
+                                   dtype=np.float64))
+        # (m_sub, K, dsub) — subspace m takes columns [m*dsub, (m+1)*dsub)
+        cent = np.stack([full[:, m * dsub:(m + 1) * dsub]
+                         for m in range(m_sub)])
+        for _ in range(n_iters):
+            c = cent  # bind for the closure
+
+            def partial_sums(batches):
+                acc_s = np.zeros((m_sub, c.shape[1], dsub), dtype=np.float64)
+                acc_n = np.zeros((m_sub, c.shape[1]), dtype=np.int64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    qv = _ivf_quant(np.stack(pdf["__v"].map(
+                        lambda v: np.asarray(v, dtype=np.float64))))
+                    for m in range(m_sub):
+                        sl = qv[:, m * dsub:(m + 1) * dsub]
+                        cid = _ivf_nearest(sl, c[m])
+                        np.add.at(acc_s[m], cid, sl)
+                        np.add.at(acc_n[m], cid, 1)
+                ms, cs = np.nonzero(acc_n)
+                yield pd.DataFrame({
+                    "sub": ms.astype(np.int32),
+                    "cid": cs.astype(np.int32),
+                    "n": acc_n[ms, cs],
+                    "s": [acc_s[m, k].astype(np.int64)
+                          for m, k in zip(ms, cs)]})
+
+            def reduce_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+                s = np.stack(pdf["s"].map(
+                    lambda v: np.asarray(v, dtype=np.int64))).sum(axis=0)
+                return pd.DataFrame({"sub": pdf["sub"].iloc[:1],
+                                     "cid": pdf["cid"].iloc[:1],
+                                     "n": [int(pdf["n"].sum())],
+                                     "s": [s]})
+
+            rows = (src.select("__v").mapInPandas(
+                        partial_sums, "sub int, cid int, n long, s array<long>")
+                    .groupBy("sub", "cid").applyInPandas(
+                        reduce_cell, "sub int, cid int, n long, s array<long>")
+                    .collect())
+            nxt = cent.copy()  # empty cells keep their previous centroid
+            for r in rows:
+                s = np.asarray(r["s"], dtype=np.float64)
+                nxt[r["sub"], r["cid"]] = np.floor(
+                    s * IVF_CQUANT / float(r["n"])) / IVF_CQUANT
+            cent = nxt
+        return cent
+    finally:
+        src.unpersist()
+
+
+def pq_encode(emb_df: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>): per subspace the nearest-centroid code —
+    same quantize/distance/tie rules as training, one narrow Arrow pass.
+    This is the table that persists: m_sub small ints per vector instead
+    of the raw embedding."""
+    cb = codebooks
+    m_sub, _, dsub = cb.shape
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qv = _ivf_quant(np.stack(pdf[vec_col].map(
+                lambda v: np.asarray(v, dtype=np.float64))))
+            codes = np.stack(
+                [_ivf_nearest(qv[:, m * dsub:(m + 1) * dsub], cb[m])
+                 for m in range(m_sub)], axis=1).astype(np.int32)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "codes": list(codes)})
+
+    return emb_df.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, codes array<int>")
+
+
+def pq_adc_tables(query_vec, codebooks: np.ndarray) -> np.ndarray:
+    """(m_sub, K) exact float64 squared-L2 distances from the QUANTIZED
+    query's subspace slices to each centroid — the ADC lookup tables.
+    Driver-side and tiny (m_sub * K doubles)."""
+    cb = codebooks
+    m_sub, _, dsub = cb.shape
+    qq = _ivf_quant(np.asarray(query_vec, dtype=np.float64))
+    return np.stack([
+        ((qq[None, m * dsub:(m + 1) * dsub] - cb[m]) ** 2).sum(axis=1)
+        for m in range(m_sub)])
+
+
+def pq_adc_topk(codes_df: DataFrame, query_vec, codebooks: np.ndarray,
+                k: int = 10, id_col: str = "vec_id") -> DataFrame:
+    """ADC top-k over the codes table: (vec_id, adc), ascending exact
+    squared-L2 estimate, ties by vec_id. The scan is pure JVM — the m_sub
+    lookup tables are literal arrays, the score is m_sub element_at calls
+    summed inside whole-stage codegen, and top-k is TakeOrderedAndProject.
+    Never touches raw vectors: at 10^12 rows this reads only the code
+    bytes."""
+    dt = pq_adc_tables(query_vec, codebooks)
+    adc = F.lit(0.0)
+    for m in range(dt.shape[0]):
+        tab = F.array(*[F.lit(float(x)) for x in dt[m]])
+        adc = adc + F.element_at(tab, F.element_at("codes", m + 1) + 1)
+    return (codes_df.select(F.col(id_col), adc.alias("adc"))
+            .orderBy(F.asc("adc"), F.asc(id_col))
+            .limit(k))
+
+
+class PqVectorIndex:
+    """Persisted PQ index: codebooks trained once, the corpus stored as the
+    codes table (m_sub ints per vector — the ~64x-smaller scan at dim=64 /
+    m_sub=4 vs raw float32), queries scored by ADC lookups. Optional exact
+    re-rank (``rerank > 0``) joins only the ADC shortlist back to the raw
+    embeddings — the standard two-stage serving shape (PQ screens, exact
+    cosine orders the survivors). Codebook sidecar uses the IVF pattern
+    (underscore-prefixed file Spark's parquet discovery ignores)."""
+
+    def __init__(self, path: str, dim: int, m_sub: int = 4,
+                 n_centroids: int = 8, n_iters: int = 2, seed: str = "pq",
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.path = path
+        self.dim = dim
+        self.m_sub = m_sub
+        self.n_centroids = n_centroids
+        self.n_iters = n_iters
+        self.seed = seed
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._df = None
+        self._cb = None
+
+    @property
+    def _cb_path(self) -> str:
+        import os
+        return os.path.join(self.path, "_pq_codebooks.parquet")
+
+    @classmethod
+    def build(cls, emb_df: DataFrame, path: str, dim: int, m_sub: int = 4,
+              n_centroids: int = 8, n_iters: int = 2, seed: str = "pq",
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "PqVectorIndex":
+        idx = cls(path, dim, m_sub, n_centroids, n_iters, seed,
+                  id_col, vec_col)
+        cb = pq_train(emb_df, dim, m_sub, n_centroids, n_iters, seed,
+                      id_col, vec_col)
+        (pq_encode(emb_df, cb, id_col, vec_col)
+         .write.mode("overwrite").parquet(path))
+        m, K, dsub = cb.shape
+        pd.DataFrame({
+            "sub": np.repeat(np.arange(m, dtype=np.int32), K),
+            "cid": np.tile(np.arange(K, dtype=np.int32), m),
+            "carr": [cb[i, j].tolist() for i in range(m) for j in range(K)],
+        }).to_parquet(idx._cb_path, index=False)
+        idx._cb = cb
+        return idx
+
+    def codebooks(self) -> np.ndarray:
+        if self._cb is None:
+            pdf = (pd.read_parquet(self._cb_path)
+                   .sort_values(["sub", "cid"]))
+            dsub = self.dim // self.m_sub
+            self._cb = np.stack(
+                pdf["carr"].map(lambda c: np.asarray(c, dtype=np.float64))
+            ).reshape(self.m_sub, self.n_centroids, dsub)
+        return self._cb
+
+    def _read(self, spark) -> DataFrame:
+        if self._df is None:
+            self._df = spark.read.parquet(self.path)
+        return self._df
+
+    def topk(self, spark, query_vec, k: int = 10) -> DataFrame:
+        qv = np.asarray(query_vec, dtype=np.float64)
+        if qv.size != self.dim:
+            raise ValueError(f"query dim {qv.size} != index dim {self.dim}")
+        return pq_adc_topk(self._read(spark), query_vec, self.codebooks(),
+                           k, self.id_col)
+
+    def topk_rerank(self, spark, emb_df: DataFrame, query_vec, k: int = 10,
+                    rerank: int = 100) -> DataFrame:
+        """Two-stage: ADC shortlist of ``rerank`` candidates, then exact
+        cosine over only those raw vectors (a k-bounded semi-join against
+        the embedding table — the only stage that touches raw floats)."""
+        short = self.topk(spark, query_vec, k=max(k, rerank)).select(
+            self.id_col)
+        cand = emb_df.join(F.broadcast(short), self.id_col)
+        return cosine_topk(cand, query_vec, k, self.id_col, self.vec_col)

@@ -522,3 +522,87 @@ FROM embeddings e JOIN af ON af.vec_id = e.vec_id, q
 WHERE af.cid IN (SELECT cid FROM probe)
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
 LIMIT {k}"""
+
+
+def pq_topk_sql(dim: int = 64, m_sub: int = 4, n_centroids: int = 8,
+                n_iters: int = 2, seed: str = "pq", k: int = 10) -> str:
+    """Twin of ``ann.PqVectorIndex`` for query vector = embeddings[vec_id=0],
+    corpus = vec_id<>0: replicates the WHOLE product-quantization pipeline —
+    one shared md5-ordered seeding, per-subspace unrolled Lloyd over the
+    sliced floor(v*4096) vectors with 1/1024-grid centroids, per-subspace
+    code assignment with (dist, cid) ties, the query's ADC distance tables,
+    and the final m_sub-way lookup sum — all exact float64 (same grids as
+    IVF, so summation order cannot matter) and therefore hash-exact.
+    Output (vec_id, adc) ascending, ties by vec_id."""
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    ctes = [f"""qv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * 4096.0)) AS qv
+  FROM embeddings WHERE vec_id <> 0
+),
+c0full AS (
+  SELECT (row_number() OVER (
+            ORDER BY md5('{seed}:' || vec_id::VARCHAR), vec_id) - 1)::INT
+           AS cid,
+         qv AS carr
+  FROM qv
+  ORDER BY md5('{seed}:' || vec_id::VARCHAR), vec_id
+  LIMIT {n_centroids}
+),
+qqfull AS (
+  SELECT list_transform(embedding::DOUBLE[], x -> floor(x * 4096.0)) AS qq
+  FROM embeddings WHERE vec_id = 0
+)"""]
+    mean_list = ", ".join(
+        f"floor(sum(qv[{d + 1}]) * 1024.0 / count(*)) / 1024.0"
+        for d in range(dsub))
+    dist = _ivf_dist_chain("v.qv", "c.carr", dsub)
+    for m in range(m_sub):
+        lo, hi = m * dsub + 1, (m + 1) * dsub
+        ctes.append(f"""v{m} AS (
+  SELECT vec_id, qv[{lo}:{hi}] AS qv FROM qv
+),
+s{m}c0 AS (
+  SELECT cid, carr[{lo}:{hi}] AS carr FROM c0full
+)""")
+        for i in range(1, n_iters + 1):
+            ctes.append(f"""s{m}a{i} AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT v.vec_id, v.qv, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM v{m} v CROSS JOIN s{m}c{i - 1} c) WHERE rn = 1
+),
+s{m}c{i} AS (
+  SELECT p.cid, coalesce(u.carr, p.carr) AS carr
+  FROM s{m}c{i - 1} p LEFT JOIN (
+    SELECT cid, [{mean_list}] AS carr
+    FROM s{m}a{i} GROUP BY cid) u USING (cid)
+)""")
+        dist_q = _ivf_dist_chain("qq.qq", "c.carr", dsub)
+        ctes.append(f"""s{m}af AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM v{m} v CROSS JOIN s{m}c{n_iters} c) WHERE rn = 1
+),
+dt{m} AS (
+  SELECT c.cid, {dist_q} AS d
+  FROM s{m}c{n_iters} c,
+       (SELECT qq[{lo}:{hi}] AS qq FROM qqfull) qq
+)""")
+    joins = "\n".join(
+        f"JOIN s{m}af a{m} ON a{m}.vec_id = a0.vec_id\n"
+        f"JOIN dt{m} d{m} ON d{m}.cid = a{m}.cid"
+        if m else "JOIN dt0 d0 ON d0.cid = a0.cid"
+        for m in range(m_sub))
+    adc = " + ".join(f"d{m}.d" for m in range(m_sub))
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT a0.vec_id, ({adc}) AS adc
+FROM s0af a0
+{joins}
+ORDER BY ({adc}), a0.vec_id
+LIMIT {k}"""
