@@ -56,6 +56,21 @@ QS = {  # the reference-style query set over the documents vocabulary
     "mf": ["batch", "src3"],
 }
 
+# Synthetic page wrapper for the boilerplate-removal query (tx_boiler):
+# nav div (link-dense -> bad), the doc text as the body paragraph (verdict
+# varies with its real stop-word density), a linked list (bad), a short
+# fragment (short), and a stopword-free footer (bad). The oracle
+# synthesizes the SAME wrapper.
+_BOILER_PRE = ('<html><head><title>pagetitle</title>'
+               '<style type="text/css">p { color: red; }</style></head>'
+               '<body><div class="nav"><a href="/">Home page</a> '
+               '<a href="/about">About the team</a> '
+               '<a href="/contact">Contact</a></div><p>')
+_BOILER_POST = ('</p><ul><li><a href="/m">More stories today</a></li>'
+                '<li><a href="/n">Other news</a></li></ul><p>Short.</p>'
+                '<div>copyright 2024 example corporation content reserved'
+                '</div></body></html>')
+
 # Stored-query registry for the percolator (ft_percolate): saved searches
 # over the documents vocabulary, exercising every msm shape (AND / OR /
 # m-of-n), the analyzer fold, per-query term dedup, and a never-matching
@@ -1898,6 +1913,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["tx_webcurate"] = tx_webcurate
 
+    def tx_boiler(spark, sf):
+        """jusText-style main-content extraction (fatespark.boiler): each
+        doc's text is planted as the body paragraph of a page that also
+        carries a link-dense nav div, a linked list, a short fragment and
+        a stopword-free footer — so every verdict branch (bad-by-links,
+        short, good/neargood/bad-by-stopword-density) fires for real.
+        Stop-density thresholds 0.08/0.03 sit inside the measured corpus
+        distribution (median ~0.06), so the BODY verdict genuinely varies
+        per doc. Output: per-doc verdict counts + main-text length + md5
+        fingerprint, all hash-checked against the full SQL twin
+        (boiler.main_content_sql replays split/anchors/densities/CASE)."""
+        from fatespark import boiler
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        html_str = F.concat(
+            F.lit(_BOILER_PRE), F.coalesce(F.col("text"), F.lit("")),
+            F.lit(_BOILER_POST))
+        pages = d.select("doc_id", F.encode(html_str, "UTF-8").alias("html"))
+        m = boiler.main_content(pages, stopwords_high=0.08,
+                                stopwords_low=0.03)
+        return (m.select(F.col("id").alias("doc_id"), "n_paras", "n_good",
+                         "n_near", "n_short", "n_bad", "main_chars",
+                         F.md5("main_text").alias("main_fp"))
+                .orderBy("doc_id"))
+    q["tx_boiler"] = tx_boiler
+
     # -- dedup ---------------------------------------------------------------
     def dd_exact_groups(spark, sf):
         d = _read(spark, sf, "documents")
@@ -2428,7 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
-        "ft_percolate", "ann_pq_topk",
+        "ft_percolate", "ann_pq_topk", "tx_boiler",
         "ft_phrase3", "ft_hits", "ft_near", "ft_batch", "ft_phrase_prefix",
         "ft_not", "ft_query_string", "ft_fuzzy", "ft_fuzzy2", "ft_suggest",
         "ft_mlt", "ft_boost", "ft_synonyms", "ft_first_match", "ft_recency",
@@ -4709,6 +4749,12 @@ ORDER BY p.doc_id"""
     o["tx_webcurate"] = ("WITH " + _wc_src + ","
                          + o["tx_curate"][len("\nWITH "):]
                          .replace("FROM documents", "FROM webdocs"))
+
+    from fatespark import boiler as _boiler
+    o["tx_boiler"] = _boiler.main_content_sql(
+        f"SELECT doc_id, '{_BOILER_PRE}' || coalesce(text, '') || "
+        f"'{_BOILER_POST}' AS h FROM documents",
+        stopwords_high=0.08, stopwords_low=0.03)
 
     o["dd_exact_groups"] = f"""
 WITH fp AS ({_FP_SQL})
