@@ -1874,6 +1874,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kmv_distinct_df(pairs, "lang", "bigram", k=256)
     q["tx_distinct_sketch"] = tx_distinct_sketch
 
+    def tx_hll(spark, sf):
+        """HyperLogLog cardinality sketch (sketch.hll_distinct_df, p=12):
+        estimated distinct token bigrams per language — the SAME inputs
+        as tx_distinct_sketch so the two sketches cross-check each other.
+        Registers are an exact integer table (max rho per bucket, one
+        combinable agg); the harmonic estimator folds exact dyadic
+        1/2^rho terms in ascending bucket order, so the float is
+        bit-reproducible; round(6) fences the linear-counting ln."""
+        from fatespark.sketch import hll_distinct_df
+        d = _read(spark, sf, "documents")
+        toks = F.transform(
+            F.filter(F.split(F.coalesce(F.col("text"), F.lit("")),
+                             textops.WS_RE), lambda x: x != F.lit("")),
+            lambda x: F.translate(x, _UP, _LO))
+        pairs = (d.select("lang", toks.alias("toks"))
+                 .filter(F.size("toks") >= 2)
+                 .select("lang", F.explode(F.expr(
+                     "transform(sequence(1, size(toks) - 1), "
+                     "i -> concat(toks[i - 1], ' ', toks[i]))"))
+                     .alias("bigram")))
+        return (hll_distinct_df(pairs, "lang", "bigram", p=12)
+                .withColumnRenamed("g", "lang").orderBy("lang"))
+    q["tx_hll"] = tx_hll
+
     def tx_curate(spark, sf):
         """Composed curation pipeline (fatespark.curate.curate_corpus):
         quality gate -> language allow-list -> exact dedup keep -> stable
@@ -2468,7 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
-        "ft_percolate", "ann_pq_topk", "tx_boiler",
+        "ft_percolate", "ann_pq_topk", "tx_boiler", "tx_hll",
         "ft_phrase3", "ft_hits", "ft_near", "ft_batch", "ft_phrase_prefix",
         "ft_not", "ft_query_string", "ft_fuzzy", "ft_fuzzy2", "ft_suggest",
         "ft_mlt", "ft_boost", "ft_synonyms", "ft_first_match", "ft_recency",
@@ -4717,6 +4741,69 @@ SELECT lang, CAST(n_kept AS BIGINT) AS n_kept,
             ELSE floor({_kmv_lit} / CAST(kth AS DOUBLE)) END AS BIGINT)
        AS est_distinct
 FROM st ORDER BY lang"""
+
+    # HLL twin: same bigram inputs, same md5-60bit hash; rho via the shared
+    # instr(lpad(bin(suffix))) integer/string ops, harmonic sum as an
+    # ORDER BY bucket list fold of exact dyadic terms (bit-equal to the
+    # engine's sort_array+aggregate), alpha as one Python literal
+    from fatespark.sketch import hll_alpha as _hll_alpha
+    _hll_p, _hll_seed = 12, "hll"
+    _hll_m = 1 << _hll_p
+    _hll_w = 60 - _hll_p
+    _hll_h = sqlhash.md5_bucket60("bigram", _hll_seed, 1 << 60)
+    _hll_a = repr(_hll_alpha(_hll_m))
+    o["tx_hll"] = f"""
+WITH base AS (
+  SELECT lang,
+         list_transform(
+           list_filter(regexp_split_to_array(coalesce(text, ''),
+                                             '{_WS_SQL}'), x -> x <> ''),
+           x -> translate(x, '{_UP}', '{_LO}')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT lang, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM base, unnest(range(1, len(toks))) r(i)
+  WHERE len(toks) >= 2
+),
+rhos AS (
+  SELECT lang,
+         CAST(h >> {_hll_w} AS INT) AS bucket,
+         CAST(CASE WHEN pos = 0 THEN {_hll_w + 1} ELSE pos END AS INT)
+           AS rho
+  FROM (
+    SELECT lang, h,
+           instr(lpad(bin(h & {(1 << _hll_w) - 1}), {_hll_w}, '0'), '1')
+             AS pos
+    FROM (SELECT lang, {_hll_h} AS h FROM pairs))
+),
+state AS (
+  SELECT lang, bucket, max(rho) AS rho FROM rhos GROUP BY lang, bucket
+),
+agg AS (
+  SELECT lang, count(*) AS n_regs,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             array_agg(CAST(1.0 AS DOUBLE) / (1::BIGINT << rho)
+                       ORDER BY bucket)),
+           (acc, x) -> acc + x) AS s_present
+  FROM state GROUP BY lang
+),
+est AS (
+  SELECT lang, n_regs,
+         CAST({_hll_m} - n_regs AS BIGINT) AS v_zero,
+         CAST({_hll_a} AS DOUBLE) * CAST({repr(float(_hll_m * _hll_m))}
+             AS DOUBLE)
+           / (s_present + CAST({_hll_m} - n_regs AS DOUBLE)
+              * CAST(1.0 AS DOUBLE)) AS raw
+  FROM agg
+)
+SELECT lang, n_regs, v_zero,
+       round(CASE WHEN raw <= CAST({repr(2.5 * _hll_m)} AS DOUBLE)
+                       AND v_zero > 0
+                  THEN CAST({repr(float(_hll_m))} AS DOUBLE)
+                       * ln(CAST({repr(float(_hll_m))} AS DOUBLE) / v_zero)
+                  ELSE raw END, 6) AS est
+FROM est ORDER BY lang"""
 
     _cur_b = sqlhash.md5_bucket60("doc_id", "split", 1_000_000)
     o["tx_curate"] = f"""

@@ -31,7 +31,9 @@ _SPACE = 1 << 60
 
 __all__ = ["kmv_hash_col", "kmv_distinct_df", "kmv_state_df",
            "kmv_merge_states", "bloom_positions", "bloom_build",
-           "bloom_probe", "cms_cell_col", "cms_build", "cms_query"]
+           "bloom_probe", "cms_cell_col", "cms_build", "cms_query",
+           "hll_rho_col", "hll_state_df", "hll_merge_states", "hll_alpha",
+           "hll_estimate_df", "hll_distinct_df"]
 
 
 def kmv_hash_col(value_col: str | Column, seed: str = "kmv") -> Column:
@@ -224,3 +226,102 @@ def cms_query(cms: DataFrame, probes: DataFrame, value_col: str, *,
     j = px.join(cms, ["j", "cell"], "left")
     return (j.groupBy(value_col)
             .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est")))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — the constant-size cardinality sketch (Flajolet et al. 2007)
+# ---------------------------------------------------------------------------
+# Complements KMV: the state is 2^p registers REGARDLESS of cardinality
+# (KMV's k minima answer the same question but its relative error ~1.3/sqrt(k)
+# costs k=256 longs for ~8%; HLL p=12 gets ~1.6% in 4096 max-rho bytes), and
+# register-wise max-merge is the industry shard-combine contract. The
+# float-summation-order caveat that picked KMV originally is solved here, not
+# dodged: every indicator term is the EXACT dyadic 1.0/(1<<rho) (never libm
+# pow), the harmonic sum folds in ASCENDING BUCKET ORDER on both engines
+# (sort_array+aggregate vs ORDER BY+list_reduce — IEEE adds in the same order
+# give the same bits), alpha_m is one Python-computed literal embedded in
+# both plans, and the only libm call (ln, linear-counting branch) is fenced
+# by the round(6) cross-libm insurance the repo uses for exp/log everywhere.
+#
+# rho (leading-zeros+1 of the suffix) is computed with integer/string ops
+# shared bit-for-bit by Spark and DuckDB: instr(lpad(bin(suffix)), '1').
+
+
+def hll_rho_col(value_col: str | Column, p: int = 12,
+                seed: str = "hll") -> tuple[Column, Column]:
+    """(bucket, rho) of a value under the md5-60bit hash: bucket = top p
+    bits, rho = 1-based position of the first 1-bit in the remaining
+    60-p bits (61-p when they are all zero). 7 <= p <= 16 so the dyadic
+    indicator 1/2^rho stays exact in float64 (rho <= 54 <= 2^63 shifts)."""
+    if not 7 <= p <= 16:
+        raise ValueError(f"p must be in [7, 16], got {p}")
+    h = kmv_hash_col(value_col, seed)
+    w = 60 - p
+    bucket = F.shiftright(h, w)
+    suffix = h.bitwiseAND(F.lit((1 << w) - 1).cast("long"))
+    pos = F.instr(F.lpad(F.bin(suffix), w, "0"), "1")
+    rho = F.when(pos == 0, F.lit(w + 1)).otherwise(pos)
+    return bucket.cast("int"), rho.cast("int")
+
+
+def hll_state_df(df: DataFrame, group_col: str, value_col: str,
+                 p: int = 12, seed: str = "hll") -> DataFrame:
+    """(g, bucket, rho): the register table — max rho per (group, bucket).
+    ONE map-side-combinable agg; state is bounded by |groups| * 2^p rows
+    no matter the corpus size. Absent buckets mean register value 0."""
+    bucket, rho = hll_rho_col(value_col, p, seed)
+    return (df.select(F.col(group_col).alias("g"),
+                      bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("g", "bucket").agg(F.max("rho").alias("rho")))
+
+
+def hll_merge_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Register-wise max — how shard-level sketches combine on a tree
+    without re-reading rows. max is idempotent/commutative/associative,
+    so merge order and duplication cannot change the state."""
+    return (a.unionByName(b).groupBy("g", "bucket")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_alpha(m: int) -> float:
+    """The standard bias constant; one Python float embedded as a literal
+    in BOTH plans so the engines cannot disagree on it."""
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_estimate_df(state: DataFrame, p: int = 12) -> DataFrame:
+    """(g, n_regs, v_zero, est): the HLL estimate per group. The harmonic
+    sum folds the EXACT dyadic register indicators in ascending bucket
+    order inside one bounded collect (<= 2^p rows per group — value-space
+    state, the quality_tiers precedent); empty registers contribute
+    exactly (m - n_regs) * 1.0. Small-range correction: linear counting
+    m*ln(m/V) when raw <= 2.5m and V > 0 (the published rule); ln is the
+    single libm call, fenced by round(est, 6)."""
+    m = 1 << p
+    alpha = hll_alpha(m)
+    # dynamic-shift dyadic indicator (the Python shiftleft wrapper wants a
+    # literal count, the SQL function takes any int expression)
+    ind = F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), rho)")
+    regs = F.array_sort(F.collect_list(F.struct("bucket", "ind")))
+    s_present = F.aggregate(
+        regs, F.lit(0.0), lambda acc, r: acc + r["ind"])
+    agg = (state.withColumn("ind", ind).groupBy("g")
+           .agg(F.count(F.lit(1)).alias("n_regs"),
+                s_present.alias("s_present")))
+    v = (F.lit(m) - F.col("n_regs")).cast("long")
+    s = F.col("s_present") + v.cast("double") * F.lit(1.0)
+    raw = F.lit(alpha) * F.lit(float(m * m)) / s
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+                 ).otherwise(raw)
+    return agg.select("g", "n_regs", v.alias("v_zero"),
+                      F.round(est, 6).alias("est"))
+
+
+def hll_distinct_df(df: DataFrame, group_col: str, value_col: str,
+                    p: int = 12, seed: str = "hll") -> DataFrame:
+    """One-shot build + estimate: (g, n_regs, v_zero, est)."""
+    return hll_estimate_df(hll_state_df(df, group_col, value_col, p, seed),
+                           p)
