@@ -246,6 +246,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # docs keep the full disjunctive sum (bit-identical to plain OR)
     q["ft_msm"] = _mk_search("or3", "OR", min_should_match=2)
 
+    def ft_pruned_topk(spark, sf):
+        """Ranked top-10 over the STATICALLY PRUNED serving index (Carmel
+        et al. 2001, term-centric, k_prune=3 / eps=0.9): per term only
+        postings whose tf/length part beats 0.9x the 3rd-best survive, so
+        multi-term sums can change below the per-term top-3 — the oracle
+        replays the exact threshold rule (rank-min(3,df) part value,
+        strict > eps*z) and the frozen-stats BM25 on the kept set, so any
+        divergence in the prune pass flips the hash."""
+        from fatespark.pruning import prune_index
+        base = _index(spark, sf)
+        tag = _corpus_tag(sf)
+        d = f"/tmp/fatespark_entry_idx/{tag}_pruned"
+        try:
+            p = SearchIndex(spark, d)
+            if p.n_docs != base.n_docs:
+                raise ValueError("stale pruned index")
+        except Exception:
+            p = prune_index(spark, base, d, k_prune=3, eps=0.9)
+        return _scores(p.search(QS["or3"], k=10, mode="OR", quantize=4))
+    q["ft_pruned_topk"] = ft_pruned_topk
+
     def ft_prefix(spark, sf):
         return _scores(_index(spark, sf).search_prefix(QS["prefix"], k=10,
                                                        quantize=4))
@@ -2493,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
         "ft_percolate", "ann_pq_topk", "tx_boiler", "tx_hll",
+        "ft_pruned_topk",
         "ft_phrase3", "ft_hits", "ft_near", "ft_batch", "ft_phrase_prefix",
         "ft_not", "ft_query_string", "ft_fuzzy", "ft_fuzzy2", "ft_suggest",
         "ft_mlt", "ft_boost", "ft_synonyms", "ft_first_match", "ft_recency",
@@ -2638,6 +2660,65 @@ scored AS (
 SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
 FROM scored {wsc}ORDER BY floor(score * 10000.0) DESC, doc_id
 LIMIT {limit} OFFSET {offset}"""
+
+
+def _pruned_bm25_sql(terms: list[str], mode: str, k_prune: int, eps: float,
+                     limit: int = 10) -> str:
+    """Top-k BM25 over the STATICALLY PRUNED posting lists (Carmel et al.
+    2001): per term, z = the tf/length part at rank min(k_prune, df)
+    (part DESC), and only postings with part > eps*z score.  Stats stay
+    frozen at full-corpus values (pruning.prune_index's contract), so the
+    surviving contributions are the plain _bm25_sql expressions — same
+    float64 shape, same ascending-term fold, same floor quantization."""
+    terms = sorted(set(terms))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    per_term = ",\n      ".join(
+        f"max(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(terms))
+    add_chain = " + ".join(f"coalesce(s_{i}, 0.0)" for i in range(len(terms)))
+    having = (f"HAVING count(DISTINCT term) = {len(terms)}"
+              if mode == "AND" else "")
+    return f"""
+WITH {_TOK_CTES},
+qpart AS (
+  SELECT tfs.doc_id, tfs.term,
+         (tfs.tf * {_K1P1} / (tfs.tf + {_K1} *
+          ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS p
+  FROM tfs
+  JOIN dls ON dls.doc_id = tfs.doc_id
+  CROSS JOIN stats
+  WHERE tfs.term IN ({in_list})
+),
+ranked AS (
+  SELECT doc_id, term, p,
+         row_number() OVER (PARTITION BY term ORDER BY p DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY term) AS cnt
+  FROM qpart
+),
+tau AS (
+  SELECT term,
+         {eps!r} * max(CASE WHEN rn = least({k_prune}, cnt) THEN p END) AS tau
+  FROM ranked GROUP BY term
+),
+contrib AS (
+  SELECT r.doc_id, r.term,
+         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) * r.p AS s
+  FROM ranked r
+  JOIN tau USING (term)
+  JOIN dfs USING (term)
+  CROSS JOIN stats
+  WHERE r.p > tau.tau
+),
+per_doc AS (
+  SELECT doc_id, {per_term}
+  FROM contrib GROUP BY doc_id {having}
+),
+scored AS (
+  SELECT doc_id, {add_chain} AS score FROM per_doc
+)
+SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
+FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id
+LIMIT {limit}"""
 
 
 def _sim_sql(terms: list[str], similarity: str, mode: str = "OR",
@@ -3058,6 +3139,8 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_topk_or2"] = _bm25_sql(QS["or2"], "OR")
     o["ft_topk_or3_wand"] = _bm25_sql(QS["or3"], "OR")
     o["ft_msm"] = _bm25_sql(QS["or3"], "OR", min_match=2)
+    o["ft_pruned_topk"] = _pruned_bm25_sql(QS["or3"], "OR",
+                                           k_prune=3, eps=0.9)
 
     # percolator twin: same registry as a VALUES list, same fold /
     # distinct-term / msm-floor semantics in plain SQL

@@ -172,6 +172,28 @@ def main() -> None:
     def _fvb():
         return write_fuzzy_variants(idx, depth=2)
 
+    # -- static index pruning (Carmel 2001): the serving-tier twin ----------
+    from fatespark.pruning import prune_index
+    pr_dir = "/tmp/fatespark_bench_idx_pruned"
+
+    def _fresh_prune_dir():
+        shutil.rmtree(pr_dir, ignore_errors=True)
+        clean_room()
+
+    @timed("prune_build", reps=3, pre=_fresh_prune_dir, record_samples=True)
+    def _prb():
+        return prune_index(spark, idx, pr_dir, k_prune=10, eps=0.75)
+    pruned_idx = _prb
+    extra["prune_kept_postings"] = int(
+        pruned_idx.postings.agg({"n": "sum"}).collect()[0][0])
+    extra["prune_kept_frac"] = round(
+        extra["prune_kept_postings"] / max(totals["postings"], 1), 4)
+
+    @timed("q_or3_pruned", reps=3)
+    def _wpq():  # the q_or3_wand A/B over the pruned serving index
+        return pruned_idx.search(["the", "smith", "zyzzyva"], k=10,
+                                 mode="OR", use_wand=True).collect()
+
     # -- reference-style query set (head/mid/tail, AND/OR/WAND/prefix/phrase)
     @timed("q_count_head", reps=3)
     def _c():
