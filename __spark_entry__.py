@@ -677,6 +677,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             use_wand=True))
     q["ft_lmd_topk"] = ft_lmd_topk
 
+    def ft_bm25plus_topk(spark, sf):
+        """Pluggable similarity: BM25+ (Lv & Zhai, CIKM 2011) — the plain
+        BM25 tf/length part lower-bounded by delta=1.0, fixing BM25's
+        over-penalization of long docs. WAND path: the +delta constant
+        shifts every block upper bound identically, so block-max pruning
+        stays admissible and is exercised in the official hash."""
+        return _scores(_index(spark, sf).search(
+            QS["or2"], k=10, mode="OR", quantize=4, similarity="bm25plus",
+            delta=1.0, use_wand=True))
+    q["ft_bm25plus_topk"] = ft_bm25plus_topk
+
     def ft_regexp(spark, sf):
         """Regexp term query (Lucene RegexpQuery: implicitly anchored) —
         trigram-banded dictionary expansion where the pattern yields
@@ -2514,7 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
         "ft_percolate", "ann_pq_topk", "tx_boiler", "tx_hll",
-        "ft_pruned_topk",
+        "ft_pruned_topk", "ft_bm25plus_topk",
         "ft_phrase3", "ft_hits", "ft_near", "ft_batch", "ft_phrase_prefix",
         "ft_not", "ft_query_string", "ft_fuzzy", "ft_fuzzy2", "ft_suggest",
         "ft_mlt", "ft_boost", "ft_synonyms", "ft_first_match", "ft_recency",
@@ -2722,7 +2733,8 @@ LIMIT {limit}"""
 
 
 def _sim_sql(terms: list[str], similarity: str, mode: str = "OR",
-             limit: int = 10, mu: float = 2000.0) -> str:
+             limit: int = 10, mu: float = 2000.0,
+             delta: float = 1.0) -> str:
     """Top-k twin for the pluggable similarities (wand.sim_part): same
     ascending-term CASE-fold association as _bm25_sql, contribution
     expression swapped per model. classic squares idf by explicit
@@ -2740,6 +2752,14 @@ def _sim_sql(terms: list[str], similarity: str, mode: str = "OR",
     if similarity == "classic":
         idfc = "(1 + ln(stats.n_docs / (dfs.df + 1.0)))"
         contrib = f"({idfc} * {idfc}) * (sqrt(tfs.tf) / sqrt(dls.dl))"
+        sums = ""
+    elif similarity == "bm25plus":
+        # BM25+ (Lv & Zhai 2011): idf * (bm25 tf/length part + delta) —
+        # the engine folds scalar * (part + delta), so the delta sits
+        # INSIDE the parenthesized part sum
+        contrib = (f"ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))"
+                   f" * ((tfs.tf * {_K1P1} / (tfs.tf + {_K1} * ({_1MB} + "
+                   f"({_B} * dls.dl) / stats.avgdl))) + {float(delta)!r})")
         sums = ""
     elif similarity == "lmd":
         m = repr(float(mu))
@@ -3481,6 +3501,7 @@ FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
     o["ft_topk_paged"] = _bm25_sql(QS["or2"], "OR", limit=5, offset=5)
     o["ft_classic_topk"] = _sim_sql(QS["or2"], "classic")
     o["ft_lmd_topk"] = _sim_sql(QS["or2"], "lmd")
+    o["ft_bm25plus_topk"] = _sim_sql(QS["or2"], "bm25plus", delta=1.0)
     # the oracle re-derives the expansion itself: the same anchored regex
     # as a dictionary predicate into the ordered-fold BM25 twin
     o["ft_regexp"] = _bm25_pred_sql(

@@ -279,7 +279,8 @@ class LocalSearchIndex:
                filter_field: int | None = None,
                boosts: dict[str, float] | None = None,
                search_after: tuple[float, int] | None = None,
-               similarity: str = "bm25", mu: float = 2000.0) -> pd.DataFrame:
+               similarity: str = "bm25", mu: float = 2000.0,
+               delta: float = 1.0) -> pd.DataFrame:
         """Identical semantics and results to ``SearchIndex.search`` (same
         kernels, same per-bucket scoring, same (score DESC, doc_id ASC)
         total order); returns a pandas DataFrame (doc_id, score).
@@ -291,8 +292,8 @@ class LocalSearchIndex:
         if search_after is not None and offset:
             raise ValueError("search_after and offset are mutually "
                              "exclusive (cursor pages replace offsets)")
-        if similarity not in ("bm25", "classic", "lmd"):
-            raise ValueError("similarity must be bm25|classic|lmd")
+        if similarity not in ("bm25", "classic", "lmd", "bm25plus"):
+            raise ValueError("similarity must be bm25|classic|lmd|bm25plus")
         qterms = _fold_terms(query, self.analyzer)
         stats = self.term_stats(qterms)
         present = [t for t in qterms if t in stats]
@@ -331,6 +332,8 @@ class LocalSearchIndex:
                     if f < len(w) and w[f] != 0.0}
         if similarity == "classic":
             sims = {tf_key: ("classic",) for tf_key in idfs}
+        elif similarity == "bm25plus":
+            sims = {tf_key: ("bm25plus", float(delta)) for tf_key in idfs}
         elif similarity == "lmd":
             sims = {(t, f): ("lmd", float(mu),
                              stats[t][f]["cf"]

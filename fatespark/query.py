@@ -337,6 +337,7 @@ class SearchIndex:
                rebase_stats: bool = False,
                search_after: tuple[float, int] | None = None,
                similarity: str = "bm25", mu: float = 2000.0,
+               delta: float = 1.0,
                min_should_match: int | None = None,
                combine: str = "sum",
                tie_breaker: float = 0.0) -> DataFrame:
@@ -433,8 +434,8 @@ class SearchIndex:
         if search_after is not None and offset:
             raise ValueError("search_after and offset are mutually "
                              "exclusive (cursor pages replace offsets)")
-        if similarity not in ("bm25", "classic", "lmd"):
-            raise ValueError("similarity must be bm25|classic|lmd")
+        if similarity not in ("bm25", "classic", "lmd", "bm25plus"):
+            raise ValueError("similarity must be bm25|classic|lmd|bm25plus")
         msm = int(min_should_match) if min_should_match else None
         if msm is not None and msm <= 1:
             msm = None
@@ -522,6 +523,10 @@ class SearchIndex:
         sims = None
         if similarity == "classic":
             sims = {tf_key: ("classic",) for tf_key in idfs}
+        elif similarity == "bm25plus":
+            # BM25+ (Lv & Zhai 2011): contribution =
+            # (weight * idf * boost) * (bm25_part(tf, dl) + delta)
+            sims = {tf_key: ("bm25plus", float(delta)) for tf_key in idfs}
         elif similarity == "lmd":
             sims = {(t, f): ("lmd", float(mu),
                              stats[t][f]["cf"]

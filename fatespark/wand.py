@@ -54,12 +54,21 @@ def sim_part(sim, tf, dl, stream_avgdl: float, avgdl_fallback: float):
                               non-negative-scores contract; the clamp
                               keeps the part monotone inc in tf / dec in
                               dl, so block-max WAND bounds stay sound).
+    sim == ("bm25plus", d) -> BM25+ (Lv & Zhai, CIKM 2011): the plain
+                              BM25 tf/length part plus the constant
+                              lower-bound delta, fixing BM25's
+                              over-penalization of long documents
+                              (every matching posting contributes at
+                              least idf*delta regardless of dl).
 
     Every variant is monotone increasing in tf and decreasing in dl, so
     the per-block (max_tf, min_dl) upper bound machinery applies
     unchanged to all of them."""
     if sim is None:
         return bm25_part(tf, dl, stream_avgdl or avgdl_fallback)
+    if sim[0] == "bm25plus":
+        return bm25_part(tf, dl, stream_avgdl or avgdl_fallback) \
+            + float(sim[1])
     tf = np.asarray(tf, dtype=np.float64)
     dl = np.asarray(dl, dtype=np.float64)
     kind = sim[0]
