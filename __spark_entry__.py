@@ -267,6 +267,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _scores(p.search(QS["or3"], k=10, mode="OR", quantize=4))
     q["ft_pruned_topk"] = ft_pruned_topk
 
+    def ft_impact_topk(spark, sf):
+        """Ranked top-10 over the IMPACT-ORDERED quantized serving index
+        (Anh & Moffat 2006, 8-bit, qmin=1): every posting's BM25
+        contribution is precomputed at build time and quantized against
+        the single global max M, so query-time scoring is pure integer
+        addition with the q >= 1 cutoff pruning the zero-impact tail at
+        the parquet scan.  The oracle replays the exact pipeline —
+        contribution expression, global max, floor quantization, integer
+        sum — so any drift in the two mapInPandas passes flips the
+        hash."""
+        from fatespark.impact import ImpactIndex, build_impact_index
+        base = _index(spark, sf)
+        tag = _corpus_tag(sf)
+        d = f"/tmp/fatespark_entry_idx/{tag}_impact"
+        try:
+            imp = ImpactIndex(spark, d)
+            if imp.n_docs != base.n_docs:
+                raise ValueError("stale impact index")
+        except Exception:
+            build_impact_index(spark, base, d, bits=8)
+            imp = ImpactIndex(spark, d)
+        return imp.search(QS["or3"], k=10, qmin=1)
+    q["ft_impact_topk"] = ft_impact_topk
+
     def ft_prefix(spark, sf):
         return _scores(_index(spark, sf).search_prefix(QS["prefix"], k=10,
                                                        quantize=4))
@@ -2525,7 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
         "ft_percolate", "ann_pq_topk", "tx_boiler", "tx_hll",
-        "ft_pruned_topk", "ft_bm25plus_topk",
+        "ft_pruned_topk", "ft_bm25plus_topk", "ft_impact_topk",
         "ft_phrase3", "ft_hits", "ft_near", "ft_batch", "ft_phrase_prefix",
         "ft_not", "ft_query_string", "ft_fuzzy", "ft_fuzzy2", "ft_suggest",
         "ft_mlt", "ft_boost", "ft_synonyms", "ft_first_match", "ft_recency",
@@ -2729,6 +2753,50 @@ scored AS (
 )
 SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
 FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id
+LIMIT {limit}"""
+
+
+def _impact_sql(terms: list[str], bits: int = 8, qmin: int = 1,
+                limit: int = 10) -> str:
+    """Top-k twin for the impact-ordered index (impact.build_impact_index
+    + ImpactIndex.search): per-posting BM25 contribution s (the exact
+    _bm25_sql expression), global max M over ALL postings, per-posting
+    integer impact floor((s/M) * (2^bits - 1)), then a plain integer sum
+    over the query terms' postings with the q >= qmin cutoff applied per
+    posting BEFORE the sum — the same order the reader applies it.
+    Integer addition is associative, so only s, M and the floor need the
+    float64 shape discipline."""
+    terms = sorted(set(terms))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    levels = float((1 << bits) - 1)
+    return f"""
+WITH {_TOK_CTES},
+contrib AS (
+  SELECT tfs.doc_id, tfs.term,
+         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tfs.tf * {_K1P1} / (tfs.tf + {_K1} *
+            ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS s
+  FROM tfs
+  JOIN dfs USING (term)
+  JOIN dls ON dls.doc_id = tfs.doc_id
+  CROSS JOIN stats
+),
+mx AS (
+  SELECT max(s) AS m FROM contrib
+),
+quant AS (
+  SELECT c.doc_id, c.term,
+         CAST(floor((c.s / mx.m) * {levels!r}) AS BIGINT) AS q
+  FROM contrib c CROSS JOIN mx
+  WHERE c.term IN ({in_list})
+),
+scored AS (
+  SELECT doc_id, CAST(sum(q) AS BIGINT) AS impact_score
+  FROM quant WHERE q >= {int(qmin)}
+  GROUP BY doc_id
+)
+SELECT doc_id, impact_score
+FROM scored ORDER BY impact_score DESC, doc_id
 LIMIT {limit}"""
 
 
@@ -3161,6 +3229,7 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_msm"] = _bm25_sql(QS["or3"], "OR", min_match=2)
     o["ft_pruned_topk"] = _pruned_bm25_sql(QS["or3"], "OR",
                                            k_prune=3, eps=0.9)
+    o["ft_impact_topk"] = _impact_sql(QS["or3"], bits=8, qmin=1)
 
     # percolator twin: same registry as a VALUES list, same fold /
     # distinct-term / msm-floor semantics in plain SQL
