@@ -242,6 +242,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_topk_and2"] = _mk_search("and2", "AND")
     q["ft_topk_or2"] = _mk_search("or2", "OR")
     q["ft_topk_or3_wand"] = _mk_search("or3", "OR", use_wand=True)
+    # MaxScore (Turtle & Flood 1995): the Lucene-8+ WAND sibling — prunes
+    # docs outside every essential stream instead of score intervals;
+    # bit-identical top-k, so the oracle is the plain BM25 twin
+    q["ft_maxscore_topk"] = _mk_search("or3", "OR", use_wand="maxscore")
     # minimum_should_match floor: >= 2 of the 3 or3 terms; qualifying
     # docs keep the full disjunctive sum (bit-identical to plain OR)
     q["ft_msm"] = _mk_search("or3", "OR", min_should_match=2)
@@ -2550,6 +2554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver budget so the board checks them on this session's code
         "ft_percolate", "ann_pq_topk", "tx_boiler", "tx_hll",
         "ft_pruned_topk", "ft_bm25plus_topk", "ft_impact_topk",
+        "ft_maxscore_topk",
         "ft_phrase3", "ft_hits", "ft_near", "ft_batch", "ft_phrase_prefix",
         "ft_not", "ft_query_string", "ft_fuzzy", "ft_fuzzy2", "ft_suggest",
         "ft_mlt", "ft_boost", "ft_synonyms", "ft_first_match", "ft_recency",
@@ -3226,6 +3231,7 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_topk_and2"] = _bm25_sql(QS["and2"], "AND")
     o["ft_topk_or2"] = _bm25_sql(QS["or2"], "OR")
     o["ft_topk_or3_wand"] = _bm25_sql(QS["or3"], "OR")
+    o["ft_maxscore_topk"] = _bm25_sql(QS["or3"], "OR")
     o["ft_msm"] = _bm25_sql(QS["or3"], "OR", min_match=2)
     o["ft_pruned_topk"] = _pruned_bm25_sql(QS["or3"], "OR",
                                            k_prune=3, eps=0.9)

@@ -194,6 +194,26 @@ def main() -> None:
         return pruned_idx.search(["the", "smith", "zyzzyva"], k=10,
                                  mode="OR", use_wand=True).collect()
 
+    # -- impact-ordered quantized index (Anh & Moffat 2006) -----------------
+    from fatespark.impact import ImpactIndex, build_impact_index
+    imp_dir = "/tmp/fatespark_bench_idx_impact"
+
+    def _fresh_impact_dir():
+        shutil.rmtree(imp_dir, ignore_errors=True)
+        clean_room()
+
+    @timed("impact_build", reps=3, pre=_fresh_impact_dir,
+           record_samples=True)
+    def _imb():
+        build_impact_index(spark, idx, imp_dir, bits=8)
+        return ImpactIndex(spark, imp_dir)
+    impact_idx = _imb
+
+    @timed("q_or3_impact", reps=3)
+    def _imq():  # integer-summed A/B of q_or3_wand; qmin=1 scan cutoff
+        return impact_idx.search(["the", "smith", "zyzzyva"], k=10,
+                                 qmin=1).collect()
+
     # -- reference-style query set (head/mid/tail, AND/OR/WAND/prefix/phrase)
     @timed("q_count_head", reps=3)
     def _c():
@@ -216,6 +236,11 @@ def main() -> None:
     def _we():  # same query, exhaustive kernel — the WAND A/B
         return idx.search(["the", "smith", "zyzzyva"], k=10, mode="OR",
                           use_wand=False).collect()
+
+    @timed("q_or3_maxscore", reps=3)
+    def _wm():  # same query, MaxScore pruner — the third arm of the A/B
+        return idx.search(["the", "smith", "zyzzyva"], k=10, mode="OR",
+                          use_wand="maxscore").collect()
 
     @timed("q_prefix", reps=3)
     def _p():
@@ -477,6 +502,52 @@ def main() -> None:
     def _kmv():  # KMV distinct-url sketch per lang over the 200k pages
         from fatespark.sketch import kmv_distinct_df
         return kmv_distinct_df(corpus, "lang", "url", k=256).collect()
+
+    @timed("tx_hll_200k", reps=3, pre=clean_room, record_samples=True)
+    def _hll():  # HyperLogLog distinct token bigrams per lang (p=12)
+        from fatespark.sketch import hll_distinct_df
+        toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+        pairs = (corpus.select("lang", toks.alias("toks"))
+                 .filter(F.size("toks") >= 2)
+                 .select("lang", F.explode(F.expr(
+                     "transform(sequence(1, size(toks) - 1), "
+                     "i -> concat(toks[i - 1], ' ', toks[i]))"))
+                     .alias("bigram")))
+        return hll_distinct_df(pairs, "lang", "bigram", p=12).collect()
+
+    @timed("tx_boiler_200k", reps=3, pre=clean_room, record_samples=True)
+    def _boil():  # jusText paragraph verdicts + main text, zero-shuffle scan
+        from fatespark import boiler
+        html_str = F.concat(
+            F.lit('<html><body><div><a href="/a">home</a> '
+                  '<a href="/b">about</a> <a href="/c">contact</a></div><p>'),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit('</p><ul><li><a href="/m">more stories</a></li></ul>'
+                  '<div>fin 2024</div></body></html>'))
+        pages = corpus.select(
+            F.xxhash64("url").alias("doc_id"),
+            F.encode(html_str, "UTF-8").alias("html"))
+        return (boiler.main_content(pages, id_col="doc_id",
+                                    stopwords_high=0.08, stopwords_low=0.03)
+                .agg(F.sum("n_good"), F.sum("n_bad"),
+                     F.sum("main_chars")).collect())
+
+    @timed("q_percolate_200k", reps=3, pre=clean_room, record_samples=True)
+    def _perc():  # 512-stored-query registry vs the full 200k-doc stream
+        from fatespark.percolate import percolate
+        vocab = ["the", "smith", "jones", "data", "batch", "join", "scan",
+                 "merge", "big", "array", "sort", "column"]
+        varr = F.array(*[F.lit(v) for v in vocab])
+        pick = lambda j: F.element_at(
+            varr, (F.pmod(F.xxhash64(F.col("id") * (j + 1) + j),
+                          F.lit(len(vocab))) + 1).cast("int"))
+        regs = spark.range(512).select(
+            F.col("id").cast("int").alias("query_id"),
+            F.array(pick(0), pick(1), pick(2)).alias("terms"),
+            F.when(F.col("id") % 3 == 0, F.lit(2)).cast("int")
+            .alias("min_match"))
+        docs = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+        return percolate(docs, regs).count()
 
     @timed("tx_repetition_200k", reps=3, pre=clean_room, record_samples=True)
     def _rep():  # Gopher repetition signals, zero-shuffle narrow plan
@@ -750,6 +821,27 @@ def main() -> None:
         @timed(f"ann_ivf_probe_{tag}", reps=3)
         def _iq(ivf_idx=ivf_idx):
             return ivf_idx.topk(spark, qv, k=10, n_probes=3).collect()
+
+    # Product quantization: build trains m_sub=4 codebooks + writes the
+    # int-code table; the ADC probe scans codes JVM-side (no exchange
+    # before the bounded top-k) and exact-reranks the pool
+    pq_path = "/tmp/fatespark_bench_pq_100k"
+
+    def _fresh_pq_dir():
+        shutil.rmtree(pq_path, ignore_errors=True)
+        clean_room()
+
+    @timed("ann_pq_build_100k", reps=3, pre=_fresh_pq_dir,
+           record_samples=True)
+    def _pqb():
+        return ann.PqVectorIndex.build(_synth_emb(100_000), pq_path,
+                                       dim=64, m_sub=4, n_centroids=8,
+                                       n_iters=2)
+    pq_idx = _pqb
+
+    @timed("ann_pq_probe_100k", reps=3)
+    def _pqq():
+        return pq_idx.topk(spark, qv, k=10).collect()
 
     # -- round-4 session-2 operators ----------------------------------------
     @timed("q_msm", reps=3)

@@ -33,7 +33,8 @@ import pandas as pd
 from .analysis import ANALYZERS, ascii_fold
 from .oracle import idf as idf_fn
 from .query import _fold_terms, _sq, _term_blocks_from_pdf
-from .wand import score_and, score_bmw_or, score_exhaustive_or
+from .wand import (score_and, score_bmw_or, score_exhaustive_or,
+                   score_maxscore_or)
 
 
 class _RGIndex:
@@ -398,6 +399,10 @@ class LocalSearchIndex:
                           for t in sorted(terms_here)]
                 docs, scores = score_and(groups, self.avgdl, k_local, qmul,
                                          after=cursor)
+            elif use_wand == "maxscore":
+                docs, scores = score_maxscore_or(
+                    [by_tf[kk] for kk in keys], self.avgdl, k_local, qmul,
+                    after=cursor)
             elif use_wand:
                 docs, scores = score_bmw_or([by_tf[kk] for kk in keys],
                                             self.avgdl, k_local, qmul,

@@ -32,7 +32,8 @@ from .analysis import ANALYZERS, ascii_fold
 from .codec import decode_positions, get_codec
 from .oracle import idf as idf_fn
 from .wand import (B, K1, TermBlocks, score_and, score_bmw_or,
-                   score_dismax, score_exhaustive_or, score_or_msm)
+                   score_dismax, score_exhaustive_or, score_maxscore_or,
+                   score_or_msm)
 
 RESULT_SCHEMA = "doc_id long, score double"
 
@@ -327,7 +328,7 @@ class SearchIndex:
 
     # -- search ----------------------------------------------------------------
     def search(self, query: str | list[str], k: int = 10, mode: str = "AND",
-               offset: int = 0, use_wand: bool = False,
+               offset: int = 0, use_wand: bool | str = False,
                with_url: bool = False, quantize: int | None = None,
                weights: list[float] | None = None,
                exclude: str | list[str] | None = None,
@@ -357,6 +358,13 @@ class SearchIndex:
         sort-key order, like Elasticsearch sort values. Mutually exclusive with
         ``offset``. With ``quantize``, the cursor compares against the
         quantized scores the previous page returned.
+
+        ``use_wand`` selects the OR-mode pruning kernel: ``True`` is
+        interval-at-a-time Block-Max WAND (``wand.score_bmw_or``),
+        ``"maxscore"`` is the Turtle & Flood MaxScore candidate pruner
+        (``wand.score_maxscore_or``) — both return the exhaustive
+        kernel's exact (doc, score) top-k, bit-identical; they differ
+        only in which postings they avoid decoding.
 
         ``boosts`` multiplies a term's score contribution (Lucene
         ``term^2`` semantics): the per-stream scalar becomes
@@ -605,6 +613,9 @@ class SearchIndex:
                     groups = [[by_tf[kk] for kk in sub if kk[0] == t]
                               for t in sorted(terms_here)]
                     docs, scores = score_and(groups, avgdl, k, qmul)
+                elif use_wand == "maxscore":
+                    docs, scores = score_maxscore_or(
+                        [by_tf[kk] for kk in sub], avgdl, k, qmul)
                 elif use_wand:
                     docs, scores = score_bmw_or([by_tf[kk] for kk in sub],
                                                 avgdl, k, qmul)
@@ -820,6 +831,10 @@ class SearchIndex:
                           for t in sorted(terms_here)]
                 docs, scores = score_dismax(groups, avgdl, k_local,
                                             dismax_tie, qmul, after=cursor)
+            elif use_wand == "maxscore":
+                docs, scores = score_maxscore_or([by_tf[k] for k in keys],
+                                                 avgdl, k_local, qmul,
+                                                 after=cursor)
             elif use_wand:
                 docs, scores = score_bmw_or([by_tf[k] for k in keys], avgdl,
                                             k_local, qmul, after=cursor)

@@ -642,3 +642,92 @@ def score_bmw_or(terms: list[TermBlocks], avgdl: float, k: int,
         if pool_docs.size >= k:
             theta = float(pool_scores[k - 1])
     return pool_docs, pool_scores
+
+
+def _lookup_in_blocks(t: TermBlocks, cand: np.ndarray):
+    """``t``'s postings restricted to the sorted candidate doc ids,
+    decoding ONLY the blocks that contain a candidate (block metadata
+    binary search; a term's blocks are doc-disjoint and first-sorted).
+    Degenerates to ``decode_all`` when every block is touched."""
+    bi = np.searchsorted(t.first, cand, side="right") - 1
+    ok = bi >= 0
+    ok[ok] = t.last[bi[ok]] >= cand[ok]
+    bsel = np.unique(bi[ok])
+    if not bsel.size:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    docs, tfs, dls = t.decode_blocks(bsel)
+    j = np.searchsorted(cand, docs)
+    hit = j < cand.size
+    hit[hit] = cand[j[hit]] == docs[hit]
+    return docs[hit], tfs[hit], dls[hit]
+
+
+def _score_full(live: list[TermBlocks], cand: np.ndarray, avgdl: float):
+    """Exact scores for the sorted candidate ids: per stream IN LIST ORDER
+    (the exhaustive kernel's ascending summation order — a doc's adds are
+    the same subsequence, so the float64 fold is bit-identical), looked up
+    block-skippingly."""
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for t in live:
+        docs, tfs, dls = _lookup_in_blocks(t, cand)
+        if docs.size:
+            idx = np.searchsorted(cand, docs)
+            scores[idx] += t.idf * t.part(tfs, dls, avgdl)
+    return scores
+
+
+def score_maxscore_or(terms: list[TermBlocks], avgdl: float, k: int,
+                      qmul: float | None = None,
+                      after: tuple[float, int] | None = None,
+                      seed_mult: int = 4):
+    """MaxScore top-k (Turtle & Flood 1995, the Lucene 8+ default WAND
+    sibling), candidate-set formulation, fully vectorized:
+
+    1. SEED: fully score the ``seed_mult * k`` best postings (by local
+       contribution) of the highest-upper-bound stream; the k-th best of
+       those full scores is a sound LOWER bound theta on the final
+       threshold.
+    2. SPLIT: streams sorted ascending by upper bound ``ub = idf *
+       part(max_tf, min_dl)``; the longest prefix whose ub sum is
+       STRICTLY below theta is non-essential — a doc appearing in no
+       essential stream has score <= that prefix sum < theta and (floor
+       quantization being monotone) can neither displace nor tie into
+       the top-k, doc-id tie-break included.
+    3. EVALUATE: candidates = essential-stream doc unions + the seed;
+       every candidate is scored EXACTLY over all streams (non-essential
+       streams are probed block-skippingly, never fully decoded), so the
+       returned (doc, score) top-k is bit-identical to
+       ``score_exhaustive_or`` — the same guarantee as ``score_bmw_or``,
+       reached by pruning docs instead of score intervals.
+
+    With ``after``, theta comes from cursor-eligible seed scores only and
+    the final selection applies the same mask; every candidate score is
+    full-coverage, so no partial-score bookkeeping is needed."""
+    live = [t for t in terms if t.total]
+    if not live:
+        z = np.zeros(0, dtype=np.int64)
+        return z, np.zeros(0, dtype=np.float64)
+    ubs = np.array([t.term_ub(avgdl) for t in live], dtype=np.float64)
+
+    s_i = int(np.argmax(ubs))
+    sd, st, sl = live[s_i].decode_all()
+    contrib = live[s_i].idf * live[s_i].part(st, sl, avgdl)
+    nseed = min(sd.size, max(seed_mult, 1) * k)
+    seed = np.unique(sd[np.lexsort((sd, -contrib))[:nseed]])
+    sq = _quantize(_score_full(live, seed, avgdl), qmul)
+    pool_s = sq[after_mask(seed, sq, after)] if after is not None else sq
+    theta = -1.0
+    if pool_s.size >= k:
+        theta = float(np.partition(pool_s, pool_s.size - k)[pool_s.size - k])
+
+    order = np.argsort(ubs, kind="stable")          # ascending ub
+    if theta >= 0.0:
+        j = int(np.searchsorted(np.cumsum(ubs[order]), theta))
+        ess = order[j:]
+    else:
+        ess = order
+    parts = [live[int(i)].decode_all()[0] for i in ess] + [seed]
+    cand = np.unique(np.concatenate(parts))
+    scores = _score_full(live, cand, avgdl)
+    return topk_select(cand, _quantize(scores, qmul), k, after)
