@@ -2022,6 +2022,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["tx_boiler"] = tx_boiler
 
+    def tx_chunk(spark, sf):
+        """Passage chunking with token overlap (fatespark.chunk, the
+        RAG/context-window prep step): 64-token windows overlapping by
+        16, so consecutive chunks share a 16-token seam and no short
+        span is ever cut — documents average ~110 tokens, so the
+        multi-chunk, seam and short-tail branches all fire for real.
+        Zero-shuffle narrow plan; the chunk text is pinned by md5 so the
+        hash check covers content, not just window arithmetic."""
+        from fatespark.chunk import chunk_docs
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        return (chunk_docs(d, size=64, overlap=16)
+                .select("doc_id", "chunk_idx", "chunk_start", "n_tokens",
+                        F.md5("chunk_text").alias("chunk_fp"))
+                .orderBy("doc_id", "chunk_idx"))
+    q["tx_chunk"] = tx_chunk
+
     # -- dedup ---------------------------------------------------------------
     def dd_exact_groups(spark, sf):
         d = _read(spark, sf, "documents")
@@ -2554,7 +2570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver budget so the board checks them on this session's code
         "ft_percolate", "ann_pq_topk", "tx_boiler", "tx_hll",
         "ft_pruned_topk", "ft_bm25plus_topk", "ft_impact_topk",
-        "ft_maxscore_topk",
+        "ft_maxscore_topk", "tx_chunk",
         "ft_phrase3", "ft_hits", "ft_near", "ft_batch", "ft_phrase_prefix",
         "ft_not", "ft_query_string", "ft_fuzzy", "ft_fuzzy2", "ft_suggest",
         "ft_mlt", "ft_boost", "ft_synonyms", "ft_first_match", "ft_recency",
@@ -5021,6 +5037,13 @@ ORDER BY p.doc_id"""
         f"SELECT doc_id, '{_BOILER_PRE}' || coalesce(text, '') || "
         f"'{_BOILER_POST}' AS h FROM documents",
         stopwords_high=0.08, stopwords_low=0.03)
+
+    from fatespark.chunk import chunk_docs_sql as _chunk_sql
+    o["tx_chunk"] = f"""
+WITH chunks AS ({_chunk_sql("documents", size=64, overlap=16)})
+SELECT doc_id, chunk_idx, chunk_start, n_tokens,
+       md5(chunk_text) AS chunk_fp
+FROM chunks ORDER BY doc_id, chunk_idx"""
 
     o["dd_exact_groups"] = f"""
 WITH fp AS ({_FP_SQL})

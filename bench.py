@@ -549,6 +549,13 @@ def main() -> None:
         docs = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
         return percolate(docs, regs).count()
 
+    @timed("tx_chunk_200k", reps=3, pre=clean_room, record_samples=True)
+    def _chk():  # RAG passage chunking: 64-token windows, 16 overlap
+        from fatespark.chunk import chunk_docs
+        d = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+        return (chunk_docs(d, size=64, overlap=16)
+                .agg(F.count(F.lit(1)), F.sum("n_tokens")).collect())
+
     @timed("tx_repetition_200k", reps=3, pre=clean_room, record_samples=True)
     def _rep():  # Gopher repetition signals, zero-shuffle narrow plan
         return (_textops.repetition_df(corpus.select("url", "text"))
