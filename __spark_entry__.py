@@ -295,6 +295,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return imp.search(QS["or3"], k=10, qmin=1)
     q["ft_impact_topk"] = ft_impact_topk
 
+    def ft_prf(spark, sf):
+        """Bo1 pseudo-relevance feedback (Amati DFR, the Terrier default):
+        top-10 feedback docs for QS['or2'], every feedback-set term
+        weighted by Bose-Einstein divergence from its collection
+        expectation, top-8 terms folded back with beta=0.4 proportional
+        boosts, then an ordinary boosted disjunctive BM25. The oracle
+        replays BOTH stages — raw-score feedback ranking, tfx/lambda/w,
+        the (w DESC, term) selection, qtw boosts, and the ordered
+        list_reduce score fold — so expansion choice AND final scores
+        hash-check."""
+        from fatespark.prf import prf_search
+        idx = _index(spark, sf)
+        corpus = _read(spark, sf, "documents")
+        return _scores(prf_search(idx, corpus, QS["or2"], k=10,
+                                  fb_docs=10, fb_terms=8, beta=0.4,
+                                  quantize=4))
+    q["ft_prf"] = ft_prf
+
     def ft_prefix(spark, sf):
         return _scores(_index(spark, sf).search_prefix(QS["prefix"], k=10,
                                                        quantize=4))
@@ -2570,7 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver budget so the board checks them on this session's code
         "ft_percolate", "ann_pq_topk", "tx_boiler", "tx_hll",
         "ft_pruned_topk", "ft_bm25plus_topk", "ft_impact_topk",
-        "ft_maxscore_topk", "tx_chunk",
+        "ft_maxscore_topk", "tx_chunk", "ft_prf",
         "ft_phrase3", "ft_hits", "ft_near", "ft_batch", "ft_phrase_prefix",
         "ft_not", "ft_query_string", "ft_fuzzy", "ft_fuzzy2", "ft_suggest",
         "ft_mlt", "ft_boost", "ft_synonyms", "ft_first_match", "ft_recency",
@@ -2819,6 +2837,83 @@ scored AS (
 SELECT doc_id, impact_score
 FROM scored ORDER BY impact_score DESC, doc_id
 LIMIT {limit}"""
+
+
+def _prf_sql(terms: list[str], fb_docs: int = 10, fb_terms: int = 8,
+             beta: float = 0.4, limit: int = 10) -> str:
+    """Two-stage Bo1 PRF twin (prf.prf_search): stage 1 is the literal
+    _bm25_sql fold (raw scores — the engine ranks feedback unquantized),
+    the Bo1 CTEs replay tfx / lambda / w / (w DESC, term) selection /
+    qtw boosts with the engine's exact float shapes, and stage 2 folds
+    the data-dependent expanded term set with the ordered list_reduce
+    (the fuzzy-oracle pattern)."""
+    terms = sorted(set(terms))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    vals = ", ".join(f"('{t}')" for t in terms)
+    per_term = ",\n      ".join(
+        f"max(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(terms))
+    add_chain = " + ".join(f"coalesce(s_{i}, 0.0)" for i in range(len(terms)))
+    idf = "ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))"
+    part = (f"(tfs.tf * {_K1P1} / (tfs.tf + {_K1} * "
+            f"({_1MB} + ({_B} * dls.dl) / stats.avgdl)))")
+    return f"""
+WITH {_TOK_CTES},
+c1 AS (
+  SELECT tfs.doc_id, tfs.term, {idf} * {part} AS s
+  FROM tfs JOIN dfs USING (term) JOIN dls ON dls.doc_id = tfs.doc_id
+  CROSS JOIN stats
+  WHERE tfs.term IN ({in_list})
+),
+p1 AS (
+  SELECT doc_id, {per_term}
+  FROM c1 GROUP BY doc_id
+),
+fb AS (
+  SELECT doc_id FROM (SELECT doc_id, {add_chain} AS score FROM p1)
+  ORDER BY score DESC, doc_id LIMIT {fb_docs}
+),
+tfx AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS x
+  FROM tfs WHERE doc_id IN (SELECT doc_id FROM fb)
+  GROUP BY term
+),
+wtab AS (
+  SELECT term,
+         CAST(x AS DOUBLE) * ln((1.0 + lam) / lam) + ln(1.0 + lam) AS w
+  FROM (SELECT tfx.term, tfx.x,
+               CAST(dfs.cf AS DOUBLE) / stats.n_docs AS lam
+        FROM tfx JOIN dfs USING (term) CROSS JOIN stats)
+),
+sel AS (
+  SELECT term, w FROM wtab ORDER BY w DESC, term LIMIT {fb_terms}
+),
+wmax AS (SELECT max(w) AS m FROM sel),
+boost AS (
+  SELECT sel.term,
+         (CASE WHEN sel.term IN ({in_list}) THEN 1.0 ELSE 0.0 END)
+         + {float(beta)!r} * (sel.w / wmax.m) AS b
+  FROM sel CROSS JOIN wmax
+  UNION ALL
+  SELECT v.term, 1.0 AS b FROM (VALUES {vals}) v(term)
+  WHERE v.term NOT IN (SELECT term FROM sel)
+),
+c2 AS (
+  SELECT tfs.doc_id, tfs.term, ({idf} * boost.b) * {part} AS s
+  FROM tfs
+  JOIN boost ON boost.term = tfs.term
+  JOIN dfs ON dfs.term = tfs.term
+  JOIN dls ON dls.doc_id = tfs.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                     (acc, x) -> acc + x) AS score
+  FROM c2 GROUP BY doc_id
+)
+SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
+FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT {limit}"""
 
 
 def _sim_sql(terms: list[str], similarity: str, mode: str = "OR",
@@ -3248,6 +3343,7 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_topk_or2"] = _bm25_sql(QS["or2"], "OR")
     o["ft_topk_or3_wand"] = _bm25_sql(QS["or3"], "OR")
     o["ft_maxscore_topk"] = _bm25_sql(QS["or3"], "OR")
+    o["ft_prf"] = _prf_sql(QS["or2"], fb_docs=10, fb_terms=8, beta=0.4)
     o["ft_msm"] = _bm25_sql(QS["or3"], "OR", min_match=2)
     o["ft_pruned_topk"] = _pruned_bm25_sql(QS["or3"], "OR",
                                            k_prune=3, eps=0.9)

@@ -310,6 +310,12 @@ def main() -> None:
     mlt_corpus = corpus.withColumn("doc_id", F.xxhash64("url"))
     mlt_seed = int(idx.docs.select("doc_id").first()["doc_id"])
 
+    @timed("q_prf", reps=3)
+    def _prf():  # Bo1 pseudo-relevance feedback: two searches + k-doc stats
+        from fatespark.prf import prf_search
+        return prf_search(idx, mlt_corpus, ["smith", "jones"], k=10,
+                          fb_docs=10, fb_terms=8, beta=0.4).collect()
+
     @timed("q_mlt", reps=3)
     def _ml():  # seed fetch + df lookup + ordinary OR search
         return _mlt(idx, mlt_corpus, mlt_seed, k=10, m=4).collect()
