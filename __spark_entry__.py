@@ -313,6 +313,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   quantize=4))
     q["ft_prf"] = ft_prf
 
+    def ft_common_terms(spark, sf):
+        """CommonTermsQuery (Lucene): stopword handling without a
+        stopword list — terms with df > 0.3*N ('the', 'data': ~80% df
+        here) only CONTRIBUTE, terms at or under the cutoff ('dup', 5%
+        df) are REQUIRED, so the candidate set is the rare term's
+        postings, not the head terms' union. Qualifying docs keep the
+        full 3-term disjunctive sum bit-identically. The oracle derives
+        the SAME df split from the data (no hard-coded class lists)."""
+        from fatespark.commonterms import common_terms_search
+        return _scores(common_terms_search(
+            _index(spark, sf), ["the", "data", "dup"], k=10,
+            max_doc_freq=0.3, quantize=4))
+    q["ft_common_terms"] = ft_common_terms
+
     def ft_prefix(spark, sf):
         return _scores(_index(spark, sf).search_prefix(QS["prefix"], k=10,
                                                        quantize=4))
@@ -2588,7 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver budget so the board checks them on this session's code
         "ft_percolate", "ann_pq_topk", "tx_boiler", "tx_hll",
         "ft_pruned_topk", "ft_bm25plus_topk", "ft_impact_topk",
-        "ft_maxscore_topk", "tx_chunk", "ft_prf",
+        "ft_maxscore_topk", "tx_chunk", "ft_prf", "ft_common_terms",
         "ft_phrase3", "ft_hits", "ft_near", "ft_batch", "ft_phrase_prefix",
         "ft_not", "ft_query_string", "ft_fuzzy", "ft_fuzzy2", "ft_suggest",
         "ft_mlt", "ft_boost", "ft_synonyms", "ft_first_match", "ft_recency",
@@ -2684,7 +2698,8 @@ def _bm25_sql(terms: list[str], mode: str, limit: int = 10,
               where_scored: str | None = None,
               extra_ctes: str = "",
               boosts: dict[str, float] | None = None,
-              min_match: int | None = None) -> str:
+              min_match: int | None = None,
+              must: list[str] | None = None) -> str:
     """Top-10 BM25 with explicit ascending-term summation order (float64
     parity with the engine). ``src`` re-bases the corpus (time-travel oracle:
     post-vacuum stats over survivors); ``where_scored`` filters scored docs
@@ -2700,6 +2715,10 @@ def _bm25_sql(terms: list[str], mode: str, limit: int = 10,
               if mode == "AND" else "")
     if min_match:   # minimum_should_match floor (OR mode)
         having = f"HAVING count(DISTINCT term) >= {int(min_match)}"
+    if must:        # CommonTermsQuery: every rare term required (OR mode)
+        having = "HAVING " + " AND ".join(
+            f"max(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) = 1"
+            for t in sorted(set(must)))
     wsc = f"WHERE {where_scored} " if where_scored else ""
     xc = f"{extra_ctes}," if extra_ctes else ""
     # term boost: the engine's per-stream scalar is (weight*idf)*boost —
@@ -2836,6 +2855,51 @@ scored AS (
 )
 SELECT doc_id, impact_score
 FROM scored ORDER BY impact_score DESC, doc_id
+LIMIT {limit}"""
+
+
+def _common_terms_sql(terms: list[str], max_doc_freq: float,
+                      limit: int = 10) -> str:
+    """CommonTermsQuery twin: the rare/common split is DERIVED from the
+    data (df <= max_doc_freq * n_docs), docs must match every rare term
+    (count of distinct matched rare terms == |rare|), qualifying docs keep
+    the plain ascending-term BM25 fold."""
+    terms = sorted(set(terms))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    per_term = ",\n      ".join(
+        f"max(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(terms))
+    add_chain = " + ".join(f"coalesce(s_{i}, 0.0)" for i in range(len(terms)))
+    return f"""
+WITH {_TOK_CTES},
+rare AS (
+  SELECT dfs.term FROM dfs CROSS JOIN stats
+  WHERE dfs.term IN ({in_list})
+    AND dfs.df <= {float(max_doc_freq)!r} * stats.n_docs
+),
+contrib AS (
+  SELECT tfs.doc_id, tfs.term,
+         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tfs.tf * {_K1P1} / (tfs.tf + {_K1} *
+            ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS s
+  FROM tfs
+  JOIN dfs USING (term)
+  JOIN dls ON dls.doc_id = tfs.doc_id
+  CROSS JOIN stats
+  WHERE tfs.term IN ({in_list})
+),
+per_doc AS (
+  SELECT doc_id, {per_term}
+  FROM contrib GROUP BY doc_id
+  HAVING count(DISTINCT CASE WHEN term IN (SELECT term FROM rare)
+                             THEN term END)
+         = (SELECT count(*) FROM rare)
+),
+scored AS (
+  SELECT doc_id, {add_chain} AS score FROM per_doc
+)
+SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
+FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id
 LIMIT {limit}"""
 
 
@@ -3344,6 +3408,8 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_topk_or3_wand"] = _bm25_sql(QS["or3"], "OR")
     o["ft_maxscore_topk"] = _bm25_sql(QS["or3"], "OR")
     o["ft_prf"] = _prf_sql(QS["or2"], fb_docs=10, fb_terms=8, beta=0.4)
+    o["ft_common_terms"] = _common_terms_sql(["the", "data", "dup"],
+                                             max_doc_freq=0.3)
     o["ft_msm"] = _bm25_sql(QS["or3"], "OR", min_match=2)
     o["ft_pruned_topk"] = _pruned_bm25_sql(QS["or3"], "OR",
                                            k_prune=3, eps=0.9)

@@ -310,6 +310,12 @@ def main() -> None:
     mlt_corpus = corpus.withColumn("doc_id", F.xxhash64("url"))
     mlt_seed = int(idx.docs.select("doc_id").first()["doc_id"])
 
+    @timed("q_common_terms", reps=3)
+    def _cts():  # head term required-free, rare term defines candidates
+        from fatespark.commonterms import common_terms_search
+        return common_terms_search(idx, ["the", "smith", "jones"], k=10,
+                                   max_doc_freq=0.5).collect()
+
     @timed("q_prf", reps=3)
     def _prf():  # Bo1 pseudo-relevance feedback: two searches + k-doc stats
         from fatespark.prf import prf_search

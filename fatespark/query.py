@@ -33,7 +33,7 @@ from .codec import decode_positions, get_codec
 from .oracle import idf as idf_fn
 from .wand import (B, K1, TermBlocks, score_and, score_bmw_or,
                    score_dismax, score_exhaustive_or, score_maxscore_or,
-                   score_or_msm)
+                   score_or_msm, score_or_must)
 
 RESULT_SCHEMA = "doc_id long, score double"
 
@@ -340,6 +340,7 @@ class SearchIndex:
                similarity: str = "bm25", mu: float = 2000.0,
                delta: float = 1.0,
                min_should_match: int | None = None,
+               must_terms: str | list[str] | None = None,
                combine: str = "sum",
                tie_breaker: float = 0.0) -> DataFrame:
         """Top-k BM25. Returns DataFrame (doc_id, score[, url]) in total
@@ -463,11 +464,23 @@ class SearchIndex:
             dismax_tie = float(tie_breaker)
         if similarity != "bm25" and rebase_stats:
             raise ValueError("rebase_stats currently supports bm25 only")
+        mterms = _fold_terms(must_terms, self.analyzer) if must_terms \
+            else []
+        if mterms:
+            if mode != "OR" or use_wand or msm is not None \
+                    or dismax_tie is not None:
+                raise ValueError("must_terms requires mode='OR' without "
+                                 "use_wand/min_should_match/dismax")
         qterms = _fold_terms(query, self.analyzer)
         stats = self.term_stats(qterms)
         present = [t for t in qterms if t in stats]
         if not present or (mode == "AND" and len(present) < len(qterms)):
             return self._empty()
+        mset = set(mterms)
+        if mset - set(qterms):
+            raise ValueError("must_terms must be among the query terms")
+        if mset - set(present):
+            return self._empty()   # a required term matches nothing
         xterms = _fold_terms(exclude, self.analyzer) if exclude else []
         xstats = self.term_stats(xterms) if xterms else {}
         xpresent = sorted({t for t in xterms if t in xstats})
@@ -549,7 +562,8 @@ class SearchIndex:
                                      avgdl_override=avg_over,
                                      field_avgdl_override=favg_over,
                                      after=search_after, sims=sims,
-                                     msm=msm, dismax_tie=dismax_tie)
+                                     msm=msm, dismax_tie=dismax_tie,
+                                     must_all=sorted(mset) or None)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k + offset)
         if offset:
             out = out.offset(offset)
@@ -751,7 +765,8 @@ class SearchIndex:
                        after: tuple[float, int] | None = None,
                        sims: dict | None = None,
                        msm: int | None = None,
-                       dismax_tie: float | None = None
+                       dismax_tie: float | None = None,
+                       must_all: list[str] | None = None
                        ) -> DataFrame:
         # rebased-stats searches override the corpus length norms
         # (everything else about the scan/scoring is identical)
@@ -765,6 +780,7 @@ class SearchIndex:
         codec = self.codec_name
         xset = frozenset(exclude_terms or [])
         fset = frozenset(required_terms or [])
+        mall = frozenset(must_all or [])
         ffield = required_field
         cursor = (float(after[0]), int(after[1])) if after is not None \
             else None
@@ -821,6 +837,15 @@ class SearchIndex:
                           for t in sorted(terms_here)]
                 docs, scores = score_and(groups, avgdl, k_local, qmul,
                                          after=cursor)
+            elif mall:
+                if mall - terms_here:   # a must term absent from this
+                    return empty        # doc-complete bucket: no doc here
+                ordered = sorted(terms_here)
+                groups = [[by_tf[k] for k in keys if k[0] == t]
+                          for t in ordered]
+                docs, scores = score_or_must(
+                    groups, [t in mall for t in ordered], avgdl, k_local,
+                    qmul, after=cursor)
             elif msm is not None:
                 groups = [[by_tf[k] for k in keys if k[0] == t]
                           for t in sorted(terms_here)]

@@ -731,3 +731,48 @@ def score_maxscore_or(terms: list[TermBlocks], avgdl: float, k: int,
     cand = np.unique(np.concatenate(parts))
     scores = _score_full(live, cand, avgdl)
     return topk_select(cand, _quantize(scores, qmul), k, after)
+
+
+def score_or_must(terms, must_flags, avgdl: float, k: int,
+                  qmul: float | None = None,
+                  after: tuple[float, int] | None = None):
+    """Disjunctive scoring with a MUST subset (the Lucene
+    ``CommonTermsQuery`` shape: low-frequency terms are required,
+    high-frequency terms only contribute): a doc qualifies iff it
+    matches EVERY must term (in any field); qualifying docs score the
+    full disjunctive sum over ALL terms in the same ascending
+    (term, field) order as ``score_exhaustive_or`` — bit-identical for
+    qualifying docs. ``terms``/``must_flags`` are parallel, terms
+    ascending. A must term with no live streams disqualifies the whole
+    bucket (buckets are doc-complete, so this is exact)."""
+    groups = [[g] if isinstance(g, TermBlocks) else list(g) for g in terms]
+    live = [[t for t in g if t.total] for g in groups]
+    z = np.zeros(0, dtype=np.int64)
+    if any(f and not g for g, f in zip(live, must_flags)):
+        return z, np.zeros(0, dtype=np.float64)
+    pairs = [(g, f) for g, f in zip(live, must_flags) if g]
+    if not pairs:
+        return z, np.zeros(0, dtype=np.float64)
+    decoded = [[t.decode_all() for t in g] for g, _ in pairs]
+    all_docs = np.unique(np.concatenate(
+        [d[0] for g in decoded for d in g]))
+    keep = np.ones(all_docs.size, dtype=bool)
+    for (g, f), dg in zip(pairs, decoded):
+        if not f:
+            continue
+        gmask = np.zeros(all_docs.size, dtype=bool)
+        for docs, _, _ in dg:
+            gmask[np.searchsorted(all_docs, docs)] = True
+        keep &= gmask
+    cand = all_docs[keep]
+    if cand.size == 0:
+        return cand, np.zeros(0, dtype=np.float64)
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for (g, f), dg in zip(pairs, decoded):   # ascending (term, field)
+        for t, (docs, tfs, dls) in zip(g, dg):
+            idx = np.searchsorted(docs, cand)
+            hit = idx < docs.size
+            hit[hit] = docs[idx[hit]] == cand[hit]
+            scores[hit] += t.idf * t.part(tfs[idx[hit]], dls[idx[hit]],
+                                          avgdl)
+    return topk_select(cand, _quantize(scores, qmul), k, after)
