@@ -327,6 +327,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_doc_freq=0.3, quantize=4))
     q["ft_common_terms"] = ft_common_terms
 
+    def ft_mmr(spark, sf):
+        """MMR result diversification (Carbonell & Goldstein 1998) over
+        the QS['or2'] top-20 pool: relevance = integer-rank RRF (the
+        hybrid precedent), redundancy = cosine over floor(v*4096)
+        integer-quantized embeddings (order-independent exact dot), so
+        the greedy trajectory is bit-reproducible; the oracle unrolls
+        all 10 rounds as MATERIALIZED CTEs. lam=0.7; ties by doc_id."""
+        from fatespark.mmr import mmr_rerank
+        idx = _index(spark, sf)
+        emb = _read(spark, sf, "embeddings")
+        return mmr_rerank(idx, emb, QS["or2"], k=10, pool=20, lam=0.7,
+                          quantize=4)
+    q["ft_mmr"] = ft_mmr
+
     def ft_prefix(spark, sf):
         return _scores(_index(spark, sf).search_prefix(QS["prefix"], k=10,
                                                        quantize=4))
@@ -2603,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_percolate", "ann_pq_topk", "tx_boiler", "tx_hll",
         "ft_pruned_topk", "ft_bm25plus_topk", "ft_impact_topk",
         "ft_maxscore_topk", "tx_chunk", "ft_prf", "ft_common_terms",
+        "ft_mmr",
         "ft_phrase3", "ft_hits", "ft_near", "ft_batch", "ft_phrase_prefix",
         "ft_not", "ft_query_string", "ft_fuzzy", "ft_fuzzy2", "ft_suggest",
         "ft_mlt", "ft_boost", "ft_synonyms", "ft_first_match", "ft_recency",
@@ -2856,6 +2871,78 @@ scored AS (
 SELECT doc_id, impact_score
 FROM scored ORDER BY impact_score DESC, doc_id
 LIMIT {limit}"""
+
+
+def _mmr_sql(terms: list[str], k: int = 10, pool: int = 20,
+             lam: float = 0.7, rrf_k: int = 60) -> str:
+    """MMR diversification twin (mmr.mmr_rerank): the quantized-BM25
+    pool with integer ranks, the integer-exact quantized-embedding
+    cosine matrix (floor(v*4096) — products <= 2^24, 64-dim sums < 2^53,
+    so the dot is order-independent), and the greedy unrolled as one
+    MATERIALIZED CTE per round (the HITS lesson: inlined CTE
+    re-expansion is exponential across rounds)."""
+    terms = sorted(set(terms))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    per_term = ",\n      ".join(
+        f"max(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(terms))
+    add_chain = " + ".join(f"coalesce(s_{i}, 0.0)" for i in range(len(terms)))
+    oml = repr(1.0 - lam)
+    rounds = []
+    for i in range(1, k + 1):
+        prev = (f"SELECT doc_id FROM sel{i - 1}" if i > 1
+                else "SELECT doc_id FROM pool WHERE FALSE")
+        pen = (f"coalesce((SELECT max(m.sim) FROM simmat m "
+               f"WHERE m.a = p.doc_id AND m.b IN ({prev})), 0.0)")
+        carry = (f"SELECT doc_id, mmr_rank FROM sel{i - 1} UNION ALL "
+                 if i > 1 else "")
+        rounds.append(f"""
+sel{i} AS MATERIALIZED (
+  {carry}SELECT doc_id, {i} AS mmr_rank FROM (
+    SELECT p.doc_id,
+           {lam!r} * (1.0 / ({rrf_k} + p.rnk)) - {oml} * {pen} AS sc
+    FROM pool p WHERE p.doc_id NOT IN ({prev})
+    ORDER BY sc DESC, p.doc_id LIMIT 1))""")
+    return f"""
+WITH {_TOK_CTES},
+contrib AS (
+  SELECT tfs.doc_id, tfs.term,
+         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tfs.tf * {_K1P1} / (tfs.tf + {_K1} *
+            ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS s
+  FROM tfs JOIN dfs USING (term) JOIN dls ON dls.doc_id = tfs.doc_id
+  CROSS JOIN stats
+  WHERE tfs.term IN ({in_list})
+),
+per_doc AS (
+  SELECT doc_id, {per_term} FROM contrib GROUP BY doc_id
+),
+pool AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY qs DESC, doc_id) AS INT) AS rnk
+  FROM (SELECT doc_id,
+               floor(({add_chain}) * 10000.0) / 10000.0 AS qs
+        FROM per_doc
+        ORDER BY qs DESC, doc_id LIMIT {pool})
+),
+qv AS MATERIALIZED (
+  SELECT vec_id AS doc_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * 4096.0)) AS q
+  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM pool)
+),
+simmat AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         CASE WHEN list_inner_product(a.q, a.q) = 0.0
+                OR list_inner_product(b.q, b.q) = 0.0 THEN 0.0
+              ELSE list_inner_product(a.q, b.q)
+                   / (sqrt(list_inner_product(a.q, a.q))
+                      * sqrt(list_inner_product(b.q, b.q)))
+         END AS sim
+  FROM qv a JOIN qv b ON a.doc_id <> b.doc_id
+),{",".join(rounds)}
+SELECT s.doc_id, p.rnk AS rel_rank, CAST(s.mmr_rank AS INT) AS mmr_rank
+FROM sel{k} s JOIN pool p USING (doc_id)
+ORDER BY s.mmr_rank"""
 
 
 def _common_terms_sql(terms: list[str], max_doc_freq: float,
@@ -3410,6 +3497,7 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_prf"] = _prf_sql(QS["or2"], fb_docs=10, fb_terms=8, beta=0.4)
     o["ft_common_terms"] = _common_terms_sql(["the", "data", "dup"],
                                              max_doc_freq=0.3)
+    o["ft_mmr"] = _mmr_sql(QS["or2"], k=10, pool=20, lam=0.7)
     o["ft_msm"] = _bm25_sql(QS["or3"], "OR", min_match=2)
     o["ft_pruned_topk"] = _pruned_bm25_sql(QS["or3"], "OR",
                                            k_prune=3, eps=0.9)

@@ -310,6 +310,17 @@ def main() -> None:
     mlt_corpus = corpus.withColumn("doc_id", F.xxhash64("url"))
     mlt_seed = int(idx.docs.select("doc_id").first()["doc_id"])
 
+    @timed("q_mmr", reps=3)
+    def _mmr():  # MMR diversified top-10 over a 20-doc pool + embeddings
+        from fatespark.mmr import mmr_rerank
+        emb = mlt_corpus.select(
+            F.col("doc_id").alias("vec_id"),
+            F.array(*[(F.pmod(F.xxhash64(F.col("doc_id") + F.lit(i)),
+                              F.lit(1000)) / 1000.0 - 0.5).cast("float")
+                      for i in range(16)]).alias("embedding"))
+        return mmr_rerank(idx, emb, ["smith", "jones"], k=10, pool=20,
+                          lam=0.7).collect()
+
     @timed("q_common_terms", reps=3)
     def _cts():  # head term required-free, rare term defines candidates
         from fatespark.commonterms import common_terms_search
