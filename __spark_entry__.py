@@ -751,6 +751,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             use_wand=True))
     q["ft_lmd_topk"] = ft_lmd_topk
 
+    def ft_lmjm_topk(spark, sf):
+        """Pluggable similarity: LM Jelinek-Mercer (Zhai & Lafferty
+        2001, lambda=0.7 — Lucene LMJelinekMercerSimilarity). Always
+        positive, monotone in tf / 1/dl, so the WAND path's block
+        bounds stay sound; the official hash runs it."""
+        return _scores(_index(spark, sf).search(
+            QS["or2"], k=10, mode="OR", quantize=4, similarity="lmjm",
+            jm_lambda=0.7, use_wand=True))
+    q["ft_lmjm_topk"] = ft_lmjm_topk
+
     def ft_bm25plus_topk(spark, sf):
         """Pluggable similarity: BM25+ (Lv & Zhai, CIKM 2011) — the plain
         BM25 tf/length part lower-bounded by delta=1.0, fixing BM25's
@@ -2617,7 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_percolate", "ann_pq_topk", "tx_boiler", "tx_hll",
         "ft_pruned_topk", "ft_bm25plus_topk", "ft_impact_topk",
         "ft_maxscore_topk", "tx_chunk", "ft_prf", "ft_common_terms",
-        "ft_mmr",
+        "ft_mmr", "ft_lmjm_topk",
         "ft_phrase3", "ft_hits", "ft_near", "ft_batch", "ft_phrase_prefix",
         "ft_not", "ft_query_string", "ft_fuzzy", "ft_fuzzy2", "ft_suggest",
         "ft_mlt", "ft_boost", "ft_synonyms", "ft_first_match", "ft_recency",
@@ -3069,6 +3079,7 @@ FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT {limit}"""
 
 def _sim_sql(terms: list[str], similarity: str, mode: str = "OR",
              limit: int = 10, mu: float = 2000.0,
+             jm_lambda: float = 0.7,
              delta: float = 1.0) -> str:
     """Top-k twin for the pluggable similarities (wand.sim_part): same
     ascending-term CASE-fold association as _bm25_sql, contribution
@@ -3100,6 +3111,15 @@ def _sim_sql(terms: list[str], similarity: str, mode: str = "OR",
         m = repr(float(mu))
         contrib = (f"greatest(0.0, ln(1 + tfs.tf / ({m} * "
                    f"(dfs.cf / sums.sum_dl))) + ln({m} / (dls.dl + {m})))")
+        sums = ("sums AS (SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl "
+                "FROM dls),")
+    elif similarity == "lmjm":
+        # LM Jelinek-Mercer (Zhai & Lafferty 2001): ln(1 + ((1-l) *
+        # (tf/dl)) / (l * p(w|C))) — the engine's exact association
+        lj = repr(float(jm_lambda))
+        olj = repr(1.0 - float(jm_lambda))
+        contrib = (f"ln(1 + ({olj} * (tfs.tf / dls.dl)) / ({lj} * "
+                   f"(dfs.cf / sums.sum_dl)))")
         sums = ("sums AS (SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl "
                 "FROM dls),")
     else:
@@ -3842,6 +3862,7 @@ FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
     o["ft_topk_paged"] = _bm25_sql(QS["or2"], "OR", limit=5, offset=5)
     o["ft_classic_topk"] = _sim_sql(QS["or2"], "classic")
     o["ft_lmd_topk"] = _sim_sql(QS["or2"], "lmd")
+    o["ft_lmjm_topk"] = _sim_sql(QS["or2"], "lmjm", jm_lambda=0.7)
     o["ft_bm25plus_topk"] = _sim_sql(QS["or2"], "bm25plus", delta=1.0)
     # the oracle re-derives the expansion itself: the same anchored regex
     # as a dictionary predicate into the ordered-fold BM25 twin

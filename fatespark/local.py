@@ -281,6 +281,7 @@ class LocalSearchIndex:
                boosts: dict[str, float] | None = None,
                search_after: tuple[float, int] | None = None,
                similarity: str = "bm25", mu: float = 2000.0,
+               jm_lambda: float = 0.7,
                delta: float = 1.0) -> pd.DataFrame:
         """Identical semantics and results to ``SearchIndex.search`` (same
         kernels, same per-bucket scoring, same (score DESC, doc_id ASC)
@@ -293,8 +294,10 @@ class LocalSearchIndex:
         if search_after is not None and offset:
             raise ValueError("search_after and offset are mutually "
                              "exclusive (cursor pages replace offsets)")
-        if similarity not in ("bm25", "classic", "lmd", "bm25plus"):
-            raise ValueError("similarity must be bm25|classic|lmd|bm25plus")
+        if similarity not in ("bm25", "classic", "lmd", "lmjm",
+                              "bm25plus"):
+            raise ValueError(
+                "similarity must be bm25|classic|lmd|lmjm|bm25plus")
         qterms = _fold_terms(query, self.analyzer)
         stats = self.term_stats(qterms)
         present = [t for t in qterms if t in stats]
@@ -322,7 +325,7 @@ class LocalSearchIndex:
                     * bmap.get(t, 1.0)
                     for t in present for f, st in stats[t].items()
                     if f < len(w) and w[f] != 0.0}
-        elif similarity == "lmd":
+        elif similarity in ("lmd", "lmjm"):
             idfs = {(t, f): w[f] * bmap.get(t, 1.0)
                     for t in present for f, st in stats[t].items()
                     if f < len(w) and w[f] != 0.0}
@@ -337,6 +340,11 @@ class LocalSearchIndex:
             sims = {tf_key: ("bm25plus", float(delta)) for tf_key in idfs}
         elif similarity == "lmd":
             sims = {(t, f): ("lmd", float(mu),
+                             stats[t][f]["cf"]
+                             / max(self.field_sumdl.get(f, 0.0), 1.0))
+                    for (t, f) in idfs}
+        elif similarity == "lmjm":
+            sims = {(t, f): ("lmjm", float(jm_lambda),
                              stats[t][f]["cf"]
                              / max(self.field_sumdl.get(f, 0.0), 1.0))
                     for (t, f) in idfs}

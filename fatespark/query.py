@@ -338,6 +338,7 @@ class SearchIndex:
                rebase_stats: bool = False,
                search_after: tuple[float, int] | None = None,
                similarity: str = "bm25", mu: float = 2000.0,
+               jm_lambda: float = 0.7,
                delta: float = 1.0,
                min_should_match: int | None = None,
                must_terms: str | list[str] | None = None,
@@ -413,7 +414,10 @@ class SearchIndex:
         p(w|C) = cf/total_field_tokens, per-contribution clamped at 0 —
         Lucene's non-negative-scores contract, which also keeps block-max
         WAND bounds sound, so ``use_wand`` works under every model).
-        ``mu`` is the Dirichlet prior (lmd only).
+        ``mu`` is the Dirichlet prior (lmd only); ``"lmjm"`` is LM
+        Jelinek-Mercer (Zhai & Lafferty 2001: ln(1 + ((1-lambda) *
+        tf/dl) / (lambda * p(w|C))), always positive) with mixing
+        weight ``jm_lambda``.
 
         ``rebase_stats=True`` (requires ``filter_terms``) recomputes
         n_docs, per-(term, field) df, and per-field avgdl over the
@@ -443,8 +447,10 @@ class SearchIndex:
         if search_after is not None and offset:
             raise ValueError("search_after and offset are mutually "
                              "exclusive (cursor pages replace offsets)")
-        if similarity not in ("bm25", "classic", "lmd", "bm25plus"):
-            raise ValueError("similarity must be bm25|classic|lmd|bm25plus")
+        if similarity not in ("bm25", "classic", "lmd", "lmjm",
+                              "bm25plus"):
+            raise ValueError(
+                "similarity must be bm25|classic|lmd|lmjm|bm25plus")
         msm = int(min_should_match) if min_should_match else None
         if msm is not None and msm <= 1:
             msm = None
@@ -530,9 +536,9 @@ class SearchIndex:
                     * bmap.get(t, 1.0)
                     for t in present for f, st in stats[t].items()
                     if f < len(w) and w[f] != 0.0}
-        elif similarity == "lmd":
-            # LM Dirichlet: idf-free; the model term p(w|C) rides the
-            # per-stream sim spec below
+        elif similarity in ("lmd", "lmjm"):
+            # LM smoothing models: idf-free; the model term p(w|C) rides
+            # the per-stream sim spec below
             idfs = {(t, f): w[f] * bmap.get(t, 1.0)
                     for t in present for f, st in stats[t].items()
                     if f < len(w) and w[f] != 0.0}
@@ -550,6 +556,11 @@ class SearchIndex:
             sims = {tf_key: ("bm25plus", float(delta)) for tf_key in idfs}
         elif similarity == "lmd":
             sims = {(t, f): ("lmd", float(mu),
+                             stats[t][f]["cf"]
+                             / max(self.field_sumdl.get(f, 0.0), 1.0))
+                    for (t, f) in idfs}
+        elif similarity == "lmjm":
+            sims = {(t, f): ("lmjm", float(jm_lambda),
                              stats[t][f]["cf"]
                              / max(self.field_sumdl.get(f, 0.0), 1.0))
                     for (t, f) in idfs}

@@ -54,6 +54,10 @@ def sim_part(sim, tf, dl, stream_avgdl: float, avgdl_fallback: float):
                               non-negative-scores contract; the clamp
                               keeps the part monotone inc in tf / dec in
                               dl, so block-max WAND bounds stay sound).
+    sim == ("lmjm", l, pw)-> LM Jelinek-Mercer (Zhai & Lafferty 2001 /
+                              Lucene LMJelinekMercerSimilarity):
+                              log(1 + ((1-l) * (tf/dl)) / (l * p(w|C)))
+                              — always positive, no clamp needed.
     sim == ("bm25plus", d) -> BM25+ (Lv & Zhai, CIKM 2011): the plain
                               BM25 tf/length part plus the constant
                               lower-bound delta, fixing BM25's
@@ -80,6 +84,9 @@ def sim_part(sim, tf, dl, stream_avgdl: float, avgdl_fallback: float):
         # SQL twin folds the literal ln(1 + ...) — same libm, bit-equal
         raw = np.log(1.0 + tf / (mu * pw)) + np.log(mu / (dl + mu))
         return np.maximum(raw, 0.0)
+    if kind == "lmjm":
+        lam, pw = float(sim[1]), float(sim[2])
+        return np.log(1.0 + ((1.0 - lam) * (tf / dl)) / (lam * pw))
     raise ValueError(f"unknown similarity {sim!r}")
 
 

@@ -41,7 +41,7 @@ def built(spark, tmp_root):
     return SearchIndex(spark, d), LocalSearchIndex(d)
 
 
-def _brute(terms, similarity, mu=2000.0, delta=1.0):
+def _brute(terms, similarity, mu=2000.0, delta=1.0, jm_lambda=0.7):
     toks = {i: t.split() for i, t in DOCS}
     n = len(DOCS)
     sum_dl = float(sum(len(v) for v in toks.values()))
@@ -64,6 +64,10 @@ def _brute(terms, similarity, mu=2000.0, delta=1.0):
                 raw = (float(np.log(1.0 + tf / (mu * pw)))
                        + float(np.log(mu / (dl + mu))))
                 s += max(raw, 0.0)
+            elif similarity == "lmjm":
+                pw = cf / sum_dl
+                s += float(np.log(1.0 + ((1.0 - jm_lambda) * (tf / dl))
+                                  / (jm_lambda * pw)))
             elif similarity == "bm25plus":
                 # BM25+ (Lv & Zhai 2011): bm25 part lower-bounded by delta
                 idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
@@ -78,7 +82,7 @@ def _brute(terms, similarity, mu=2000.0, delta=1.0):
     return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
 
 
-@pytest.mark.parametrize("similarity", ["classic", "lmd", "bm25plus"])
+@pytest.mark.parametrize("similarity", ["classic", "lmd", "lmjm", "bm25plus"])
 @pytest.mark.parametrize("mode", ["OR", "AND"])
 def test_matches_brute_force(built, similarity, mode):
     idx, loc = built
@@ -97,7 +101,7 @@ def test_matches_brute_force(built, similarity, mode):
         assert gs == pytest.approx(ws, rel=0, abs=0), (similarity, gd)
 
 
-@pytest.mark.parametrize("similarity", ["classic", "lmd", "bm25plus"])
+@pytest.mark.parametrize("similarity", ["classic", "lmd", "lmjm", "bm25plus"])
 def test_local_parity_and_wand(built, similarity):
     idx, loc = built
     terms = ["apple", "cherry", "grape"]
