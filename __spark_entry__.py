@@ -341,6 +341,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           quantize=4)
     q["ft_mmr"] = ft_mmr
 
+    def ft_sort_by_field(spark, sf):
+        """Field-sorted retrieval (Lucene Sort): docs matching QS['or2']
+        ordered by n_chars DESC with the doc-id tie-break — relevance
+        replaced by a stored column, the 'sort by date' serving surface.
+        The global order is a TakeOrderedAndProject (k-bounded, no full
+        sort)."""
+        from fatespark.query import search_sorted_by
+        idx = _index(spark, sf)
+        corpus = _read(spark, sf, "documents")
+        return search_sorted_by(idx, corpus, QS["or2"], "n_chars", k=10,
+                                mode="OR", ascending=False)
+    q["ft_sort_by_field"] = ft_sort_by_field
+
     def ft_prefix(spark, sf):
         return _scores(_index(spark, sf).search_prefix(QS["prefix"], k=10,
                                                        quantize=4))
@@ -2627,7 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_percolate", "ann_pq_topk", "tx_boiler", "tx_hll",
         "ft_pruned_topk", "ft_bm25plus_topk", "ft_impact_topk",
         "ft_maxscore_topk", "tx_chunk", "ft_prf", "ft_common_terms",
-        "ft_mmr", "ft_lmjm_topk",
+        "ft_mmr", "ft_lmjm_topk", "ft_sort_by_field",
         "ft_phrase3", "ft_hits", "ft_near", "ft_batch", "ft_phrase_prefix",
         "ft_not", "ft_query_string", "ft_fuzzy", "ft_fuzzy2", "ft_suggest",
         "ft_mlt", "ft_boost", "ft_synonyms", "ft_first_match", "ft_recency",
@@ -3518,6 +3531,13 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_common_terms"] = _common_terms_sql(["the", "data", "dup"],
                                              max_doc_freq=0.3)
     o["ft_mmr"] = _mmr_sql(QS["or2"], k=10, pool=20, lam=0.7)
+    _sbf_terms = ", ".join(f"'{t}'" for t in sorted(set(QS["or2"])))
+    o["ft_sort_by_field"] = f"""
+WITH {_TOK_CTES}
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tfs WHERE term IN ({_sbf_terms}))
+ORDER BY d.n_chars DESC, d.doc_id LIMIT 10"""
     o["ft_msm"] = _bm25_sql(QS["or3"], "OR", min_match=2)
     o["ft_pruned_topk"] = _pruned_bm25_sql(QS["or3"], "OR",
                                            k_prune=3, eps=0.9)

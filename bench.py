@@ -310,6 +310,13 @@ def main() -> None:
     mlt_corpus = corpus.withColumn("doc_id", F.xxhash64("url"))
     mlt_seed = int(idx.docs.select("doc_id").first()["doc_id"])
 
+    @timed("q_sort_by_field", reps=3)
+    def _sbf():  # match set ordered by stored field, k-bounded top-k
+        from fatespark.query import search_sorted_by
+        c = mlt_corpus.withColumn("n_chars", F.length("text"))
+        return search_sorted_by(idx, c, ["smith", "jones"], "n_chars",
+                                k=10, mode="OR", ascending=False).collect()
+
     @timed("q_mmr", reps=3)
     def _mmr():  # MMR diversified top-10 over a 20-doc pool + embeddings
         from fatespark.mmr import mmr_rerank

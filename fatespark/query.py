@@ -1378,6 +1378,33 @@ class SearchIndex:
                 .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+def search_sorted_by(index: "SearchIndex", corpus: DataFrame,
+                     query: str | list[str], field: str, *, k: int = 10,
+                     mode: str = "OR", ascending: bool = True,
+                     id_col: str = "doc_id",
+                     extra_fields: list[str] | None = None) -> DataFrame:
+    """Field-sorted retrieval (the Lucene ``Sort`` surface: "filter by
+    query, sort by date/price/length" instead of by relevance): every
+    matching live doc, ordered by a STORED corpus column with the doc-id
+    tie-break, top-``k``. Returns (doc_id, <field>[, extra...]).
+
+    Plan shape: ``matching_docs`` (bucket-local distinct over doc-id
+    streams only) equi-joins the corpus projection, and the global order
+    is a ``TakeOrderedAndProject`` — k-bounded, never a full sort, so at
+    10^12 docs this costs the match scan + one join shuffle + a top-k,
+    exactly the Lucene SortField execution shape. Reference analogue:
+    fates returns suffix-array order only (``lib/fates.rb:73-81``);
+    field sorting is the serving-tier extension."""
+    m = index.matching_docs(query, mode=mode)
+    cols = [F.col(id_col).alias("doc_id"), F.col(field)]
+    for c in (extra_fields or []):
+        cols.append(F.col(c))
+    j = corpus.select(*cols).join(m, "doc_id")
+    order = [F.asc(field) if ascending else F.desc(field),
+             F.asc("doc_id")]
+    return j.orderBy(*order).limit(k)
+
+
 def snippets(result: DataFrame, corpus: DataFrame, query: str | list[str],
              size: int = 30, text_col: str = "text",
              id_col: str = "doc_id", analyzer: str = "whitespace") -> DataFrame:
