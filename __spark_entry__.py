@@ -354,6 +354,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 mode="OR", ascending=False)
     q["ft_sort_by_field"] = ft_sort_by_field
 
+    def ft_facet_cardinality(spark, sf):
+        """ES-style cardinality aggregation: HLL-estimated distinct TEXTS
+        among the docs matching QS['or2'] — the match primitive composed
+        with the register sketch; state is 2^12 ints no matter the match
+        volume. The oracle replays match -> hash -> register max -> the
+        exact-dyadic fold estimator."""
+        from fatespark.query import facet_cardinality
+        idx = _index(spark, sf)
+        corpus = _read(spark, sf, "documents")
+        return facet_cardinality(idx, corpus, QS["or2"], "text", p=12)
+    q["ft_facet_cardinality"] = ft_facet_cardinality
+
+    def ft_complete(spark, sf):
+        """Completion suggester (ES completion / Lucene suggest): top-10
+        dictionary terms extending the prefix 's', weighted by collection
+        frequency with the ascending-term tie — one pruned range scan of
+        the terms table, zero postings touched."""
+        from fatespark.suggest import complete
+        return complete(_index(spark, sf), "s", n=10, by="cf")
+    q["ft_complete"] = ft_complete
+
     def ft_prefix(spark, sf):
         return _scores(_index(spark, sf).search_prefix(QS["prefix"], k=10,
                                                        quantize=4))
@@ -2641,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_pruned_topk", "ft_bm25plus_topk", "ft_impact_topk",
         "ft_maxscore_topk", "tx_chunk", "ft_prf", "ft_common_terms",
         "ft_mmr", "ft_lmjm_topk", "ft_sort_by_field",
+        "ft_facet_cardinality", "ft_complete",
         "ft_phrase3", "ft_hits", "ft_near", "ft_batch", "ft_phrase_prefix",
         "ft_not", "ft_query_string", "ft_fuzzy", "ft_fuzzy2", "ft_suggest",
         "ft_mlt", "ft_boost", "ft_synonyms", "ft_first_match", "ft_recency",
@@ -5290,6 +5312,59 @@ SELECT lang, n_regs, v_zero,
                        * ln(CAST({repr(float(_hll_m))} AS DOUBLE) / v_zero)
                   ELSE raw END, 6) AS est
 FROM est ORDER BY lang"""
+
+    _fc_terms = ", ".join(f"'{t}'" for t in sorted(set(QS["or2"])))
+    o["ft_facet_cardinality"] = f"""
+WITH {_TOK_CTES},
+vals AS (
+  SELECT d.text AS bigram
+  FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM tfs
+                     WHERE term IN ({_fc_terms}))
+),
+rhos AS (
+  SELECT CAST(h >> {_hll_w} AS INT) AS bucket,
+         CAST(CASE WHEN pos = 0 THEN {_hll_w + 1} ELSE pos END AS INT)
+           AS rho
+  FROM (
+    SELECT h,
+           instr(lpad(bin(h & {(1 << _hll_w) - 1}), {_hll_w}, '0'), '1')
+             AS pos
+    FROM (SELECT {_hll_h} AS h FROM vals))
+),
+state AS (
+  SELECT bucket, max(rho) AS rho FROM rhos GROUP BY bucket
+),
+agg AS (
+  SELECT count(*) AS n_regs,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             array_agg(CAST(1.0 AS DOUBLE) / (1::BIGINT << rho)
+                       ORDER BY bucket)),
+           (acc, x) -> acc + x) AS s_present
+  FROM state
+),
+est AS (
+  SELECT n_regs,
+         CAST({_hll_m} - n_regs AS BIGINT) AS v_zero,
+         CAST({_hll_a} AS DOUBLE) * CAST({repr(float(_hll_m * _hll_m))}
+             AS DOUBLE)
+           / (s_present + CAST({_hll_m} - n_regs AS DOUBLE)
+              * CAST(1.0 AS DOUBLE)) AS raw
+  FROM agg
+)
+SELECT n_regs, v_zero,
+       round(CASE WHEN raw <= CAST({repr(2.5 * _hll_m)} AS DOUBLE)
+                       AND v_zero > 0
+                  THEN CAST({repr(float(_hll_m))} AS DOUBLE)
+                       * ln(CAST({repr(float(_hll_m))} AS DOUBLE) / v_zero)
+                  ELSE raw END, 6) AS est
+FROM est"""
+
+    o["ft_complete"] = f"""
+WITH {_TOK_CTES}
+SELECT term, cf AS weight FROM dfs
+WHERE term LIKE 's%'
+ORDER BY weight DESC, term LIMIT 10"""
 
     _cur_b = sqlhash.md5_bucket60("doc_id", "split", 1_000_000)
     o["tx_curate"] = f"""

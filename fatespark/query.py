@@ -1378,6 +1378,30 @@ class SearchIndex:
                 .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+def facet_cardinality(index: "SearchIndex", corpus: DataFrame,
+                      query: str | list[str], field: str, *,
+                      mode: str = "OR", p: int = 12,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Cardinality aggregation (the Elasticsearch ``cardinality`` agg):
+    HLL-estimated distinct values of a stored corpus column among the
+    docs matching the query. Returns one row (n_regs, v_zero, est) —
+    ``est`` rounded exactly like the HLL sketch's contract, so the
+    float hash-compares cross-engine.
+
+    Plan: ``matching_docs`` (doc-id streams only) equi-joins the corpus
+    projection, then the HLL register agg (2^p bounded state, map-side
+    combined) — at 10^12 docs the shuffle carries registers, never
+    values. Reference analogue: none (fates has no aggregations,
+    ``lib/fates.rb``); the ES aggregation surface extension."""
+    from .sketch import hll_distinct_df
+    m = index.matching_docs(query, mode=mode)
+    vals = (corpus.select(F.col(id_col).alias("doc_id"), F.col(field))
+            .join(m, "doc_id")
+            .select(F.lit(0).alias("_g"), F.col(field)))
+    return (hll_distinct_df(vals, "_g", field, p=p)
+            .select("n_regs", "v_zero", "est"))
+
+
 def search_sorted_by(index: "SearchIndex", corpus: DataFrame,
                      query: str | list[str], field: str, *, k: int = 10,
                      mode: str = "OR", ascending: bool = True,

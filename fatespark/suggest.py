@@ -274,3 +274,35 @@ def expand_fuzzy(index, term: str, *, max_edit: int = 1,
     s = suggest(index, [term], k=max_terms, max_edit=max_edit,
                 depth=max_edit, variants=variants)
     return sorted({r["suggestion"] for r in s.collect()})
+
+
+def complete(index, prefix: str, n: int = 10,
+             by: str = "cf"):
+    """Completion suggester (the Elasticsearch completion / Lucene
+    suggest surface): the ``n`` most popular dictionary terms extending
+    ``prefix``, popularity = collection frequency (``by="cf"``) or
+    document frequency (``by="df"``), ties by ascending term. One
+    partition-pruned range scan of the tiny terms table — the same
+    pushed-down prefix predicate ``search_prefix`` uses — then a
+    k-bounded top-n; no postings are touched at all, so autocomplete
+    latency is dictionary-bounded no matter the corpus size.
+
+    Multi-field indexes aggregate popularity across fields (a completion
+    is about the term, not where it lives). The prefix runs through the
+    index fold (an uppercase prefix completes the same as lowercase).
+    Returns a DataFrame (term, weight) ordered (weight DESC, term)."""
+    from pyspark.sql import functions as F
+
+    from .analysis import ascii_fold
+    if by not in ("cf", "df"):
+        raise ValueError("by must be cf|df")
+    p = ascii_fold(prefix)
+    if not p:
+        raise ValueError("empty prefix")
+    rows = (index.terms
+            .filter(F.col("term").startswith(p))
+            .groupBy("term")
+            .agg(F.sum(by).cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("term"))
+            .limit(n))
+    return rows
