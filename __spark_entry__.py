@@ -375,6 +375,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return complete(_index(spark, sf), "s", n=10, by="cf")
     q["ft_complete"] = ft_complete
 
+    def ft_prox_boost(spark, sf):
+        """Min-span proximity-boosted ranking (Buettcher & Clarke 2006
+        family): conjunctive BM25 times 1 + c/(1 + (minspan - (n-1)))
+        where minspan is the doc's minimal covering token window over
+        the query terms — adjacency earns up to 2x, scattered terms
+        decay to plain BM25. The oracle recomputes the minimal window
+        with per-start correlated next-occurrence lookups and the same
+        float association; re-ranking vs plain AND is non-vacuous on
+        this corpus (verified in tests)."""
+        return _scores(_index(spark, sf).search_proximity_boost(
+            QS["and2"], k=10, c=1.0, quantize=4))
+    q["ft_prox_boost"] = ft_prox_boost
+
     def ft_prefix(spark, sf):
         return _scores(_index(spark, sf).search_prefix(QS["prefix"], k=10,
                                                        quantize=4))
@@ -2662,7 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_pruned_topk", "ft_bm25plus_topk", "ft_impact_topk",
         "ft_maxscore_topk", "tx_chunk", "ft_prf", "ft_common_terms",
         "ft_mmr", "ft_lmjm_topk", "ft_sort_by_field",
-        "ft_facet_cardinality", "ft_complete",
+        "ft_facet_cardinality", "ft_complete", "ft_prox_boost",
         "ft_phrase3", "ft_hits", "ft_near", "ft_batch", "ft_phrase_prefix",
         "ft_not", "ft_query_string", "ft_fuzzy", "ft_fuzzy2", "ft_suggest",
         "ft_mlt", "ft_boost", "ft_synonyms", "ft_first_match", "ft_recency",
@@ -2988,6 +3001,77 @@ simmat AS MATERIALIZED (
 SELECT s.doc_id, p.rnk AS rel_rank, CAST(s.mmr_rank AS INT) AS mmr_rank
 FROM sel{k} s JOIN pool p USING (doc_id)
 ORDER BY s.mmr_rank"""
+
+
+def _prox_boost_sql(terms: list[str], c: float = 1.0,
+                    limit: int = 10) -> str:
+    """Min-span proximity-boost twin (search_proximity_boost): the AND
+    BM25 fold joined with a minimal-covering-window CTE — for every
+    occurrence position of any query term, each term's next occurrence
+    at >= that position (correlated min), window = greatest(nexts) -
+    start, minspan = per-doc min over fully-covered starts; boost uses
+    the engine's exact float association."""
+    terms = sorted(set(terms))
+    n = len(terms)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    per_term = ",\n      ".join(
+        f"max(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(terms))
+    add_chain = " + ".join(f"coalesce(s_{i}, 0.0)" for i in range(n))
+    nxts = ",\n         ".join(
+        f"(SELECT min(p.pos) FROM qpos p WHERE p.doc_id = s.doc_id "
+        f"AND p.term = '{t}' AND p.pos >= s.pos) AS nx_{i}"
+        for i, t in enumerate(terms))
+    notnull = " AND ".join(f"nx_{i} IS NOT NULL" for i in range(n))
+    great = ("greatest(" + ", ".join(f"nx_{i}" for i in range(n)) + ")"
+             if n > 1 else "nx_0")
+    return f"""
+WITH {_TOK_CTES},
+ptok AS (
+  SELECT doc_id, translate(unnest(toks), '{_UP}', '{_LO}') AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                 '{_WS_SQL}'),
+                           x -> x <> '') AS toks
+        FROM documents)
+),
+qpos AS (
+  SELECT doc_id, term, pos FROM ptok WHERE term IN ({in_list})
+),
+nexts AS (
+  SELECT s.doc_id, s.pos,
+         {nxts}
+  FROM qpos s
+),
+spans AS (
+  SELECT doc_id, min({great} - pos) AS minspan
+  FROM nexts WHERE {notnull} GROUP BY doc_id
+),
+contrib AS (
+  SELECT tfs.doc_id, tfs.term,
+         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tfs.tf * {_K1P1} / (tfs.tf + {_K1} *
+            ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS s
+  FROM tfs JOIN dfs USING (term) JOIN dls ON dls.doc_id = tfs.doc_id
+  CROSS JOIN stats
+  WHERE tfs.term IN ({in_list})
+),
+per_doc AS (
+  SELECT doc_id, {per_term}
+  FROM contrib GROUP BY doc_id
+  HAVING count(DISTINCT term) = {n}
+),
+scored AS (
+  SELECT pd.doc_id,
+         ({add_chain})
+         * (1.0 + {float(c)!r} / (1.0 + (sp.minspan - {float(n - 1)!r})))
+         AS score
+  FROM per_doc pd JOIN spans sp USING (doc_id)
+)
+SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
+FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id
+LIMIT {limit}"""
 
 
 def _common_terms_sql(terms: list[str], max_doc_freq: float,
@@ -3553,6 +3637,7 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_common_terms"] = _common_terms_sql(["the", "data", "dup"],
                                              max_doc_freq=0.3)
     o["ft_mmr"] = _mmr_sql(QS["or2"], k=10, pool=20, lam=0.7)
+    o["ft_prox_boost"] = _prox_boost_sql(QS["and2"], c=1.0)
     _sbf_terms = ", ".join(f"'{t}'" for t in sorted(set(QS["or2"])))
     o["ft_sort_by_field"] = f"""
 WITH {_TOK_CTES}

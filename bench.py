@@ -310,6 +310,11 @@ def main() -> None:
     mlt_corpus = corpus.withColumn("doc_id", F.xxhash64("url"))
     mlt_seed = int(idx.docs.select("doc_id").first()["doc_id"])
 
+    @timed("q_prox_boost", reps=3)
+    def _pxb():  # min-span proximity re-rank over the AND match set
+        return idx.search_proximity_boost(["smith", "the"], k=10,
+                                          c=1.0).collect()
+
     @timed("q_sort_by_field", reps=3)
     def _sbf():  # match set ordered by stored field, k-bounded top-k
         from fatespark.query import search_sorted_by

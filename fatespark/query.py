@@ -1254,6 +1254,99 @@ class SearchIndex:
             out = out.offset(offset)
         return self._join_url(out) if with_url else out
 
+    def search_proximity_boost(self, query: str | list[str], k: int = 10,
+                               c: float = 1.0,
+                               quantize: int | None = None,
+                               with_url: bool = False) -> DataFrame:
+        """Proximity-boosted conjunctive ranking (the min-span proximity
+        BM25 family — Clarke et al.'s shortest-substring evidence,
+        Buettcher & Clarke SIGIR 2006): docs containing ALL query terms
+        in one field, scored
+
+            bm25(doc) * (1 + c / (1 + (minspan - (n_terms - 1))))
+
+        where ``minspan`` is the doc's MINIMAL covering token window over
+        the query terms (min across fields on multi-field indexes) —
+        perfectly adjacent terms get the full ``1 + c`` boost, scattered
+        terms decay toward plain BM25. Proximity re-ranks rather than
+        gates (``search_near`` is the gate). Positions come straight from
+        the index; per-bucket top-k happens AFTER boosting (the boost
+        changes ranks), buckets stay doc-complete so the global top-k is
+        exact."""
+        if not self.store_positions:
+            raise ValueError("index built without positions; proximity "
+                             "boost disabled")
+        if c < 0:
+            raise ValueError("c must be >= 0")
+        qterms = _fold_terms(query, self.analyzer)
+        stats = self.term_stats(qterms)
+        if any(t not in stats for t in qterms) or not qterms:
+            return self._empty()
+        uniq = list(qterms)
+        idfs = {(t, f): idf_fn(self.n_docs, st["df"])
+                for t in uniq for f, st in stats[t].items()}
+        avgdl, favg = self.avgdl, dict(self.field_avgdl)
+        tombs_ref, codec = self._tombs_ref(), self.codec_name
+        qmul = float(10 ** quantize) if quantize else None
+        k_local, n_query, cc = k, len(uniq), float(c)
+        nm1 = float(len(uniq) - 1)
+
+        def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+            from .wand import topk_select
+            tombs = tombs_ref.get()
+            empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                  "score": pd.array([], dtype="float64")})
+            span_ids: list[np.ndarray] = []
+            span_vals: list[np.ndarray] = []
+            for _fid, fpdf in pdf.groupby("field"):
+                data = {t: _decode_with_positions(g, codec)
+                        for t, g in fpdf.groupby("term")}
+                if any(t not in data for t in uniq):
+                    continue
+                ids, spans = _min_spans(data, uniq, tombs)
+                if ids.size:
+                    span_ids.append(ids)
+                    span_vals.append(spans)
+            if not span_ids:
+                return empty
+            all_ids = np.concatenate(span_ids)
+            all_spans = np.concatenate(span_vals)
+            order = np.lexsort((all_spans, all_ids))
+            keep = np.concatenate(
+                ([True], all_ids[order][1:] != all_ids[order][:-1]))
+            ids = all_ids[order][keep]          # sorted unique doc ids
+            spans = all_spans[order][keep]      # min across fields
+            by_tf = {(t, int(f)): _term_blocks_from_pdf(
+                        g, idfs[(t, int(f))], favg.get(int(f), avgdl),
+                        codec)
+                     for (t, f), g in pdf.groupby(["term", "field"])
+                     if (t, int(f)) in idfs}
+            by_tf = {kk: tb.keep_docs(ids) for kk, tb in by_tf.items()}
+            by_tf = {kk: tb for kk, tb in by_tf.items() if tb.total}
+            terms_here = {t for t, _ in by_tf}
+            if len(terms_here) < n_query:
+                return empty
+            keys = sorted(by_tf)
+            groups = [[by_tf[kk] for kk in keys if kk[0] == t]
+                      for t in sorted(terms_here)]
+            docs, scores = score_and(groups, avgdl, int(ids.size), None)
+            at = np.searchsorted(ids, docs)
+            boost = 1.0 + cc / (1.0 + (spans[at].astype(np.float64)
+                                       - nm1))
+            boosted = scores * boost
+            if qmul:
+                boosted = np.floor(boosted * qmul) / qmul
+            docs, boosted = topk_select(docs, boosted, k_local)
+            return pd.DataFrame({"doc_id": docs, "score": boosted})
+
+        blocks = self.postings.filter(F.col("term").isin(uniq)).select(
+            "bucket", "term", "field", "n", "first_doc", "last_doc",
+            "max_tf", "min_dl", "docs", "tfs", "dls", "poss")
+        scored = blocks.groupBy("bucket").applyInPandas(scorer,
+                                                        RESULT_SCHEMA)
+        out = (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+        return self._join_url(out) if with_url else out
+
     def count_phrase(self, phrase: str, prefix: bool = False,
                      max_expansions: int = 256) -> int:
         """Total phrase occurrences across the corpus — the reference's
@@ -1876,6 +1969,50 @@ def _near_match_docs(data: dict, terms: list[str], slop: int,
         return np.zeros(0, dtype=np.int64)
     ranks = np.unique(starts[ok] >> np.int64(32))
     return cand[ranks].astype(np.int64, copy=False)
+
+
+def _min_spans(data: dict, terms: list[str],
+               tombs: np.ndarray | None) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted doc ids containing ALL terms, per-doc MINIMAL covering
+    span) over one decoded bucket-field frame. The minimal window
+    covering all terms and starting at occurrence p has width
+    ``max_t(next_t(p) - p)``; the doc's minimal span is the min over
+    starts where every term has a next occurrence — the classic
+    minimal-window sweep, vectorized with the same composite-key
+    searchsorted as ``_near_match_docs``."""
+    tu = sorted(set(terms))
+    cand = data[tu[0]]["docs"]
+    for t in tu[1:]:
+        cand = np.intersect1d(cand, data[t]["docs"], assume_unique=True)
+    if tombs is not None and cand.size:
+        cand = cand[~np.isin(cand, tombs)]
+    z = np.zeros(0, dtype=np.int64)
+    if cand.size == 0:
+        return z, z
+    keys = {}
+    for t in tu:
+        kt, _ = _gather_doc_positions(data[t], cand, 0)
+        keys[t] = kt
+    starts = np.sort(np.concatenate(list(keys.values())))
+    ok = np.ones(starts.size, dtype=bool)
+    span = np.zeros(starts.size, dtype=np.int64)
+    pos_mask = np.int64(0xFFFFFFFF)
+    for t in tu:
+        kt = keys[t]
+        idx = np.searchsorted(kt, starts)
+        nxt = kt[np.minimum(idx, kt.size - 1)] if kt.size else starts
+        in_doc = (idx < kt.size) & \
+            ((nxt >> np.int64(32)) == (starts >> np.int64(32)))
+        ok &= in_doc
+        np.maximum(span, (nxt & pos_mask) - (starts & pos_mask),
+                   out=span)
+    if not ok.any():
+        return z, z
+    s_ok, r_ok = span[ok], (starts[ok] >> np.int64(32))
+    # starts are globally sorted, so ranks are contiguous runs
+    run = np.flatnonzero(np.concatenate(([True], r_ok[1:] != r_ok[:-1])))
+    mins = np.minimum.reduceat(s_ok, run)
+    return cand[r_ok[run]].astype(np.int64, copy=False), mins
 
 
 def _ordered_near_match_docs(data: dict, terms: list[str], slop: int,
