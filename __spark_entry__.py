@@ -1954,6 +1954,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["tx_bigram_surprisal"] = tx_bigram_surprisal
 
+    def tx_kn_surprisal(spark, sf):
+        """Interpolated Kneser-Ney trigram LM surprisal (knlm.
+        kn3_surprisal_df) — the real CCNet/KenLM-style perplexity filter
+        (Chen & Goodman 1998): absolute discounting with Chen-Goodman
+        estimated discounts and continuation-count lower orders, trained
+        on the corpus. The model-probability expression tree and the
+        per-doc ascending-(a,b,c) fold are bit-identical to the DuckDB
+        twin."""
+        from fatespark import knlm
+        d = _read(spark, sf, "documents")
+        return (knlm.kn3_surprisal_df(d, quantize=4)
+                .orderBy("doc_id"))
+    q["tx_kn_surprisal"] = tx_kn_surprisal
+
     def tx_quality_tiers(spark, sf):
         """CCNet-style equal-mass quality tiers (textops.quality_tiers_df):
         head/middle/tail thirds by corpus-LM surprisal. Boundaries come
@@ -2669,6 +2683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # on round-4 code; the 50 that got official round-3 rows follow in
     # their round-3 order.
     first = [
+        # session-8 NEW ops first, same reasoning as below
+        "tx_kn_surprisal",
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
         "ft_percolate", "ann_pq_topk", "tx_boiler", "tx_hll",
@@ -5193,6 +5209,83 @@ agg AS (
 )
 SELECT doc_id, nbg,
        floor(ssum / CAST(nbg AS DOUBLE) * 10000.0) / 10000.0 AS surprisal2
+FROM agg ORDER BY doc_id"""
+
+    o["tx_kn_surprisal"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(coalesce(text, ''),
+                                             '{_WS_SQL}'), x -> x <> ''),
+           x -> translate(x, '{_UP}', '{_LO}')) AS toks
+  FROM documents
+),
+tg AS (
+  SELECT doc_id, len(toks) - 2 AS n3,
+         toks[i] AS a, toks[i + 1] AS b, toks[i + 2] AS c
+  FROM base, unnest(range(1, len(toks) - 1)) r(i)
+  WHERE len(toks) >= 3
+),
+tfx AS (
+  SELECT doc_id, n3, a, b, c, count(*) AS tf
+  FROM tg GROUP BY doc_id, n3, a, b, c
+),
+c3 AS (SELECT a, b, c, CAST(sum(tf) AS BIGINT) AS n3c
+       FROM tfx GROUP BY a, b, c),
+ctx AS (SELECT a, b, CAST(sum(n3c) AS BIGINT) AS c2,
+               CAST(count(*) AS BIGINT) AS n1ab
+        FROM c3 GROUP BY a, b),
+ncbc AS (SELECT b, c, CAST(count(*) AS BIGINT) AS cbc
+         FROM c3 GROUP BY b, c),
+nb AS (SELECT b, CAST(sum(cbc) AS BIGINT) AS nbdot,
+              CAST(count(*) AS BIGINT) AS n1b
+       FROM ncbc GROUP BY b),
+nccx AS (SELECT c, CAST(count(*) AS BIGINT) AS cc FROM ncbc GROUP BY c),
+tt2 AS (SELECT CAST(count(*) AS DOUBLE) AS t2 FROM ncbc),
+dd3 AS (
+  SELECT CASE WHEN n1 + 2 * n2 = 0 THEN 0.5
+              ELSE CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE)
+         END AS d3
+  FROM (SELECT CAST(count(*) FILTER (WHERE n3c = 1) AS BIGINT) AS n1,
+               CAST(count(*) FILTER (WHERE n3c = 2) AS BIGINT) AS n2
+        FROM c3)
+),
+dd2 AS (
+  SELECT CASE WHEN n1 + 2 * n2 = 0 THEN 0.5
+              ELSE CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE)
+         END AS d2
+  FROM (SELECT CAST(count(*) FILTER (WHERE cbc = 1) AS BIGINT) AS n1,
+               CAST(count(*) FILTER (WHERE cbc = 2) AS BIGINT) AS n2
+        FROM ncbc)
+),
+mlow AS (SELECT c, CAST(cc AS DOUBLE) / t2 AS plow
+         FROM nccx CROSS JOIN tt2),
+mmid AS (
+  SELECT b, c,
+         (CAST(cbc AS DOUBLE) - d2) / CAST(nbdot AS DOUBLE)
+         + ((d2 * CAST(n1b AS DOUBLE)) / CAST(nbdot AS DOUBLE)) * plow
+         AS pmid
+  FROM ncbc JOIN nb USING (b) JOIN mlow USING (c) CROSS JOIN dd2
+),
+model AS (
+  SELECT a, b, c,
+         (CAST(n3c AS DOUBLE) - d3) / CAST(c2 AS DOUBLE)
+         + ((d3 * CAST(n1ab AS DOUBLE)) / CAST(c2 AS DOUBLE)) * pmid AS p
+  FROM c3 JOIN ctx USING (a, b) JOIN mmid USING (b, c) CROSS JOIN dd3
+),
+contrib AS (
+  SELECT doc_id, n3, tfx.a, tfx.b, tfx.c,
+         CAST(tf AS DOUBLE) * (- ln(p)) AS s
+  FROM tfx JOIN model USING (a, b, c)
+),
+agg AS (
+  SELECT doc_id, CAST(max(n3) AS BIGINT) AS n3,
+         list_reduce(list_prepend(0.0, list(s ORDER BY a, b, c)),
+                     (acc, x) -> acc + x) AS ssum
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n3,
+       floor(ssum / CAST(n3 AS DOUBLE) * 10000.0) / 10000.0 AS kn_surprisal
 FROM agg ORDER BY doc_id"""
 
     _dsir_m = 1024
