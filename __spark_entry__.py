@@ -584,6 +584,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        max_edit=2)
     q["ft_suggest"] = ft_suggest
 
+    def ft_phrase_suggest(spark, sf):
+        """Whole-query "did you mean" (phrasesuggest.phrase_suggest, the
+        ES phrase suggester / Lucene PhraseSuggester): per-position
+        candidates from the SymSpell term suggester (top-5, edit <= 2,
+        depth-1 bands), phrase combinations capped at max_errors=2
+        changed positions, each phrase scored by a corpus word-bigram LM
+        with stupid-backoff smoothing (Brants 2007, discount 0.4) and
+        Laplace-floored unigram backoff. Candidate generation is the
+        banded dictionary join; the combination space is query-bounded;
+        the three corpus passes are candidate-filtered-inside-the-row
+        combinable aggs. Oracle replays banding + LM expressions 1:1."""
+        from fatespark.phrasesuggest import phrase_suggest
+        idx = _index(spark, sf)
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        return phrase_suggest(idx, docs, ["batch", "jion", "sow"],
+                              k=5, m=5,
+                              max_edit=2, depth=1, max_errors=2)
+    q["ft_phrase_suggest"] = ft_phrase_suggest
+
     def ft_mlt(spark, sf):
         """More-like-this (mlt.more_like_this): top-10 docs most similar
         to seed doc 7 — disjunctive BM25 over the seed's top-5 tf-idf
@@ -2700,7 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their round-3 order.
     first = [
         # session-8 NEW ops first, same reasoning as below
-        "tx_kn_surprisal", "ft_best_passage",
+        "ft_phrase_suggest", "tx_kn_surprisal", "ft_best_passage",
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
         "ft_percolate", "ann_pq_topk", "tx_boiler", "tx_hll",
@@ -3849,6 +3868,11 @@ FROM (SELECT *, CAST(row_number() OVER (
       FROM scored) r
 WHERE rank <= 5
 ORDER BY qterm, rank"""
+
+    from fatespark.phrasesuggest import phrase_suggest_sql as _ps_sql
+    o["ft_phrase_suggest"] = _ps_sql("documents",
+                                     ["batch", "jion", "sow"], k=5,
+                                     m=5, max_edit=2, depth=1, max_errors=2)
 
     # proximity: a window of span <= slop exists iff some occurrence s has
     # every term within [s.pos, s.pos + slop] — the engine kernel's exact

@@ -1,0 +1,117 @@
+"""Phrase suggester: stupid-backoff LM scores vs a brute recompute,
+keep-original / max_errors contracts, and DuckDB-twin parity."""
+
+import math
+
+import duckdb
+import pytest
+
+from fatespark.build import BuildConfig, IndexBuilder
+from fatespark.phrasesuggest import phrase_suggest, phrase_suggest_sql
+from fatespark.query import SearchIndex
+from fatespark.suggest import suggest
+
+DOCS = [
+    (1, "batch scan join merge batch scan"),
+    (2, "batch join sort shirt short"),
+    (3, "match latch catch batch scan"),
+    (4, "scan scant span spin scan join"),
+    (5, "row slow grow crow low slow join"),
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_root):
+    d = str(tmp_root / "psugg_idx")
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    IndexBuilder(d, BuildConfig(n_buckets=2, salt_bits=0)).build(
+        spark, df, id_col="doc_id", url_col="doc_id", text_col="text",
+        build_id="psugg")
+    return SearchIndex(spark, d), df
+
+
+def brute_lm(qlists, discount=0.4):
+    """Stupid-backoff bigram LM over DOCS, same expressions as the op."""
+    toks = [d[1].lower().split() for d in DOCS]
+    cf: dict[str, int] = {}
+    bc: dict[tuple, int] = {}
+    for ts in toks:
+        for t in ts:
+            cf[t] = cf.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bc[(a, b)] = bc.get((a, b), 0) + 1
+    T = sum(len(ts) for ts in toks)
+    V = len(cf)
+    denom = float(T + V)
+
+    def score(words):
+        s = math.log((cf.get(words[0], 0) + 1.0) / denom)
+        for a, b in zip(words, words[1:]):
+            if (a, b) in bc:
+                s += math.log(bc[(a, b)] / float(cf[a]))
+            else:
+                s += math.log(discount * (cf.get(b, 0) + 1.0) / denom)
+        return s
+
+    return score
+
+
+def test_scores_match_brute(built):
+    idx, docs = built
+    q = ["bacth", "jion"]
+    got = phrase_suggest(idx, docs, q, k=10, m=5, max_edit=2,
+                         max_errors=2, quantize=6).collect()
+    assert got, "expected at least one correction"
+    sc = brute_lm(q)
+    for r in got:
+        want = math.floor(sc(r["phrase"].split()) * 1e6) / 1e6
+        assert r["score"] == pytest.approx(want, rel=0, abs=2e-6), r
+    # ordering: score DESC, phrase ASC
+    keys = [(-r["score"], r["phrase"]) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_keep_original_and_max_errors(built):
+    idx, docs = built
+    # "zzqq" has no dictionary candidate -> kept verbatim at its position
+    got = phrase_suggest(idx, docs, ["bacth", "zzqq"], k=10, m=5,
+                         max_edit=2, max_errors=2).collect()
+    assert got and all(r["phrase"].split()[1] == "zzqq" for r in got)
+    assert all(r["n_errors"] <= 2 for r in got)
+    # with max_errors=0 only all-original phrases survive; "bacth" is not
+    # in the dictionary and has candidates, so nothing qualifies
+    none = phrase_suggest(idx, docs, ["bacth", "jion"], k=10, m=5,
+                          max_edit=2, max_errors=0).collect()
+    assert none == []
+
+
+def test_n_errors_counts_changed_positions(built):
+    idx, docs = built
+    got = phrase_suggest(idx, docs, ["batch", "jion"], k=10, m=5,
+                         max_edit=2, max_errors=2).collect()
+    assert got
+    for r in got:
+        w0, w1 = r["phrase"].split()
+        assert r["n_errors"] == (w0 != "batch") + (w1 != "jion")
+
+
+def test_duckdb_twin_parity(built):
+    idx, docs = built
+    q = ["batch", "jion", "sow"]
+    got = phrase_suggest(idx, docs, q, k=5, m=5, max_edit=2,
+                         max_errors=2).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", DOCS)
+    want = con.execute(phrase_suggest_sql(
+        "documents", q, k=5, m=5, max_edit=2, max_errors=2)).fetchall()
+    assert [(r["phrase"], r["n_errors"], r["score"]) for r in got] == want
+
+
+def test_candidates_come_from_term_suggester(built):
+    idx, docs = built
+    got = phrase_suggest(idx, docs, ["scna"], k=10, m=3,
+                         max_edit=2, max_errors=1).collect()
+    cand = {r["suggestion"]
+            for r in suggest(idx, ["scna"], k=3, max_edit=2).collect()}
+    assert cand and {r["phrase"] for r in got} <= cand
