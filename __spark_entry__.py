@@ -2431,6 +2431,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return idx.topk(spark, list(qv), k=10)
     q["ann_pq_topk"] = ann_pq_topk
 
+    def ann_sq8_topk(spark, sf):
+        """Int8 scalar-quantized vector search (the Lucene 9.9
+        ScalarQuantizedVectorsFormat path): corpus-level min/max train
+        (one 2-scalar agg), 1-byte-per-dim codes, candidate top-50 by
+        INT64 code dot product (order-independent exact integer
+        arithmetic), exact-cosine rerank to the top-10. Quantization,
+        candidate scores and pool membership are bit-identical in the
+        DuckDB twin — the approximation itself hash-checks, not just
+        the reranked tail."""
+        from fatespark.sq8 import sq8_topk
+        e = _read(spark, sf, "embeddings")
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return sq8_topk(e.filter(F.col("vec_id") != 0), list(qv),
+                        k=10, pool=50)
+    q["ann_sq8_topk"] = ann_sq8_topk
+
     def hy_rrf(spark, sf):
         """Hybrid retrieval: reciprocal-rank fusion of the BM25 text arm
         and the exact-cosine vector arm over the shared doc_id/vec_id
@@ -2719,7 +2735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their round-3 order.
     first = [
         # session-8 NEW ops first, same reasoning as below
-        "ft_phrase_suggest", "tx_kn_surprisal", "ft_best_passage",
+        "ft_phrase_suggest", "ann_sq8_topk", "tx_kn_surprisal",
+        "ft_best_passage",
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
         "ft_percolate", "ann_pq_topk", "tx_boiler", "tx_hll",
@@ -5763,6 +5780,9 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2"""
         dim=64, n_centroids=8, n_iters=2, n_probes=3, seed="ivf", k=10)
     o["ann_pq_topk"] = sqloracles.pq_topk_sql(
         dim=64, m_sub=4, n_centroids=8, n_iters=2, seed="pq", k=10)
+    from fatespark.sq8 import sq8_topk_sql as _sq8_sql
+    o["ann_sq8_topk"] = _sq8_sql("embeddings", 64, query_id=0, k=10,
+                                 pool=50)
     o["dd_embdup_banded"] = sqloracles.banded_embdup_sql(
         dim=64, threshold=0.4, n_bands=16, planes_per_band=4, seed=5) + \
         "\nORDER BY id_a, id_b"

@@ -885,6 +885,26 @@ def main() -> None:
     def _pqq():
         return pq_idx.topk(spark, qv, k=10).collect()
 
+    # Scalar quantization (Lucene 9.9 SQ): build = one 2-scalar stats agg
+    # + a narrow encode write; probe = int64 code-dot candidate top-50
+    # (TakeOrderedAndProject, no wide exchange) + pool-bounded rerank
+    from fatespark.sq8 import Sq8VectorIndex as _Sq8
+    sq8_path = "/tmp/fatespark_bench_sq8_100k"
+
+    def _fresh_sq8_dir():
+        shutil.rmtree(sq8_path, ignore_errors=True)
+        clean_room()
+
+    @timed("ann_sq8_build_100k", reps=3, pre=_fresh_sq8_dir,
+           record_samples=True)
+    def _sq8b():
+        return _Sq8.build(_synth_emb(100_000), sq8_path, dim=64)
+    sq8_idx = _sq8b
+
+    @timed("ann_sq8_probe_100k", reps=3)
+    def _sq8q():
+        return sq8_idx.topk(spark, qv, k=10, pool=50).collect()
+
     # -- round-4 session-2 operators ----------------------------------------
     @timed("q_msm", reps=3)
     def _msm():  # minimum_should_match floor: 2 of 3, same scan as q_or3
