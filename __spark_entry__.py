@@ -2447,6 +2447,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         k=10, pool=50)
     q["ann_sq8_topk"] = ann_sq8_topk
 
+    # -- geo serving surface (ES geo_distance / geo_bounding_box /
+    # geotile_grid). Coordinates are planted deterministically from
+    # doc_id (integer degrees — the robots/anchor fixture precedent):
+    # lat in [-80, 80] keeps Mercator finite, lon covers [-180, 180]
+    # including both antimeridian edges.
+    def _geo_pts(spark, sf):
+        d = _read(spark, sf, "documents").select("doc_id")
+        return d.select(
+            "doc_id",
+            ((F.col("doc_id") * 37 % 161) - 80).cast("double").alias("lat"),
+            ((F.col("doc_id") * 61 % 361) - 180).cast("double").alias("lon"))
+
+    _GEO_SRC = ("(SELECT doc_id, "
+                "CAST(doc_id * 37 % 161 - 80 AS DOUBLE) AS lat, "
+                "CAST(doc_id * 61 % 361 - 180 AS DOUBLE) AS lon "
+                "FROM documents) gpts")
+
+    def geo_distance(spark, sf):
+        """k-nearest-points (ES geo_distance sort): ranking by the INT64
+        squared chord on the quantized unit sphere — exact integer
+        arithmetic, floor() absorbing libm ulps — with the reported
+        meters derived from the chord and rounded after ordering. One
+        narrow trig projection + a k-bounded TakeOrderedAndProject."""
+        from fatespark.geo import geo_distance_topk
+        return geo_distance_topk(_geo_pts(spark, sf), 47.0, 9.0, k=10)
+    q["geo_distance"] = geo_distance
+
+    def geo_bbox(spark, sf):
+        """geo_bounding_box crossing the antimeridian (lon_min 170 >
+        lon_max -170 wraps with OR — the ES contract); pure pushable
+        comparisons, inclusive edges planted (lon -180 and 180 rows
+        exist by construction of the fixture)."""
+        from fatespark.geo import geo_bounding_box
+        return (geo_bounding_box(_geo_pts(spark, sf), -30.0, 30.0,
+                                 170.0, -170.0)
+                .select("doc_id", "lat", "lon").orderBy("doc_id"))
+    q["geo_bbox"] = geo_bbox
+
+    def geo_grid(spark, sf):
+        """geotile_grid aggregation at zoom 3: Web-Mercator z/x/y cell
+        keys (lat clamped to the edge tiles beyond the Mercator range,
+        lon 180 to 2^z - 1), ONE map-side-combinable count per tile."""
+        from fatespark.geo import geotile_grid
+        return (geotile_grid(_geo_pts(spark, sf), 3)
+                .orderBy("cell"))
+    q["geo_grid"] = geo_grid
+
     def hy_rrf(spark, sf):
         """Hybrid retrieval: reciprocal-rank fusion of the BM25 text arm
         and the exact-cosine vector arm over the shared doc_id/vec_id
@@ -2735,8 +2782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their round-3 order.
     first = [
         # session-8 NEW ops first, same reasoning as below
-        "ft_phrase_suggest", "ann_sq8_topk", "tx_kn_surprisal",
-        "ft_best_passage",
+        "ft_phrase_suggest", "ann_sq8_topk", "geo_distance", "geo_bbox",
+        "geo_grid", "tx_kn_surprisal", "ft_best_passage",
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
         "ft_percolate", "ann_pq_topk", "tx_boiler", "tx_hll",
@@ -5783,6 +5830,17 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2"""
     from fatespark.sq8 import sq8_topk_sql as _sq8_sql
     o["ann_sq8_topk"] = _sq8_sql("embeddings", 64, query_id=0, k=10,
                                  pool=50)
+
+    from fatespark import geo as _geo
+    _geo_src = ("(SELECT doc_id, "
+                "CAST(doc_id * 37 % 161 - 80 AS DOUBLE) AS lat, "
+                "CAST(doc_id * 61 % 361 - 180 AS DOUBLE) AS lon "
+                "FROM documents) gpts")
+    o["geo_distance"] = _geo.geo_distance_sql(_geo_src, 47.0, 9.0, k=10)
+    o["geo_bbox"] = (_geo.geo_bbox_sql(_geo_src, -30.0, 30.0, 170.0, -170.0)
+                     .replace("SELECT *", "SELECT doc_id, lat, lon")
+                     + " ORDER BY doc_id")
+    o["geo_grid"] = _geo.geotile_grid_sql(_geo_src, 3) + " ORDER BY cell"
     o["dd_embdup_banded"] = sqloracles.banded_embdup_sql(
         dim=64, threshold=0.4, n_bands=16, planes_per_band=4, seed=5) + \
         "\nORDER BY id_a, id_b"

@@ -905,6 +905,25 @@ def main() -> None:
     def _sq8q():
         return sq8_idx.topk(spark, qv, k=10, pool=50).collect()
 
+    # Geo serving surface: narrow trig projection + k-bounded top-k
+    # (geo_knn) and one combinable count per Mercator tile (geo_grid)
+    from fatespark import geo as _geo
+
+    def _geo_pts_bench(n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            ((F.col("id") * 37 % 161) - 80).cast("double").alias("lat"),
+            ((F.col("id") * 61 % 361) - 180).cast("double").alias("lon"))
+
+    @timed("geo_knn_200k", reps=3, pre=clean_room)
+    def _gknn():
+        return _geo.geo_distance_topk(_geo_pts_bench(200_000),
+                                      47.0, 9.0, k=10).collect()
+
+    @timed("geo_grid_200k", reps=3, pre=clean_room)
+    def _ggrid():
+        return _geo.geotile_grid(_geo_pts_bench(200_000), 7).count()
+
     # -- round-4 session-2 operators ----------------------------------------
     @timed("q_msm", reps=3)
     def _msm():  # minimum_should_match floor: 2 of 3, same scan as q_or3
@@ -1000,6 +1019,12 @@ def main() -> None:
             return _textops.bigram_surprisal_df(big_d).count()
         clean_room()
 
+        @timed("geo_knn_2m")
+        def _gknn2m():  # narrow scan + bounded top-k: must scale ~linear
+            return _geo.geo_distance_topk(_geo_pts_bench(2_000_000),
+                                          47.0, 9.0, k=10).collect()
+        clean_room()
+
         big_ci = big_d.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
 
         @timed("charindex_build_100k")
@@ -1013,6 +1038,7 @@ def main() -> None:
                 ("dd_substring_2m", "dd_substring_200k"),
                 ("dd_substring_cut_2m", "dd_substring_cut_200k"),
                 ("tx_bigram_surprisal_2m", "tx_bigram_surprisal_200k"),
+                ("geo_knn_2m", "geo_knn_200k"),
                 ("charindex_build_100k", "charindex_build_10k")]:
             extra[f"scale_ratio_{big_name}"] = round(
                 times[big_name] / max(times[small_name], 1e-9), 2)
