@@ -603,6 +603,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               max_edit=2, depth=1, max_errors=2)
     q["ft_phrase_suggest"] = ft_phrase_suggest
 
+    def ft_phrase_collate(spark, sf):
+        """Phrase suggester with the ES collate step in ``prune`` mode:
+        every candidate phrase is annotated with ``collate_match`` —
+        whether SOME document contains all of its words (the conjunctive
+        collate query) — via ONE extra narrow scan folded into a
+        map-side-combinable max agg. On this corpus every dictionary
+        phrase co-occurs (31-word vocab), so the driver row pins the
+        annotation machinery at collate_match=1; the false branch and
+        filter mode are planted non-vacuously in
+        tests/test_phrasesuggest.py (shirt/crow fixture)."""
+        from fatespark.phrasesuggest import phrase_suggest
+        idx = _index(spark, sf)
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        return phrase_suggest(idx, docs, ["batch", "jion", "sow"],
+                              k=5, m=5, max_edit=2, depth=1,
+                              max_errors=2, collate_prune=True)
+    q["ft_phrase_collate"] = ft_phrase_collate
+
     def ft_mlt(spark, sf):
         """More-like-this (mlt.more_like_this): top-10 docs most similar
         to seed doc 7 — disjunctive BM25 over the seed's top-5 tf-idf
@@ -2782,8 +2800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their round-3 order.
     first = [
         # session-8 NEW ops first, same reasoning as below
-        "ft_phrase_suggest", "ann_sq8_topk", "geo_distance", "geo_bbox",
-        "geo_grid", "tx_kn_surprisal", "ft_best_passage",
+        "ft_phrase_suggest", "ft_phrase_collate", "ann_sq8_topk",
+        "geo_distance", "geo_bbox", "geo_grid", "tx_kn_surprisal",
+        "ft_best_passage",
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
         "ft_percolate", "ann_pq_topk", "tx_boiler", "tx_hll",
@@ -3937,6 +3956,10 @@ ORDER BY qterm, rank"""
     o["ft_phrase_suggest"] = _ps_sql("documents",
                                      ["batch", "jion", "sow"], k=5,
                                      m=5, max_edit=2, depth=1, max_errors=2)
+    o["ft_phrase_collate"] = _ps_sql("documents",
+                                     ["batch", "jion", "sow"], k=5,
+                                     m=5, max_edit=2, depth=1,
+                                     max_errors=2, collate_prune=True)
 
     # proximity: a window of span <= slop exists iff some occurrence s has
     # every term within [s.pos, s.pos + slop] — the engine kernel's exact

@@ -73,13 +73,22 @@ def phrase_suggest(index, docs: DataFrame, qterms: list[str], *,
                    k: int = 5, m: int = 5, max_edit: int = 2,
                    depth: int = 1, max_errors: int = 2,
                    discount: float = 0.4, quantize: int = 6,
+                   collate: bool = False, collate_prune: bool = False,
                    text_col: str = "text") -> DataFrame:
     """(phrase, n_errors, score) — the ``k`` best corrections of the
     whole query, ES phrase-suggester semantics: per-term candidates from
     the SymSpell term suggester (top-``m`` each, edit distance <=
     ``max_edit`` under banding ``depth``), phrases with more than
     ``max_errors`` changed positions dropped, stupid-backoff bigram-LM
-    scores over ``docs``, ordered (score DESC, phrase ASC)."""
+    scores over ``docs``, ordered (score DESC, phrase ASC).
+
+    ``collate=True`` runs the ES collate step — a phrase survives only
+    if SOME document contains every one of its words (the conjunctive
+    collate query).  With ``collate_prune=True`` (ES ``collate.prune``)
+    failing phrases are kept and annotated with a ``collate_match``
+    int column instead of dropped.  The check is ONE extra narrow scan:
+    per-phrase containment conditions folded into a map-side-combinable
+    max agg (phrase-bounded output, zero wide shuffles)."""
     if not qterms:
         raise ValueError("phrase_suggest needs >= 1 query term")
     qterms = [q.lower() for q in qterms]
@@ -90,21 +99,42 @@ def phrase_suggest(index, docs: DataFrame, qterms: list[str], *,
                            depth=depth)
     combos = [c for c in itertools.product(*sets)
               if sum(chg for _, chg in c) <= max_errors]
+    empty_schema = ("phrase string, n_errors int, score double"
+                    + (", collate_match int" if collate_prune else ""))
     if not combos:
-        return spark.createDataFrame(
-            [], "phrase string, n_errors int, score double")
-    rows = [tuple(w for w, _ in c)
-            + (sum(chg for _, chg in c), " ".join(w for w, _ in c))
-            for c in combos]
-    wcols = [f"w_{i}" for i in range(n)]
-    cdf = spark.createDataFrame(
-        rows, ", ".join(f"{c} string" for c in wcols)
-        + ", n_errors int, phrase string")
-
+        return spark.createDataFrame([], empty_schema)
     cv = sorted({w for c in combos for w, _ in c})
     cvlit = F.array(*[F.lit(w) for w in cv])
     toks = F.transform(tokens_col(text_col), fold_col)
     base = docs.select(toks.alias("toks"))
+
+    cmatch: list[int] | None = None
+    if collate or collate_prune:
+        import functools
+        conds = [functools.reduce(
+            lambda a, b: a & b,
+            [F.array_contains("toks", w)
+             for w in dict.fromkeys(w for w, _ in c)])
+            for c in combos]
+        row = base.agg(*[F.max(c.cast("int")).alias(f"m{i}")
+                         for i, c in enumerate(conds)]).collect()[0]
+        cmatch = [int(row[f"m{i}"] or 0) for i in range(len(combos))]
+        if not collate_prune:
+            keep = [i for i, v in enumerate(cmatch) if v]
+            combos = [combos[i] for i in keep]
+            cmatch = None
+            if not combos:
+                return spark.createDataFrame([], empty_schema)
+
+    rows = [tuple(w for w, _ in c)
+            + (sum(chg for _, chg in c), " ".join(w for w, _ in c))
+            + ((cmatch[i],) if cmatch is not None else ())
+            for i, c in enumerate(combos)]
+    wcols = [f"w_{i}" for i in range(n)]
+    cdf = spark.createDataFrame(
+        rows, ", ".join(f"{c} string" for c in wcols)
+        + ", n_errors int, phrase string"
+        + (", collate_match int" if cmatch is not None else ""))
 
     # adjacent bigrams, candidate-filtered INSIDE the row (the Generate
     # streams only matching pairs), then one combinable count agg
@@ -155,17 +185,21 @@ def phrase_suggest(index, docs: DataFrame, qterms: list[str], *,
         score = score + F.when(F.col(f"_bc{i}").isNotNull(), hit) \
                          .otherwise(backoff)
     mul = float(10 ** quantize)
-    return (out.select("phrase", "n_errors", score.alias("_s"))
+    extra = ["collate_match"] if cmatch is not None else []
+    return (out.select("phrase", "n_errors", score.alias("_s"), *extra)
             .orderBy(F.col("_s").desc(), F.col("phrase").asc())
             .limit(k)
             .select("phrase", "n_errors",
-                    (F.floor(F.col("_s") * mul) / mul).alias("score")))
+                    (F.floor(F.col("_s") * mul) / mul).alias("score"),
+                    *extra))
 
 
 def phrase_suggest_sql(src: str, qterms: list[str], *, k: int = 5,
                        m: int = 5, max_edit: int = 2, depth: int = 1,
                        max_errors: int = 2, discount: float = 0.4,
-                       quantize: int = 6, text_col: str = "text",
+                       quantize: int = 6, collate: bool = False,
+                       collate_prune: bool = False,
+                       text_col: str = "text",
                        id_col: str = "doc_id") -> str:
     """DuckDB twin of ``phrase_suggest`` over the raw document table —
     same banding, same candidate cut, same keep-original fallback, same
@@ -256,6 +290,15 @@ uni AS (
 ),
 tot AS (SELECT count(*) AS tc FROM ptok),
 voc AS (SELECT count(DISTINCT term) AS vc FROM ptok)""")
+    if collate or collate_prune:
+        warr = ", ".join(f"combos.w{i}" for i in range(n))
+        parts.append(f"""
+coll AS (
+  SELECT phrase,
+         max(CASE WHEN list_has_all(t.toks, [{warr}])
+             THEN 1 ELSE 0 END) AS cm
+  FROM combos, tokset t GROUP BY phrase
+)""")
     score = [f"ln((coalesce(u0.cf, 0) + 1.0) "
              f"/ CAST(tc + vc AS DOUBLE))"]
     for i in range(1, n):
@@ -269,13 +312,21 @@ voc AS (SELECT count(DISTINCT term) AS vc FROM ptok)""")
     bjoins = "\n  ".join(
         f"LEFT JOIN big b{i} ON b{i}.t1 = combos.w{i-1} "
         f"AND b{i}.t2 = combos.w{i}" for i in range(1, n))
+    cjoin = cwhere = csel_in = csel_out = ""
+    if collate and not collate_prune:
+        cjoin = "\n  JOIN coll USING (phrase)"
+        cwhere = "\n  WHERE coll.cm = 1"
+    elif collate_prune:
+        cjoin = "\n  JOIN coll USING (phrase)"
+        csel_in = ", coll.cm AS collate_match"
+        csel_out = ", collate_match"
     return f"""
 WITH {",".join(parts)}
-SELECT phrase, n_errors, floor(s * {mul}) / {mul} AS score
+SELECT phrase, n_errors, floor(s * {mul}) / {mul} AS score{csel_out}
 FROM (
-  SELECT phrase, n_errors, {" + ".join(score)} AS s
+  SELECT phrase, n_errors, {" + ".join(score)} AS s{csel_in}
   FROM combos
   {ujoins}
   {bjoins}
-  CROSS JOIN tot CROSS JOIN voc
+  CROSS JOIN tot CROSS JOIN voc{cjoin}{cwhere}
 ) ORDER BY s DESC, phrase ASC LIMIT {k}"""

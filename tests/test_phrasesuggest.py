@@ -17,6 +17,7 @@ DOCS = [
     (3, "match latch catch batch scan"),
     (4, "scan scant span spin scan join"),
     (5, "row slow grow crow low slow join"),
+    (6, "shirt row table shirt row"),
 ]
 
 
@@ -106,6 +107,54 @@ def test_duckdb_twin_parity(built):
     want = con.execute(phrase_suggest_sql(
         "documents", q, k=5, m=5, max_edit=2, max_errors=2)).fetchall()
     assert [(r["phrase"], r["n_errors"], r["score"]) for r in got] == want
+
+
+def brute_collate(phrase):
+    """True iff some DOCS row contains every word of the phrase."""
+    ws = set(phrase.split())
+    return any(ws <= set(d[1].lower().split()) for d in DOCS)
+
+
+def test_collate_filter_drops_unmatched(built):
+    idx, docs = built
+    # 'shirt'/'short' x 'crow'/'row' candidates: only 'shirt row'
+    # co-occurs (doc 6) — collate keeps exactly the matchable phrases
+    q = ["shirt", "crw"]
+    plain = phrase_suggest(idx, docs, q, k=20, m=5, max_edit=2,
+                           max_errors=2).collect()
+    assert any(not brute_collate(r["phrase"]) for r in plain)
+    got = phrase_suggest(idx, docs, q, k=20, m=5, max_edit=2,
+                         max_errors=2, collate=True).collect()
+    assert got and all(brute_collate(r["phrase"]) for r in got)
+    # collate only FILTERS: surviving (phrase, score) rows are unchanged
+    keep = {r["phrase"]: r["score"] for r in plain
+            if brute_collate(r["phrase"])}
+    assert {r["phrase"]: r["score"] for r in got} == keep
+
+
+def test_collate_prune_annotates(built):
+    idx, docs = built
+    got = phrase_suggest(idx, docs, ["shirt", "crw"], k=20, m=5,
+                         max_edit=2, max_errors=2,
+                         collate_prune=True).collect()
+    assert {r["collate_match"] for r in got} == {0, 1}
+    for r in got:
+        assert bool(r["collate_match"]) == brute_collate(r["phrase"]), r
+
+
+def test_collate_sql_twin_parity(built):
+    import duckdb
+    idx, docs = built
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", DOCS)
+    for kw in ({"collate": True}, {"collate_prune": True}):
+        got = phrase_suggest(idx, docs, ["shirt", "crw"], k=20, m=5,
+                             max_edit=2, max_errors=2, **kw).collect()
+        want = con.execute(phrase_suggest_sql(
+            "documents", ["shirt", "crw"], k=20, m=5, max_edit=2,
+            max_errors=2, **kw)).fetchall()
+        assert [tuple(r) for r in got] == want, kw
 
 
 def test_candidates_come_from_term_suggester(built):
