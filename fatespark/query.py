@@ -1000,6 +1000,94 @@ class SearchIndex:
         return self._score_phrase_matches(m, k, offset, with_url, quantize,
                                           weights)
 
+    def _phrase_contrib(self, matches: DataFrame) -> DataFrame | None:
+        """(doc_id, s) unranked pseudo-term BM25 contributions for one
+        clause-set match table — the scoring half of
+        ``_score_phrase_matches`` without quantize/top-k, for callers
+        that SUM several pseudo-terms (synonym graph). Same expression
+        parenthesization, so per-position scores are bit-identical to a
+        standalone ``search_phrases_any``."""
+        matches = matches.cache()
+        per_field = {int(r["field"]): int(r["n"]) for r in
+                     matches.groupBy("field").agg(
+                         F.count("*").alias("n")).collect()}
+        if not per_field:
+            matches.unpersist()
+            return None
+        k1, b = 1.2, 0.75
+        score = None
+        for f, dfp in sorted(per_field.items()):
+            iv = idf_fn(self.n_docs, dfp)
+            ad = self.field_avgdl.get(f, self.avgdl)
+            norm = (1.0 - b) + b * F.col("dl") / F.lit(ad) if ad > 0 \
+                else F.lit(1.0 - b)
+            s_f = F.lit(iv) * (F.col("tf") * F.lit(k1 + 1.0) / (
+                F.col("tf") + F.lit(k1) * norm))
+            s_f = F.when(F.col("field") == f, s_f)
+            score = s_f if score is None else F.coalesce(s_f, score)
+        out = (matches.select("doc_id", score.alias("s"))
+               .where(F.col("s").isNotNull())
+               .groupBy("doc_id").agg(F.sum("s").alias("s"))
+               .localCheckpoint(eager=True))
+        matches.unpersist()
+        return out
+
+    def search_synonym_graph(self, qterms: list[str],
+                             graph: dict[str, list[str]], k: int = 10,
+                             offset: int = 0, with_url: bool = False,
+                             quantize: int | None = None) -> DataFrame:
+        """ES ``synonym_graph`` at query time (Lucene GraphTokenFilter →
+        GraphQuery): each query position expands to a clause set of the
+        original term plus its synonyms — synonyms may be MULTI-WORD
+        phrases ('ny' -> 'new york'), the case the plain synonym filter
+        cannot express — and each position scores as ONE SpanOr
+        pseudo-term (tf = occurrences across clauses, df = docs matching
+        any clause, the ``search_phrases_any`` machinery). Doc score =
+        sum of position contributions in fixed position order (a static
+        expression over per-position sums, so floats are bit-stable and
+        the DuckDB twin hash-matches); OR semantics — any matching
+        position qualifies the doc.
+
+        100 TB shape: per position one pruned postings scan (clauses
+        share term decodes), per-position contributions are doc-bounded
+        aggs; the cross-position combine is one union + one groupBy over
+        match rows only. Lucene parity target-new (fates has no synonym
+        surface)."""
+        if not qterms:
+            raise ValueError("synonym graph search needs >= 1 term")
+        contribs = []
+        for t in qterms:
+            variants = []
+            for p in [t, *graph.get(t, ())]:
+                variants.extend(self._phrase_variants(p))
+            m = self._phrase_matches(variants) if variants else None
+            contribs.append(self._phrase_contrib(m) if m is not None
+                            else None)
+        arms = [(i, c) for i, c in enumerate(contribs) if c is not None]
+        if not arms:
+            return self._empty()
+        tagged = None
+        for i, c in arms:
+            t = c.select("doc_id", F.lit(i).alias("p"), "s")
+            tagged = t if tagged is None else tagged.unionByName(t)
+        pv = tagged.groupBy("doc_id").agg(
+            *[F.sum(F.when(F.col("p") == i, F.col("s"))).alias(f"s{i}")
+              for i, _ in arms])
+        total = None
+        for i, _ in arms:
+            c = F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+            total = c if total is None else total + c
+        agg = pv.select("doc_id", total.alias("score"))
+        if quantize:
+            qm = float(10 ** quantize)
+            agg = agg.select(
+                "doc_id", (F.floor(F.col("score") * qm) / qm).alias("score"))
+        out = (agg.orderBy(F.desc("score"), F.asc("doc_id"))
+               .limit(k + offset))
+        if offset:
+            out = out.offset(offset)
+        return self._join_url(out) if with_url else out
+
     def search_span_first(self, phrase: str, max_end: int, k: int = 10,
                           offset: int = 0, with_url: bool = False,
                           quantize: int | None = None,
