@@ -716,6 +716,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             mode="OR")
     q["ft_facets"] = ft_facets
 
+    def ft_composite_agg(spark, sf):
+        """ES composite aggregation, page 2: (lang terms source, 256-char
+        length histogram source) buckets in ascending key order resumed
+        strictly after the after_key ('en', 0.0) — the lexicographic
+        resume predicate exercises both its equal-then-greater and
+        greater arms (page spans en -> es -> fr). ONE combinable count
+        agg + a size-bounded TakeOrderedAndProject; page output is
+        `size` rows regardless of bucket cardinality."""
+        from fatespark.composite import composite_agg, histogram_source
+        d = _read(spark, sf, "documents")
+        return composite_agg(
+            d, [("lang", F.col("lang")),
+                ("hlen", histogram_source(
+                    F.length(F.coalesce(F.col("text"), F.lit(""))), 256.0))],
+            size=6, after=("en", 0.0))
+    q["ft_composite_agg"] = ft_composite_agg
+
     def ft_explain(spark, sf):
         """Score explanation (SearchIndex.explain, the Lucene Explanation
         surface): per-(doc, term) BM25 breakdown — tf, df, dl, idf,
@@ -2814,7 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         # session-8 NEW ops first, same reasoning as below
         "ft_phrase_suggest", "ft_phrase_collate", "ft_synonym_graph",
-        "ann_sq8_topk", "geo_distance", "geo_bbox", "geo_grid",
+        "ft_composite_agg", "ann_sq8_topk", "geo_distance", "geo_bbox", "geo_grid",
         "tx_kn_surprisal", "ft_best_passage",
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
@@ -4100,6 +4117,12 @@ oprox AS (
         [QS["phrase"].split(), ["merge", "scan"]])
     o["ft_synonym_graph"] = _bm25_synonym_graph_sql(
         [[["merge"], ["batch", "scan"]], [["row"], ["slow"]]])
+    from fatespark.composite import composite_agg_sql as _comp_sql
+    o["ft_composite_agg"] = _comp_sql(
+        "documents",
+        [("lang", "lang"),
+         ("hlen", "floor(length(coalesce(text, '')) / 256.0) * 256.0")],
+        size=6, after=("en", 0.0))
     o["ft_span_within"] = _bm25_span_enclosure_sql(
         [["row"], ["sort"]], [QS["phrase3"].split()], "within")
     o["ft_span_containing"] = _bm25_span_enclosure_sql(
