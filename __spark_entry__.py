@@ -2322,6 +2322,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("win_start"))
     q["st_windowed_counts"] = st_windowed_counts
 
+    def st_trending(spark, sf):
+        """Trending keys per window (the date_histogram + terms dashboard
+        query) over a REAL Structured Streaming run: the same 3-micro-
+        batch redelivery harness as st_windowed_counts, but grouped by
+        (window, event_type) — state bounded by windows-in-horizon x
+        keys, the watermark contract unchanged — then top-3 event types
+        per window by (n DESC, type ASC) as a batch post-pass over the
+        final (cumulative-max) state. Oracle: batch recompute over the
+        kept rows under the two-watermark late-drop rule + the same
+        rank."""
+        import shutil
+        import time
+        import uuid
+
+        from pyspark.sql import Window
+        from fatespark.streaming import streaming_windowed_counts
+        tag = _corpus_tag(sf)
+        run = uuid.uuid4().hex[:8]
+        src = f"/tmp/fatespark_entry_stream/{tag}_sttsrc_{run}"
+        ckpt = f"/tmp/fatespark_entry_stream/{tag}_sttckpt_{run}"
+        ev = _read(spark, sf, "events").select("event_id", "ts",
+                                               "event_type")
+        shutil.rmtree(src, ignore_errors=True)
+        for pred in [(F.col("event_id") % 4).isin(1, 2),
+                     F.col("event_id") % 4 == 3,
+                     F.col("event_id") % 4 == 0]:
+            ev.filter(pred).coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.05)
+        stream = (spark.readStream
+                  .schema("event_id long, ts timestamp, event_type string")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        name = f"stt_{run}"
+        sq = (streaming_windowed_counts(stream, ts_col="ts",
+                                        key_col="event_type",
+                                        window="1 day", watermark="2 days")
+              .writeStream.format("memory").queryName(name)
+              .outputMode("update").option("checkpointLocation", ckpt)
+              .trigger(availableNow=True).start())
+        sq.awaitTermination(300)
+        final = (spark.table(name)
+                 .groupBy(F.col("win_start").cast("date").alias("win_start"),
+                          "event_type")
+                 .agg(F.max("n_events").alias("n")))
+        w = Window.partitionBy("win_start").orderBy(
+            F.desc("n"), F.asc("event_type"))
+        return (final.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= 3)
+                .select("win_start", "event_type", "n", "rnk")
+                .orderBy("win_start", "rnk"))
+    q["st_trending"] = st_trending
+
     def dd_ngram_jaccard(spark, sf):
         d = _read(spark, sf, "documents")
         return (dedup.ngram_jaccard_pairs_str(d, k=3, threshold=0.2)
@@ -2831,7 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         # session-8 NEW ops first, same reasoning as below
         "ft_phrase_suggest", "ft_phrase_collate", "ft_synonym_graph",
-        "ft_composite_agg", "ann_sq8_topk", "geo_distance", "geo_bbox", "geo_grid",
+        "ft_composite_agg", "st_trending", "ann_sq8_topk", "geo_distance", "geo_bbox", "geo_grid",
         "tx_kn_surprisal", "ft_best_passage",
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
@@ -5855,6 +5906,31 @@ kept AS (
 SELECT CAST(date_trunc('day', ts) AS DATE) AS win_start,
        count(*) AS n_events
 FROM kept GROUP BY win_start ORDER BY win_start"""
+
+    # trending: same kept-rows rule with the key carried, count per
+    # (window, key), rank top-3 by (n DESC, key ASC) per window
+    o["st_trending"] = """
+WITH wm AS (
+  SELECT max(ts) - INTERVAL 2 DAY AS w FROM events
+  WHERE event_id % 4 IN (1, 2)
+),
+kept AS (
+  SELECT ts, event_type FROM events WHERE event_id % 4 <> 0
+  UNION ALL
+  SELECT e.ts, e.event_type FROM events e, wm
+  WHERE e.event_id % 4 = 0
+    AND date_trunc('day', e.ts) + INTERVAL 1 DAY > wm.w
+),
+cnt AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS win_start,
+         event_type, count(*) AS n
+  FROM kept GROUP BY win_start, event_type
+)
+SELECT win_start, event_type, n, rnk FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY win_start ORDER BY n DESC, event_type ASC) AS INT) AS rnk
+  FROM cnt)
+WHERE rnk <= 3 ORDER BY win_start, rnk"""
 
     # sessionization: same lag -> flag -> running-sum -> two rollups,
     # gap compare in exact integer microseconds (epoch_us twin of

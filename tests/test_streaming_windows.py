@@ -102,3 +102,40 @@ def test_events_fixture_shape(spark, tmp_root):
         .groupby("w").size().to_dict()
     assert got == want
     assert (wend <= wm).sum() > 0   # the drop path is exercised
+
+
+def test_keyed_windows_trending(spark, tmp_root):
+    """key_col grouping: per-(window, key) counts under the same
+    watermark contract; the trending top-k post-pass ranks by
+    (n DESC, key ASC)."""
+    run = uuid.uuid4().hex[:6]
+    src = str(tmp_root / f"stk_{run}_src")
+    ckpt = str(tmp_root / f"stk_{run}_ckpt")
+    schema = "event_id long, ts timestamp, k string"
+    b0 = [(1, _ts("2024-01-05 10:00"), "a"),
+          (2, _ts("2024-01-05 11:00"), "a"),
+          (3, _ts("2024-01-05 12:00"), "b")]
+    b1 = [(4, _ts("2024-01-05 13:00"), "b"),
+          (5, _ts("2024-01-05 14:00"), "b")]
+    # batch 2 is filtered by the watermark in effect during batch 1
+    # (max batch-0 event time - 2 days = 01-03 12:00): the 'z' row's
+    # window END 01-02 is <= it -> dropped
+    b2 = [(6, _ts("2024-01-01 09:00"), "z")]
+    for rows in (b0, b1, b2):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("append").parquet(src))
+        time.sleep(1.05)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = streaming_windowed_counts(stream, ts_col="ts", key_col="k",
+                                    window="1 day", watermark="2 days")
+    name = f"stk_{run}"
+    sq = (out.writeStream.format("memory").queryName(name)
+          .outputMode("update").option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    sq.awaitTermination(300)
+    got = {(str(r["win_start"])[:10], r["k"]): r["n"] for r in
+           (spark.table(name).groupBy("win_start", "k")
+            .agg(F.max("n_events").alias("n")).collect())}
+    # the late 'z' row (closed window) is dropped; a/b keyed counts kept
+    assert got == {("2024-01-05", "a"): 2, ("2024-01-05", "b"): 3}
