@@ -2611,6 +2611,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("rank_vec").cast("int").alias("rank_vec"))
     q["hy_rrf"] = hy_rrf
 
+    def hy_linear(spark, sf):
+        """Hybrid retrieval, weighted-linear variant (the OpenSearch
+        normalization-processor: per-arm min-max normalization over the
+        50-candidate lists, fused 0.7*text + 0.3*vec, absent arms
+        contribute 0). Arms and quantization identical to hy_rrf; the
+        min/max are 2-scalar aggs over k-bounded lists and the fused
+        expression is static, so floats hash cross-engine."""
+        from fatespark import hybrid
+        idx = _index(spark, sf)
+        e = _read(spark, sf, "embeddings")
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return hybrid.hybrid_linear(idx, e, QS["or2"], list(qv), k=10,
+                                    n_candidates=50, w_text=0.7,
+                                    w_vec=0.3, quantize=4)
+    q["hy_linear"] = hy_linear
+
     # -- multimodal plumbing (binary columns, JVM hashes) --------------------
     def mm_binary_meta(spark, sf):
         d = _read(spark, sf, "documents")
@@ -2882,7 +2898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         # session-8 NEW ops first, same reasoning as below
         "ft_phrase_suggest", "ft_phrase_collate", "ft_synonym_graph",
-        "ft_composite_agg", "st_trending", "ann_sq8_topk", "geo_distance", "geo_bbox", "geo_grid",
+        "ft_composite_agg", "st_trending", "hy_linear", "ann_sq8_topk", "geo_distance", "geo_bbox", "geo_grid",
         "tx_kn_surprisal", "ft_best_passage",
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
@@ -6106,6 +6122,45 @@ SELECT coalesce(bmr.doc_id, vr.vec_id) AS doc_id,
        rank_text, rank_vec
 FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.vec_id
 ORDER BY rrf_score DESC, doc_id
+LIMIT 10"""
+
+    # linear hybrid: same arms, min-max normalized per arm over the
+    # 50-candidate lists, fused 0.7*text + 0.3*vec (static expression —
+    # degenerate max == min arm normalizes to 1.0, absent docs to 0)
+    o["hy_linear"] = f"""
+WITH bm AS (
+  SELECT * FROM ({_bm25_sql(QS["or2"], "OR", limit=50)}
+  )
+),
+bms AS (SELECT min(score) AS lo, max(score) AS hi FROM bm),
+bmn AS (
+  SELECT doc_id,
+         CASE WHEN bms.hi = bms.lo THEN 1.0
+              ELSE (score - bms.lo) / (bms.hi - bms.lo) END AS norm_text
+  FROM bm, bms
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(embedding::DOUBLE[], qv.v), 4)
+         AS cosine
+  FROM embeddings, qv
+  ORDER BY cosine DESC, vec_id
+  LIMIT 50
+),
+vs AS (SELECT min(cosine) AS lo, max(cosine) AS hi FROM vec),
+vn AS (
+  SELECT vec_id,
+         CASE WHEN vs.hi = vs.lo THEN 1.0
+              ELSE (cosine - vs.lo) / (vs.hi - vs.lo) END AS norm_vec
+  FROM vec, vs
+)
+SELECT coalesce(bmn.doc_id, vn.vec_id) AS doc_id,
+       0.7 * coalesce(norm_text, 0.0)
+       + 0.3 * coalesce(norm_vec, 0.0) AS fused_score,
+       norm_text, norm_vec
+FROM bmn FULL OUTER JOIN vn ON bmn.doc_id = vn.vec_id
+ORDER BY fused_score DESC, doc_id
 LIMIT 10"""
 
     o["mm_binary_meta"] = """

@@ -118,3 +118,75 @@ def hybrid_rrf(index, emb_df: DataFrame, query, query_vec,
     fused = rrf_fuse([text_arm, vec_arm], k=k, rrf_k=rrf_k, id_col="doc_id")
     return fused.withColumnRenamed("rank_0", "rank_text") \
                 .withColumnRenamed("rank_1", "rank_vec")
+
+
+def linear_fuse(arms: list[DataFrame], weights: list[float], k: int = 10,
+                id_col: str = "doc_id") -> DataFrame:
+    """Min-max-normalized weighted-sum fusion — the OpenSearch hybrid
+    ``normalization-processor`` (``min_max`` normalization +
+    ``arithmetic_mean`` with weights), the other production fusion next
+    to RRF.
+
+    Each arm is a k-bounded (_id, s) candidate list with QUANTIZED
+    scores (the cross-engine-stable contract); per arm the score
+    normalizes to (s - min)/(max - min) over that arm's candidates
+    (degenerate max == min arm -> 1.0 for every candidate), absent docs
+    contribute 0, and the fused score sums w_i * norm_i in arm order —
+    a static expression over identical doubles, so DuckDB hash-matches.
+
+    Scale shape: the min/max are per-arm 2-scalar aggs over k-bounded
+    lists; fusion is the same bounded full-outer join as RRF.
+    """
+    if not arms:
+        raise ValueError("need at least one arm")
+    if len(weights) != len(arms):
+        raise ValueError("one weight per arm")
+    named = []
+    for i, a in enumerate(arms):
+        r = a.agg(F.min("s").alias("lo"), F.max("s").alias("hi")) \
+             .collect()[0]
+        lo, hi = float(r["lo"]), float(r["hi"])
+        norm = (F.lit(1.0) if hi == lo
+                else (F.col("s") - F.lit(lo)) / F.lit(hi - lo))
+        named.append(a.select("_id", norm.alias(f"norm_{i}")))
+    joined = reduce(lambda l, r: l.join(r, on="_id", how="full_outer"),
+                    named)
+    score = reduce(lambda a, b: a + b,
+                   [F.lit(float(w)) * F.coalesce(F.col(f"norm_{i}"),
+                                                 F.lit(0.0))
+                    for i, w in enumerate(weights)])
+    return (joined
+            .select(F.col("_id").alias(id_col),
+                    score.alias("fused_score"),
+                    *[F.col(f"norm_{i}") for i in range(len(arms))])
+            .orderBy(F.desc("fused_score"), F.asc(id_col))
+            .limit(k))
+
+
+def hybrid_linear(index, emb_df: DataFrame, query, query_vec,
+                  k: int = 10, n_candidates: int = 50,
+                  w_text: float = 0.7, w_vec: float = 0.3,
+                  mode: str = "OR", use_wand: bool = False,
+                  vec_id_col: str = "vec_id", vec_col: str = "embedding",
+                  quantize: int = 4) -> DataFrame:
+    """BM25 + exact-cosine weighted-linear hybrid top-k (same arms as
+    ``hybrid_rrf``, min-max-normalized and weighted instead of
+    rank-fused). Output: (doc_id, fused_score, norm_text, norm_vec)."""
+    from .ann import _dot, _norm, _qvec_lit
+
+    text = index.search(query, k=n_candidates, mode=mode,
+                        use_wand=use_wand, quantize=quantize)
+    text_arm = (text.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(n_candidates)
+                .select(F.col("doc_id").alias("_id"),
+                        F.col("score").alias("s")))
+    qv = _qvec_lit(query_vec)
+    v = F.col(vec_col).cast("array<double>")
+    cos = F.round(_dot(v, qv) / (_norm(v) * _norm(qv)), quantize)
+    vec_arm = (emb_df.select(F.col(vec_id_col).alias("_id"),
+                             cos.alias("s"))
+               .orderBy(F.desc("s"), F.asc("_id")).limit(n_candidates))
+    fused = linear_fuse([text_arm, vec_arm], [w_text, w_vec], k=k,
+                        id_col="doc_id")
+    return fused.withColumnRenamed("norm_0", "norm_text") \
+                .withColumnRenamed("norm_1", "norm_vec")

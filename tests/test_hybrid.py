@@ -96,3 +96,53 @@ def test_hybrid_wand_arm_matches_exhaustive(spark, built):
                    use_wand=True).collect()
     assert [(r["doc_id"], r["rrf_score"]) for r in a] == \
         [(r["doc_id"], r["rrf_score"]) for r in b]
+
+
+def test_linear_fuse_arithmetic(spark):
+    from fatespark.hybrid import linear_fuse
+    a = spark.createDataFrame([(1, 10.0), (2, 5.0), (3, 0.0)],
+                              "_id long, s double")
+    b = spark.createDataFrame([(2, 0.8), (4, 0.4)], "_id long, s double")
+    rows = {r["doc_id"]: r for r in
+            linear_fuse([a, b], [0.7, 0.3], k=10).collect()}
+    # arm a normalizes 10->1, 5->0.5, 0->0; arm b: 0.8->1, 0.4->0
+    assert rows[1]["fused_score"] == 0.7 * 1.0
+    assert rows[2]["fused_score"] == 0.7 * 0.5 + 0.3 * 1.0
+    assert rows[3]["fused_score"] == 0.0
+    assert rows[4]["fused_score"] == 0.3 * 0.0
+    assert rows[3]["norm_1"] is None and rows[4]["norm_0"] is None
+    # doc 1 wins: 0.7*1.0 = 0.70 beats doc 2's 0.7*0.5 + 0.3*1.0 = 0.65
+    assert linear_fuse([a, b], [0.7, 0.3], k=1).collect()[0]["doc_id"] == 1
+
+
+def test_linear_fuse_degenerate_arm(spark):
+    from fatespark.hybrid import linear_fuse
+    a = spark.createDataFrame([(1, 3.0), (2, 3.0)], "_id long, s double")
+    rows = {r["doc_id"]: r["fused_score"] for r in
+            linear_fuse([a], [1.0], k=10).collect()}
+    assert rows == {1: 1.0, 2: 1.0}   # max == min -> every candidate 1.0
+
+
+def test_hybrid_linear_end_to_end(spark, built):
+    from fatespark.hybrid import hybrid_linear
+    emb = spark.createDataFrame(EMB, "vec_id long, embedding array<double>")
+    out = hybrid_linear(built, emb, ["spark", "join"],
+                        [1.0, 0.1, 0.0, 0.0], k=3, n_candidates=4).collect()
+    assert [c for c in out[0].asDict()] == \
+        ["doc_id", "fused_score", "norm_text", "norm_vec"]
+    for r in out:
+        want = 0.7 * (r["norm_text"] or 0.0) + 0.3 * (r["norm_vec"] or 0.0)
+        assert math.isclose(r["fused_score"], want, rel_tol=0, abs_tol=0)
+        for nm in ("norm_text", "norm_vec"):
+            assert r[nm] is None or 0.0 <= r[nm] <= 1.0
+    # the best text+vec doc leads with its arm maxima normalized to 1
+    assert out[0]["fused_score"] <= 1.0
+
+
+def test_linear_fuse_validation(spark):
+    from fatespark.hybrid import linear_fuse
+    a = spark.createDataFrame([(1, 1.0)], "_id long, s double")
+    with pytest.raises(ValueError):
+        linear_fuse([], [])
+    with pytest.raises(ValueError):
+        linear_fuse([a], [0.5, 0.5])
