@@ -2546,6 +2546,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         k=10, pool=50)
     q["ann_sq8_topk"] = ann_sq8_topk
 
+    def ann_filtered_topk(spark, sf):
+        """Filtered vector search (the Lucene filtered-knn case: metadata
+        predicate FIRST, then rank) — label = 3 pre-filters the corpus
+        and the SQ8 stats/codes/candidates/rerank all run on the
+        filtered set, so the predicate composes with the quantized path
+        instead of post-filtering ranked results (post-filtering returns
+        < k under selective predicates — the classic filtered-knn bug)."""
+        from fatespark.sq8 import sq8_topk
+        e = _read(spark, sf, "embeddings")
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        base = e.filter((F.col("vec_id") != 0) & (F.col("label") == 3))
+        return sq8_topk(base, list(qv), k=10, pool=50)
+    q["ann_filtered_topk"] = ann_filtered_topk
+
+    def ft_rare_terms(spark, sf):
+        """ES rare_terms aggregation: dictionary terms with document
+        frequency <= max_doc_count (380) — the long-tail complement of
+        the terms agg; a pure pruned dictionary scan, postings never
+        touched. 'dup' is planted at ~5% df so the bucket set is
+        non-vacuous and corpus-head terms are excluded."""
+        i = _index(spark, sf)
+        return (i.terms.filter(F.col("df") <= 380)
+                .select("term", "df").orderBy("term"))
+    q["ft_rare_terms"] = ft_rare_terms
+
     # -- geo serving surface (ES geo_distance / geo_bounding_box /
     # geotile_grid). Coordinates are planted deterministically from
     # doc_id (integer degrees — the robots/anchor fixture precedent):
@@ -2898,7 +2923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         # session-8 NEW ops first, same reasoning as below
         "ft_phrase_suggest", "ft_phrase_collate", "ft_synonym_graph",
-        "ft_composite_agg", "st_trending", "hy_linear", "ann_sq8_topk", "geo_distance", "geo_bbox", "geo_grid",
+        "ft_composite_agg", "st_trending", "hy_linear", "ann_sq8_topk",
+        "ann_filtered_topk", "ft_rare_terms", "geo_distance", "geo_bbox", "geo_grid",
         "tx_kn_surprisal", "ft_best_passage",
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
@@ -6052,6 +6078,13 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2"""
     from fatespark.sq8 import sq8_topk_sql as _sq8_sql
     o["ann_sq8_topk"] = _sq8_sql("embeddings", 64, query_id=0, k=10,
                                  pool=50)
+
+    o["ann_filtered_topk"] = _sq8_sql("embeddings", 64, query_id=0, k=10,
+                                      pool=50, where="label = 3")
+
+    o["ft_rare_terms"] = f"""
+WITH {_TOK_CTES}
+SELECT term, df FROM dfs WHERE df <= 380 ORDER BY term"""
 
     from fatespark import geo as _geo
     _geo_src = ("(SELECT doc_id, "

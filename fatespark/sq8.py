@@ -168,17 +168,21 @@ class Sq8VectorIndex:
 
 
 def sq8_topk_sql(src: str, dim: int, *, query_id: int = 0, k: int = 10,
-                 pool: int = 50, bits: int = 7) -> str:
+                 pool: int = 50, bits: int = 7,
+                 where: str | None = None) -> str:
     """DuckDB twin: same stats, same quantization expression tree, same
     int64 candidate scores, same pool cut, same rerank convention —
     hash-exact.  The query vector is row ``query_id`` of ``src`` and is
-    excluded from the searched set (the ann_topk convention)."""
+    excluded from the searched set (the ann_topk convention).
+    ``where`` pre-filters the searched set — the filtered-knn case
+    (train stats come from the filtered set too, matching the engine)."""
     levels = (1 << bits) - 1
     qexpr = ("list_transform({col}, x -> least({lv}, greatest(0, "
              "CAST(floor((CAST(x AS DOUBLE) - mind) * scale) AS INT))))")
+    extra = f" AND ({where})" if where else ""
     return f"""
 WITH base AS (
-  SELECT vec_id, embedding FROM {src} WHERE vec_id <> {query_id}
+  SELECT vec_id, embedding FROM {src} WHERE vec_id <> {query_id}{extra}
 ),
 st AS (
   SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS mind,

@@ -115,3 +115,25 @@ def test_validation(emb):
         sq8_topk(df, [0.0] * DIM, k=10, pool=5)
     with pytest.raises(ValueError):
         sq8_stats(df.filter(F.col("vec_id") < 0))
+
+
+def test_filtered_knn_prefilters(emb, spark):
+    """Filtered knn: predicate FIRST, then rank — always k results from
+    the filtered set (post-filtering a ranked list can return < k)."""
+    df, v = emb
+    q = [float(x) for x in v[0]]
+    base = df.filter((F.col("vec_id") % 3 == 0) & (F.col("vec_id") != 0))
+    got = sq8_topk(base, q, k=5, pool=20).collect()
+    allowed = {r["vec_id"] for r in base.select("vec_id").collect()}
+    assert len(got) == 5 and {r["vec_id"] for r in got} <= allowed
+    # equals the brute filtered ranking (stats trained on the filter set)
+    minv, maxv = sq8_stats(base)
+    codes = brute_codes(v, minv, maxv)
+    qc = np.array(quantize_query(q, minv, maxv), dtype=np.int64)
+    ids = sorted(allowed)
+    qs = {i: int(codes[i] @ qc) for i in ids}
+    pool = sorted(ids, key=lambda i: (-qs[i], i))[:20]
+    vd = v.astype(np.float64)
+    cos = vd @ vd[0] / (np.linalg.norm(vd, axis=1) * np.linalg.norm(vd[0]))
+    want = sorted(pool, key=lambda i: (-cos[i], i))[:5]
+    assert [r["vec_id"] for r in got] == want
