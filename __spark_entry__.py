@@ -2560,6 +2560,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sq8_topk(base, list(qv), k=10, pool=50)
     q["ann_filtered_topk"] = ann_filtered_topk
 
+    def ann_maxsim(spark, sf):
+        """ColBERT MaxSim late interaction (Khattab & Zaharia 2020): the
+        64-dim embedding splits into 4 x 16-dim token vectors (documented
+        fixture synthesis, itself replayed in the twin), every vector
+        quantizes to floor(v*4096) int codes, and score(q, d) = sum over
+        query tokens of max over doc tokens of the INT64 dot — exact
+        integer arithmetic end-to-end, one narrow codegen projection into
+        a k-bounded top-k. Query tokens come from vec 0's embedding."""
+        from fatespark.maxsim import maxsim_topk, split_multivector
+        e = _read(spark, sf, "embeddings")
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        qtoks = [list(qv[i * 16:(i + 1) * 16]) for i in range(4)]
+        return maxsim_topk(
+            e.filter(F.col("vec_id") != 0), qtoks, k=10,
+            tokens_col=split_multivector("embedding", 4, 16))
+    q["ann_maxsim"] = ann_maxsim
+
     def ft_rare_terms(spark, sf):
         """ES rare_terms aggregation: dictionary terms with document
         frequency <= max_doc_count (380) — the long-tail complement of
@@ -2924,7 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-8 NEW ops first, same reasoning as below
         "ft_phrase_suggest", "ft_phrase_collate", "ft_synonym_graph",
         "ft_composite_agg", "st_trending", "hy_linear", "ann_sq8_topk",
-        "ann_filtered_topk", "ft_rare_terms", "geo_distance", "geo_bbox", "geo_grid",
+        "ann_filtered_topk", "ft_rare_terms", "ann_maxsim", "geo_distance", "geo_bbox", "geo_grid",
         "tx_kn_surprisal", "ft_best_passage",
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
@@ -6081,6 +6098,9 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2"""
 
     o["ann_filtered_topk"] = _sq8_sql("embeddings", 64, query_id=0, k=10,
                                       pool=50, where="label = 3")
+    from fatespark.maxsim import maxsim_topk_sql as _ms_sql
+    o["ann_maxsim"] = _ms_sql("embeddings", [None] * 4, k=10, n_tokens=4,
+                              dim=16, query_id=0)
 
     o["ft_rare_terms"] = f"""
 WITH {_TOK_CTES}
