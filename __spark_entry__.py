@@ -88,6 +88,18 @@ PERC_QUERIES = [
     (10, ["spark", "Spark", "SPARK"], None),  # dedups to one term
 ]
 
+# Phrase-percolator registry (ft_percolate_phrase): candidate gate +
+# adjacency verify. At sf0.01 the candidate/verified gap is large
+# (batch+scan co-occur in 331 docs, adjacent in 41) so the phrase gate
+# is non-vacuous; query 5's 3-token phrase occurs exactly once.
+PERC_PHRASE_QUERIES = [
+    (1, ["batch", "scan"], None, ["batch", "scan"]),
+    (2, ["merge", "join"], None, ["merge", "JOIN"]),   # fold exercised
+    (3, ["batch", "join"], 2, None),                   # plain msm control
+    (4, ["slow", "row"], 1, ["slow", "row"]),          # OR cand + phrase
+    (5, ["big", "data", "table"], None, ["big", "data", "table"]),
+]
+
 
 # Boilerplate trailers planted into the synthetic corpus for the
 # substring-dedup / repetition / decontamination queries (the tx_pii_mask
@@ -949,6 +961,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             PERC_QUERIES, "query_id long, terms array<string>, min_match int")
         return percolate(d, qs)
     q["ft_percolate"] = ft_percolate
+
+    def ft_percolate_phrase(spark, sf):
+        """Phrase percolation (Lucene Monitor's candidate-then-verify):
+        PERC_PHRASE_QUERIES rows keep the broadcast terms+msm candidate
+        gate and, where a phrase is registered, additionally require the
+        folded phrase ADJACENT in the doc — verified by a narrow per-doc
+        literal-expression pass (phrases collected driver-side, the
+        registry-bounded contract) and a match-bounded equi-join. At
+        sf0.01 the gate is sharply non-vacuous: batch+scan candidates 331
+        docs, adjacency keeps 41."""
+        from fatespark.percolate import percolate_phrases
+        d = _read(spark, sf, "documents")
+        qs = spark.createDataFrame(
+            PERC_PHRASE_QUERIES,
+            "query_id long, terms array<string>, min_match int, "
+            "phrase array<string>")
+        return percolate_phrases(d, qs)
+    q["ft_percolate_phrase"] = ft_percolate_phrase
 
     def ft_filtered(spark, sf):
         """Index-side metadata filter (filters-as-postings): score 'batch'
@@ -2941,7 +2971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-8 NEW ops first, same reasoning as below
         "ft_phrase_suggest", "ft_phrase_collate", "ft_synonym_graph",
         "ft_composite_agg", "st_trending", "hy_linear", "ann_sq8_topk",
-        "ann_filtered_topk", "ft_rare_terms", "ann_maxsim", "geo_distance", "geo_bbox", "geo_grid",
+        "ann_filtered_topk", "ft_rare_terms", "ann_maxsim",
+        "ft_percolate_phrase", "geo_distance", "geo_bbox", "geo_grid",
         "tx_kn_surprisal", "ft_best_passage",
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
@@ -4033,6 +4064,77 @@ m AS (
 SELECT doc_id, query_id::INT AS query_id, n_matched
 FROM m WHERE n_matched >= mm
 ORDER BY doc_id, query_id"""
+    # phrase percolator twin: same candidate CTEs over the phrase
+    # registry, plus per-phrase adjacency arms (folded literal tokens)
+    # and the engine's phrase-or-not final gate
+    from fatespark.analysis import ascii_fold as _af
+    _ppc_vals = ", ".join(
+        "({}, [{}], {})".format(
+            qid, ", ".join("'" + t.replace("'", "''") + "'" for t in terms),
+            "NULL::INT" if msm is None else str(msm))
+        for qid, terms, msm, _ in PERC_PHRASE_QUERIES)
+    _pp_arms, _pp_ids = [], []
+    for _qid, _, _, _phrase in PERC_PHRASE_QUERIES:
+        if _phrase is None:
+            continue
+        _pt = [_af(t) for t in _phrase]
+        _L = len(_pt)
+        _cj = " AND ".join(f"toks[i+{j}] = '{w}'"
+                           for j, w in enumerate(_pt))
+        _pp_arms.append(
+            f"  SELECT doc_id, {_qid} AS query_id FROM tokset\n"
+            f"  WHERE len(list_filter(range(1, len(toks) + 2 - {_L}),\n"
+            f"        i -> {_cj})) > 0")
+        _pp_ids.append(str(_qid))
+    o["ft_percolate_phrase"] = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, translate(t, '{_UP}', '{_LO}') AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+tokset AS (
+  SELECT doc_id,
+         list_transform(
+             list_filter(regexp_split_to_array(coalesce(text, ''),
+                                               '{_WS_SQL}'), x -> x <> ''),
+             x -> translate(x, '{_UP}', '{_LO}')) AS toks
+  FROM documents
+),
+qreg AS (SELECT * FROM (VALUES {_ppc_vals})
+         AS t(query_id, terms, min_match)),
+qn AS (
+  SELECT query_id,
+         list_distinct(list_filter(
+             list_transform(terms, x -> translate(x, '{_UP}', '{_LO}')),
+             x -> x <> '')) AS terms,
+         min_match
+  FROM qreg
+),
+qt AS (
+  SELECT query_id,
+         greatest(1, coalesce(min_match, len(terms))) AS mm,
+         unnest(terms) AS term
+  FROM qn
+),
+m AS (
+  SELECT d.doc_id, qt.query_id, any_value(qt.mm) AS mm,
+         count(*) AS n_matched
+  FROM dt d JOIN qt USING (term)
+  GROUP BY d.doc_id, qt.query_id
+),
+pp AS (
+{chr(10).join(a + (" UNION ALL" if i < len(_pp_arms) - 1 else "")
+              for i, a in enumerate(_pp_arms))}
+)
+SELECT m.doc_id AS doc_id, m.query_id::INT AS query_id, n_matched
+FROM m LEFT JOIN pp ON pp.doc_id = m.doc_id AND pp.query_id = m.query_id
+WHERE n_matched >= mm
+  AND (m.query_id NOT IN ({", ".join(_pp_ids)})
+       OR pp.query_id IS NOT NULL)
+ORDER BY m.doc_id, m.query_id"""
+
     o["ft_not"] = _bm25_sql(
         QS["or2"], "OR",
         where_scored="doc_id NOT IN (SELECT doc_id FROM tfs "

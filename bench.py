@@ -924,6 +924,47 @@ def main() -> None:
     def _ggrid():
         return _geo.geotile_grid(_geo_pts_bench(200_000), 7).count()
 
+    # -- round-4 session-8 serving ops ---------------------------------------
+    _ps_docs = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+
+    @timed("q_phrase_suggest", reps=3, pre=clean_room)
+    def _psg():  # whole-query did-you-mean: banded candidates + 3
+        # candidate-filtered corpus passes for the bigram LM
+        from fatespark.phrasesuggest import phrase_suggest
+        return phrase_suggest(idx, _ps_docs, ["smiht", "jnoes"],
+                              k=5, m=5, max_edit=2).collect()
+
+    @timed("q_synonym_graph", reps=3)
+    def _syng():  # multi-word synonym clause + plain term, 2 positions
+        return idx.search_synonym_graph(
+            ["smith", "taylor"], {"smith": ["smith jones"]},
+            k=10).collect()
+
+    @timed("q_hybrid_linear", reps=3)
+    def _hyl():  # min-max-normalized weighted fusion over the same arms
+        from fatespark.hybrid import hybrid_linear
+        return hybrid_linear(idx, _synth_emb(100_000), ["smith", "jones"],
+                             qv, k=10, n_candidates=50,
+                             use_wand=True).collect()
+
+    @timed("q_composite_agg", reps=3)
+    def _cmp():  # one combinable count agg + bounded page
+        from fatespark.composite import composite_agg, histogram_source
+        return composite_agg(
+            corpus, [("lang", F.col("lang")),
+                     ("hlen", histogram_source(
+                         F.length(F.coalesce(F.col("text"), F.lit(""))),
+                         64.0))], size=10).collect()
+
+    @timed("ann_maxsim_100k", reps=3, pre=clean_room)
+    def _msim():  # ColBERT MaxSim: 4x16 token vectors, int64 dots,
+        # one codegen projection + bounded top-k over 100k vectors
+        from fatespark.maxsim import maxsim_topk, split_multivector
+        qtoks = [list(qv[i * 16:(i + 1) * 16]) for i in range(4)]
+        return maxsim_topk(_synth_emb(100_000), qtoks, k=10,
+                           tokens_col=split_multivector("embedding",
+                                                        4, 16)).collect()
+
     # -- round-4 session-2 operators ----------------------------------------
     @timed("q_msm", reps=3)
     def _msm():  # minimum_should_match floor: 2 of 3, same scan as q_or3

@@ -82,3 +82,72 @@ def percolate(docs: DataFrame, queries_df: DataFrame,
     return (matched.filter(F.col("n_matched") >= F.col("min_match"))
             .select("doc_id", "query_id", "n_matched")
             .orderBy("doc_id", "query_id"))
+
+
+def percolate_phrases(docs: DataFrame, queries_df: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      broadcast: bool = True,
+                      max_phrases: int = 100_000) -> DataFrame:
+    """Percolation with PHRASE constraints — the Lucene Monitor shape:
+    every stored query keeps the terms + ``min_match`` candidate gate
+    (for a pure match_phrase saved search, register the phrase's tokens
+    with ``min_match = n`` — the conjunctive pre-filter Monitor derives
+    automatically), and rows with a non-null ``phrase`` column
+    additionally require the folded phrase to occur ADJACENTLY in the
+    document (the exact verify step on the candidate set).
+
+    Plan: candidate generation is the unchanged broadcast terms path
+    (corpus never shuffles); phrase verification is a NARROW per-doc
+    pass — phrases are collected driver-side (registries are
+    query-bounded by the same contract that lets them broadcast;
+    ``max_phrases`` guards the degenerate case) and each doc emits the
+    ids of phrases it contains via literal adjacency expressions; the
+    final gate is a match-bounded equi-join. Zero corpus-side shuffles.
+    """
+    from .analysis import ascii_fold
+
+    preg = [(int(r["query_id"]),
+             [ascii_fold(t) for t in r["phrase"]])
+            for r in queries_df.select("query_id", "phrase")
+            .where(F.col("phrase").isNotNull()).collect()]
+    if len(preg) > max_phrases:
+        raise ValueError(f"{len(preg)} phrase queries > max_phrases="
+                         f"{max_phrases}; shard the registry")
+    cand = percolate(docs, queries_df.select("query_id", "terms",
+                                             "min_match"),
+                     text_col=text_col, id_col=id_col,
+                     broadcast=broadcast)
+    if not preg:
+        return cand
+
+    toks = F.array_compact(
+        F.transform(tokens_col(text_col), lambda t: fold_col(t)))
+    flags = []
+    for qid, ptoks in preg:
+        L = len(ptoks)
+        if L == 0:
+            continue
+        hit = F.exists(
+            F.sequence(F.lit(1), F.size("_toks") - F.lit(L - 1)),
+            lambda i: F.aggregate(
+                F.sequence(F.lit(0), F.lit(L - 1)),
+                F.lit(True),
+                lambda acc, j: acc & (F.element_at("_toks", (i + j)
+                                                   .cast("int"))
+                                      == F.element_at(
+                                          F.array(*[F.lit(t)
+                                                    for t in ptoks]),
+                                          (j + 1).cast("int")))))
+        flags.append(F.when((F.size("_toks") >= L) & hit, F.lit(qid)))
+    pairs = (docs.select(F.col(id_col).alias("doc_id"),
+                         toks.alias("_toks"))
+             .select("doc_id",
+                     F.explode(F.array_compact(F.array(*flags)))
+                     .alias("query_id")))
+    ph_ids = [qid for qid, _ in preg]
+    out = cand.join(pairs.withColumn("_ok", F.lit(1)),
+                    ["doc_id", "query_id"], "left")
+    return (out.filter(~F.col("query_id").isin(ph_ids)
+                       | F.col("_ok").isNotNull())
+            .select("doc_id", "query_id", "n_matched")
+            .orderBy("doc_id", "query_id"))

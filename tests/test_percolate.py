@@ -100,3 +100,50 @@ def test_registry_broadcast_plan(spark):
     a = {tuple(r) for r in percolate(docs, qs).collect()}
     b = {tuple(r) for r in shuffle_path.collect()}
     assert a == b
+
+
+def test_phrase_percolation(spark):
+    """Phrase constraint: adjacency required (folded), msm-only rows
+    unaffected, candidate-but-not-adjacent docs pruned."""
+    from fatespark.percolate import percolate_phrases
+    docs = spark.createDataFrame([
+        (1, "batch scan join"), (2, "scan batch join"), (3, "merge JOIN"),
+        (4, "batch join scan"), (5, "slow row")],
+        "doc_id long, text string")
+    reg = spark.createDataFrame([
+        (1, ["batch", "scan"], None, ["batch", "SCAN"]),   # fold both sides
+        (2, ["merge", "join"], None, ["merge", "join"]),
+        (3, ["batch", "join"], None, None),
+        (4, ["row", "slow"], 1, ["slow", "row"]),
+    ], "query_id int, terms array<string>, min_match int, "
+       "phrase array<string>")
+    got = sorted((r["doc_id"], r["query_id"])
+                 for r in percolate_phrases(docs, reg).collect())
+    # q1: docs 1/2/4 are term candidates; only doc 1 has 'batch scan'
+    # adjacent. q2: doc 3 (folded). q3 msm control: 1/2/4. q4: doc 5.
+    assert got == [(1, 1), (1, 3), (2, 3), (3, 2), (4, 3), (5, 4)]
+
+
+def test_phrase_percolation_no_phrases_degenerates(spark):
+    from fatespark.percolate import percolate_phrases
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    reg = spark.createDataFrame(
+        [(q, t, m, None) for q, t, m in QUERIES],
+        "query_id long, terms array<string>, min_match int, "
+        "phrase array<string>")
+    qs = spark.createDataFrame(
+        QUERIES, "query_id long, terms array<string>, min_match int")
+    a = [tuple(r) for r in percolate_phrases(docs, reg).collect()]
+    b = [tuple(r) for r in percolate(docs, qs).collect()]
+    assert a == b
+
+
+def test_phrase_registry_bound(spark):
+    from fatespark.percolate import percolate_phrases
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    reg = spark.createDataFrame(
+        [(i, ["a"], None, ["a", "b"]) for i in range(3)],
+        "query_id int, terms array<string>, min_match int, "
+        "phrase array<string>")
+    with pytest.raises(ValueError):
+        percolate_phrases(docs, reg, max_phrases=2)
