@@ -745,6 +745,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             size=6, after=("en", 0.0))
     q["ft_composite_agg"] = ft_composite_agg
 
+    def ft_terms_set(spark, sf):
+        """terms_set query (ES minimum_should_match_field, Lucene
+        CoveringQuery): each doc's own floor — planted req_m = doc_id % 3
+        + 1, so all three thresholds fire — gates how many of {batch,
+        join, scan} it must contain; qualifying docs keep the full OR
+        BM25 sum. Relational over the posting streams (the explain()
+        precedent): term-pruned tf agg, broadcast idf/avgdl, static
+        sorted-term coalesce-0 score fold, match-bounded floor join."""
+        from fatespark.termsset import terms_set_search
+        idx = _index(spark, sf)
+        d = _read(spark, sf, "documents").select(
+            "doc_id", (F.col("doc_id") % 3 + 1).alias("req_m"))
+        return terms_set_search(idx, d, ["batch", "join", "scan"],
+                                "req_m", k=10, quantize=4)
+    q["ft_terms_set"] = ft_terms_set
+
     def ft_explain(spark, sf):
         """Score explanation (SearchIndex.explain, the Lucene Explanation
         surface): per-(doc, term) BM25 breakdown — tf, df, dl, idf,
@@ -2972,7 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_suggest", "ft_phrase_collate", "ft_synonym_graph",
         "ft_composite_agg", "st_trending", "hy_linear", "ann_sq8_topk",
         "ann_filtered_topk", "ft_rare_terms", "ann_maxsim",
-        "ft_percolate_phrase", "geo_distance", "geo_bbox", "geo_grid",
+        "ft_percolate_phrase", "ft_terms_set", "geo_distance", "geo_bbox", "geo_grid",
         "tx_kn_surprisal", "ft_best_passage",
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
@@ -4329,6 +4345,10 @@ oprox AS (
         [QS["phrase"].split(), ["merge", "scan"]])
     o["ft_synonym_graph"] = _bm25_synonym_graph_sql(
         [[["merge"], ["batch", "scan"]], [["row"], ["slow"]]])
+    from fatespark.termsset import terms_set_sql as _tset_sql
+    o["ft_terms_set"] = _tset_sql("documents", ["batch", "join", "scan"],
+                                  "doc_id % 3 + 1", k=10, quantize=4)
+
     from fatespark.composite import composite_agg_sql as _comp_sql
     o["ft_composite_agg"] = _comp_sql(
         "documents",
