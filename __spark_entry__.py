@@ -2623,6 +2623,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tokens_col=split_multivector("embedding", 4, 16))
     q["ann_maxsim"] = ann_maxsim
 
+    def ann_batch_topk(spark, sf):
+        """Batched multi-query vector search (ann.batch_quantized_topk):
+        query vectors 0/1/2 answered from ONE corpus scan — per-partition
+        local top-k in a single Arrow pass (int64 quantized dots, the
+        maxsim exactness), then one BOUNDED window over Q x partitions x
+        k rows. The vector-side search_many: however many queries ride
+        the scan, the corpus is read once."""
+        from fatespark.ann import batch_quantized_topk
+        e = _read(spark, sf, "embeddings")
+        qids = [0, 1, 2]
+        qvs = {r["vec_id"]: list(r["embedding"]) for r in
+               e.filter(F.col("vec_id").isin(qids))
+               .select("vec_id", "embedding").collect()}
+        return batch_quantized_topk(
+            e.filter(~F.col("vec_id").isin(qids)),
+            [qvs[q] for q in qids], k=10)
+    q["ann_batch_topk"] = ann_batch_topk
+
     def ft_rare_terms(spark, sf):
         """ES rare_terms aggregation: dictionary terms with document
         frequency <= max_doc_count (380) — the long-tail complement of
@@ -2988,7 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_suggest", "ft_phrase_collate", "ft_synonym_graph",
         "ft_composite_agg", "st_trending", "hy_linear", "ann_sq8_topk",
         "ann_filtered_topk", "ft_rare_terms", "ann_maxsim",
-        "ft_percolate_phrase", "ft_terms_set", "geo_distance", "geo_bbox", "geo_grid",
+        "ft_percolate_phrase", "ft_terms_set", "ann_batch_topk", "geo_distance", "geo_bbox", "geo_grid",
         "tx_kn_surprisal", "ft_best_passage",
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
@@ -6220,6 +6238,9 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2"""
 
     o["ann_filtered_topk"] = _sq8_sql("embeddings", 64, query_id=0, k=10,
                                       pool=50, where="label = 3")
+    from fatespark.ann import batch_quantized_topk_sql as _bq_sql
+    o["ann_batch_topk"] = _bq_sql("embeddings", [0, 1, 2], k=10, dim=64)
+
     from fatespark.maxsim import maxsim_topk_sql as _ms_sql
     o["ann_maxsim"] = _ms_sql("embeddings", [None] * 4, k=10, n_tokens=4,
                               dim=16, query_id=0)

@@ -650,3 +650,89 @@ class PqVectorIndex:
             self.id_col)
         cand = emb_df.join(F.broadcast(short), self.id_col)
         return cosine_topk(cand, query_vec, k, self.id_col, self.vec_col)
+
+
+def batch_quantized_topk(emb_df: DataFrame, query_vecs, k: int = 10, *,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Batched multi-query vector search from ONE corpus scan — the
+    query-log-replay shape (the ``search_many`` analogue for vectors):
+    all Q query vectors score every partition in a single Arrow pass,
+    each partition emits only its per-query local top-k, and one BOUNDED
+    window (Q x partitions x k rows) ranks the global per-query top-k.
+    The corpus is read once however many queries ride along.
+
+    Exactness: vectors quantize to ``floor(v * 4096)`` int codes (the
+    maxsim/MMR precedent) and scores are int64 dots — numpy integer
+    matmul is exact, the (score DESC, id ASC) order total, so results
+    are bit-identical to any per-query engine and hash-exact in SQL.
+
+    Output: (q_idx, vec_id, qscore, rank), ordered (q_idx, rank).
+    """
+    if not query_vecs:
+        raise ValueError("batch needs >= 1 query vector")
+    qm = np.floor(np.asarray(query_vecs, dtype=np.float64)
+                  * 4096.0).astype(np.int64)
+    nq, dim = qm.shape
+    kk = int(k)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.floor(np.stack(pdf[vec_col].values).astype(np.float64)
+                         * 4096.0).astype(np.int64)
+            if v.shape[1] != dim:
+                raise ValueError(f"dim {v.shape[1]} != query dim {dim}")
+            ids = pdf[id_col].to_numpy()
+            s = v @ qm.T                      # (n, Q) exact int64
+            out_q, out_i, out_s = [], [], []
+            for qi in range(nq):
+                col = s[:, qi]
+                order = np.lexsort((ids, -col))[:kk]
+                out_q.append(np.full(len(order), qi, dtype=np.int32))
+                out_i.append(ids[order])
+                out_s.append(col[order])
+            yield pd.DataFrame({
+                "q_idx": np.concatenate(out_q),
+                id_col: np.concatenate(out_i),
+                "qscore": np.concatenate(out_s)})
+
+    from pyspark.sql.window import Window
+    local = emb_df.select(id_col, vec_col).mapInPandas(
+        kernel, f"q_idx int, {id_col} long, qscore long")
+    w = Window.partitionBy("q_idx").orderBy(F.desc("qscore"),
+                                            F.asc(id_col))
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kk)
+            .select("q_idx", id_col, "qscore",
+                    F.col("rank").cast("int").alias("rank"))
+            .orderBy("q_idx", "rank"))
+
+
+def batch_quantized_topk_sql(src: str, query_ids: list[int], k: int = 10,
+                             dim: int = 64) -> str:
+    """DuckDB twin: per query-id arm, the same floor(v*4096) codes and
+    int64 dots over the non-query rows, ranked (score DESC, id ASC) and
+    cut at k; arms UNION ALL'd in q_idx order."""
+    qlist = ", ".join(str(q) for q in query_ids)
+    code = ("list_transform({col}, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT))")
+    dot = (f"list_sum(list_transform(range(1, {dim} + 1), "
+           f"j -> c[j] * qc[j]))::BIGINT")
+    arms = []
+    for qi, qid in enumerate(query_ids):
+        arms.append(f"""
+  SELECT {qi} AS q_idx, vec_id, qscore,
+         CAST(row_number() OVER (ORDER BY qscore DESC, vec_id) AS INT)
+         AS rank
+  FROM (
+    SELECT b.vec_id, {dot} AS qscore
+    FROM (SELECT vec_id, {code.format(col='embedding')} AS c
+          FROM {src} WHERE vec_id NOT IN ({qlist})) b,
+         (SELECT {code.format(col='embedding')} AS qc
+          FROM {src} WHERE vec_id = {qid}) q
+  )
+  QUALIFY rank <= {k}""")
+    return ("SELECT * FROM (" + "\n  UNION ALL\n".join(arms)
+            + "\n) ORDER BY q_idx, rank")

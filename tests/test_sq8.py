@@ -137,3 +137,27 @@ def test_filtered_knn_prefilters(emb, spark):
     cos = vd @ vd[0] / (np.linalg.norm(vd, axis=1) * np.linalg.norm(vd[0]))
     want = sorted(pool, key=lambda i: (-cos[i], i))[:5]
     assert [r["vec_id"] for r in got] == want
+
+
+def test_batch_quantized_topk(emb, spark):
+    """Batched ANN: each query's result equals its own brute quantized
+    ranking; one scan serves all queries."""
+    from fatespark.ann import batch_quantized_topk
+    df, v = emb
+    qids = [0, 1, 2]
+    base = df.filter(~F.col("vec_id").isin(qids))
+    qvs = [[float(x) for x in v[q]] for q in qids]
+    got = batch_quantized_topk(base, qvs, k=5).collect()
+    assert len(got) == 15
+    codes = np.floor(v.astype(np.float64) * 4096.0).astype(np.int64)
+    for qi, q in enumerate(qids):
+        rows = [r for r in got if r["q_idx"] == qi]
+        s = codes @ codes[q]
+        order = sorted((i for i in range(N) if i not in qids),
+                       key=lambda i: (-s[i], i))[:5]
+        assert [r["vec_id"] for r in rows] == order
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        for r in rows:
+            assert r["qscore"] == int(s[r["vec_id"]])
+    with pytest.raises(ValueError):
+        batch_quantized_topk(base, [], k=5)
