@@ -703,6 +703,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             mode="OR", quantize=4)
     q["ft_recency"] = ft_recency
 
+    def ft_decay_gauss(spark, sf):
+        """function_score gauss decay (rescore.decay_topk): the same
+        exact BM25 top-50 window as ft_recency, multiplied by
+        decay^((dist/scale)^2) around a planted numeric field (dist in
+        days from origin 100, offset 20 — docs inside the offset keep
+        their BM25 unchanged, the ES plateau). Broadcast-pool rescore,
+        corpus never shuffled; exp/linear shapes share the kernel and
+        are pinned in tests."""
+        from fatespark.rescore import decay_topk
+        idx = _index(spark, sf)
+        meta = _read(spark, sf, "documents").select(
+            "doc_id", (F.col("doc_id") % 365).cast("double").alias("age"))
+        return decay_topk(idx, meta, QS["or2"], shape="gauss",
+                          origin=100.0, scale=60.0, offset=20.0,
+                          decay=0.5, field_col="age", k=10, pool=50,
+                          mode="OR", quantize=4)
+    q["ft_decay_gauss"] = ft_decay_gauss
+
     def ft_collapse(spark, sf):
         """Diversity-capped top-k / site collapsing (rescore.collapsed_topk):
         at most 2 results per source within the exact BM25 top-50 window,
@@ -3006,7 +3024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_suggest", "ft_phrase_collate", "ft_synonym_graph",
         "ft_composite_agg", "st_trending", "hy_linear", "ann_sq8_topk",
         "ann_filtered_topk", "ft_rare_terms", "ann_maxsim",
-        "ft_percolate_phrase", "ft_terms_set", "ann_batch_topk", "geo_distance", "geo_bbox", "geo_grid",
+        "ft_percolate_phrase", "ft_terms_set", "ann_batch_topk",
+        "ft_decay_gauss", "geo_distance", "geo_bbox", "geo_grid",
         "tx_kn_surprisal", "ft_best_passage",
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
@@ -4206,6 +4225,20 @@ SELECT c.doc_id,
 FROM ({_bm25_sql(QS["or2"], "OR", limit=50)}
 ) c
 JOIN (SELECT doc_id, {_NOW_TS} - (doc_id % 365) * 86400 AS ts
+      FROM documents) m USING (doc_id)
+ORDER BY score DESC, doc_id
+LIMIT 10"""
+
+    # gauss decay: same pool, multiplier pow(0.5, ((max(0, |age-100|-20)
+    # / 60))^2) — identical expression tree to the engine kernel
+    o["ft_decay_gauss"] = f"""
+SELECT c.doc_id,
+       floor((c.score * pow(0.5,
+              pow(greatest(abs(CAST(m.age AS DOUBLE) - 100.0) - 20.0, 0.0)
+                  / 60.0, 2.0))) * 10000.0) / 10000.0 AS score
+FROM ({_bm25_sql(QS["or2"], "OR", limit=50)}
+) c
+JOIN (SELECT doc_id, CAST(doc_id % 365 AS DOUBLE) AS age
       FROM documents) m USING (doc_id)
 ORDER BY score DESC, doc_id
 LIMIT 10"""

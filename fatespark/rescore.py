@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["recency_topk", "collapsed_topk"]
+__all__ = ["recency_topk", "collapsed_topk", "decay_topk"]
 
 
 def _quantize(col, quantize: int | None):
@@ -132,6 +132,53 @@ def static_rank_topk(index, prior: DataFrame, query, *,
     j = (prior.select(F.col(node_col).alias("doc_id"), pnorm.alias("_p"))
          .join(F.broadcast(cand), "doc_id"))
     boosted = _quantize(F.col("score") * F.col("_p"), quantize)
+    return (j.select("doc_id", boosted.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))
+
+
+def decay_topk(index, meta: DataFrame, query, *, shape: str = "gauss",
+               origin: float, scale: float, offset: float = 0.0,
+               decay: float = 0.5, field_col: str = "ts", k: int = 10,
+               pool: int = 100, mode: str = "OR",
+               quantize: int | None = None,
+               use_wand: bool = False) -> DataFrame:
+    """ES ``function_score`` decay rescoring (gauss | exp | linear) over
+    the exact BM25 top-``pool`` window: distance from ``origin`` beyond
+    ``offset`` shrinks the score multiplicatively —
+
+        dist   = max(0, |field - origin| - offset)
+        gauss  : decay ** ((dist / scale) ** 2)
+        exp    : decay ** (dist / scale)
+        linear : max(0, 1 - dist * (1 - decay) / scale)
+
+    (algebraically identical to the ES formulas: at dist == scale every
+    shape evaluates to ``decay``).  All multipliers are <= 1, so the
+    window-exactness argument of ``recency_topk`` holds verbatim; the
+    rescoring join broadcasts the pool — the corpus never shuffles.
+    ``field_col`` is any numeric column of ``meta`` (epoch seconds,
+    meters, price — decay is unit-agnostic, per ES)."""
+    if shape not in ("gauss", "exp", "linear"):
+        raise ValueError(f"unknown decay shape {shape!r}")
+    if scale <= 0 or not 0.0 < decay < 1.0:
+        raise ValueError("need scale > 0 and 0 < decay < 1")
+    cand = index.search(query, k=pool, mode=mode, quantize=quantize,
+                        use_wand=use_wand)
+    dist = F.greatest(
+        F.abs(F.col(field_col).cast("double") - F.lit(float(origin)))
+        - F.lit(float(offset)), F.lit(0.0))
+    if shape == "gauss":
+        mult = F.pow(F.lit(float(decay)),
+                     F.pow(dist / F.lit(float(scale)), F.lit(2.0)))
+    elif shape == "exp":
+        mult = F.pow(F.lit(float(decay)), dist / F.lit(float(scale)))
+    else:
+        mult = F.greatest(
+            F.lit(1.0) - dist * F.lit((1.0 - float(decay)) / float(scale)),
+            F.lit(0.0))
+    j = (meta.select("doc_id", mult.alias("_m"))
+         .join(F.broadcast(cand), "doc_id"))
+    boosted = _quantize(F.col("score") * F.col("_m"), quantize)
     return (j.select("doc_id", boosted.alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k))

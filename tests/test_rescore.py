@@ -213,3 +213,80 @@ class TestStaticRank:
         prior = spark.createDataFrame([], "node long, rank long")
         with pytest.raises(ValueError):
             static_rank_topk(idx, prior, ["apple"], k=5)
+
+
+class TestDecay:
+    def _meta_age(self, spark):
+        return spark.createDataFrame(
+            [(i, float(age)) for i, _, age, _ in DOCS],
+            "doc_id long, age double")
+
+    def test_gauss_matches_brute(self, built, spark):
+        from fatespark.rescore import decay_topk
+        idx, _ = built
+        meta = self._meta_age(spark)
+        got = decay_topk(idx, meta, ["apple", "banana"], shape="gauss",
+                         origin=0.0, scale=100.0, offset=5.0, decay=0.5,
+                         field_col="age", k=10, pool=10).collect()
+        base = {r["doc_id"]: r["score"] for r in
+                idx.search(["apple", "banana"], k=10, mode="OR").collect()}
+        age = {i: a for i, _, a, _ in DOCS}
+        want = {}
+        for d, s in base.items():
+            dist = max(abs(age[d] - 0.0) - 5.0, 0.0)
+            want[d] = s * 0.5 ** ((dist / 100.0) ** 2)
+        for r in got:
+            assert r["score"] == pytest.approx(want[r["doc_id"]],
+                                               rel=1e-12)
+        order = sorted(want, key=lambda d: (-want[d], d))[:10]
+        assert [r["doc_id"] for r in got] == order
+
+    def test_offset_plateau_keeps_bm25(self, built, spark):
+        from fatespark.rescore import decay_topk
+        idx, _ = built
+        meta = self._meta_age(spark)
+        got = {r["doc_id"]: r["score"] for r in decay_topk(
+            idx, meta, ["apple"], shape="gauss", origin=0.0, scale=50.0,
+            offset=10.0, decay=0.5, field_col="age", k=10,
+            pool=10).collect()}
+        base = {r["doc_id"]: r["score"] for r in
+                idx.search(["apple"], k=10, mode="OR").collect()}
+        for d, a in ((1, 0), (2, 10), (8, 1)):   # inside the offset
+            assert got[d] == base[d]
+
+    def test_shapes_at_scale_equal_decay(self, built, spark):
+        """At dist == scale every shape multiplies by exactly `decay`."""
+        from fatespark.rescore import decay_topk
+        idx, _ = built
+        meta = spark.createDataFrame([(i, 100.0) for i, _, _, _ in DOCS],
+                                     "doc_id long, age double")
+        base = {r["doc_id"]: r["score"] for r in
+                idx.search(["apple"], k=10, mode="OR").collect()}
+        for shape in ("gauss", "exp", "linear"):
+            got = {r["doc_id"]: r["score"] for r in decay_topk(
+                idx, meta, ["apple"], shape=shape, origin=0.0,
+                scale=100.0, decay=0.4, field_col="age", k=10,
+                pool=10).collect()}
+            for d, s in got.items():
+                assert s == pytest.approx(base[d] * 0.4, rel=1e-12), shape
+
+    def test_linear_floors_at_zero(self, built, spark):
+        from fatespark.rescore import decay_topk
+        idx, _ = built
+        meta = spark.createDataFrame([(i, 1000.0) for i, _, _, _ in DOCS],
+                                     "doc_id long, age double")
+        got = decay_topk(idx, meta, ["apple"], shape="linear", origin=0.0,
+                         scale=100.0, decay=0.5, field_col="age", k=10,
+                         pool=10).collect()
+        assert got and all(r["score"] == 0.0 for r in got)
+
+    def test_validation(self, built, spark):
+        from fatespark.rescore import decay_topk
+        idx, _ = built
+        meta = self._meta_age(spark)
+        with pytest.raises(ValueError):
+            decay_topk(idx, meta, ["apple"], shape="step", origin=0.0,
+                       scale=1.0, field_col="age")
+        with pytest.raises(ValueError):
+            decay_topk(idx, meta, ["apple"], shape="exp", origin=0.0,
+                       scale=0.0, field_col="age")
