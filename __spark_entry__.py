@@ -3025,7 +3025,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_composite_agg", "st_trending", "hy_linear", "ann_sq8_topk",
         "ann_filtered_topk", "ft_rare_terms", "ann_maxsim",
         "ft_percolate_phrase", "ft_terms_set", "ann_batch_topk",
-        "ft_decay_gauss", "geo_distance", "geo_bbox", "geo_grid",
+        "ft_decay_gauss",
+        # core engine queries: last official rows are round-3 vintage and
+        # round-4 sessions extended wand.py/query.py — re-check them on
+        # round-4 code inside the budget window
+        "ft_corpus_stats", "ft_count_terms", "ft_term_df_top20",
+        "ft_topk_single", "ft_topk_and2", "ft_topk_or2",
+        "ft_topk_or3_wand", "ft_prefix", "ft_wildcard", "ft_phrase", "geo_distance", "geo_bbox", "geo_grid",
         "tx_kn_surprisal", "ft_best_passage",
         # session-6 NEW ops run first: their rows must land inside the
         # driver budget so the board checks them on this session's code
