@@ -1,15 +1,28 @@
 #!/usr/bin/env python
-"""Pinned pure-CPU host probe — the gate for scaling-pair validity.
+"""Pinned host probe — the gate for scaling-pair validity. Two axes:
 
-Measures per-core arithmetic throughput (register-only splitmix64 loop, no
-memory traffic) at several pinned core counts. On a fair host, per-core
-units are flat in the core count; on this sandbox the hypervisor sometimes
-throttles sustained multi-core load, which corrupts any N-vs-4N pair run in
-that window (BENCH.md round-2 log: rejected pairs in both directions).
+- **cpu**: per-core arithmetic throughput (register-only splitmix64 loop,
+  no memory traffic) at several pinned core counts. Catches hypervisor
+  CPU throttling of sustained multi-core load.
+- **mem**: per-core STREAMING-memory throughput (in-place 64 MB numpy
+  multiply — larger than any cache level, so it measures the shared
+  memory path). Catches the second host failure mode this sandbox
+  exhibits: windows where pure-CPU scales fine but memory bandwidth
+  beyond ~4 cores collapses (observed 2026-08-20: cpu 16c/4c = 1.06
+  while mem 16c/4c = 0.63 in the same minute — and the index build,
+  whose shuffle/codec phases stream far more bytes than they compute,
+  tracked the MEM axis: 16-core level 25% slower than the accepted-pair
+  window on byte-identical code).
 
-Protocol: run the probe IMMEDIATELY BEFORE a scaling pair. Accept the pair
-only if the probe's 16-core per-core ratio vs 4-core is >= the threshold
-(default 0.90). Prints one JSON line.
+On a fair host, per-core units are flat in the core count on BOTH axes;
+separate cluster nodes share neither resource, so a window where either
+axis degrades 4->16 cannot measure the N->4N analogue faithfully.
+
+Protocol: run the probe IMMEDIATELY BEFORE a scaling pair. Accept the
+pair only if BOTH 16-core per-core ratios vs 4-core clear their
+thresholds (cpu >= 0.90; mem >= 0.80 — real DDR saturation costs a few
+percent at 16 streams, the failure mode costs tens). Prints one JSON
+line.
 
 Usage: python bench/hostprobe.py [seconds_per_level]
 """
@@ -38,10 +51,23 @@ def _spin(core: int, secs: float, out) -> None:
     out.put(n)
 
 
-def probe(cores: int, secs: float) -> float:
-    """Mean per-core loop units across ``cores`` pinned workers."""
+def _stream(core: int, secs: float, out) -> None:
+    os.sched_setaffinity(0, {core})
+    import numpy as np
+    a = np.ones(1 << 23, dtype=np.float64)   # 64 MB source
+    b = np.empty_like(a)                     # 64 MB sink, allocated once
+    n = 0
+    t_end = time.time() + secs
+    while time.time() < t_end:
+        np.multiply(a, 1.0000001, out=b)
+        n += 1
+    out.put(n)
+
+
+def probe(cores: int, secs: float, fn=_spin) -> float:
+    """Mean per-core units across ``cores`` pinned workers."""
     q: mp.Queue = mp.Queue()
-    ps = [mp.Process(target=_spin, args=(c, secs, q)) for c in range(cores)]
+    ps = [mp.Process(target=fn, args=(c, secs, q)) for c in range(cores)]
     for p in ps:
         p.start()
     got = [q.get() for _ in ps]
@@ -55,12 +81,18 @@ def main() -> None:
     units = {c: round(probe(c, secs), 1) for c in LEVELS}
     base = units[LEVELS[0]]
     rel = {c: round(units[c] / base, 3) for c in LEVELS}
-    healthy = rel[16] >= 0.90
+    mem_units = {c: round(probe(c, secs, _stream), 1) for c in LEVELS}
+    mem_base = mem_units[LEVELS[0]]
+    mem_rel = {c: round(mem_units[c] / mem_base, 3) for c in LEVELS}
+    healthy = rel[16] >= 0.90 and mem_rel[16] >= 0.80
     print(json.dumps({
-        "metric": "pinned pure-CPU per-core units",
+        "metric": "pinned per-core units (cpu: register loop; "
+                  "mem: 64MB streaming multiply)",
         "secs_per_level": secs,
         "units_per_core": units,
         "relative_to_4": rel,
+        "mem_units_per_core": mem_units,
+        "mem_relative_to_4": mem_rel,
         "healthy_for_4_16_pair": healthy,
     }))
 
