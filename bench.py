@@ -41,8 +41,16 @@ def _hostprobe_gate(retries: int, wait: float) -> dict:
     for attempt in range(retries + 1):
         u4 = hp.probe(4, 2.0)
         u16 = hp.probe(16, 2.0)
+        m4 = hp.probe(4, 2.0, hp._stream)
+        m16 = hp.probe(16, 2.0, hp._stream)
         ratio = u16 / u4
+        mratio = m16 / m4
+        # the CPU axis gates the suite (most entries are latency/compute
+        # shaped); the MEM axis is recorded so a bandwidth-degraded window
+        # (hostprobe.py module docstring) is visible in the artifact and
+        # build_pages numbers from such a window can be discounted
         info = {"probe_ratio_16_over_4": round(ratio, 3),
+                "probe_mem_ratio_16_over_4": round(mratio, 3),
                 "probe_attempt": attempt,
                 "probe_healthy": ratio >= 0.90}
         if info["probe_healthy"]:
@@ -964,6 +972,49 @@ def main() -> None:
         return maxsim_topk(_synth_emb(100_000), qtoks, k=10,
                            tokens_col=split_multivector("embedding",
                                                         4, 16)).collect()
+
+    # -- round-4 session-9 serving ops ---------------------------------------
+    from fatespark.sortedindex import build_sorted as _bsrt, \
+        search_sorted_early as _sse
+    _sorted_dir = "/tmp/fatespark_bench_idx_sorted"
+    _srt_corpus = corpus.select(
+        F.xxhash64("url").alias("doc_id"), "text",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"))
+
+    def _fresh_sorted_dir():
+        clean_room()
+        shutil.rmtree(_sorted_dir, ignore_errors=True)
+
+    @timed("build_sorted_200k", pre=_fresh_sorted_dir)
+    def _srtb():  # Lucene index sorting: two-phase global rank (ONE range
+        # shuffle) + the ordinary build with doc_id = rank
+        return _bsrt(spark, _srt_corpus, _sorted_dir, "n_chars",
+                     config=BuildConfig(n_buckets=8, salt_bits=1,
+                                        block_size=128),
+                     build_id="bench-sorted")
+    sorted_idx = _srtb
+
+    @timed("q_sorted_early", reps=3)
+    def _sseq():  # early-terminated "top-10 longest matching docs":
+        # galloping first_doc < T range probes read a posting-list PREFIX
+        return _sse(sorted_idx, ["smith", "jones"], k=10,
+                    mode="AND").collect()
+
+    @timed("agg_top_hits_200k", reps=3)
+    def _tha():  # ES terms+top_hits: per-lang 3 longest matching docs,
+        # one window shuffle on the group key
+        from fatespark.bucketaggs import top_hits_agg
+        return top_hits_agg(idx, _srt_corpus.join(
+            corpus.select(F.xxhash64("url").alias("doc_id"), "lang"),
+            "doc_id"), ["smith", "jones"], "lang", "n_chars",
+            n=3, mode="OR").collect()
+
+    @timed("agg_adjacency_200k", reps=3)
+    def _adj():  # ES adjacency_matrix: 3 filters + pairwise intersections
+        from fatespark.bucketaggs import adjacency_matrix_agg
+        return adjacency_matrix_agg(
+            idx, {"a": ["smith"], "b": ["jones"],
+                  "c": ["taylor"]}).collect()
 
     # -- round-4 session-2 operators ----------------------------------------
     @timed("q_msm", reps=3)

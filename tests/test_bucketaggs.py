@@ -1,0 +1,104 @@
+"""ES bucket aggregations (fatespark.bucketaggs): top_hits per-group
+ranking and adjacency_matrix filter-intersection counts, both against
+brute-force twins over the same match sets."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fatespark import bucketaggs
+from fatespark.build import BuildConfig, IndexBuilder
+from fatespark.corpus import pages_pandas
+from fatespark.query import SearchIndex
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = pages_pandas(np.arange(250))
+    df = (spark.createDataFrame(pdf[["url", "text"]])
+          .withColumn("doc_id", F.xxhash64("url"))
+          .withColumn("n_chars", F.length("text"))
+          .withColumn("grp", F.pmod(F.col("doc_id"), F.lit(5)))
+          .select("doc_id", "text", "n_chars", "grp"))
+    return df.persist()
+
+
+@pytest.fixture(scope="module")
+def idx(spark, corpus, tmp_root):
+    d = str(tmp_root / "bucketaggs_idx")
+    IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=0)).build(
+        spark, corpus, id_col="doc_id", url_col="doc_id",
+        text_col="text", build_id="ba")
+    return SearchIndex(spark, d)
+
+
+def _match_set(idx, q, mode):
+    return {r["doc_id"] for r in idx.matching_docs(q, mode=mode).collect()}
+
+
+class TestTopHits:
+    def test_matches_brute_force(self, spark, corpus, idx):
+        q, mode, n = ["term00010", "term00050"], "OR", 3
+        ms = _match_set(idx, q, mode)
+        rows = corpus.select("doc_id", "grp", "n_chars").collect()
+        per = {}
+        for r in rows:
+            if r["doc_id"] in ms:
+                per.setdefault(r["grp"], []).append(
+                    (-r["n_chars"], r["doc_id"]))
+        exp = set()
+        for g, lst in per.items():
+            for rank, (nc, d) in enumerate(sorted(lst)[:n], 1):
+                exp.add((g, d, -nc, rank))
+        got = {(r["group"], r["doc_id"], r["n_chars"], r["hit_rank"])
+               for r in bucketaggs.top_hits_agg(
+                   idx, corpus, q, "grp", "n_chars", n=n,
+                   mode=mode).collect()}
+        assert got == exp
+
+    def test_output_bounded_by_groups_times_n(self, spark, corpus, idx):
+        out = bucketaggs.top_hits_agg(idx, corpus, ["the"], "grp",
+                                      "n_chars", n=2, mode="OR")
+        cnt = out.groupBy("group").count().collect()
+        assert all(r["count"] <= 2 for r in cnt)
+        assert len(cnt) <= 5
+
+    def test_ascending_sort(self, spark, corpus, idx):
+        out = bucketaggs.top_hits_agg(
+            idx, corpus, ["the"], "grp", "n_chars", n=1, mode="OR",
+            ascending=True).collect()
+        ms = _match_set(idx, ["the"], "OR")
+        rows = [r for r in corpus.collect() if r["doc_id"] in ms]
+        for o in out:
+            best = min((r["n_chars"], r["doc_id"]) for r in rows
+                       if r["grp"] == o["group"])
+            assert (o["n_chars"], o["doc_id"]) == best
+
+
+class TestAdjacencyMatrix:
+    def test_matches_brute_force(self, spark, corpus, idx):
+        filters = {"a": ["term00010"], "b": ["term00050"], "c": ["search"]}
+        sets = {k: _match_set(idx, v, "OR") for k, v in filters.items()}
+        exp = {}
+        for k, s in sets.items():
+            if s:
+                exp[k] = len(s)
+        names = sorted(filters)
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                inter = sets[names[i]] & sets[names[j]]
+                if inter:
+                    exp[f"{names[i]}&{names[j]}"] = len(inter)
+        got = {r["key"]: r["doc_count"] for r in
+               bucketaggs.adjacency_matrix_agg(idx, filters).collect()}
+        assert got == exp
+
+    def test_single_filter(self, spark, corpus, idx):
+        got = {r["key"]: r["doc_count"] for r in
+               bucketaggs.adjacency_matrix_agg(
+                   idx, {"only": ["the"]}).collect()}
+        assert got == {"only": len(_match_set(idx, ["the"], "OR"))}
+
+    def test_empty_filters_raise(self, idx):
+        with pytest.raises(ValueError):
+            bucketaggs.adjacency_matrix_agg(idx, {})
