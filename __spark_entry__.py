@@ -164,6 +164,12 @@ def _index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     from fatespark.suggest import FUZZY_META_DIRNAME, write_fuzzy_variants
     if not os.path.isdir(os.path.join(idx_dir, FUZZY_META_DIRNAME)):
         write_fuzzy_variants(idx, depth=2)
+    # persisted bigram LM: served phrase suggestions probe candidate-pruned
+    # counts instead of re-running the three corpus passes (bit-identical
+    # scores; write_bigram_lm)
+    from fatespark.phrasesuggest import LM_DIRNAME, write_bigram_lm
+    if not os.path.isdir(os.path.join(idx_dir, LM_DIRNAME, "lm_meta")):
+        write_bigram_lm(idx, docs.select("doc_id", "text"))
     _IDX[sf_dir] = idx
     return idx
 

@@ -1016,6 +1016,19 @@ def main() -> None:
             idx, {"a": ["smith"], "b": ["jones"],
                   "c": ["taylor"]}).collect()
 
+    from fatespark.phrasesuggest import phrase_suggest as _psf, \
+        write_bigram_lm as _wlm
+
+    @timed("build_bigram_lm_200k")
+    def _lmb():  # one-time serving-side LM build (pairs/unigrams/meta)
+        return _wlm(idx, _ps_docs)
+
+    @timed("q_phrase_suggest_served", reps=3)
+    def _psgs():  # the q_phrase_suggest query over the persisted LM:
+        # candidate-pruned probes replace the three corpus passes
+        return _psf(idx, _ps_docs, ["smiht", "jnoes"],
+                    k=5, m=5, max_edit=2).collect()
+
     # -- round-4 session-2 operators ----------------------------------------
     @timed("q_msm", reps=3)
     def _msm():  # minimum_should_match floor: 2 of 3, same scan as q_or3
@@ -1126,12 +1139,38 @@ def main() -> None:
                 k=8, n_buckets=64)
         clean_room()
 
+        _srt2m_dir = "/tmp/fatespark_bench_idx_sorted_2m"
+        shutil.rmtree(_srt2m_dir, ignore_errors=True)
+
+        @timed("build_sorted_2m")
+        def _srtb2m():  # rank shuffle + build at 10x: must scale ~linear
+            return _bsrt(
+                spark, big.select(
+                    F.xxhash64("url").alias("doc_id"), "text",
+                    F.length(F.coalesce(F.col("text"), F.lit("")))
+                    .alias("n_chars")),
+                _srt2m_dir, "n_chars",
+                config=BuildConfig(n_buckets=8, salt_bits=1,
+                                   block_size=128),
+                build_id="bench-sorted-2m")
+        srt2m = _srtb2m
+        clean_room()
+
+        @timed("q_sorted_early_2m")
+        def _sseq2m():  # horizon is k-shaped, NOT corpus-shaped: latency
+            # should stay near the 200k number, not 10x it
+            return _sse(srt2m, ["smith", "jones"], k=10,
+                        mode="AND").collect()
+        clean_room()
+
         for big_name, small_name in [
                 ("dd_substring_2m", "dd_substring_200k"),
                 ("dd_substring_cut_2m", "dd_substring_cut_200k"),
                 ("tx_bigram_surprisal_2m", "tx_bigram_surprisal_200k"),
                 ("geo_knn_2m", "geo_knn_200k"),
-                ("charindex_build_100k", "charindex_build_10k")]:
+                ("charindex_build_100k", "charindex_build_10k"),
+                ("build_sorted_2m", "build_sorted_200k"),
+                ("q_sorted_early_2m", "q_sorted_early")]:
             extra[f"scale_ratio_{big_name}"] = round(
                 times[big_name] / max(times[small_name], 1e-9), 2)
         extra["scale_probe_pages"] = scale_pages

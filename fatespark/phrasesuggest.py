@@ -44,13 +44,104 @@ target-new, the web-search serving surface.
 from __future__ import annotations
 
 import itertools
+import os
+import zlib
 
 from pyspark.sql import DataFrame, functions as F
 
 from .suggest import deletion_variants, suggest
 from .textops import LOWER, UPPER, WS_RE, fold_col, tokens_col
 
-__all__ = ["phrase_suggest", "phrase_suggest_sql"]
+__all__ = ["phrase_suggest", "phrase_suggest_sql", "write_bigram_lm",
+           "LM_DIRNAME"]
+
+LM_DIRNAME = "bigram_lm"
+
+
+def write_bigram_lm(index, docs: DataFrame, *, text_col: str = "text",
+                    n_buckets: int = 64) -> str:
+    """Persist the phrase-suggester's language model under the index
+    directory so served suggestions PROBE precomputed counts instead of
+    running the three corpus passes per query (the ``fuzzy_variants``
+    pattern one layer up the serving stack).
+
+    Layout under ``{index_dir}/bigram_lm``:
+
+    - ``pairs``: (t1, t2, bc) adjacent-bigram counts, partitioned by
+      ``b1 = crc32(t1) % n_buckets`` and (t1, t2)-sorted within files —
+      a probe filters ``b1 IN (...)`` (physical directory pruning) plus
+      ``t1 IN (...) AND t2 IN (...)`` (row-group pruning), so per-query
+      cost is candidate-bounded, independent of corpus size.  The table
+      is bigram-vocabulary-shaped — the same asymptotics as the term
+      dictionary one n-gram order up, built with ONE combinable count
+      shuffle.
+    - ``unigrams``: (t, cf) token counts, same bucketing on t.
+    - ``lm_meta``: one row (tc = total tokens, vc = vocabulary size,
+      n_buckets).
+
+    Counts use EXACTLY the live path's tokenization expression, so
+    served scores are bit-identical to the on-the-fly ones (the DuckDB
+    twin keeps matching unchanged).
+
+    Lifecycle: the LM is corpus statistics, so it shares the index's
+    documented stats contract — tombstoned deletes leave it stale
+    exactly like df/avgdl until the next vacuum/rebuild, at which point
+    ``write_bigram_lm`` must re-run (same rule as ``fuzzy_variants``)."""
+    toks = F.transform(tokens_col(text_col), fold_col)
+    base = docs.select(toks.alias("toks"))
+    root = f"{index.index_dir}/{LM_DIRNAME}"
+
+    def bkt(col):
+        return F.pmod(F.crc32(F.encode(col, "utf-8")),
+                      F.lit(n_buckets)).cast("int")
+
+    pair_expr = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(F.element_at("toks", i).alias("t1"),
+                           F.element_at("toks", i + 1).alias("t2")))
+    (base.filter(F.size("toks") >= 2)
+     .select(F.explode(pair_expr).alias("p"))
+     .select("p.t1", "p.t2")
+     .groupBy("t1", "t2").agg(F.count("*").alias("bc"))
+     .withColumn("b1", bkt(F.col("t1")))
+     .repartition(n_buckets, "b1")
+     .sortWithinPartitions("b1", "t1", "t2")
+     .write.mode("overwrite").partitionBy("b1").parquet(f"{root}/pairs"))
+    (base.select(F.explode("toks").alias("t"))
+     .groupBy("t").agg(F.count("*").alias("cf"))
+     .withColumn("b1", bkt(F.col("t")))
+     .repartition(n_buckets, "b1")
+     .sortWithinPartitions("b1", "t")
+     .write.mode("overwrite").partitionBy("b1")
+     .parquet(f"{root}/unigrams"))
+    tc_df = base.agg(F.sum(F.size("toks")).cast("long").alias("tc"))
+    vc_df = (base.select(F.explode("toks").alias("t"))
+             .agg(F.count_distinct("t").cast("long").alias("vc")))
+    (tc_df.crossJoin(vc_df).withColumn("n_buckets", F.lit(n_buckets))
+     .coalesce(1).write.mode("overwrite").parquet(f"{root}/lm_meta"))
+    return root
+
+
+def _lm_tables(index, cv: list[str]):
+    """Candidate-pruned (bigrams, unigrams, totals) from a persisted
+    ``bigram_lm``, or None when the index has none."""
+    root = f"{index.index_dir}/{LM_DIRNAME}"
+    if not os.path.isdir(os.path.join(root, "lm_meta")):
+        return None
+    spark = index.spark
+    meta = spark.read.parquet(f"{root}/lm_meta").collect()[0]
+    nb = int(meta["n_buckets"])
+    bks = sorted({zlib.crc32(w.encode("utf-8")) % nb for w in cv})
+    pairs = (spark.read.parquet(f"{root}/pairs")
+             .filter(F.col("b1").isin(bks)
+                     & F.col("t1").isin(cv) & F.col("t2").isin(cv))
+             .select("t1", "t2", "bc"))
+    uni = (spark.read.parquet(f"{root}/unigrams")
+           .filter(F.col("b1").isin(bks) & F.col("t").isin(cv))
+           .select("t", "cf"))
+    tot = spark.createDataFrame([(int(meta["tc"]),)], "tc long")
+    voc = spark.createDataFrame([(int(meta["vc"]),)], "vc long")
+    return pairs, uni, tot, voc
 
 
 def _candidate_sets(index, qterms, *, m, max_edit, depth):
@@ -74,13 +165,19 @@ def phrase_suggest(index, docs: DataFrame, qterms: list[str], *,
                    depth: int = 1, max_errors: int = 2,
                    discount: float = 0.4, quantize: int = 6,
                    collate: bool = False, collate_prune: bool = False,
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text", use_lm: bool = True) -> DataFrame:
     """(phrase, n_errors, score) — the ``k`` best corrections of the
     whole query, ES phrase-suggester semantics: per-term candidates from
     the SymSpell term suggester (top-``m`` each, edit distance <=
     ``max_edit`` under banding ``depth``), phrases with more than
     ``max_errors`` changed positions dropped, stupid-backoff bigram-LM
     scores over ``docs``, ordered (score DESC, phrase ASC).
+
+    ``use_lm=True`` (default) probes a persisted ``write_bigram_lm``
+    table under the index dir when one exists — candidate-bounded
+    pruned reads instead of three corpus passes, scores bit-identical;
+    without one (or ``use_lm=False``) the LM counts compute on the fly
+    over ``docs``.
 
     ``collate=True`` runs the ES collate step — a phrase survives only
     if SOME document contains every one of its words (the conjunctive
@@ -107,6 +204,10 @@ def phrase_suggest(index, docs: DataFrame, qterms: list[str], *,
     cvlit = F.array(*[F.lit(w) for w in cv])
     toks = F.transform(tokens_col(text_col), fold_col)
     base = docs.select(toks.alias("toks"))
+    # served path: a persisted bigram_lm under the index dir answers the
+    # LM counts with candidate-pruned probes (write_bigram_lm) instead of
+    # three corpus passes — counts, hence scores, bit-identical
+    lm = _lm_tables(index, cv) if use_lm else None
 
     cmatch: list[int] | None = None
     if collate or collate_prune:
@@ -136,26 +237,31 @@ def phrase_suggest(index, docs: DataFrame, qterms: list[str], *,
         + ", n_errors int, phrase string"
         + (", collate_match int" if cmatch is not None else ""))
 
-    # adjacent bigrams, candidate-filtered INSIDE the row (the Generate
-    # streams only matching pairs), then one combinable count agg
-    pair_expr = F.filter(
-        F.transform(F.sequence(F.lit(1), F.size("toks") - 1),
-                    lambda i: F.struct(
-                        F.element_at("toks", i).alias("t1"),
-                        F.element_at("toks", i + 1).alias("t2"))),
-        lambda s: F.array_contains(cvlit, s["t1"])
-        & F.array_contains(cvlit, s["t2"]))
-    big = (base.filter(F.size("toks") >= 2)
-           .select(F.explode(pair_expr).alias("p"))
-           .select("p.t1", "p.t2")
-           .groupBy("t1", "t2").agg(F.count("*").alias("bc")))
-    uni = (base.select(F.explode(
-               F.filter(F.col("toks"),
-                        lambda x: F.array_contains(cvlit, x))).alias("t"))
-           .groupBy("t").agg(F.count("*").alias("cf")))
-    tot = base.agg(F.sum(F.size("toks")).cast("long").alias("tc"))
-    voc = (base.select(F.explode("toks").alias("t"))
-           .agg(F.count_distinct("t").cast("long").alias("vc")))
+    if lm is not None:
+        big, uni, tot, voc = lm
+    else:
+        # adjacent bigrams, candidate-filtered INSIDE the row (the
+        # Generate streams only matching pairs), then one combinable
+        # count agg
+        pair_expr = F.filter(
+            F.transform(F.sequence(F.lit(1), F.size("toks") - 1),
+                        lambda i: F.struct(
+                            F.element_at("toks", i).alias("t1"),
+                            F.element_at("toks", i + 1).alias("t2"))),
+            lambda s: F.array_contains(cvlit, s["t1"])
+            & F.array_contains(cvlit, s["t2"]))
+        big = (base.filter(F.size("toks") >= 2)
+               .select(F.explode(pair_expr).alias("p"))
+               .select("p.t1", "p.t2")
+               .groupBy("t1", "t2").agg(F.count("*").alias("bc")))
+        uni = (base.select(F.explode(
+                   F.filter(F.col("toks"),
+                            lambda x: F.array_contains(cvlit, x)))
+                   .alias("t"))
+               .groupBy("t").agg(F.count("*").alias("cf")))
+        tot = base.agg(F.sum(F.size("toks")).cast("long").alias("tc"))
+        voc = (base.select(F.explode("toks").alias("t"))
+               .agg(F.count_distinct("t").cast("long").alias("vc")))
 
     out = cdf
     for i in range(n):

@@ -149,16 +149,18 @@ def build_sorted(spark: SparkSession, corpus: DataFrame, index_dir: str,
 
 def _prefix_match(pdf: pd.DataFrame, codec: str, tombs,
                   need_all: frozenset | None, horizon: int,
-                  k: int) -> np.ndarray:
-    """Smallest <= k live doc ids below ``horizon`` matching the boolean
-    query within one doc-disjoint posting frame (streams truncated at the
-    block level by the pushed ``first_doc < horizon`` scan filter)."""
+                  k: int, lo: int = 0) -> np.ndarray:
+    """Smallest <= k live doc ids in (``lo``, ``horizon``) matching the
+    boolean query within one doc-disjoint posting frame (streams truncated
+    at the block level by the pushed ``first_doc < horizon`` /
+    ``last_doc > lo`` scan filters)."""
     c = get_codec(codec)
     per_term: dict[str, np.ndarray] = {}
     for t, g in pdf.groupby("term"):
         docs = np.concatenate(
             [c.decode_ids(bb, int(n)) for bb, n in zip(g["docs"], g["n"])])
-        docs = docs[docs < horizon]  # tail block may cross the horizon
+        # edge blocks may cross either bound
+        docs = docs[(docs < horizon) & (docs > lo)]
         per_term[t] = np.unique(docs)
     if not per_term:
         return np.zeros(0, dtype=np.int64)
@@ -181,16 +183,26 @@ def _prefix_match(pdf: pd.DataFrame, codec: str, tombs,
 
 def search_sorted_early(index: SearchIndex, query, k: int = 10,
                         mode: str = "AND", *, probe_factor: int = 8,
-                        with_url: bool = False,
+                        with_url: bool = False, after: int | None = None,
                         _probes_out: list | None = None) -> DataFrame:
     """Exact top-k matches of a rank-sorted index in index (= sort-field)
     order, early-terminated: only posting blocks below a galloping
     ``first_doc < horizon`` range filter are ever read (module
     docstring). Returns (doc_id[, url]) ordered by doc_id — doc_id IS the
-    global sort rank. ``_probes_out`` (testing) collects the horizons
-    probed."""
+    global sort rank.
+
+    ``after`` is cursor pagination in rank order (the search_after
+    contract): only matches with ``doc_id > after`` qualify, and the
+    probe horizon starts PAST the cursor — page p+1 costs the same
+    O(k)-shaped prefix-beyond-cursor scan as page 1, so deep scrolls
+    stay flat at 10^12 docs (``offset`` pagination re-reads every
+    earlier page's prefix). ``_probes_out`` (testing) collects the
+    horizons probed."""
     if k <= 0:
         raise ValueError("k must be positive")
+    lo = int(after) if after is not None else 0
+    if lo < 0:
+        raise ValueError("after must be >= 0")
     spark = index.spark
     qterms = sorted(set(_fold_terms(query, index.analyzer)))
     empty = spark.createDataFrame([], "doc_id long")
@@ -204,8 +216,9 @@ def search_sorted_early(index: SearchIndex, query, k: int = 10,
     est = (min(dfs) if mode == "AND"
            else min(index.n_docs, sum(dfs))) or 1
     horizon = min(index.n_docs,
-                  max(4 * k,
-                      math.ceil(k * index.n_docs / est) * probe_factor))
+                  lo + max(4 * k,
+                           math.ceil(k * index.n_docs / est)
+                           * probe_factor))
     codec = index.codec_name
     tombs_ref = index._tombs_ref()
     need_all = frozenset(present) if mode == "AND" else None
@@ -215,20 +228,24 @@ def search_sorted_early(index: SearchIndex, query, k: int = 10,
         h = index.n_docs + 1 if final else horizon
         if _probes_out is not None:
             _probes_out.append(h)
-        blocks = index.postings.filter(
-            F.col("term").isin(present) & (F.col("first_doc") < F.lit(h))
-        ).select("bucket", "term", "n", "docs")
+        pred = F.col("term").isin(present) & (F.col("first_doc") < F.lit(h))
+        if lo:
+            # blocks wholly at-or-below the cursor are skipped too (the
+            # lower bound is pushed just like the horizon)
+            pred = pred & (F.col("last_doc") > F.lit(lo))
+        blocks = index.postings.filter(pred).select(
+            "bucket", "term", "n", "docs")
 
         def probe(pdf: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame(
                 {"doc_id": _prefix_match(pdf, codec, tombs_ref.get(),
-                                         need_all, h, k)})
+                                         need_all, h, k, lo)})
 
         rows = (blocks.groupBy("bucket").applyInPandas(probe, "doc_id long")
                 .orderBy("doc_id").limit(k).collect())
         if len(rows) >= k or final:
             break
-        horizon *= 8
+        horizon = lo + (horizon - lo) * 8
 
     pdf = pd.DataFrame({"doc_id":
                         np.asarray([r["doc_id"] for r in rows], np.int64)})

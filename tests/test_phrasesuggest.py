@@ -164,3 +164,44 @@ def test_candidates_come_from_term_suggester(built):
     cand = {r["suggestion"]
             for r in suggest(idx, ["scna"], k=3, max_edit=2).collect()}
     assert cand and {r["phrase"] for r in got} <= cand
+
+
+class TestServedLm:
+    def test_served_counts_bit_identical(self, spark, built):
+        """phrase_suggest over a persisted bigram_lm == the on-the-fly
+        corpus passes, bit-exact (same counts -> same floats)."""
+        from fatespark.phrasesuggest import write_bigram_lm
+        idx, docs = built
+        write_bigram_lm(idx, docs, n_buckets=8)
+        total = 0
+        for q in (["bacth", "jion"], ["shirt", "crw"], ["scn"]):
+            live = phrase_suggest(idx, docs, q, k=10, m=5, max_edit=2,
+                                  use_lm=False).collect()
+            served = phrase_suggest(idx, docs, q, k=10, m=5,
+                                    max_edit=2).collect()
+            assert [tuple(r) for r in served] == [tuple(r) for r in live]
+            total += len(served)
+        assert total >= 4
+
+    def test_probe_prunes_partitions(self, spark, built):
+        """The pairs probe carries the b1 partition filter (physical
+        directory pruning) and the t1/t2 IN-list (row-group pruning)."""
+        from fatespark.phrasesuggest import _lm_tables, write_bigram_lm
+        idx, docs = built
+        write_bigram_lm(idx, docs, n_buckets=8)
+        cv = ["batch", "join"]
+        pairs, uni, tot, voc = _lm_tables(idx, cv)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "b1" in plan
+        got = {(r["t1"], r["t2"]): r["bc"] for r in pairs.collect()}
+        assert got == {("batch", "join"): 1}
+
+    def test_collate_composes_with_served_lm(self, spark, built):
+        from fatespark.phrasesuggest import write_bigram_lm
+        idx, docs = built
+        write_bigram_lm(idx, docs, n_buckets=8)
+        a = phrase_suggest(idx, docs, ["bacth", "jion"], k=10, m=5,
+                           max_edit=2, collate=True, use_lm=False).collect()
+        b = phrase_suggest(idx, docs, ["bacth", "jion"], k=10, m=5,
+                           max_edit=2, collate=True).collect()
+        assert [tuple(r) for r in b] == [tuple(r) for r in a]

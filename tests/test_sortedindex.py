@@ -142,3 +142,33 @@ class TestSearchSortedEarly:
             idx2, ["the"], k=3, mode="AND").collect()]
         assert not set(after) & set(first[:2])
         assert after[0] == first[2]
+
+    def test_cursor_pagination_tiles_the_full_order(self, spark, docs,
+                                                    sorted_idx):
+        """Walking pages with after=<last rank> reproduces the full
+        sorted match list with no gap or overlap, and each page's probe
+        horizon moves PAST the cursor (deep pages stay O(k)-shaped)."""
+        q = ["term00001", "term00002"]
+        full = [r["doc_id"] for r in sortedindex.search_sorted_early(
+            sorted_idx, q, k=10 ** 6, mode="AND").collect()]
+        pages, cursor = [], None
+        while True:
+            probes = []
+            page = [r["doc_id"] for r in sortedindex.search_sorted_early(
+                sorted_idx, q, k=7, mode="AND", after=cursor,
+                _probes_out=probes).collect()]
+            if cursor is not None and page:
+                assert min(probes) > cursor - 1
+                assert all(d > cursor for d in page)
+            if not page:
+                break
+            pages.extend(page)
+            cursor = page[-1]
+            if len(page) < 7:
+                break
+        assert pages == full
+
+    def test_after_validation(self, sorted_idx):
+        with pytest.raises(ValueError):
+            sortedindex.search_sorted_early(sorted_idx, ["the"], k=5,
+                                            after=-3)
