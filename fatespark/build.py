@@ -148,7 +148,8 @@ class IndexBuilder:
               text_col: str = "text", text_cols: list[str] | None = None,
               build_id: str = "b0001",
               resume: bool = False, n_chunks: int = 1,
-              chunk_col: str | None = None) -> dict:
+              chunk_col: str | None = None,
+              store_cols: list[str] | None = None) -> dict:
         """Build (or resume) the index from a corpus DataFrame.
 
         doc_id: ``xxhash64(url)`` (deterministic, collision-checked at merge)
@@ -160,6 +161,12 @@ class IndexBuilder:
         Chunking: rows are split by ``pmod(xxhash64(doc_id), n_chunks)`` (or a
         caller-provided ``chunk_col``) and each chunk is built + committed
         independently for checkpoint/resume.
+        ``store_cols`` stores extra corpus columns in the docs table
+        (Lucene doc values): sorted retrieval, top_hits grouping and
+        facet projections then run off ``SearchIndex.docs`` without the
+        original corpus. Purely additive to the doc-store write — the
+        postings path never sees them. Use the same list on every chunk
+        of a resumed build (schema consistency, like ``codec``).
         """
         cfg = self.config
         fields = text_cols if text_cols is not None else [text_col]
@@ -167,10 +174,15 @@ class IndexBuilder:
             df = df.withColumn("doc_id", F.xxhash64(F.col(url_col)))
             id_col = "doc_id"
         keep_url = url_col if url_col in df.columns else id_col
+        sc_cols = list(store_cols or [])
+        reserved = {"doc_id", "url", "dl", "dls"}
+        if set(sc_cols) & reserved:
+            raise ValueError(f"store_cols may not shadow {sorted(reserved)}")
         base = df.select(
             F.col(id_col).alias("doc_id"),
             F.col(keep_url).cast("string").alias("url"),
             *[F.col(c).alias(f"_f{i}") for i, c in enumerate(fields)],
+            *[F.col(c) for c in sc_cols],
             # a caller-provided chunk column must survive the projection
             *([F.col(chunk_col).cast("int").alias("_chunk")]
               if chunk_col and n_chunks > 1 else []),
@@ -203,7 +215,8 @@ class IndexBuilder:
             chunk_df = base.filter(F.col("_chunk") == c) if n_chunks > 1 else base
             stats = self._build_chunk(spark, chunk_df, chunk_id=c,
                                       build_id=build_id,
-                                      field_cols=field_cols)
+                                      field_cols=field_cols,
+                                      store_cols=sc_cols)
             for k in ("docs", "postings", "bytes", "sum_dl"):
                 totals[k] += stats[k]
             totals["secs"] += stats["secs"]
@@ -214,7 +227,8 @@ class IndexBuilder:
 
     def _build_chunk(self, spark: SparkSession, chunk_df: DataFrame, *,
                      chunk_id: int, build_id: str,
-                     field_cols: list[str] | None = None) -> dict:
+                     field_cols: list[str] | None = None,
+                     store_cols: list[str] | None = None) -> dict:
         cfg = self.config
         fcols = field_cols if field_cols is not None else ["text"]
         anas = cfg.field_analyzers(len(fcols))
@@ -235,7 +249,7 @@ class IndexBuilder:
                 .withColumn("dl", sum(F.col("dls")[i]
                                       for i in range(len(fcols)))
                             if len(fcols) > 1 else F.col("dls")[0])
-                .select("doc_id", "url", "dl", "dls")
+                .select("doc_id", "url", "dl", "dls", *(store_cols or []))
                 .observe(obs, F.count(F.lit(1)).alias("n_docs"),
                          F.sum("dl").alias("sum_dl"),
                          *[F.sum(F.col("dls")[i]).alias(f"sum_dl_{i}")

@@ -139,11 +139,14 @@ def build_sorted(spark: SparkSession, corpus: DataFrame, index_dir: str,
     base = ranked.select(
         F.col("rank"),
         F.col(id_col).cast("string").alias("_orig"),
-        F.col(text_col).alias("_text"))
+        F.col(text_col).alias("_text"),
+        F.col(sort_col))
     cfg = config or BuildConfig()
+    # the sort field rides in the docs table (store_cols doc values), so
+    # results carry their sort value without the original corpus
     IndexBuilder(index_dir, cfg).build(
         spark, base, id_col="rank", url_col="_orig", text_col="_text",
-        build_id=build_id)
+        build_id=build_id, store_cols=[sort_col])
     return SearchIndex(spark, index_dir)
 
 

@@ -172,3 +172,39 @@ class TestSearchSortedEarly:
         with pytest.raises(ValueError):
             sortedindex.search_sorted_early(sorted_idx, ["the"], k=5,
                                             after=-3)
+
+
+class TestStoredDocValues:
+    def test_sorted_index_stores_sort_field(self, spark, docs, sorted_idx):
+        """build_sorted stores the sort column in the docs table (doc
+        values) — sorted retrieval + sort values need no corpus join."""
+        assert "n_chars" in sorted_idx.docs.columns
+        got = sorted_idx.docs.select("doc_id", "url", "n_chars").orderBy(
+            "doc_id").limit(5).collect()
+        by_id = {r["doc_id"]: r["n_chars"]
+                 for r in docs.select("doc_id", "n_chars").collect()}
+        for r in got:
+            assert r["n_chars"] == by_id[int(r["url"])]
+
+    def test_store_cols_on_plain_build(self, spark, docs, tmp_root):
+        from fatespark.query import search_sorted_by
+        d = str(tmp_root / "dv_idx")
+        IndexBuilder(d, BuildConfig(n_buckets=2, salt_bits=0)).build(
+            spark, docs, id_col="doc_id", url_col="doc_id",
+            text_col="text", build_id="dv", store_cols=["n_chars"])
+        idx = SearchIndex(spark, d)
+        # field-sorted retrieval straight off the index's own doc store
+        out = search_sorted_by(idx, idx.docs, ["the"], "n_chars", k=5,
+                               mode="AND", ascending=False).collect()
+        ms = {r["doc_id"] for r in idx.matching_docs(["the"]).collect()}
+        rows = [(r["n_chars"], r["doc_id"]) for r in docs.collect()
+                if r["doc_id"] in ms]
+        exp = [d for _, d in sorted(rows, key=lambda t: (-t[0], t[1]))[:5]]
+        assert [r["doc_id"] for r in out] == exp
+
+    def test_store_cols_shadow_rejected(self, spark, docs, tmp_root):
+        with pytest.raises(ValueError):
+            IndexBuilder(str(tmp_root / "dv_bad"),
+                         BuildConfig(n_buckets=2)).build(
+                spark, docs, id_col="doc_id", url_col="doc_id",
+                text_col="text", store_cols=["dl"])
