@@ -3045,6 +3045,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    with_url=True).select("doc_id", "url")
     q["ft_sorted_early"] = ft_sorted_early
 
+    def ft_phrase_suggest_local(spark, sf):
+        """Driver-local did-you-mean (phrasesuggest.phrase_suggest_local):
+        SymSpell COMPLETE depth-2 candidates via the persisted banded
+        dictionary + stupid-backoff scores via the persisted bigram LM —
+        zero Spark jobs on the serving path (the ql_* floor class); the
+        pandas result is lifted to a DataFrame only for the driver
+        contract. Oracle: phrase_suggest_sql(depth=2) — the same
+        banding/LM/ordering replayed from the raw table."""
+        from fatespark.local import LocalSearchIndex
+        from fatespark.phrasesuggest import phrase_suggest_local
+        _index(spark, sf)  # ensures the index + both sidecars exist
+        tag = _corpus_tag(sf)
+        lidx = LocalSearchIndex(f"/tmp/fatespark_entry_idx/{tag}")
+        out = phrase_suggest_local(lidx, ["batch", "jion", "sow"],
+                                   k=5, m=5, max_edit=2, max_errors=2)
+        return spark.createDataFrame(
+            out, "phrase string, n_errors int, score double")
+    q["ft_phrase_suggest_local"] = ft_phrase_suggest_local
+
     def agg_top_hits(spark, sf):
         """ES terms+top_hits bucket agg (bucketaggs.top_hits_agg): per
         language, the 3 longest docs matching the OR query — match-set
@@ -3081,6 +3100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         # session-9 NEW ops first, same reasoning as below
         "ft_sorted_early", "agg_top_hits", "agg_adjacency",
+        "ft_phrase_suggest_local",
         # session-8 NEW ops first, same reasoning as below
         "ft_phrase_suggest", "ft_phrase_collate", "ft_synonym_graph",
         "ft_composite_agg", "st_trending", "hy_linear", "ann_sq8_topk",
@@ -4405,6 +4425,10 @@ ORDER BY qterm, rank"""
                                      ["batch", "jion", "sow"], k=5,
                                      m=5, max_edit=2, depth=1,
                                      max_errors=2, collate_prune=True)
+    o["ft_phrase_suggest_local"] = _ps_sql("documents",
+                                           ["batch", "jion", "sow"], k=5,
+                                           m=5, max_edit=2, depth=2,
+                                           max_errors=2)
 
     # proximity: a window of span <= slop exists iff some occurrence s has
     # every term within [s.pos, s.pos + slop] — the engine kernel's exact

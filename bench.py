@@ -1029,6 +1029,13 @@ def main() -> None:
         return _psf(idx, _ps_docs, ["smiht", "jnoes"],
                     k=5, m=5, max_edit=2).collect()
 
+    from fatespark.phrasesuggest import phrase_suggest_local as _psl
+
+    @timed("ql_phrase_suggest", reps=3)
+    def _psl_q():  # driver-local did-you-mean over BOTH persisted
+        # sidecars (banded dictionary + bigram LM): zero Spark jobs
+        return _psl(lidx, ["smiht", "jnoes"], k=5, m=5, max_edit=2)
+
     # -- round-4 session-2 operators ----------------------------------------
     @timed("q_msm", reps=3)
     def _msm():  # minimum_should_match floor: 2 of 3, same scan as q_or3

@@ -84,7 +84,11 @@ def main() -> None:
     mem_units = {c: round(probe(c, secs, _stream), 1) for c in LEVELS}
     mem_base = mem_units[LEVELS[0]]
     mem_rel = {c: round(mem_units[c] / mem_base, 3) for c in LEVELS}
-    healthy = rel[16] >= 0.90 and mem_rel[16] >= 0.80
+    # a strongly SUPERLINEAR per-core ratio is as disqualifying as a
+    # degraded one: it means the 4-core baseline itself was suppressed
+    # while it ran (observed: mem 4c units collapsing 15x mid-probe), so
+    # nothing measured in that window can be trusted either way
+    healthy = (0.90 <= rel[16] <= 1.25) and (0.80 <= mem_rel[16] <= 1.35)
     print(json.dumps({
         "metric": "pinned per-core units (cpu: register loop; "
                   "mem: 64MB streaming multiply)",

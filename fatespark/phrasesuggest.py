@@ -122,6 +122,95 @@ def write_bigram_lm(index, docs: DataFrame, *, text_col: str = "text",
     return root
 
 
+def phrase_suggest_local(lidx, qterms: list[str], *, k: int = 5,
+                         m: int = 5, max_edit: int = 2,
+                         max_errors: int = 2, discount: float = 0.4,
+                         quantize: int = 6):
+    """Driver-local phrase suggester — the ``ql_*`` serving-floor twin of
+    ``phrase_suggest(depth=max_edit)`` (SymSpell COMPLETE mode) over a
+    ``LocalSearchIndex`` whose directory carries BOTH persisted sidecars:
+    ``fuzzy_variants`` (depth >= max_edit; candidates via
+    ``_fuzzy_probe`` — O(query variants) row-group-pruned reads) and
+    ``bigram_lm`` (``write_bigram_lm``; candidate-bucket-pruned local
+    parquet reads). No Spark jobs anywhere on the path, so an
+    interactive did-you-mean answers in milliseconds instead of the
+    Spark job floor. Scoring replays the distributed float expressions
+    op-for-op (same association, same position-order sum); output rows
+    (phrase, n_errors, score) as a pandas DataFrame, (score DESC,
+    phrase ASC), floor-quantized after ordering."""
+    import glob as _glob
+    import math
+
+    import pyarrow.parquet as pq
+
+    from .analysis import ascii_fold
+
+    if not qterms:
+        raise ValueError("phrase_suggest_local needs >= 1 query term")
+    qterms = [q.lower() for q in qterms]
+    sets = []
+    for q in qterms:
+        best = lidx._fuzzy_probe(ascii_fold(q), max_edit)
+        if best is None:
+            raise ValueError(
+                "phrase_suggest_local needs a fuzzy_variants table at "
+                f"depth >= {max_edit} (suggest.write_fuzzy_variants)")
+        ordered = sorted(best.items(),
+                         key=lambda x: (x[1][0], -x[1][1], x[0]))[:m]
+        opts = [w for w, _ in ordered] or [q]
+        sets.append([(w, 0 if w == q else 1) for w in opts])
+    combos = [c for c in itertools.product(*sets)
+              if sum(chg for _, chg in c) <= max_errors]
+    import pandas as pd
+    if not combos:
+        return pd.DataFrame({"phrase": [], "n_errors": [], "score": []})
+
+    root = os.path.join(lidx.index_dir, LM_DIRNAME)
+    metas = sorted(_glob.glob(os.path.join(root, "lm_meta", "*.parquet")))
+    if not metas:
+        raise ValueError("phrase_suggest_local needs a bigram_lm "
+                         "(phrasesuggest.write_bigram_lm)")
+    meta = pq.read_table(metas[-1]).to_pandas().iloc[0]
+    nb = int(meta["n_buckets"])
+    denom = float(int(meta["tc"]) + int(meta["vc"]))
+
+    cv = {w for c in combos for w, _ in c}
+    cf: dict[str, int] = {}
+    bc: dict[tuple, int] = {}
+    for b in sorted({zlib.crc32(w.encode("utf-8")) % nb for w in cv}):
+        ud = os.path.join(root, "unigrams", f"b1={b}")
+        for f in sorted(_glob.glob(os.path.join(ud, "*.parquet"))):
+            t = pq.read_table(f).to_pandas()
+            for w, c in zip(t["t"], t["cf"]):
+                if w in cv:
+                    cf[w] = int(c)
+        pd_ = os.path.join(root, "pairs", f"b1={b}")
+        for f in sorted(_glob.glob(os.path.join(pd_, "*.parquet"))):
+            t = pq.read_table(f).to_pandas()
+            for a, w2, c in zip(t["t1"], t["t2"], t["bc"]):
+                if a in cv and w2 in cv:
+                    bc[(a, w2)] = int(c)
+
+    rows = []
+    for c in combos:
+        words = [w for w, _ in c]
+        s = math.log((float(cf.get(words[0], 0)) + 1.0) / denom)
+        for i in range(1, len(words)):
+            hit = bc.get((words[i - 1], words[i]))
+            if hit is not None:
+                s = s + math.log(float(hit) / float(cf[words[i - 1]]))
+            else:
+                s = s + math.log(discount
+                                 * (float(cf.get(words[i], 0)) + 1.0)
+                                 / denom)
+        rows.append((" ".join(words), sum(chg for _, chg in c), s))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    mul = float(10 ** quantize)
+    out = pd.DataFrame(rows[:k], columns=["phrase", "n_errors", "score"])
+    out["score"] = (out["score"] * mul).map(math.floor) / mul
+    return out
+
+
 def _lm_tables(index, cv: list[str]):
     """Candidate-pruned (bigrams, unigrams, totals) from a persisted
     ``bigram_lm``, or None when the index has none."""
@@ -322,9 +411,15 @@ def phrase_suggest_sql(src: str, qterms: list[str], *, k: int = 5,
                 "list_transform(range(1, length(term) + 1), "
                 "i -> substr(term, 1, i - 1) || substr(term, i + 1)), "
                 "term))")
-    if depth != 1:
-        raise NotImplementedError("SQL twin generates depth-1 bands "
-                                  "(the suggester default)")
+    if depth != 1 and depth < max_edit:
+        raise NotImplementedError(
+            "SQL twin supports depth-1 bands (the suggester default) or "
+            "complete mode (depth >= max_edit)")
+    # complete mode (depth >= max_edit): banding provably equals the plain
+    # levenshtein <= max_edit dictionary predicate (the SymSpell theorem),
+    # so the twin states the candidate set directly — the ft_fuzzy2-oracle
+    # precedent
+    complete = depth != 1
     mul = float(10 ** quantize)
 
     parts = [f"""
@@ -350,19 +445,28 @@ dvar AS (
   SELECT term, df, unnest({var_expr}) AS variant FROM pdfs
 )"""]
     for i, q in enumerate(qterms):
-        qvars = ", ".join(f"('{v}')" for v in deletion_variants(q, depth=1))
+        if complete:
+            cand_src = f"""(SELECT term, df,
+                 levenshtein('{q}', term) AS dist
+          FROM pdfs
+          WHERE abs(length(term) - {len(q)}) <= {max_edit}
+            AND levenshtein('{q}', term) <= {max_edit})"""
+        else:
+            qvars = ", ".join(f"('{v}')"
+                              for v in deletion_variants(q, depth=1))
+            cand_src = f"""(SELECT DISTINCT d.term, d.df,
+                 levenshtein('{q}', d.term) AS dist
+          FROM (SELECT DISTINCT variant
+                FROM (VALUES {qvars}) v(variant)) qv
+          JOIN dvar d USING (variant)
+          WHERE levenshtein('{q}', d.term) <= {max_edit})"""
         parts.append(f"""
 cand{i} AS (
   SELECT w, chg FROM (
     SELECT term AS w,
            CASE WHEN term <> '{q}' THEN 1 ELSE 0 END AS chg,
            row_number() OVER (ORDER BY dist ASC, df DESC, term ASC) AS rnk
-    FROM (SELECT DISTINCT d.term, d.df,
-                 levenshtein('{q}', d.term) AS dist
-          FROM (SELECT DISTINCT variant
-                FROM (VALUES {qvars}) v(variant)) qv
-          JOIN dvar d USING (variant)
-          WHERE levenshtein('{q}', d.term) <= {max_edit}))
+    FROM {cand_src})
   WHERE rnk <= {m}
 ),
 pos{i} AS (

@@ -205,3 +205,38 @@ class TestServedLm:
         b = phrase_suggest(idx, docs, ["bacth", "jion"], k=10, m=5,
                            max_edit=2, collate=True).collect()
         assert [tuple(r) for r in b] == [tuple(r) for r in a]
+
+
+class TestLocalPhraseSuggest:
+    def test_parity_with_distributed_depth2(self, spark, built):
+        """phrase_suggest_local over the persisted sidecars ==
+        phrase_suggest(depth=2) (SymSpell complete mode), same floats."""
+        from fatespark.local import LocalSearchIndex
+        from fatespark.phrasesuggest import (phrase_suggest_local,
+                                             write_bigram_lm)
+        from fatespark.suggest import write_fuzzy_variants
+        idx, docs = built
+        write_fuzzy_variants(idx, depth=2)
+        write_bigram_lm(idx, docs, n_buckets=8)
+        lidx = LocalSearchIndex(idx.index_dir)
+        for q in (["bacth", "jion"], ["shirt", "crw"], ["scn"]):
+            dist = phrase_suggest(idx, docs, q, k=10, m=5, max_edit=2,
+                                  depth=2).collect()
+            loc = phrase_suggest_local(lidx, q, k=10, m=5, max_edit=2)
+            got = [(r.phrase, int(r.n_errors), r.score)
+                   for r in loc.itertuples()]
+            exp = [(r["phrase"], r["n_errors"], r["score"]) for r in dist]
+            assert got == exp
+
+    def test_requires_sidecars(self, spark, tmp_root):
+        from fatespark.build import BuildConfig, IndexBuilder
+        from fatespark.local import LocalSearchIndex
+        from fatespark.phrasesuggest import phrase_suggest_local
+        d = str(tmp_root / "psugg_bare")
+        df = spark.createDataFrame(DOCS, "doc_id long, text string")
+        IndexBuilder(d, BuildConfig(n_buckets=2, salt_bits=0)).build(
+            spark, df, id_col="doc_id", url_col="doc_id",
+            text_col="text", build_id="bare")
+        lidx = LocalSearchIndex(d)
+        with pytest.raises(ValueError):
+            phrase_suggest_local(lidx, ["bacth"])
