@@ -585,3 +585,5 @@ class IndexBuilder:
          .write.mode("overwrite")
          .option("parquet.block.size", rg_bytes)
          .parquet(self._p("postings_local")))
+        from .sidecars import stamp
+        stamp(self.index_dir, "postings_local")

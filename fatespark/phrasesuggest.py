@@ -119,6 +119,8 @@ def write_bigram_lm(index, docs: DataFrame, *, text_col: str = "text",
              .agg(F.count_distinct("t").cast("long").alias("vc")))
     (tc_df.crossJoin(vc_df).withColumn("n_buckets", F.lit(n_buckets))
      .coalesce(1).write.mode("overwrite").parquet(f"{root}/lm_meta"))
+    from .sidecars import stamp
+    stamp(index.index_dir, LM_DIRNAME)
     return root
 
 

@@ -89,6 +89,8 @@ def write_fuzzy_variants(index, *, depth: int = 2,
      .parquet(f"{index.index_dir}/{FUZZY_META_DIRNAME}"))
     if hasattr(index, "_fuzzy_cache"):
         index._fuzzy_cache = None  # invalidate the reader's memo
+    from .sidecars import stamp
+    stamp(index.index_dir, "fuzzy_variants")
     return out
 
 # term + every single-character deletion, deduplicated — pure JVM
