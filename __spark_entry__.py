@@ -3076,6 +3076,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             n=3, mode="OR").orderBy("group", "hit_rank")
     q["agg_top_hits"] = agg_top_hits
 
+    def agg_top_hits_scored(spark, sf):
+        """top_hits ordered by _score — the ES default bucket sort
+        (bucketaggs.top_hits_scored_agg): per language, the 3
+        best-matching docs by the full BM25 OR sum; relational
+        full-match scoring over term-pruned posting streams (static
+        sorted-grid coalesce-0 fold, bit-identical to the search
+        kernels), quantized before the per-group rank so the twin
+        hash-matches rank AND values."""
+        from fatespark.bucketaggs import top_hits_scored_agg
+        idx = _index(spark, sf)
+        docs = _read(spark, sf, "documents")
+        return top_hits_scored_agg(idx, docs, QS["and2"], "lang",
+                                   n=3, mode="OR",
+                                   quantize=4).orderBy("group", "hit_rank")
+    q["agg_top_hits_scored"] = agg_top_hits_scored
+
     def agg_adjacency(spark, sf):
         """ES adjacency_matrix agg (bucketaggs.adjacency_matrix_agg):
         named filters a/b/c -> per-filter + pairwise-intersection doc
@@ -3100,7 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         # session-9 NEW ops first, same reasoning as below
         "ft_sorted_early", "agg_top_hits", "agg_adjacency",
-        "ft_phrase_suggest_local",
+        "ft_phrase_suggest_local", "agg_top_hits_scored",
         # session-8 NEW ops first, same reasoning as below
         "ft_phrase_suggest", "ft_phrase_collate", "ft_synonym_graph",
         "ft_composite_agg", "st_trending", "hy_linear", "ann_sq8_topk",
@@ -6627,6 +6643,10 @@ j AS (
 )
 SELECT "group", doc_id, n_chars, hit_rank FROM j
 WHERE hit_rank <= 3 ORDER BY "group", hit_rank"""
+
+    from fatespark.bucketaggs import top_hits_scored_sql as _ths_sql
+    o["agg_top_hits_scored"] = _ths_sql(
+        "documents", QS["and2"], "lang", n=3, mode="OR")
 
     o["agg_adjacency"] = f"""
 WITH {_TOK_CTES},

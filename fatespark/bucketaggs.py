@@ -32,7 +32,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["top_hits_agg", "adjacency_matrix_agg"]
+from .analysis import ANALYZERS, ascii_fold
+from .oracle import B, K1, idf as idf_fn
+
+__all__ = ["top_hits_agg", "top_hits_scored_agg", "top_hits_scored_sql",
+           "adjacency_matrix_agg"]
 
 
 def top_hits_agg(index, corpus: DataFrame, query, group_col: str,
@@ -55,6 +59,151 @@ def top_hits_agg(index, corpus: DataFrame, query, group_col: str,
     return (j.withColumn("hit_rank", F.row_number().over(w))
             .filter(F.col("hit_rank") <= n)
             .select("group", "doc_id", sort_col, "hit_rank"))
+
+
+def top_hits_scored_agg(index, corpus: DataFrame, query, group_col: str,
+                        *, n: int = 3, mode: str = "OR",
+                        quantize: int | None = 4,
+                        id_col: str = "doc_id") -> DataFrame:
+    """``top_hits`` ordered by ``_score`` — the ES DEFAULT sort inside
+    the bucket: per-``group_col``, the ``n`` best-matching docs by the
+    full BM25 sum. Relational full-match scoring over the term-pruned
+    posting streams (the ``terms_set``/``explain`` precedent: per-doc
+    static sorted-grid coalesce-0 fold, bit-identical to ``search()``'s
+    kernel scores), joined to the group projection, ONE window shuffle
+    on the group key, rank <= n. Every stage downstream of the posting
+    scan is MATCH-bounded; output is groups x n. Ranking uses the
+    floor-quantized score (doc-id tie-break) so the DuckDB twin
+    reproduces rank and values hash-exactly."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    tok, _ = ANALYZERS[index.analyzer]
+    qterms = sorted({ascii_fold(t) for q in (
+        [query] if isinstance(query, str) else query) for t in tok(q)})
+    if not qterms:
+        raise ValueError("top_hits_scored needs >= 1 analyzable term")
+    stats = index.term_stats(qterms)
+    present = sorted(t for t in qterms if t in stats)
+    spark = index.spark
+    empty = spark.createDataFrame(
+        [], "group string, doc_id long, score double, hit_rank int")
+    if not present or (mode == "AND" and len(present) < len(qterms)):
+        return empty
+
+    hits = index.find_all(present)
+    tf = (hits.groupBy("doc_id", "term", "field")
+          .agg(F.count("*").alias("tf")))
+    dl = (index.docs.select("doc_id",
+                            F.posexplode("dls").alias("field", "dl")))
+    grid = sorted((t, int(f)) for t in present for f in stats[t])
+    idf_df = spark.createDataFrame(
+        [(t, f, float(idf_fn(index.n_docs, stats[t][f]["df"])))
+         for t, f in grid], "term string, field int, widf double")
+    favg = spark.createDataFrame(
+        [(int(f), float(a)) for f, a in sorted(index.field_avgdl.items())],
+        "field int, avgdl double")
+    j = (tf.join(F.broadcast(idf_df), ["term", "field"])
+         .join(F.broadcast(favg), "field")
+         .join(dl, ["doc_id", "field"]))
+    tfd, dld = F.col("tf").cast("double"), F.col("dl").cast("double")
+    part = (tfd * F.lit(K1 + 1.0)
+            / (tfd + F.lit(K1) * ((F.lit(1.0) - F.lit(B))
+                                  + (F.lit(B) * dld) / F.col("avgdl"))))
+    contrib = j.select("doc_id", "term", "field",
+                       (F.col("widf") * part).alias("c"))
+    pv = contrib.groupBy("doc_id").agg(
+        *[F.sum(F.when((F.col("term") == t) & (F.col("field") == f),
+                       F.col("c"))).alias(f"c{i}")
+          for i, (t, f) in enumerate(grid)],
+        F.count_distinct("term").cast("int").alias("n_matched"))
+    score = None
+    for i in range(len(grid)):
+        c = F.coalesce(F.col(f"c{i}"), F.lit(0.0))
+        score = c if score is None else score + c
+    scored = pv.select("doc_id", "n_matched", score.alias("score"))
+    if mode == "AND":
+        scored = scored.filter(F.col("n_matched") == len(present))
+    if quantize:
+        qm = float(10 ** quantize)
+        scored = scored.withColumn(
+            "score", F.floor(F.col("score") * qm) / qm)
+    g = corpus.select(F.col(id_col).alias("doc_id"),
+                      F.col(group_col).cast("string").alias("group"))
+    w = Window.partitionBy("group").orderBy(F.desc("score"),
+                                            F.asc("doc_id"))
+    return (scored.join(g, "doc_id")
+            .withColumn("hit_rank", F.row_number().over(w))
+            .filter(F.col("hit_rank") <= n)
+            .select("group", "doc_id", "score", "hit_rank"))
+
+
+def top_hits_scored_sql(src: str, terms: list[str], group_expr: str,
+                        *, n: int = 3, mode: str = "OR",
+                        quantize: int = 4, text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``top_hits_scored_agg`` (single-field corpus):
+    same tf/df/dl/idf expressions and sorted-term coalesce-0 static sum
+    as ``terms_set_sql``, quantized BEFORE the per-group rank, same
+    tie-break, same cut."""
+    up, lo = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+              "abcdefghijklmnopqrstuvwxyz")
+    ws = r"[ \t\n\r\f\v]+"
+    qs = sorted({t.lower() for t in terms})
+    tlist = ", ".join(f"'{t}'" for t in qs)
+    sums = " + ".join(
+        f"coalesce(sum(CASE WHEN term = '{t}' THEN c END), 0.0)"
+        for t in qs)
+    and_gate = (f"WHERE n_matched = {len(qs)}" if mode == "AND" else "")
+    qm = float(10 ** quantize)
+    return f"""
+WITH ptok AS (
+  SELECT {id_col} AS doc_id, translate(unnest(toks), '{up}', '{lo}') AS term
+  FROM (SELECT {id_col},
+               list_filter(regexp_split_to_array(coalesce({text_col}, ''),
+                                                 '{ws}'), x -> x <> '') AS toks
+        FROM {src})
+),
+dls AS (
+  SELECT d.{id_col} AS doc_id, coalesce(x.dl, 0) AS dl
+  FROM {src} d LEFT JOIN (
+    SELECT doc_id, count(*) AS dl FROM ptok GROUP BY doc_id) x
+    ON x.doc_id = d.{id_col}
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dls
+),
+tfs AS (
+  SELECT doc_id, term, count(*) AS tf FROM ptok
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+contrib AS (
+  SELECT tfs.doc_id, tfs.term,
+         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tfs.tf * {K1 + 1.0!r} / (tfs.tf + {K1!r} *
+            ({1.0 - B!r} + ({B!r} * dls.dl) / stats.avgdl))) AS c
+  FROM tfs JOIN dfs USING (term) JOIN dls USING (doc_id)
+  CROSS JOIN stats
+),
+pv AS (
+  SELECT doc_id, CAST(count(DISTINCT term) AS INT) AS n_matched,
+         {sums} AS score
+  FROM contrib GROUP BY doc_id
+),
+sc AS (
+  SELECT doc_id, floor(score * {qm!r}) / {qm!r} AS score
+  FROM pv {and_gate}
+),
+r AS (
+  SELECT CAST({group_expr} AS VARCHAR) AS "group", sc.doc_id, sc.score,
+         CAST(row_number() OVER (
+           PARTITION BY {group_expr}
+           ORDER BY sc.score DESC, sc.doc_id ASC) AS INT) AS hit_rank
+  FROM sc JOIN {src} d ON d.{id_col} = sc.doc_id
+)
+SELECT "group", doc_id, score, hit_rank FROM r
+WHERE hit_rank <= {n} ORDER BY "group", hit_rank"""
 
 
 def adjacency_matrix_agg(index, filters: dict[str, object],

@@ -102,3 +102,48 @@ class TestAdjacencyMatrix:
     def test_empty_filters_raise(self, idx):
         with pytest.raises(ValueError):
             bucketaggs.adjacency_matrix_agg(idx, {})
+
+
+class TestTopHitsScored:
+    def test_matches_oracle_scores_per_group(self, spark, corpus, idx):
+        """Per-group top-3 by BM25 == brute-force over BM25Oracle
+        scores (quantized), both modes."""
+        import math
+        from fatespark.oracle import BM25Oracle
+        rows = corpus.select("doc_id", "text", "grp").collect()
+        ora = BM25Oracle([(r["doc_id"], r["text"]) for r in rows])
+        grp = {r["doc_id"]: r["grp"] for r in rows}
+        for mode in ("OR", "AND"):
+            q = ["term00010", "term00050"]
+            scored = ora.search(q, k=10 ** 9, mode=mode)
+            per = {}
+            for d, s in scored:
+                qs = math.floor(s * 1e4) / 1e4
+                per.setdefault(str(grp[d]), []).append((-qs, d))
+            exp = set()
+            for g, lst in per.items():
+                for rank, (ns, d) in enumerate(sorted(lst)[:3], 1):
+                    exp.add((g, d, -ns, rank))
+            got = {(r["group"], r["doc_id"], r["score"], r["hit_rank"])
+                   for r in bucketaggs.top_hits_scored_agg(
+                       idx, corpus, q, "grp", n=3, mode=mode).collect()}
+            assert got == exp, mode
+
+    def test_duckdb_twin_parity(self, spark, corpus, idx):
+        import duckdb
+        pdf = corpus.select("doc_id", "text", "grp").toPandas()
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        got = sorted(tuple(r) for r in bucketaggs.top_hits_scored_agg(
+            idx, corpus, ["term00010", "term00050"], "grp",
+            n=2, mode="OR").collect())
+        want = sorted(tuple(r) for r in con.execute(
+            bucketaggs.top_hits_scored_sql(
+                "documents", ["term00010", "term00050"], "grp",
+                n=2, mode="OR")).fetchall())
+        assert got == want and got
+
+    def test_validation(self, idx, corpus):
+        with pytest.raises(ValueError):
+            bucketaggs.top_hits_scored_agg(idx, corpus, ["the"], "grp",
+                                           n=0)
