@@ -3105,6 +3105,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("key")
     q["agg_adjacency"] = agg_adjacency
 
+    def ft_has_child(spark, sf):
+        """ES has_child / Lucene ToParentBlockJoinQuery
+        (blockjoin.has_child_topk): top-10 'crawl batches' (parent =
+        doc_id % 97, the join field) ranked by the SUM of their matching
+        children's BM25 scores — child scores come from the relational
+        full-match kernel (bit-identical to search()), floor-quantized
+        to INT64 codes BEFORE the parent fold so sum/avg are
+        order-independent exact integer arithmetic; one map-side-
+        combinable shuffle on the parent key, k-bounded top-k."""
+        from fatespark.blockjoin import has_child_topk
+        idx = _index(spark, sf)
+        docs = _read(spark, sf, "documents").withColumn(
+            "pkey", F.pmod(F.col("doc_id"), F.lit(97)))
+        return has_child_topk(idx, docs, QS["and2"], "pkey", k=10,
+                              mode="OR", score_mode="sum")
+    q["ft_has_child"] = ft_has_child
+
+    def ft_to_children(spark, sf):
+        """Lucene ToChildBlockJoinQuery (blockjoin.to_children): every
+        child of a family with a matching member, carrying the family's
+        max-child BM25 score — the 'keep the whole site if any page
+        matches' expansion; top-200 cut by (family score, doc_id)."""
+        from fatespark.blockjoin import to_children
+        idx = _index(spark, sf)
+        docs = _read(spark, sf, "documents").withColumn(
+            "pkey", F.pmod(F.col("doc_id"), F.lit(97)))
+        return to_children(idx, docs, QS["single"], "pkey", k=200,
+                           score_mode="max")
+    q["ft_to_children"] = ft_to_children
+
+    def agg_diversified(spark, sf):
+        """ES diversified_sampler agg (bucketaggs.diversified_sampler):
+        the QS['or2'] match set capped at 2 docs per source (best by
+        quantized BM25, doc-id tie-break) — the de-biased sample a
+        sub-aggregation runs on; match-bounded relational scoring + ONE
+        window shuffle on the dedup key, output <= keys x cap."""
+        from fatespark.bucketaggs import diversified_sampler
+        idx = _index(spark, sf)
+        docs = _read(spark, sf, "documents")
+        return diversified_sampler(idx, docs, QS["or2"], "source",
+                                   max_docs_per_value=2).orderBy(
+            "key", "dup_rank")
+    q["agg_diversified"] = agg_diversified
+
+    def agg_date_pipeline(spark, sf):
+        """ES pipeline aggregations (pipelineaggs.date_histogram_
+        pipeline): daily event-count date_histogram with gap buckets
+        materialized (min_doc_count=0), plus derivative,
+        cumulative_sum, and moving_fn unweighted-avg over the 3 buckets
+        strictly before each (ES shift=0); one map-side-combinable
+        count agg, then ONE window over the horizon-bounded bucket
+        rows (the quality_tiers single-partition precedent)."""
+        from fatespark.pipelineaggs import date_histogram_pipeline
+        ev = _read(spark, sf, "events")
+        return date_histogram_pipeline(ev, "ts", interval="day",
+                                       window=3)
+    q["agg_date_pipeline"] = agg_date_pipeline
+
     # -- driver-budget ordering -------------------------------------------
     # Dict order is the harness's execution order and its budget reached 50
     # rows in round 3 — so the rotation FLIPS each round: the 40 queries
@@ -3114,6 +3172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # on round-4 code; the 50 that got official round-3 rows follow in
     # their round-3 order.
     first = [
+        # session-10 NEW ops first, same reasoning as below
+        "ft_has_child", "ft_to_children", "agg_diversified",
+        "agg_date_pipeline",
         # session-9 NEW ops first, same reasoning as below
         "ft_sorted_early", "agg_top_hits", "agg_adjacency",
         "ft_phrase_suggest_local", "agg_top_hits_scored",
@@ -6662,5 +6723,24 @@ buckets AS (
   UNION ALL SELECT 'b&c', count(*) FROM mb JOIN mc USING (doc_id)
 )
 SELECT key, doc_count FROM buckets WHERE doc_count > 0 ORDER BY key"""
+
+    from fatespark.blockjoin import has_child_sql, to_children_sql
+    o["ft_has_child"] = has_child_sql(
+        "documents", QS["and2"], "d.doc_id % 97", k=10, mode="OR",
+        score_mode="sum")
+    o["ft_to_children"] = to_children_sql(
+        "documents", QS["single"], "d.doc_id % 97", k=200,
+        score_mode="max")
+
+    # diversified_sampler shares the per-key scored-rank twin with
+    # top_hits_scored (cap == n) — only the ES surface differs
+    o["agg_diversified"] = f"""
+SELECT "group" AS key, doc_id, score, hit_rank AS dup_rank
+FROM ({_ths_sql("documents", QS["or2"], "source", n=2, mode="OR")})
+ORDER BY key, dup_rank"""
+
+    from fatespark.pipelineaggs import date_histogram_pipeline_sql
+    o["agg_date_pipeline"] = date_histogram_pipeline_sql(
+        "events", "ts", interval="day", window=3)
 
     return o

@@ -35,58 +35,33 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .analysis import ANALYZERS, ascii_fold
 from .oracle import B, K1, idf as idf_fn
 
-__all__ = ["top_hits_agg", "top_hits_scored_agg", "top_hits_scored_sql",
-           "adjacency_matrix_agg"]
+__all__ = ["match_scores", "top_hits_agg", "top_hits_scored_agg",
+           "top_hits_scored_sql", "adjacency_matrix_agg",
+           "diversified_sampler"]
 
 
-def top_hits_agg(index, corpus: DataFrame, query, group_col: str,
-                 sort_col: str, *, n: int = 3, mode: str = "OR",
-                 ascending: bool = False,
-                 id_col: str = "doc_id") -> DataFrame:
-    """Per-``group_col`` top-``n`` matching docs ordered by a stored
-    ``sort_col`` (module docstring). Returns
-    (group, doc_id, <sort_col>, hit_rank) — hit_rank 1-based within the
-    group."""
-    if n <= 0:
-        raise ValueError("n must be positive")
-    m = index.matching_docs(query, mode=mode)
-    j = corpus.select(F.col(id_col).alias("doc_id"),
-                      F.col(group_col).alias("group"),
-                      F.col(sort_col)).join(m, "doc_id")
-    order = [F.asc(sort_col) if ascending else F.desc(sort_col),
-             F.asc("doc_id")]
-    w = Window.partitionBy("group").orderBy(*order)
-    return (j.withColumn("hit_rank", F.row_number().over(w))
-            .filter(F.col("hit_rank") <= n)
-            .select("group", "doc_id", sort_col, "hit_rank"))
-
-
-def top_hits_scored_agg(index, corpus: DataFrame, query, group_col: str,
-                        *, n: int = 3, mode: str = "OR",
-                        quantize: int | None = 4,
-                        id_col: str = "doc_id") -> DataFrame:
-    """``top_hits`` ordered by ``_score`` — the ES DEFAULT sort inside
-    the bucket: per-``group_col``, the ``n`` best-matching docs by the
-    full BM25 sum. Relational full-match scoring over the term-pruned
-    posting streams (the ``terms_set``/``explain`` precedent: per-doc
-    static sorted-grid coalesce-0 fold, bit-identical to ``search()``'s
-    kernel scores), joined to the group projection, ONE window shuffle
-    on the group key, rank <= n. Every stage downstream of the posting
-    scan is MATCH-bounded; output is groups x n. Ranking uses the
-    floor-quantized score (doc-id tie-break) so the DuckDB twin
-    reproduces rank and values hash-exactly."""
-    if n <= 0:
-        raise ValueError("n must be positive")
+def match_scores(index, query, *, mode: str = "OR",
+                 quantize: int | None = None) -> DataFrame:
+    """Relational full-match BM25 over the term-pruned posting streams:
+    EVERY matching doc's (doc_id, n_matched, score) — not a top-k. The
+    ``terms_set``/``explain``/``top_hits_scored`` kernel factored once:
+    tf agg on the pruned posting scan, broadcast idf/avgdl literals,
+    per-doc static sorted-grid coalesce-0 fold (ascending (term, field)
+    order — bit-identical to ``search()``'s kernel scores), AND gate on
+    the distinct-match count. Cost is MATCH-bounded downstream of the
+    posting scan; output is one row per matching doc. Consumers that
+    aggregate scores per group (block join, sampler) should quantize to
+    integer codes first so the group fold is order-independent."""
     tok, _ = ANALYZERS[index.analyzer]
     qterms = sorted({ascii_fold(t) for q in (
         [query] if isinstance(query, str) else query) for t in tok(q)})
     if not qterms:
-        raise ValueError("top_hits_scored needs >= 1 analyzable term")
+        raise ValueError("match_scores needs >= 1 analyzable term")
     stats = index.term_stats(qterms)
     present = sorted(t for t in qterms if t in stats)
     spark = index.spark
     empty = spark.createDataFrame(
-        [], "group string, doc_id long, score double, hit_rank int")
+        [], "doc_id long, n_matched int, score double")
     if not present or (mode == "AND" and len(present) < len(qterms)):
         return empty
 
@@ -127,6 +102,48 @@ def top_hits_scored_agg(index, corpus: DataFrame, query, group_col: str,
         qm = float(10 ** quantize)
         scored = scored.withColumn(
             "score", F.floor(F.col("score") * qm) / qm)
+    return scored
+
+
+def top_hits_agg(index, corpus: DataFrame, query, group_col: str,
+                 sort_col: str, *, n: int = 3, mode: str = "OR",
+                 ascending: bool = False,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-``group_col`` top-``n`` matching docs ordered by a stored
+    ``sort_col`` (module docstring). Returns
+    (group, doc_id, <sort_col>, hit_rank) — hit_rank 1-based within the
+    group."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    m = index.matching_docs(query, mode=mode)
+    j = corpus.select(F.col(id_col).alias("doc_id"),
+                      F.col(group_col).alias("group"),
+                      F.col(sort_col)).join(m, "doc_id")
+    order = [F.asc(sort_col) if ascending else F.desc(sort_col),
+             F.asc("doc_id")]
+    w = Window.partitionBy("group").orderBy(*order)
+    return (j.withColumn("hit_rank", F.row_number().over(w))
+            .filter(F.col("hit_rank") <= n)
+            .select("group", "doc_id", sort_col, "hit_rank"))
+
+
+def top_hits_scored_agg(index, corpus: DataFrame, query, group_col: str,
+                        *, n: int = 3, mode: str = "OR",
+                        quantize: int | None = 4,
+                        id_col: str = "doc_id") -> DataFrame:
+    """``top_hits`` ordered by ``_score`` — the ES DEFAULT sort inside
+    the bucket: per-``group_col``, the ``n`` best-matching docs by the
+    full BM25 sum. Relational full-match scoring over the term-pruned
+    posting streams (the ``terms_set``/``explain`` precedent: per-doc
+    static sorted-grid coalesce-0 fold, bit-identical to ``search()``'s
+    kernel scores), joined to the group projection, ONE window shuffle
+    on the group key, rank <= n. Every stage downstream of the posting
+    scan is MATCH-bounded; output is groups x n. Ranking uses the
+    floor-quantized score (doc-id tie-break) so the DuckDB twin
+    reproduces rank and values hash-exactly."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    scored = match_scores(index, query, mode=mode, quantize=quantize)
     g = corpus.select(F.col(id_col).alias("doc_id"),
                       F.col(group_col).cast("string").alias("group"))
     w = Window.partitionBy("group").orderBy(F.desc("score"),
@@ -232,3 +249,36 @@ def adjacency_matrix_agg(index, filters: dict[str, object],
             lambda x: x.isNotNull())).alias("key"))
     return (singles.unionByName(pairs)
             .groupBy("key").agg(F.count(F.lit(1)).alias("doc_count")))
+
+
+def diversified_sampler(index, corpus: DataFrame, query, dedup_col: str,
+                        *, max_docs_per_value: int = 1, mode: str = "OR",
+                        quantize: int = 4,
+                        id_col: str = "doc_id") -> DataFrame:
+    """ES ``diversified_sampler`` aggregation: the match set capped at
+    ``max_docs_per_value`` docs per ``dedup_col`` value — the BEST docs
+    by score win each key's slots — so downstream sub-aggregations
+    (significant terms, term counts) aren't dominated by one hot key
+    (the de-biasing use ES built it for; per-domain capping of a result
+    sample is the web-search instance). Returns every sampled row as
+    (key, doc_id, score, dup_rank), dup_rank 1-based within the key.
+
+    Shape: ``match_scores`` (match-bounded relational BM25) joins the
+    dedup projection, ONE window shuffle partitioned by the dedup key
+    ranks within each key, rank <= cap. Output is <= keys x cap rows.
+    Scores are floor-quantized BEFORE the rank (doc-id tie-break) so a
+    DuckDB ``row_number()`` twin reproduces rank and rows hash-exactly.
+
+    Reference analogue: none (fates has no aggregations) — target-new,
+    ES ``diversified_sampler``.
+    """
+    if max_docs_per_value <= 0:
+        raise ValueError("max_docs_per_value must be positive")
+    scored = match_scores(index, query, mode=mode, quantize=quantize)
+    keys = corpus.select(F.col(id_col).alias("doc_id"),
+                         F.col(dedup_col).cast("string").alias("key"))
+    w = Window.partitionBy("key").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.join(keys, "doc_id")
+            .withColumn("dup_rank", F.row_number().over(w))
+            .filter(F.col("dup_rank") <= max_docs_per_value)
+            .select("key", "doc_id", "score", "dup_rank"))

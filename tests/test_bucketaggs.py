@@ -147,3 +147,37 @@ class TestTopHitsScored:
         with pytest.raises(ValueError):
             bucketaggs.top_hits_scored_agg(idx, corpus, ["the"], "grp",
                                            n=0)
+
+
+class TestDiversifiedSampler:
+    def test_matches_brute_force(self, spark, corpus, idx):
+        import math
+        from fatespark.oracle import BM25Oracle
+        rows = corpus.select("doc_id", "text", "grp").collect()
+        ora = BM25Oracle([(r["doc_id"], r["text"]) for r in rows])
+        grp = {r["doc_id"]: str(r["grp"]) for r in rows}
+        q, cap = ["term00010", "the"], 2
+        per = {}
+        for d, s in ora.search(q, k=10 ** 9, mode="OR"):
+            qs = math.floor(s * 1e4) / 1e4
+            per.setdefault(grp[d], []).append((-qs, d))
+        exp = set()
+        for g, lst in per.items():
+            for rank, (ns, d) in enumerate(sorted(lst)[:cap], 1):
+                exp.add((g, d, -ns, rank))
+        got = {(r["key"], r["doc_id"], r["score"], r["dup_rank"])
+               for r in bucketaggs.diversified_sampler(
+                   idx, corpus, q, "grp",
+                   max_docs_per_value=cap).collect()}
+        assert got == exp and got
+
+    def test_per_key_bound(self, corpus, idx):
+        out = bucketaggs.diversified_sampler(
+            idx, corpus, ["the"], "grp", max_docs_per_value=3)
+        cnt = out.groupBy("key").count().collect()
+        assert cnt and all(r["count"] <= 3 for r in cnt)
+
+    def test_validation(self, corpus, idx):
+        with pytest.raises(ValueError):
+            bucketaggs.diversified_sampler(idx, corpus, ["the"], "grp",
+                                           max_docs_per_value=0)
