@@ -193,6 +193,30 @@ def _mf_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     return idx
 
 
+def _tt_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    """Two-field (title, text) index where title = the doc's first five
+    tokens, cached per sf_dir — the cross_fields driver query's fixture
+    (derived title ⊂ text gives per-term dfs that genuinely differ
+    across fields, the case BlendedTermQuery exists for)."""
+    tag = _corpus_tag(sf_dir)
+    d = f"/tmp/fatespark_entry_idx/{tag}_tt"
+    toks = F.filter(F.split(F.col("text"), r"\s+"),
+                    lambda x: x != F.lit(""))
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "title", F.concat_ws(" ", F.slice(toks, 1, 5)))
+    n = docs.count()
+    try:
+        idx = SearchIndex(spark, d)
+        if idx.n_docs != n or idx.n_fields != 2:
+            raise ValueError("stale index")
+    except Exception:
+        IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=0)).build(
+            spark, docs, id_col="doc_id", url_col="doc_id",
+            text_cols=["title", "text"], build_id="entry-tt")
+        idx = SearchIndex(spark, d)
+    return idx
+
+
 def _range_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     """Two-field (text, n_chars-as-numeric-trie) index, cached per sf_dir —
     the numeric range-filter driver query's fixture."""
@@ -988,6 +1012,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             QS["mf"], k=10, mode="OR", weights=[1.0, 1.0], quantize=4,
             combine="dismax", tie_breaker=0.3))
     q["ft_dismax"] = ft_dismax
+
+    def ft_cross_fields(spark, sf):
+        """ES multi_match cross_fields / Lucene BlendedTermQuery over a
+        (title, body) index — title = the doc's first five tokens, so
+        per-field dfs genuinely differ (sf0.01: 'merge' df 92 in titles
+        vs 393 in bodies): per-term document frequencies BLEND across
+        fields (every stream scores under idf(max_field df)), then each
+        term contributes its best field score (tie=0, the ES default) —
+        the fields-as-one-logical-field ranking that stops a term rare
+        in one field from getting an inflated idf there
+        (query.search(combine='cross_fields'))."""
+        return _scores(_tt_index(spark, sf).search(
+            QS["or2"], k=10, mode="OR", weights=[1.0, 1.0], quantize=4,
+            combine="cross_fields"))
+    q["ft_cross_fields"] = ft_cross_fields
 
     def ft_percolate(spark, sf):
         """Percolator (reverse search): the PERC_QUERIES saved-search
@@ -3174,7 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         # session-10 NEW ops first, same reasoning as below
         "ft_has_child", "ft_to_children", "agg_diversified",
-        "agg_date_pipeline",
+        "agg_date_pipeline", "ft_cross_fields",
         # session-9 NEW ops first, same reasoning as below
         "ft_sorted_early", "agg_top_hits", "agg_adjacency",
         "ft_phrase_suggest_local", "agg_top_hits_scored",
@@ -4776,6 +4815,72 @@ FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
         f"scored AS (SELECT doc_id, {dm_add} AS score FROM per_doc)")
     assert dm_add in dm_body and "(1, 1.0)" in dm_body
     o["ft_dismax"] = dm_body
+
+    # cross_fields twin (Lucene BlendedTermQuery) on the derived
+    # (title = first five tokens, body = text) two-field corpus: per-term
+    # BLENDED df — every (term, field) stream scores under
+    # idf(max_field df) — tie=0 (pure greatest, the ES default)
+    cf_terms = sorted(set(QS["or2"]))
+    cf_keys = [(t, f) for t in cf_terms for f in (0, 1)]
+    cf_pivot = ",\n      ".join(
+        f"max(CASE WHEN term = '{t}' AND field = {f} THEN s END) AS s_{i}"
+        for i, (t, f) in enumerate(cf_keys))
+    cf_add = " + ".join(
+        f"greatest(coalesce(s_{2 * ti}, 0.0), "
+        f"coalesce(s_{2 * ti + 1}, 0.0))"
+        for ti in range(len(cf_terms)))
+    cf_in = ", ".join(f"'{t}'" for t in cf_terms)
+    o["ft_cross_fields"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''),
+                                           '{_WS_SQL}'),
+                     x -> x <> '') AS tt
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, 0 AS field, translate(t, '{_UP}', '{_LO}') AS term
+  FROM (SELECT doc_id, unnest(list_slice(tt, 1, 5)) AS t FROM base)
+  UNION ALL
+  SELECT doc_id, 1 AS field, translate(t, '{_UP}', '{_LO}') AS term
+  FROM (SELECT doc_id, unnest(tt) AS t FROM base)
+),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+dls AS (
+  SELECT d.doc_id, fs.field, coalesce(x.dl, 0) AS dl
+  FROM documents d CROSS JOIN (VALUES (0), (1)) fs(field)
+  LEFT JOIN (SELECT doc_id, field, count(*) AS dl FROM tok
+             GROUP BY doc_id, field) x
+    ON x.doc_id = d.doc_id AND x.field = fs.field),
+stats AS (
+  SELECT field, CAST(sum(dl) AS DOUBLE) / (SELECT n_docs FROM nd) AS avgdl
+  FROM dls GROUP BY field),
+tfs AS (SELECT doc_id, field, term, count(*) AS tf FROM tok
+        GROUP BY doc_id, field, term),
+dfs0 AS (SELECT term, field, count(*) AS df FROM tfs
+         GROUP BY term, field),
+dfs AS (SELECT term, field,
+               CAST(max(df) OVER (PARTITION BY term) AS BIGINT) AS df
+        FROM dfs0),
+contrib AS (
+  SELECT tfs.doc_id, tfs.term, tfs.field,
+         ln(1 + (nd.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tfs.tf * {_K1P1} / (tfs.tf + {_K1} *
+            ({_1MB} + ({_B} * dls.dl) / stats.avgdl))) AS s
+  FROM tfs
+  JOIN dfs ON dfs.term = tfs.term AND dfs.field = tfs.field
+  JOIN dls ON dls.doc_id = tfs.doc_id AND dls.field = tfs.field
+  JOIN stats ON stats.field = tfs.field
+  CROSS JOIN nd
+  WHERE tfs.term IN ({cf_in})
+),
+per_doc AS (
+  SELECT doc_id, {cf_pivot}
+  FROM contrib GROUP BY doc_id
+),
+scored AS (SELECT doc_id, {cf_add} AS score FROM per_doc)
+SELECT doc_id, floor(score * 10000.0) / 10000.0 AS score
+FROM scored ORDER BY floor(score * 10000.0) DESC, doc_id LIMIT 10"""
 
     # snippet: ±30 chars around the first (ascending-term) match in the
     # ASCII-folded text — char semantics match Spark locate/substring

@@ -443,7 +443,17 @@ class SearchIndex:
         DisjunctionMax / best_fields: a term contributes its best field
         score plus ``tie_breaker`` times the other fields' scores
         (``tie_breaker=1.0`` is bit-identical to the sum path; 0.0 is
-        pure best-field). OR mode, exhaustive kernel only."""
+        pure best-field). OR mode, exhaustive kernel only.
+
+        ``combine="cross_fields"`` is the ES multi_match cross_fields
+        mode (Lucene BlendedTermQuery): per-term document frequencies
+        are BLENDED across the queried fields — every field stream of a
+        term scores with ``idf(max_f df_{t,f})`` — then the term
+        combines per-field scores dis-max style with ``tie_breaker``
+        (ES default 0.0). This treats the fields as one logical field:
+        a term that is rare in the body but common in the title no
+        longer gets an inflated body idf, the failure mode best_fields
+        has on cross-field entity names. bm25 similarity only."""
         if search_after is not None and offset:
             raise ValueError("search_after and offset are mutually "
                              "exclusive (cursor pages replace offsets)")
@@ -460,14 +470,19 @@ class SearchIndex:
             if use_wand:
                 raise ValueError("min_should_match is exhaustive-only "
                                  "(WAND bounds ignore the match floor)")
-        if combine not in ("sum", "dismax"):
-            raise ValueError("combine must be sum|dismax")
+        if combine not in ("sum", "dismax", "cross_fields"):
+            raise ValueError("combine must be sum|dismax|cross_fields")
         dismax_tie = None
-        if combine == "dismax":
+        if combine in ("dismax", "cross_fields"):
             if mode != "OR" or use_wand or msm is not None:
-                raise ValueError("combine='dismax' requires mode='OR', "
-                                 "no use_wand, no min_should_match")
+                raise ValueError(f"combine={combine!r} requires "
+                                 "mode='OR', no use_wand, no "
+                                 "min_should_match")
             dismax_tie = float(tie_breaker)
+        if combine == "cross_fields" and (similarity != "bm25"
+                                          or rebase_stats):
+            raise ValueError("combine='cross_fields' requires bm25 "
+                             "without rebase_stats")
         if similarity != "bm25" and rebase_stats:
             raise ValueError("rebase_stats currently supports bm25 only")
         mterms = _fold_terms(must_terms, self.analyzer) if must_terms \
@@ -547,6 +562,21 @@ class SearchIndex:
                     * bmap.get(t, 1.0)
                     for t in present for f, st in stats[t].items()
                     if f < len(w) and w[f] != 0.0}
+        if combine == "cross_fields":
+            # BlendedTermQuery: one df per term — the max across the
+            # queried (non-zero-weight) fields — feeds every field
+            # stream's idf; terms present only in zero-weight fields
+            # drop (they could never contribute)
+            bdf = {t: m for t in present
+                   if (m := max((st["df"] for f, st in stats[t].items()
+                                 if f < len(w) and w[f] != 0.0),
+                                default=0)) > 0}
+            idfs = {(t, f): w[f] * idf_fn(self.n_docs, bdf[t])
+                    * bmap.get(t, 1.0)
+                    for t in bdf for f in stats[t]
+                    if f < len(w) and w[f] != 0.0}
+            if not idfs:
+                return self._empty()
         sims = None
         if similarity == "classic":
             sims = {tf_key: ("classic",) for tf_key in idfs}

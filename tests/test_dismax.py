@@ -68,3 +68,79 @@ def test_dismax_validation(idx):
                    use_wand=True)
     with pytest.raises(ValueError):
         idx.search(["spark"], k=5, mode="OR", combine="nope")
+
+
+# extra docs that give 'delta' UNEQUAL per-field dfs (title df=1, body
+# df=3) — the case cross_fields blending exists for
+DOCS += [
+    (6, "delta release", "notes about the delta delta format"),
+    (7, "other title", "delta appears in this body"),
+    (8, "another title", "and delta here too"),
+]
+
+
+class TestCrossFields:
+    def test_matches_brute_force(self, idx):
+        """tie=0 cross_fields == brute per-field BM25 parts under the
+        BLENDED idf (max df across fields), max over fields, summed
+        over ascending terms."""
+        from fatespark.oracle import bm25_term_score, idf as idf_fn
+        q = ["delta", "spark"]
+        got = dict(_rows(idx.search(q, k=10, mode="OR",
+                                    combine="cross_fields")))
+        stats = idx.term_stats(sorted(q))
+        favg = idx.field_avgdl
+        # rebuild per-doc per-field tf/dl from the raw corpus
+        per = {}
+        dls = {}
+        for d, title, body in DOCS:
+            for f, txt in enumerate((title, body)):
+                toks = txt.lower().split()
+                dls[(d, f)] = len(toks)
+                for t in toks:
+                    per[(d, f, t)] = per.get((d, f, t), 0) + 1
+        exp = {}
+        for t in sorted(set(q)):
+            bdf = max(st["df"] for st in stats[t].values())
+            widf = idf_fn(idx.n_docs, bdf)
+            for d in {dd for (dd, f, tt) in per if tt == t}:
+                best = max(
+                    bm25_term_score(per.get((d, f, t), 0), dls[(d, f)],
+                                    favg[f], widf)
+                    for f in (0, 1) if per.get((d, f, t), 0) > 0)
+                exp[d] = exp.get(d, 0.0) + best
+        assert set(got) == set(exp)
+        for d in exp:
+            assert got[d] == pytest.approx(exp[d], rel=0, abs=1e-12), d
+
+    def test_blend_lowers_the_rare_field_idf(self, idx):
+        """'delta' is rare in titles (df 1) but common in bodies (df 3):
+        under cross_fields every stream uses idf(3), so the title-match
+        doc scores strictly below its best_fields score, while body-only
+        matches are bit-identical (their df IS the blended df)."""
+        dm = dict(_rows(idx.search(["delta"], k=10, mode="OR",
+                                   combine="dismax", tie_breaker=0.0)))
+        cf = dict(_rows(idx.search(["delta"], k=10, mode="OR",
+                                   combine="cross_fields")))
+        assert set(dm) == set(cf)
+        assert cf[6] < dm[6]              # title stream deflated
+        assert cf[7] == dm[7] and cf[8] == dm[8]
+
+    def test_equal_dfs_degenerate_to_dismax(self, idx):
+        """'spark' has df 2 in BOTH fields: blending is a no-op, so
+        cross_fields == dismax bit-for-bit at any tie."""
+        for tie in (0.0, 0.4):
+            a = _rows(idx.search(["spark"], k=10, mode="OR",
+                                 combine="dismax", tie_breaker=tie))
+            b = _rows(idx.search(["spark"], k=10, mode="OR",
+                                 combine="cross_fields",
+                                 tie_breaker=tie))
+            assert a == b
+
+    def test_validation(self, idx):
+        with pytest.raises(ValueError):
+            idx.search(["spark"], k=5, mode="AND",
+                       combine="cross_fields")
+        with pytest.raises(ValueError):
+            idx.search(["spark"], k=5, mode="OR",
+                       combine="cross_fields", similarity="classic")
