@@ -1016,6 +1016,31 @@ def main() -> None:
             idx, {"a": ["smith"], "b": ["jones"],
                   "c": ["taylor"]}).collect()
 
+    # -- round-4 session-10 operators ---------------------------------------
+    @timed("agg_has_child_200k", reps=3)
+    def _hc():  # ES has_child block join: ~200 parents of 997, ranked by
+        # the SUM of matching-child BM25 codes (one parent-key shuffle)
+        from fatespark.blockjoin import has_child_topk
+        ch = corpus.select(
+            F.xxhash64("url").alias("doc_id"),
+            F.pmod(F.xxhash64("url"), F.lit(997)).alias("pkey"))
+        return has_child_topk(idx, ch, ["smith", "jones"], "pkey", k=10,
+                              mode="OR", score_mode="sum").collect()
+
+    @timed("agg_diversified_200k", reps=3)
+    def _div():  # ES diversified_sampler: per-lang best-3 of the match set
+        from fatespark.bucketaggs import diversified_sampler
+        return diversified_sampler(
+            idx, corpus.select(F.xxhash64("url").alias("doc_id"), "lang"),
+            ["smith", "jones"], "lang", max_docs_per_value=3).collect()
+
+    @timed("agg_date_pipeline_200k", reps=3)
+    def _dhp():  # ES pipeline aggs: hourly warc_ts histogram (~56 buckets)
+        # + derivative/cumulative_sum/moving_fn in one bounded window
+        from fatespark.pipelineaggs import date_histogram_pipeline
+        return date_histogram_pipeline(corpus, "warc_ts",
+                                       interval="hour").collect()
+
     from fatespark.phrasesuggest import phrase_suggest as _psf, \
         write_bigram_lm as _wlm
 

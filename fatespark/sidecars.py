@@ -43,7 +43,7 @@ import pandas as pd
 
 from . import snapshots as _snap
 
-__all__ = ["stamp", "staleness", "check", "KNOWN_SIDECARS"]
+__all__ = ["stamp", "staleness", "check", "refresh", "KNOWN_SIDECARS"]
 
 # dirname -> what writes it (for unstamped-discovery reporting)
 KNOWN_SIDECARS = {
@@ -130,3 +130,73 @@ def check(index_dir: str, name: str, *, strict: bool = False) -> bool:
             f" ({KNOWN_SIDECARS.get(name, 'its writer')}) after"
             " vacuum/incremental builds")
     return ok
+
+
+def refresh(index, docs=None, *, names=None,
+            dry_run: bool = False) -> pd.DataFrame:
+    """Rebuild every stale (or unstamped) sidecar against the index's
+    CURRENT snapshot — the one-call answer to "a vacuum just landed;
+    re-derive what it invalidated". Each rebuild preserves the sidecar's
+    original build parameters (fuzzy depth / bucket counts read back
+    from its own meta) and re-stamps through the writer itself, so a
+    subsequent ``check(strict=True)`` passes.
+
+    ``index`` is a live ``SearchIndex`` (re-open it after the
+    snapshot-advancing operation so the writers see current state).
+    ``docs`` is the corpus DataFrame the bigram LM derives from — the
+    one sidecar whose source is outside the index dir; without it that
+    rebuild is reported as skipped, never guessed. ``names`` restricts
+    the pass; ``dry_run=True`` reports what WOULD rebuild.
+
+    Returns (name, stale, action) — action in rebuilt / would-rebuild /
+    skipped-needs-docs / current.
+    """
+    d = index.index_dir
+    st = staleness(d)
+    out = []
+    for r in st.itertuples():
+        if names is not None and r.name not in names:
+            continue
+        needs = r.stale is True or r.stamped is False
+        if not needs:
+            out.append({"name": r.name, "stale": False,
+                        "action": "current"})
+            continue
+        if dry_run:
+            out.append({"name": r.name, "stale": True,
+                        "action": "would-rebuild"})
+            continue
+        if r.name == "fuzzy_variants":
+            import pyarrow.parquet as pq
+            from .suggest import FUZZY_META_DIRNAME, write_fuzzy_variants
+            mf = sorted(glob.glob(os.path.join(
+                d, FUZZY_META_DIRNAME, "*.parquet")))
+            depth, nb = 2, 64
+            if mf:
+                m = pq.read_table(mf[0]).to_pandas().iloc[0]
+                depth, nb = int(m["depth"]), int(m["n_buckets"])
+            write_fuzzy_variants(index, depth=depth, n_buckets=nb)
+            out.append({"name": r.name, "stale": True,
+                        "action": "rebuilt"})
+        elif r.name == "bigram_lm":
+            if docs is None:
+                out.append({"name": r.name, "stale": True,
+                            "action": "skipped-needs-docs"})
+                continue
+            from .phrasesuggest import LM_DIRNAME, write_bigram_lm
+            parts = glob.glob(os.path.join(d, LM_DIRNAME, "pairs",
+                                           "b1=*"))
+            nb = len(parts) or 64
+            write_bigram_lm(index, docs, n_buckets=nb)
+            out.append({"name": r.name, "stale": True,
+                        "action": "rebuilt"})
+        elif r.name == "postings_local":
+            from .build import BuildConfig, IndexBuilder
+            IndexBuilder(d, BuildConfig(
+                n_buckets=index.n_buckets)).compact_local(index.spark)
+            out.append({"name": r.name, "stale": True,
+                        "action": "rebuilt"})
+        else:
+            out.append({"name": r.name, "stale": True,
+                        "action": "skipped-unknown-writer"})
+    return pd.DataFrame(out, columns=["name", "stale", "action"])
