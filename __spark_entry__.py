@@ -217,6 +217,33 @@ def _tt_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     return idx
 
 
+def _fed_shards(spark: SparkSession, sf_dir: str) -> list:
+    """Two doc_id-parity shard indexes over documents, cached per sf_dir
+    — the federated-search driver fixture (deliberately UNEQUAL shard
+    sizes and bucket counts: global-stats exactness must not depend on
+    symmetric sharding)."""
+    tag = _corpus_tag(sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    out = []
+    for name, keep, nb in (("fa", 0, 2), ("fb", 1, 4)):
+        d = f"/tmp/fatespark_entry_idx/{tag}_{name}"
+        part = docs.filter(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 0 if keep == 0
+            else F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+        n = part.count()
+        try:
+            idx = SearchIndex(spark, d)
+            if idx.n_docs != n:
+                raise ValueError("stale index")
+        except Exception:
+            IndexBuilder(d, BuildConfig(n_buckets=nb, salt_bits=0)).build(
+                spark, part, id_col="doc_id", url_col="doc_id",
+                text_col="text", build_id=f"entry-{name}")
+            idx = SearchIndex(spark, d)
+        out.append(idx)
+    return out
+
+
 def _range_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     """Two-field (text, n_chars-as-numeric-trie) index, cached per sf_dir —
     the numeric range-filter driver query's fixture."""
@@ -1027,6 +1054,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             QS["or2"], k=10, mode="OR", weights=[1.0, 1.0], quantize=4,
             combine="cross_fields"))
     q["ft_cross_fields"] = ft_cross_fields
+
+    def ft_federated(spark, sf):
+        """ES dfs_query_then_fetch across two UNEQUAL doc_id-parity
+        shard indexes (federate.search_federated): a dictionary-only
+        stats pre-phase sums per-(term, field) dfs and globalizes
+        n_docs/avgdl, every shard's kernels score under the global
+        stats via the rebase override hooks, per-shard top-k unions
+        into one k-bounded merge. The oracle is the UNION-corpus BM25
+        twin — federation exactness (bit-identical to searching one
+        union index) IS the claim, the ft_maxscore precedent."""
+        from fatespark.federate import search_federated
+        return _scores(search_federated(
+            _fed_shards(spark, sf), QS["or3"], k=10, mode="OR",
+            quantize=4))
+    q["ft_federated"] = ft_federated
 
     def ft_percolate(spark, sf):
         """Percolator (reverse search): the PERC_QUERIES saved-search
@@ -3213,7 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         # session-10 NEW ops first, same reasoning as below
         "ft_has_child", "ft_to_children", "agg_diversified",
-        "agg_date_pipeline", "ft_cross_fields",
+        "agg_date_pipeline", "ft_cross_fields", "ft_federated",
         # session-9 NEW ops first, same reasoning as below
         "ft_sorted_early", "agg_top_hits", "agg_adjacency",
         "ft_phrase_suggest_local", "agg_top_hits_scored",
@@ -4261,6 +4303,7 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_synonyms"] = _bm25_sql(["merge", "join"], "OR")
     o["ft_topk_and2"] = _bm25_sql(QS["and2"], "AND")
     o["ft_topk_or2"] = _bm25_sql(QS["or2"], "OR")
+    o["ft_federated"] = _bm25_sql(QS["or3"], "OR")
     o["ft_topk_or3_wand"] = _bm25_sql(QS["or3"], "OR")
     o["ft_maxscore_topk"] = _bm25_sql(QS["or3"], "OR")
     o["ft_prf"] = _prf_sql(QS["or2"], fb_docs=10, fb_terms=8, beta=0.4)
