@@ -1070,6 +1070,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             quantize=4))
     q["ft_federated"] = ft_federated
 
+    def ft_inner_hits(spark, sf):
+        """ES has_child + inner_hits (blockjoin.has_child_inner_hits):
+        the top-5 'crawl batch' parents by summed child BM25, each with
+        its 2 best matching children (the rows that produced the parent
+        score); k-row parent side broadcasts back onto the scored
+        children, one window per parent family."""
+        from fatespark.blockjoin import has_child_inner_hits
+        idx = _index(spark, sf)
+        docs = _read(spark, sf, "documents").withColumn(
+            "pkey", F.pmod(F.col("doc_id"), F.lit(97)))
+        return has_child_inner_hits(
+            idx, docs, QS["and2"], "pkey", k=5, n=2,
+            score_mode="sum").orderBy(F.desc("parent_score"), "parent",
+                                      "hit_rank")
+    q["ft_inner_hits"] = ft_inner_hits
+
+    def ft_field_value_factor(spark, sf):
+        """ES function_score field_value_factor
+        (rescore.field_value_factor_topk): score * sqrt(0.5 * votes)
+        over the exact BM25 top-50 window (the ES rescorer contract —
+        the multiplier is unbounded above 1, so exactness is
+        window-scoped like ES window_size); planted votes = doc_id %
+        100 + 1; sqrt chosen for the twin because IEEE sqrt is
+        correctly rounded, so floats hash cross-engine."""
+        from fatespark.rescore import field_value_factor_topk
+        idx = _index(spark, sf)
+        meta = _read(spark, sf, "documents").select(
+            "doc_id",
+            (F.col("doc_id") % 100 + 1).cast("double").alias("votes"))
+        return field_value_factor_topk(
+            idx, meta, QS["or2"], field_col="votes", factor=0.5,
+            modifier="sqrt", k=10, pool=50, quantize=4)
+    q["ft_field_value_factor"] = ft_field_value_factor
+
     def ft_percolate(spark, sf):
         """Percolator (reverse search): the PERC_QUERIES saved-search
         registry matched against the documents stream — (doc_id, query_id,
@@ -3256,6 +3290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-10 NEW ops first, same reasoning as below
         "ft_has_child", "ft_to_children", "agg_diversified",
         "agg_date_pipeline", "ft_cross_fields", "ft_federated",
+        "ft_inner_hits", "ft_field_value_factor",
         # session-9 NEW ops first, same reasoning as below
         "ft_sorted_early", "agg_top_hits", "agg_adjacency",
         "ft_phrase_suggest_local", "agg_top_hits_scored",
@@ -6872,10 +6907,24 @@ buckets AS (
 )
 SELECT key, doc_count FROM buckets WHERE doc_count > 0 ORDER BY key"""
 
-    from fatespark.blockjoin import has_child_sql, to_children_sql
+    from fatespark.blockjoin import (has_child_sql, inner_hits_sql,
+                                     to_children_sql)
     o["ft_has_child"] = has_child_sql(
         "documents", QS["and2"], "d.doc_id % 97", k=10, mode="OR",
         score_mode="sum")
+    o["ft_inner_hits"] = inner_hits_sql(
+        "documents", QS["and2"], "d.doc_id % 97", k=5, n=2,
+        mode="OR", score_mode="sum")
+    o["ft_field_value_factor"] = f"""
+SELECT c.doc_id,
+       floor((c.score * sqrt(CAST(m.votes AS DOUBLE) * 0.5))
+             * 10000.0) / 10000.0 AS score
+FROM ({_bm25_sql(QS["or2"], "OR", limit=50)}
+) c
+JOIN (SELECT doc_id, CAST(doc_id % 100 + 1 AS DOUBLE) AS votes
+      FROM documents) m USING (doc_id)
+ORDER BY score DESC, doc_id
+LIMIT 10"""
     o["ft_to_children"] = to_children_sql(
         "documents", QS["single"], "d.doc_id % 97", k=200,
         score_mode="max")

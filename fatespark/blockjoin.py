@@ -33,13 +33,13 @@ ES/Lucene block-join surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .bucketaggs import match_scores
 from .oracle import B, K1
 
-__all__ = ["has_child_topk", "to_children", "has_child_sql",
-           "to_children_sql"]
+__all__ = ["has_child_topk", "has_child_inner_hits", "to_children",
+           "has_child_sql", "to_children_sql", "inner_hits_sql"]
 
 _MODES = ("max", "sum", "avg", "min", "none")
 
@@ -93,6 +93,45 @@ def has_child_topk(index, children: DataFrame, query, parent_col: str,
     fam = _family_scores(index, children, query, parent_col, score_mode,
                          mode, quantize, min_children, id_col)
     return fam.orderBy(F.desc("score"), F.asc("parent")).limit(k)
+
+
+def has_child_inner_hits(index, children: DataFrame, query,
+                         parent_col: str, *, k: int = 10, n: int = 3,
+                         score_mode: str = "max", mode: str = "OR",
+                         min_children: int = 1, quantize: int = 4,
+                         id_col: str = "doc_id") -> DataFrame:
+    """ES ``has_child`` with ``inner_hits``: for each of the top-``k``
+    parents, the ``n`` best-matching CHILDREN that produced its score —
+    (parent, parent_score, doc_id, child_score, hit_rank), hit_rank
+    1-based within the parent by (child score DESC, doc_id ASC).
+
+    Shape: the ``has_child_topk`` family ranking (k-bounded) joins back
+    to the scored children — the k-row parent side broadcasts, so the
+    only added cost beyond the parent ranking is one window over the
+    <= k families' matching children. Child scores report from the same
+    integer codes the parent fold consumed (floor-quantized), so a
+    DuckDB twin reproduces rows and ranks hash-exactly."""
+    if k <= 0 or n <= 0:
+        raise ValueError("k and n must be positive")
+    qm = float(10 ** quantize)
+    fam = _family_scores(index, children, query, parent_col, score_mode,
+                         mode, quantize, min_children, id_col)
+    top = (fam.orderBy(F.desc("score"), F.asc("parent")).limit(k)
+           .select("parent", F.col("score").alias("parent_score")))
+    scored = match_scores(index, query, mode=mode)
+    code = F.floor(F.col("score") * F.lit(qm)).cast("long")
+    par = children.select(F.col(id_col).alias("doc_id"),
+                          F.col(parent_col).cast("string").alias("parent"))
+    ch = (scored.select("doc_id", (code / F.lit(qm))
+                        .alias("child_score"))
+          .join(par, "doc_id")
+          .join(F.broadcast(top), "parent"))
+    w = Window.partitionBy("parent").orderBy(F.desc("child_score"),
+                                             F.asc("doc_id"))
+    return (ch.withColumn("hit_rank", F.row_number().over(w))
+            .filter(F.col("hit_rank") <= n)
+            .select("parent", "parent_score", "doc_id", "child_score",
+                    "hit_rank"))
 
 
 def to_children(index, children: DataFrame, query, parent_col: str,
@@ -207,6 +246,41 @@ SELECT parent, score, n_children
 FROM fam
 ORDER BY score DESC, parent ASC
 LIMIT {k}
+"""
+
+
+def inner_hits_sql(src: str, terms: list[str], parent_expr: str,
+                   *, k: int = 10, n: int = 3, score_mode: str = "max",
+                   mode: str = "OR", min_children: int = 1,
+                   quantize: int = 4, text_col: str = "text",
+                   id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``has_child_inner_hits``: the shared ``fam`` chain,
+    top-k parents, children re-joined from the same integer codes, same
+    per-parent window and cut."""
+    body = _fam_ctes(src, terms, parent_expr, score_mode, mode,
+                     min_children, quantize, text_col, id_col)
+    qm = float(10 ** quantize)
+    return f"""
+WITH {body},
+topk AS (
+  SELECT parent, score AS parent_score FROM fam
+  ORDER BY score DESC, parent ASC LIMIT {k}
+),
+ih AS (
+  SELECT c.parent, t.parent_score, c.doc_id,
+         CAST(c.code AS DOUBLE) / {qm!r} AS child_score
+  FROM codes c JOIN topk t USING (parent)
+),
+r AS (
+  SELECT parent, parent_score, doc_id, child_score,
+         CAST(row_number() OVER (
+           PARTITION BY parent
+           ORDER BY child_score DESC, doc_id ASC) AS INT) AS hit_rank
+  FROM ih
+)
+SELECT parent, parent_score, doc_id, child_score, hit_rank
+FROM r WHERE hit_rank <= {n}
+ORDER BY parent_score DESC, parent ASC, hit_rank
 """
 
 

@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["recency_topk", "collapsed_topk", "decay_topk"]
+__all__ = ["recency_topk", "collapsed_topk", "decay_topk",
+           "static_rank_topk", "field_value_factor_topk"]
 
 
 def _quantize(col, quantize: int | None):
@@ -177,6 +178,54 @@ def decay_topk(index, meta: DataFrame, query, *, shape: str = "gauss",
             F.lit(1.0) - dist * F.lit((1.0 - float(decay)) / float(scale)),
             F.lit(0.0))
     j = (meta.select("doc_id", mult.alias("_m"))
+         .join(F.broadcast(cand), "doc_id"))
+    boosted = _quantize(F.col("score") * F.col("_m"), quantize)
+    return (j.select("doc_id", boosted.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))
+
+
+def field_value_factor_topk(index, meta: DataFrame, query, *,
+                            field_col: str, factor: float = 1.0,
+                            modifier: str = "none", missing: float = 1.0,
+                            k: int = 10, pool: int = 100,
+                            mode: str = "OR",
+                            quantize: int | None = None,
+                            use_wand: bool = False) -> DataFrame:
+    """ES ``function_score`` ``field_value_factor``: a stored numeric
+    field multiplies the relevance score —
+
+        score * modifier(factor * field)
+
+    with the ES modifiers ``none | log1p | sqrt | square | reciprocal``
+    (``ln1p`` is ``log1p``'s ES alias; ``square`` is an explicit x*x —
+    ``pow(x, 2.0)`` is not guaranteed bit-equal). Docs with a NULL field
+    take ``missing`` (the ES parameter).
+
+    Unlike the decay/recency multipliers this one is NOT bounded by 1,
+    so the result is the ES *rescorer* contract (``rescore`` window with
+    ``boost_mode: multiply``): exact within the BM25 top-``pool``
+    window, which is the standard second-stage pattern — document the
+    pool like ES documents ``window_size``. The rescoring join
+    broadcasts the pool; the corpus-sized ``meta`` never shuffles."""
+    if modifier not in ("none", "log1p", "ln1p", "sqrt", "square",
+                        "reciprocal"):
+        raise ValueError(f"unknown modifier {modifier!r}")
+    cand = index.search(query, k=pool, mode=mode, quantize=quantize,
+                        use_wand=use_wand)
+    v = F.coalesce(F.col(field_col).cast("double"),
+                   F.lit(float(missing))) * F.lit(float(factor))
+    if modifier in ("log1p", "ln1p"):
+        m = F.log1p(v)
+    elif modifier == "sqrt":
+        m = F.sqrt(v)
+    elif modifier == "square":
+        m = v * v
+    elif modifier == "reciprocal":
+        m = F.lit(1.0) / v
+    else:
+        m = v
+    j = (meta.select("doc_id", m.alias("_m"))
          .join(F.broadcast(cand), "doc_id"))
     boosted = _quantize(F.col("score") * F.col("_m"), quantize)
     return (j.select("doc_id", boosted.alias("score"))

@@ -154,3 +154,62 @@ class TestToChildren:
             blockjoin.to_children_sql("documents", ["term00010"],
                                       "d.parent")).fetchall())
         assert got == want and got
+
+
+class TestInnerHits:
+    def test_matches_brute_force(self, corpus, idx):
+        q, k, n = ["term00010", "term00050"], 4, 2
+        fam = _families(corpus, q, "OR")
+        qm = 1e4
+        # brute: parents ranked by max code, then per parent the n best
+        # child (code, doc) pairs
+        codes = {}
+        rows = corpus.select("doc_id", "text", "parent").collect()
+        from fatespark.oracle import BM25Oracle
+        ora = BM25Oracle([(r["doc_id"], r["text"]) for r in rows])
+        par = {r["doc_id"]: str(r["parent"]) for r in rows}
+        for d, s in ora.search(q, k=10 ** 9, mode="OR"):
+            codes.setdefault(par[d], []).append(
+                (int(math.floor(s * qm)), d))
+        top = sorted(((-max(c for c, _ in lst) / qm, p)
+                      for p, lst in codes.items()))[:k]
+        exp = set()
+        for ns, p in top:
+            best = sorted(((-c / qm, d) for c, d in codes[p]))[:n]
+            for rank, (nc, d) in enumerate(best, 1):
+                exp.add((p, -ns, d, -nc, rank))
+        got = {(r["parent"], r["parent_score"], r["doc_id"],
+                r["child_score"], r["hit_rank"])
+               for r in blockjoin.has_child_inner_hits(
+                   idx, corpus, q, "parent", k=k, n=n,
+                   score_mode="max").collect()}
+        assert got == exp and got
+
+    def test_duckdb_twin_parity(self, spark, corpus, idx):
+        import duckdb
+        con = duckdb.connect()
+        con.register("documents",
+                     corpus.select("doc_id", "text", "parent").toPandas())
+        got = sorted(tuple(r) for r in blockjoin.has_child_inner_hits(
+            idx, corpus, ["term00010", "term00050"], "parent",
+            k=3, n=2, score_mode="sum").collect())
+        want = sorted(tuple(r) for r in con.execute(
+            blockjoin.inner_hits_sql(
+                "documents", ["term00010", "term00050"], "d.parent",
+                k=3, n=2, score_mode="sum")).fetchall())
+        assert got == want and got
+
+    def test_parents_match_has_child(self, corpus, idx):
+        q = ["the"]
+        hc = blockjoin.has_child_topk(idx, corpus, q, "parent",
+                                      k=5).collect()
+        ih = blockjoin.has_child_inner_hits(idx, corpus, q, "parent",
+                                            k=5, n=1).collect()
+        assert {r["parent"] for r in ih} == {r["parent"] for r in hc}
+        ps = {r["parent"]: r["score"] for r in hc}
+        assert all(r["parent_score"] == ps[r["parent"]] for r in ih)
+
+    def test_validation(self, corpus, idx):
+        with pytest.raises(ValueError):
+            blockjoin.has_child_inner_hits(idx, corpus, ["the"],
+                                           "parent", n=0)

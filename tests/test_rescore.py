@@ -290,3 +290,66 @@ class TestDecay:
         with pytest.raises(ValueError):
             decay_topk(idx, meta, ["apple"], shape="exp", origin=0.0,
                        scale=0.0, field_col="age")
+
+
+class TestFieldValueFactor:
+    def _meta(self, spark):
+        # planted numeric field: doc_id * 3 (no nulls except doc 9)
+        rows = [(i, None if i == 9 else float(i * 3)) for i, *_ in DOCS]
+        return spark.createDataFrame(rows, "doc_id long, votes double")
+
+    @pytest.mark.parametrize("modifier,fn", [
+        ("none", lambda v: v),
+        ("log1p", lambda v: math.log1p(v)),
+        ("sqrt", lambda v: math.sqrt(v)),
+        ("square", lambda v: v * v),
+        ("reciprocal", lambda v: 1.0 / v),
+    ])
+    def test_full_window_equals_brute_force(self, built, spark,
+                                            modifier, fn):
+        from fatespark.rescore import field_value_factor_topk
+        idx, _ = built
+        meta = self._meta(spark)
+        scores = _bm25_all(idx, ["apple", "banana"])
+        vals = {i: (1.0 if i == 9 else i * 3) for i, *_ in DOCS}
+        want = sorted(((i, s * fn(0.5 * vals[i]))
+                       for i, s in scores.items()),
+                      key=lambda x: (-x[1], x[0]))[:5]
+        got = [(r["doc_id"], r["score"]) for r in field_value_factor_topk(
+            idx, meta, ["apple", "banana"], field_col="votes",
+            factor=0.5, modifier=modifier, k=5, pool=100).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (d, g), (_, w) in zip(got, want):
+            assert g == pytest.approx(w, rel=0, abs=1e-12)
+
+    def test_missing_value_default(self, built, spark):
+        from fatespark.rescore import field_value_factor_topk
+        idx, _ = built
+        meta = self._meta(spark)
+        scores = _bm25_all(idx, ["elder"])   # doc 9 matches 'elder'
+        got = {r["doc_id"]: r["score"] for r in field_value_factor_topk(
+            idx, meta, ["elder"], field_col="votes", missing=7.0,
+            k=10, pool=100).collect()}
+        assert got[9] == pytest.approx(scores[9] * 7.0, abs=1e-12)
+
+    def test_boosting_reranks(self, built, spark):
+        """A large stored field lifts a lower-BM25 doc above a higher
+        one — the boost_mode:multiply semantics, unbounded above 1."""
+        from fatespark.rescore import field_value_factor_topk
+        idx, _ = built
+        meta = self._meta(spark)
+        base = sorted(_bm25_all(idx, ["apple"]).items(),
+                      key=lambda x: (-x[1], x[0]))
+        got = [r["doc_id"] for r in field_value_factor_topk(
+            idx, meta, ["apple"], field_col="votes", k=10,
+            pool=100).collect()]
+        base_ids = [d for d, _ in base]
+        assert set(got) == set(base_ids)
+        assert got != base_ids   # votes actually re-rank
+
+    def test_validation(self, built, spark):
+        from fatespark.rescore import field_value_factor_topk
+        idx, _ = built
+        with pytest.raises(ValueError):
+            field_value_factor_topk(idx, self._meta(spark), ["apple"],
+                                    field_col="votes", modifier="exp2")
