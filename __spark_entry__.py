@@ -1104,6 +1104,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             modifier="sqrt", k=10, pool=50, quantize=4)
     q["ft_field_value_factor"] = ft_field_value_factor
 
+    def ft_snapshot_restore(spark, sf):
+        """Snapshot restore / Iceberg rollback (snapshots.restore): a
+        dedicated index is built, its top AND-match docs are DELETED
+        (tombstone commit), then snapshot 1 is restored as the new
+        current — archived tables hard-link back to canonical paths, the
+        stale tombstone set archives away, and history stays append-only
+        (build/delete/restore all travelable). The oracle is the plain
+        full-corpus BM25 twin: rows match ONLY because the restore
+        actually undid the delete (the deleted docs are the query's top
+        hits)."""
+        import shutil as _sh
+        from fatespark import snapshots as _snap
+        tag = _corpus_tag(sf)
+        d = f"/tmp/fatespark_entry_idx/{tag}_rst"
+        docs = _read(spark, sf, "documents")
+        n = docs.count()
+        ok = False
+        try:
+            ok = (list(_snap.history(d)["operation"])
+                  == ["build", "delete", "restore"]
+                  and SearchIndex(spark, d).n_docs == n)
+        except Exception:
+            ok = False
+        if not ok:
+            _sh.rmtree(d, ignore_errors=True)
+            b = IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=0))
+            b.build(spark, docs, id_col="doc_id", url_col="doc_id",
+                    text_col="text", build_id="entry-rst")
+            idx = SearchIndex(spark, d)
+            top = [r["doc_id"] for r in
+                   idx.search(QS["and2"], k=3, mode="AND").collect()]
+            b.delete_docs(spark, top)
+            _snap.restore(d, 1)
+        return _scores(SearchIndex(spark, d).search(
+            QS["and2"], k=7, mode="AND", quantize=4))
+    q["ft_snapshot_restore"] = ft_snapshot_restore
+
     def ft_percolate(spark, sf):
         """Percolator (reverse search): the PERC_QUERIES saved-search
         registry matched against the documents stream — (doc_id, query_id,
@@ -3290,7 +3327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-10 NEW ops first, same reasoning as below
         "ft_has_child", "ft_to_children", "agg_diversified",
         "agg_date_pipeline", "ft_cross_fields", "ft_federated",
-        "ft_inner_hits", "ft_field_value_factor",
+        "ft_inner_hits", "ft_field_value_factor", "ft_snapshot_restore",
         # session-9 NEW ops first, same reasoning as below
         "ft_sorted_early", "agg_top_hits", "agg_adjacency",
         "ft_phrase_suggest_local", "agg_top_hits_scored",
@@ -4339,6 +4376,7 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_topk_and2"] = _bm25_sql(QS["and2"], "AND")
     o["ft_topk_or2"] = _bm25_sql(QS["or2"], "OR")
     o["ft_federated"] = _bm25_sql(QS["or3"], "OR")
+    o["ft_snapshot_restore"] = _bm25_sql(QS["and2"], "AND", limit=7)
     o["ft_topk_or3_wand"] = _bm25_sql(QS["or3"], "OR")
     o["ft_maxscore_topk"] = _bm25_sql(QS["or3"], "OR")
     o["ft_prf"] = _prf_sql(QS["or2"], fb_docs=10, fb_terms=8, beta=0.4)

@@ -205,3 +205,73 @@ def expire(index_dir: str, keep_last: int = 1) -> dict:
     _write_local_parquet(keep.reset_index(drop=True), _log_dir(index_dir),
                          mode="overwrite")
     return {"expired": int(len(log) - keep_last), "freed_dirs": freed}
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Recreate ``src`` (dir or single file) at ``dst`` with hard links
+    (data files are immutable once committed, so links are safe;
+    expire() can later rmtree the archived name without touching the
+    restored copy)."""
+    if os.path.isfile(src):
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.link(src, dst)
+        return
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            os.link(os.path.join(root, f), os.path.join(out, f))
+
+
+def restore(index_dir: str, snapshot_id: int) -> int:
+    """Re-publish ``snapshot_id``'s table layout as the NEW current
+    snapshot — Iceberg ``rollback_to_snapshot`` / the ES
+    snapshot-restore lifecycle. History is append-only: nothing is
+    deleted, the restore is itself a snapshot (operation='restore'),
+    and the abandoned head stays time-travelable.
+
+    The restored layout is MATERIALIZED at the canonical live paths so
+    later writers (delete/vacuum/incremental commits, which record the
+    disk layout) naturally see the restored state:
+
+    1. every current live path NOT referenced by the target snapshot is
+       archived away (same-filesystem rename + log repoint — this is
+       how stale tombstone sets drop out of the restored view);
+    2. every archived path the target references is hard-linked back to
+       its canonical name (no data copy; the archived name stays valid
+       for the older snapshots that still reference it);
+    3. one commit pins the canonical layout.
+
+    Returns the new snapshot id. Raises if ``snapshot_id`` is unknown.
+    """
+    log = read_log(index_dir)
+    if log is None or snapshot_id not in set(log["snapshot_id"]):
+        raise ValueError(f"unknown snapshot_id {snapshot_id}")
+    row = log[log["snapshot_id"] == snapshot_id].iloc[-1]
+    tables = json.loads(row["tables_json"])
+
+    def canon(p: str) -> str:
+        if p.startswith(ARCHIVE + os.sep):
+            parts = p.split(os.sep)
+            return os.path.join(*parts[2:])
+        return p
+
+    restored_live = {p for ps in tables.values() for p in ps
+                     if not p.startswith(ARCHIVE + os.sep)}
+    live = live_tables(index_dir)
+    to_archive = [p for ps in live.values() for p in ps
+                  if p not in restored_live]
+    archive(index_dir, to_archive)
+    # re-read: archive() may have repointed the target row's refs only
+    # if they were live — and live refs are exactly the ones we kept
+    for ps in tables.values():
+        for p in ps:
+            if p.startswith(ARCHIVE + os.sep):
+                dst = os.path.join(index_dir, canon(p))
+                if not os.path.exists(dst):
+                    _link_tree(os.path.join(index_dir, p), dst)
+    new_tables = {t: sorted({canon(p) for p in ps})
+                  for t, ps in tables.items()}
+    return commit(index_dir, "restore", build_id=f"restore-{snapshot_id}",
+                  tables=new_tables)

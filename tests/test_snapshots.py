@@ -175,3 +175,57 @@ def test_expire_reclaims_and_invalidates(spark, built):
     # live current snapshot still resolvable by id
     sid = snap.current_id(d)
     assert SearchIndex(spark, d, snapshot_id=sid).snapshot_id == sid
+
+
+class TestRestore:
+    def test_restore_undoes_delete(self, spark, built):
+        b, d = built
+        before = _top(SearchIndex(spark, d), ["the", "smith"], mode="AND")
+        b.delete_docs(spark, before[:3])
+        assert set(before[:3]) & set(before)
+        sid = snap.restore(d, 1)
+        assert sid == 3
+        ops = list(snap.history(d)["operation"])
+        assert ops == ["build", "delete", "restore"]
+        cur = SearchIndex(spark, d)       # NEW current == snapshot 1
+        assert cur.tombstones is None
+        assert _top(cur, ["the", "smith"], mode="AND") == before
+        # the abandoned head stays time-travelable
+        deleted = SearchIndex(spark, d, snapshot_id=2)
+        assert not set(before[:3]) & set(
+            _top(deleted, ["the", "smith"], mode="AND"))
+
+    def test_restore_after_vacuum_relinks_archived_tables(self, spark,
+                                                          built):
+        b, d = built
+        idx0 = SearchIndex(spark, d)
+        before = _top(idx0, ["smith", "jones"], k=15)
+        n0 = idx0.n_docs
+        b.delete_docs(spark, before[:2])
+        b.vacuum(spark)                    # physically rewrites the index
+        assert SearchIndex(spark, d).n_docs == n0 - 2
+        snap.restore(d, 1)                 # pre-delete layout is archived
+        cur = SearchIndex(spark, d)
+        assert cur.n_docs == n0
+        assert _top(cur, ["smith", "jones"], k=15) == before
+        # later WRITERS see the restored layout: a fresh delete works on
+        # the restored corpus (live_tables == restored tables)
+        b.delete_docs(spark, before[:1])
+        assert not set(before[:1]) & set(
+            _top(SearchIndex(spark, d), ["smith", "jones"], k=15))
+
+    def test_restore_survives_expire(self, spark, built):
+        b, d = built
+        idx0 = SearchIndex(spark, d)
+        before = _top(idx0, ["the"], k=10)
+        b.delete_docs(spark, before[:2])
+        b.vacuum(spark)
+        snap.restore(d, 1)
+        snap.expire(d, keep_last=1)        # drops every older snapshot
+        cur = SearchIndex(spark, d)        # hard links keep data alive
+        assert _top(cur, ["the"], k=10) == before
+
+    def test_unknown_snapshot_raises(self, built):
+        _, d = built
+        with pytest.raises(ValueError):
+            snap.restore(d, 99)
