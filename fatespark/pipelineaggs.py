@@ -41,13 +41,20 @@ _INTERVALS = {"hour": "interval 1 hour", "day": "interval 1 day",
 
 def date_histogram_pipeline(df: DataFrame, ts_col: str = "ts", *,
                             interval: str = "day", window: int = 3,
-                            min_doc_count: int = 0) -> DataFrame:
+                            min_doc_count: int = 0,
+                            serial_diff: int | None = None) -> DataFrame:
     """(bucket, n, deriv, cum, mavg) per ``interval`` bucket of
-    ``ts_col``, ordered by bucket (module docstring)."""
+    ``ts_col``, ordered by bucket (module docstring). With
+    ``serial_diff=p`` an ``sdiff`` column adds the ES ``serial_diff``
+    pipeline agg — ``n - lag(n, p)``, the period-lagged difference that
+    removes seasonality of period p (null for the first p buckets);
+    ``serial_diff=1`` coincides with ``deriv`` by construction."""
     if interval not in _INTERVALS:
         raise ValueError(f"interval must be one of {sorted(_INTERVALS)}")
     if window < 1:
         raise ValueError("window must be >= 1")
+    if serial_diff is not None and serial_diff < 1:
+        raise ValueError("serial_diff period must be >= 1")
     counts = (df.select(F.date_trunc(interval, F.col(ts_col))
                         .alias("bucket"))
               .filter(F.col("bucket").isNotNull())
@@ -66,12 +73,16 @@ def date_histogram_pipeline(df: DataFrame, ts_col: str = "ts", *,
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     mavg = (F.sum("n").over(frame).cast("double")
             / F.count("n").over(frame).cast("double"))
-    return (counts
-            .withColumn("deriv",
-                        (F.col("n") - F.lag("n").over(w)).cast("double"))
-            .withColumn("cum", F.sum("n").over(cum))
-            .withColumn("mavg", mavg)
-            .orderBy("bucket"))
+    out = (counts
+           .withColumn("deriv",
+                       (F.col("n") - F.lag("n").over(w)).cast("double"))
+           .withColumn("cum", F.sum("n").over(cum))
+           .withColumn("mavg", mavg))
+    if serial_diff is not None:
+        out = out.withColumn(
+            "sdiff",
+            (F.col("n") - F.lag("n", serial_diff).over(w)).cast("double"))
+    return out.orderBy("bucket")
 
 
 def date_histogram_pipeline_sql(src: str, ts_col: str = "ts", *,

@@ -77,3 +77,15 @@ class TestPipeline:
         with pytest.raises(ValueError):
             date_histogram_pipeline_sql("events", "ts",
                                         interval="fortnight")
+
+    def test_serial_diff(self, spark):
+        df = _mk(spark, [3, 1, 4, 1, 5, 9])
+        out = date_histogram_pipeline(df, "ts", serial_diff=2).collect()
+        # n - lag(n, 2): nulls for the first two buckets
+        assert [r["sdiff"] for r in out] == \
+            [None, None, 1.0, 0.0, 1.0, 8.0]
+        # period 1 coincides with the derivative
+        out1 = date_histogram_pipeline(df, "ts", serial_diff=1).collect()
+        assert [r["sdiff"] for r in out1] == [r["deriv"] for r in out1]
+        with pytest.raises(ValueError):
+            date_histogram_pipeline(df, "ts", serial_diff=0)
