@@ -12,6 +12,7 @@ parenthesization, so scores match bit-for-bit before the defensive round().
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -210,6 +211,7 @@ def _tt_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
         if idx.n_docs != n or idx.n_fields != 2:
             raise ValueError("stale index")
     except Exception:
+        shutil.rmtree(d, ignore_errors=True)   # clean-room rebuild
         IndexBuilder(d, BuildConfig(n_buckets=4, salt_bits=0)).build(
             spark, docs, id_col="doc_id", url_col="doc_id",
             text_cols=["title", "text"], build_id="entry-tt")
@@ -1140,6 +1142,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _scores(SearchIndex(spark, d).search(
             QS["and2"], k=7, mode="AND", quantize=4))
     q["ft_snapshot_restore"] = ft_snapshot_restore
+
+    def ft_combined_fields(spark, sf):
+        """ES combined_fields / Lucene CombinedFieldQuery
+        (combinedfields.combined_fields_search) over the (title, body)
+        index: the fields merge into ONE pseudo-field — summed tf,
+        combined dl, UNION df — and BM25 runs once over the combined
+        statistics (the Robertson CIKM'04 field-concatenation model;
+        tested bit-identical to BM25 over the literally-concatenated
+        text). Distinct from BM25F (per-field score sum), dis_max
+        (best field), and cross_fields (blended df, per-field
+        saturation)."""
+        from fatespark.combinedfields import combined_fields_search
+        return combined_fields_search(_tt_index(spark, sf), QS["or2"],
+                                      k=10, mode="OR", quantize=4)
+    q["ft_combined_fields"] = ft_combined_fields
 
     def ft_percolate(spark, sf):
         """Percolator (reverse search): the PERC_QUERIES saved-search
@@ -3328,6 +3345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_has_child", "ft_to_children", "agg_diversified",
         "agg_date_pipeline", "ft_cross_fields", "ft_federated",
         "ft_inner_hits", "ft_field_value_factor", "ft_snapshot_restore",
+        "ft_combined_fields",
         # session-9 NEW ops first, same reasoning as below
         "ft_sorted_early", "agg_top_hits", "agg_adjacency",
         "ft_phrase_suggest_local", "agg_top_hits_scored",
@@ -4377,6 +4395,13 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_topk_or2"] = _bm25_sql(QS["or2"], "OR")
     o["ft_federated"] = _bm25_sql(QS["or3"], "OR")
     o["ft_snapshot_restore"] = _bm25_sql(QS["and2"], "AND", limit=7)
+    from fatespark.combinedfields import combined_fields_sql
+    _title_expr = ("array_to_string(list_slice(list_filter("
+                   "regexp_split_to_array(coalesce(text, ''), "
+                   "'[ \\t\\n\\r\\f\\v]+'), x -> x <> ''), 1, 5), ' ')")
+    o["ft_combined_fields"] = combined_fields_sql(
+        "documents", QS["or2"], field_exprs=[_title_expr, "text"],
+        k=10, mode="OR")
     o["ft_topk_or3_wand"] = _bm25_sql(QS["or3"], "OR")
     o["ft_maxscore_topk"] = _bm25_sql(QS["or3"], "OR")
     o["ft_prf"] = _prf_sql(QS["or2"], fb_docs=10, fb_terms=8, beta=0.4)
