@@ -1158,6 +1158,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       k=10, mode="OR", quantize=4)
     q["ft_combined_fields"] = ft_combined_fields
 
+    def ft_mget(spark, sf):
+        """ES _mget / ids query (SearchIndex.mget): point-fetch stored
+        docs by id from the doc store — the id list pushes to the
+        parquet scan (In filter over doc-store row groups, bounded IO at
+        any corpus size); a missing id is simply absent (the ES
+        found=false contract)."""
+        return _index(spark, sf).mget([2, 3, 5, 7, 11, 13,
+                                       999_999_999_999])
+    q["ft_mget"] = ft_mget
+
     def ft_percolate(spark, sf):
         """Percolator (reverse search): the PERC_QUERIES saved-search
         registry matched against the documents stream — (doc_id, query_id,
@@ -3345,7 +3355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_has_child", "ft_to_children", "agg_diversified",
         "agg_date_pipeline", "ft_cross_fields", "ft_federated",
         "ft_inner_hits", "ft_field_value_factor", "ft_snapshot_restore",
-        "ft_combined_fields",
+        "ft_combined_fields", "ft_mget",
         # session-9 NEW ops first, same reasoning as below
         "ft_sorted_early", "agg_top_hits", "agg_adjacency",
         "ft_phrase_suggest_local", "agg_top_hits_scored",
@@ -4402,6 +4412,12 @@ SELECT term, df, cf FROM dfs WHERE term IN ({in_list}) ORDER BY term"""
     o["ft_combined_fields"] = combined_fields_sql(
         "documents", QS["or2"], field_exprs=[_title_expr, "text"],
         k=10, mode="OR")
+    o["ft_mget"] = r"""
+SELECT doc_id, CAST(doc_id AS VARCHAR) AS url,
+       CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''),
+            '[ \t\n\r\f\v]+'), x -> x <> '')) AS BIGINT) AS dl
+FROM documents WHERE doc_id IN (2, 3, 5, 7, 11, 13)
+ORDER BY doc_id"""
     o["ft_topk_or3_wand"] = _bm25_sql(QS["or3"], "OR")
     o["ft_maxscore_topk"] = _bm25_sql(QS["or3"], "OR")
     o["ft_prf"] = _prf_sql(QS["or2"], fb_docs=10, fb_terms=8, beta=0.4)

@@ -169,6 +169,34 @@ class SearchIndex:
             self._tomb_bc = self.spark.sparkContext.broadcast(t)
         return _TombRef(bc=self._tomb_bc)
 
+    def mget(self, ids: list[int], *,
+             with_deleted: bool = False) -> DataFrame:
+        """ES ``_mget`` / ``ids`` query: point-fetch stored documents by
+        id from the doc store — (doc_id, url, dl, any ``store_cols``),
+        in ascending doc_id order. The id list pushes to the parquet
+        scan (an ``In`` filter over the doc-store row groups — bounded
+        IO regardless of corpus size); tombstoned docs are excluded
+        unless ``with_deleted=True`` (the ES found=false contract is the
+        absence of the row). Reference analogue: fates resolves matches
+        back to source rows by offset (``lib/fates.rb:52-60``); the
+        stored-fields fetch is the same serving call over the doc
+        store."""
+        if not ids:
+            raise ValueError("mget needs >= 1 id")
+        uniq = sorted({int(i) for i in ids})
+        out = self.docs.filter(F.col("doc_id").isin(uniq))
+        t = self.tombstones
+        if not with_deleted and t is not None:
+            dead = [int(d) for d in t if int(d) in set(uniq)]
+            if dead:
+                out = out.filter(~F.col("doc_id").isin(dead))
+        if "dls" in out.columns:
+            out = out.withColumn(
+                "dl", F.col("dls")[0].cast("long")).drop("dls")
+        # physical layout columns are not stored fields
+        out = out.drop(*[c for c in ("chunk",) if c in out.columns])
+        return out.orderBy("doc_id")
+
     # -- stats ---------------------------------------------------------------
     def term_stats(self, terms: list[str]) -> dict[str, dict]:
         """term -> field -> {df, cf, max_tf} (single-field indexes: field 0

@@ -60,3 +60,38 @@ def test_complete_validation(fixture):
     with pytest.raises(ValueError):
         complete(idx, "")
     assert complete(idx, "zzzz").count() == 0
+
+
+class TestMget:
+    def test_point_fetch_and_pushdown(self, fixture):
+        idx, corpus = fixture
+        ids = [r["doc_id"] for r in corpus.limit(4).collect()]
+        got = idx.mget(ids + [999_999_999_999]).collect()
+        assert sorted(r["doc_id"] for r in got) == sorted(ids)
+        # stored fields ride along; dl is the field-0 token length
+        texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+        for r in got:
+            assert r["dl"] == len(texts[r["doc_id"]].split())
+        # the id list reaches the parquet scan
+        plan = idx.mget(ids)._jdf.queryExecution().executedPlan().toString()
+        assert "In(doc_id" in plan
+
+    def test_tombstones_excluded(self, spark, tmp_path_factory, fixture):
+        _, corpus = fixture
+        d = str(tmp_path_factory.mktemp("mget") / "idx")
+        IndexBuilder(d, BuildConfig(n_buckets=2, salt_bits=0)).build(
+            spark, corpus, id_col="doc_id", build_id="mg")
+        ids = [r["doc_id"] for r in corpus.limit(3).collect()]
+        IndexBuilder(d, BuildConfig(n_buckets=2, salt_bits=0)) \
+            .delete_docs(spark, ids[:1])
+        idx2 = SearchIndex(spark, d)
+        assert sorted(r["doc_id"] for r in idx2.mget(ids).collect()) \
+            == sorted(ids[1:])
+        assert sorted(r["doc_id"] for r in
+                      idx2.mget(ids, with_deleted=True).collect()) \
+            == sorted(ids)
+
+    def test_validation(self, fixture):
+        idx, _ = fixture
+        with pytest.raises(ValueError):
+            idx.mget([])
