@@ -3343,87 +3343,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["agg_date_pipeline"] = agg_date_pipeline
 
     # -- driver-budget ordering -------------------------------------------
-    # Dict order is the harness's execution order and its budget reached 50
-    # rows in round 3 — so the rotation FLIPS each round: the 40 queries
-    # whose last official CORRECTNESS row ran on round-2 code (the fulltext
-    # tail — fuzzy/suggest/boost/significant/recency/snapshots/etc — plus
-    # the tx text signals) run FIRST this round so the board re-checks them
-    # on round-4 code; the 50 that got official round-3 rows follow in
-    # their round-3 order.
+    # Dict order is the harness's execution order; the official board
+    # budget has been 50 rows.  Round-5 policy (VERDICT r4 ask #1):
+    # STALENESS-FIRST.  The registry is ordered by the round of each
+    # query's last official CORRECTNESS row — never-officially-verified
+    # first, then round-2-vintage, then round-3, then the round-4 rows —
+    # so whatever budget the driver applies always lands on the stalest
+    # entries and the board self-heals round over round.  (All 192 were
+    # hash-exact in the round-4 judge selfcheck; this ordering converts
+    # that one-off sweep into standing policy.)
     first = [
-        # session-10 NEW ops first, same reasoning as below
-        "ft_has_child", "ft_to_children", "agg_diversified",
-        "agg_date_pipeline", "ft_cross_fields", "ft_federated",
-        "ft_inner_hits", "ft_field_value_factor", "ft_snapshot_restore",
-        "ft_combined_fields", "ft_mget",
-        # session-9 NEW ops first, same reasoning as below
-        "ft_sorted_early", "agg_top_hits", "agg_adjacency",
-        "ft_phrase_suggest_local", "agg_top_hits_scored",
-        # session-8 NEW ops first, same reasoning as below
-        "ft_phrase_suggest", "ft_phrase_collate", "ft_synonym_graph",
-        "ft_composite_agg", "st_trending", "hy_linear", "ann_sq8_topk",
-        "ann_filtered_topk", "ft_rare_terms", "ann_maxsim",
-        "ft_percolate_phrase", "ft_terms_set", "ann_batch_topk",
-        "ft_decay_gauss",
-        # core engine queries: last official rows are round-3 vintage and
-        # round-4 sessions extended wand.py/query.py — re-check them on
-        # round-4 code inside the budget window
-        "ft_corpus_stats", "ft_count_terms", "ft_term_df_top20",
-        "ft_topk_single", "ft_topk_and2", "ft_topk_or2",
-        "ft_topk_or3_wand", "ft_prefix", "ft_wildcard", "ft_phrase", "geo_distance", "geo_bbox", "geo_grid",
-        "tx_kn_surprisal", "ft_best_passage",
-        # session-6 NEW ops run first: their rows must land inside the
-        # driver budget so the board checks them on this session's code
-        "ft_percolate", "ann_pq_topk", "tx_boiler", "tx_hll",
-        "ft_pruned_topk", "ft_bm25plus_topk", "ft_impact_topk",
-        "ft_maxscore_topk", "tx_chunk", "ft_prf", "ft_common_terms",
-        "ft_mmr", "ft_lmjm_topk", "ft_sort_by_field",
+        # never officially verified (62): these fill the 50-row budget
+        "ft_maxscore_topk", "ft_msm", "ft_impact_topk", "ft_prf",
+        "ft_common_terms", "ft_mmr", "ft_sort_by_field",
         "ft_facet_cardinality", "ft_complete", "ft_prox_boost",
+        "ft_near_ordered", "ft_span_first", "ft_span_not", "ft_span_or",
+        "ft_span_within", "ft_span_containing", "ft_range_rebased",
+        "ft_search_after", "ft_classic_topk", "ft_lmd_topk", "ft_lmjm_topk",
+        "ft_bm25plus_topk", "ft_regexp", "ft_dismax", "ft_ef_topk",
+        "ft_compacted_topk", "tx_pack", "tx_mixture", "tx_bpe_train",
+        "tx_bpe_encode", "tx_html_extract", "tx_warc_parse", "wg_robots",
+        "wg_links", "wg_pagerank", "ft_static_rank", "ft_eval",
+        "tx_ingest_pipeline", "tx_sitemap_parse", "wg_frontier", "wg_hits",
+        "wg_redirects", "wg_anchor_topk", "tx_decontam_fuzzy", "tx_recrawl",
+        "tx_url_filter", "tx_c4_filters", "tx_webcurate", "tx_chunk",
+        "st_windowed_counts", "dd_minhash_keep", "dd_semdedup", "hy_rrf",
+        "mm_wav_meta", "mm_png_meta", "mm_jpeg_meta", "q_sessionize",
+        "tx_quality_classifier", "q_session_window", "q_percentiles",
+        "q_asof_join", "q_interval_join",
+        # last official row ran on round-2 code (40)
         "ft_phrase3", "ft_hits", "ft_near", "ft_batch", "ft_phrase_prefix",
         "ft_not", "ft_query_string", "ft_fuzzy", "ft_fuzzy2", "ft_suggest",
         "ft_mlt", "ft_boost", "ft_synonyms", "ft_first_match", "ft_recency",
         "ft_collapse", "ft_facets", "ft_explain", "ft_range",
-        "ft_range_rebased", "ft_significant", "ft_facet_stats",
-        "ft_term_vectors", "ft_histogram", "ft_topk_paged", "ft_snippets",
-        "ft_local_topk", "ft_multifield_topk", "ft_filtered",
-        "ft_pfor_topk", "ft_stemmed_topk", "ft_incremental",
-        "ft_snapshot_travel", "tx_token_count", "tx_bpe_count",
-        "tx_identifier_count", "tx_fingerprint", "tx_quality", "tx_langid",
-        "tx_split_assign", "tx_stratified_sample",
-        # round-4 code changes (vectorized fold kernel, DSIR broadcast
-        # path, charindex tombstone plumbing): their rows must also land
-        # inside the budget so the board checks them on round-4 code
-        "tx_surprisal", "tx_bigram_surprisal", "tx_quality_tiers",
-        "tx_dsir", "ft_substr_find",
-        # round-4 NEW ops: real multimodal codecs (WAV/PNG/JPEG-header),
-        # cursor pagination inside the WAND kernel
-        "mm_wav_meta", "mm_png_meta", "mm_jpeg_meta", "ft_search_after",
-        "tx_c4_filters", "ft_compacted_topk", "ft_classic_topk",
-        "ft_lmd_topk", "ft_regexp", "hy_rrf", "ft_msm", "ft_dismax",
-        "st_windowed_counts", "q_sessionize", "q_percentiles",
-        "tx_quality_classifier", "ft_near_ordered", "q_session_window",
-        "dd_minhash_keep", "dd_semdedup", "tx_pack", "tx_mixture",
-        "tx_url_filter", "tx_bpe_train", "ft_span_first", "ft_span_not",
-        "tx_decontam_fuzzy", "ft_span_or", "q_asof_join", "q_interval_join",
-        "ft_span_within", "ft_span_containing", "tx_bpe_encode",
-        "ft_ef_topk", "ft_static_rank", "ft_eval", "tx_recrawl",
-        "tx_html_extract", "wg_links", "wg_pagerank", "tx_warc_parse",
-        "wg_robots", "wg_anchor_topk", "wg_redirects",
-        "tx_sitemap_parse", "tx_ingest_pipeline", "wg_hits",
-        "wg_frontier", "tx_webcurate",
-        # round-3-vintage rows, in their round-3 order
-        "dd_paradedup", "dd_substring_cut", "dd_substring",
-        "tx_repetition", "tx_decontam", "tx_url_normalize", "tx_domain_cap",
-        "tx_gopher_quality",
-        "tx_pii_mask", "tx_source_stats", "tx_collocations", "tx_surprisal",
-        "tx_quality_tiers", "dd_exact_streaming", "tx_dsir", "dd_url_seen",
-        "tx_term_freq_cms", "tx_bigram_surprisal", "ft_substr_find",
-        "tx_distinct_sketch", "tx_curate", "dd_exact_groups",
+        "ft_significant", "ft_facet_stats", "ft_term_vectors",
+        "ft_histogram", "ft_topk_paged", "ft_snippets", "ft_local_topk",
+        "ft_multifield_topk", "ft_filtered", "ft_pfor_topk",
+        "ft_stemmed_topk", "ft_incremental", "ft_snapshot_travel",
+        "tx_token_count", "tx_bpe_count", "tx_identifier_count",
+        "tx_fingerprint", "tx_quality", "tx_langid", "tx_split_assign",
+        "tx_stratified_sample",
+        # round-3 vintage
+        "ft_compat_find", "tx_pii_mask", "dd_substring", "dd_paradedup",
+        "dd_substring_cut", "tx_repetition", "tx_decontam",
+        "tx_url_normalize", "tx_gopher_quality", "tx_domain_cap",
+        "tx_source_stats", "tx_collocations", "tx_surprisal",
+        "ft_substr_find", "tx_bigram_surprisal", "tx_quality_tiers",
+        "tx_dsir", "dd_url_seen", "tx_term_freq_cms", "tx_distinct_sketch",
+        "tx_curate", "dd_exact_groups", "dd_exact_streaming",
         "dd_ngram_jaccard", "dd_minhash", "dd_simhash", "dd_clusters",
         "dd_embdup", "dd_embdup_banded", "ann_topk", "ann_lsh_topk",
         "ann_ivf_topk", "mm_binary_meta", "mm_image_meta", "mm_audio_meta",
         "mm_frame_sample", "q1_pricing", "q_top_customers",
-        "q_events_by_type", "q_events_top3_per_user", "ft_compat_find",
+        "q_events_by_type", "q_events_top3_per_user",
+        # round-4 official rows (freshest -> last)
+        "ft_corpus_stats", "ft_term_df_top20", "ft_count_terms",
+        "ft_topk_single", "ft_topk_and2", "ft_topk_or2", "ft_topk_or3_wand",
+        "ft_pruned_topk", "ft_prefix", "ft_wildcard", "ft_phrase",
+        "ft_phrase_suggest", "ft_phrase_collate", "ft_synonym_graph",
+        "ft_decay_gauss", "ft_composite_agg", "ft_terms_set",
+        "ft_cross_fields", "ft_federated", "ft_inner_hits",
+        "ft_field_value_factor", "ft_snapshot_restore", "ft_combined_fields",
+        "ft_mget", "ft_percolate", "ft_percolate_phrase", "tx_kn_surprisal",
+        "tx_hll", "tx_boiler", "ft_best_passage", "st_trending",
+        "ann_pq_topk", "ann_sq8_topk", "ann_filtered_topk", "ann_maxsim",
+        "ann_batch_topk", "ft_rare_terms", "geo_distance", "geo_bbox",
+        "geo_grid", "hy_linear", "ft_sorted_early",
+        "ft_phrase_suggest_local", "agg_top_hits", "agg_top_hits_scored",
+        "agg_adjacency", "ft_has_child", "ft_to_children", "agg_diversified",
+        "agg_date_pipeline",
     ]
     ordered = {k: q[k] for k in first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
