@@ -87,8 +87,14 @@ def search_federated(indexes, query, k: int = 10, mode: str = "OR",
     present = sorted({t for (t, _f) in gdf})
     if not present or (mode == "AND" and len(present) < len(qterms)):
         return indexes[0]._empty()
-    avgdl = (sum(s * ix.n_docs for ix in indexes
-                 for s in [ix.avgdl]) / n)
+    # global avgdl from the summed EXACT per-field dl totals — the same
+    # derivation favg uses — not from the already-rounded per-index avgdl
+    # doubles (avgdl * n_docs can differ in the last bits and undermine
+    # the union-index bit-identity; pre-field_stats indexes degrade to
+    # the avgdl * n_docs reconstruction inside field_sumdl itself)
+    sumdl_all = sum(float(s) for ix in indexes
+                    for s in ix.field_sumdl.values())
+    avgdl = sumdl_all / n
     idfs = {(t, f): idf_fn(n, d) for (t, f), d in gdf.items()}
     parts = []
     for ix in indexes:

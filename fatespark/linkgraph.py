@@ -190,7 +190,11 @@ def hits(edges: DataFrame, iterations: int = 5,
     recurrence. Scores are therefore in arbitrary-but-fixed units;
     compare within a run, not across graphs. Scale shape per
     iteration: two edge joins + two map-side-combinable aggs + two
-    bounded max scalars; the edges exchange is checkpointed once."""
+    bounded max scalars; the edges exchange is checkpointed once, and
+    each half-step's raw sum table is checkpointed BEFORE its divisor
+    max is collected, so the join+agg runs exactly once per half-step
+    (the divisor scan and the score table both read the checkpoint
+    rather than recomputing the join)."""
     cap = 2 ** cap_bits
     edges = (edges.select(F.col("src").cast("long"),
                           F.col("dst").cast("long"))
@@ -201,27 +205,35 @@ def hits(edges: DataFrame, iterations: int = 5,
     if nodes.count() == 0:
         return nodes.select("node", F.lit(0).alias("hub"),
                             F.lit(0).alias("authority"))
+    # The recurrence never needs zero-score rows: a node absent from a
+    # half-step's sum table contributes exactly 0 to the next sum either
+    # way (0 div d = 0), and divisor maxima are unchanged (raw sums are
+    # non-negative). So the loop carries only the NONZERO score tables —
+    # two join+agg checkpoint jobs and two bounded max scalars per
+    # iteration — and the all-nodes left-join runs ONCE at the end to
+    # materialize zeros for sinks/sources.
     h = nodes.select("node", F.lit(cap).cast("long").alias("s"))
     a = None
     for _ in range(iterations):
         a_raw = (edges.join(h.withColumnRenamed("node", "src"), "src")
                  .groupBy(F.col("dst").alias("node"))
-                 .agg(F.sum("s").alias("raw")))
+                 .agg(F.sum("s").alias("raw"))
+                 .localCheckpoint(eager=True))
         da = (a_raw.agg(F.max("raw")).collect()[0][0] or 0) // cap + 1
-        a = (nodes.join(a_raw, "node", "left")
-             .select("node", F.expr(f"coalesce(raw, 0L) div {da}L")
-                     .alias("s"))
-             .localCheckpoint(eager=True))
+        a = a_raw.select("node", F.expr(f"raw div {da}L").alias("s"))
         h_raw = (edges.join(a.withColumnRenamed("node", "dst"), "dst")
                  .groupBy(F.col("src").alias("node"))
-                 .agg(F.sum("s").alias("raw")))
+                 .agg(F.sum("s").alias("raw"))
+                 .localCheckpoint(eager=True))
         dh = (h_raw.agg(F.max("raw")).collect()[0][0] or 0) // cap + 1
-        h = (nodes.join(h_raw, "node", "left")
-             .select("node", F.expr(f"coalesce(raw, 0L) div {dh}L")
-                     .alias("s"))
-             .localCheckpoint(eager=True))
-    return (h.withColumnRenamed("s", "hub")
-            .join(a.withColumnRenamed("s", "authority"), "node"))
+        h = h_raw.select("node", F.expr(f"raw div {dh}L").alias("s"))
+    return (nodes
+            .join(h.withColumnRenamed("s", "hub"), "node", "left")
+            .join(a.withColumnRenamed("s", "authority"), "node", "left")
+            .select("node",
+                    F.coalesce("hub", F.lit(0).cast("long")).alias("hub"),
+                    F.coalesce("authority", F.lit(0).cast("long"))
+                    .alias("authority")))
 
 
 def hits_local(edge_list, iterations: int = 5,

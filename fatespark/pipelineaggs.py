@@ -9,6 +9,8 @@ Semantics follow ES:
   and last are materialized with count 0 (a gap would otherwise corrupt
   the derivative), via one 2-scalar min/max agg + an exploded timestamp
   ``sequence`` left-joined to the counts — no corpus-sized generate.
+  ``min_doc_count>=2`` OMITS buckets with fewer docs (the ES contract);
+  the pipeline functions then run over the surviving sparse sequence.
 - ``derivative`` — ``n - lag(n)``; null for the first bucket (ES emits
   no derivative there).
 - ``cumulative_sum`` — running total, first bucket included.
@@ -68,6 +70,11 @@ def date_histogram_pipeline(df: DataFrame, ts_col: str = "ts", *,
         counts = (grid.join(counts, "bucket", "left")
                   .select("bucket",
                           F.coalesce("n", F.lit(0)).alias("n")))
+    elif min_doc_count > 1:
+        # ES omits buckets with doc_count < min_doc_count (the window
+        # functions below then run over the SURVIVING bucket sequence,
+        # matching ES pipeline aggs over a sparse histogram)
+        counts = counts.filter(F.col("n") >= min_doc_count)
     w = Window.orderBy("bucket")
     frame = w.rowsBetween(-window, -1)
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -109,6 +116,10 @@ counts AS (
   SELECT g.bucket, coalesce(c.n, 0) AS n
   FROM grid g LEFT JOIN counts0 c USING (bucket)
 )"""
+    elif min_doc_count > 1:
+        counts = (f"counts0 AS ({base}),\n"
+                  f"counts AS (SELECT * FROM counts0 "
+                  f"WHERE n >= {int(min_doc_count)})")
     else:
         counts = f"counts AS ({base})"
     return f"""

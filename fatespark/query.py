@@ -187,7 +187,8 @@ class SearchIndex:
         out = self.docs.filter(F.col("doc_id").isin(uniq))
         t = self.tombstones
         if not with_deleted and t is not None:
-            dead = [int(d) for d in t if int(d) in set(uniq)]
+            uset = set(uniq)
+            dead = [int(d) for d in t if int(d) in uset]
             if dead:
                 out = out.filter(~F.col("doc_id").isin(dead))
         if "dls" in out.columns:

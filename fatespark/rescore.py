@@ -197,10 +197,13 @@ def field_value_factor_topk(index, meta: DataFrame, query, *,
 
         score * modifier(factor * field)
 
-    with the ES modifiers ``none | log1p | sqrt | square | reciprocal``
-    (``ln1p`` is ``log1p``'s ES alias; ``square`` is an explicit x*x —
-    ``pow(x, 2.0)`` is not guaranteed bit-equal). Docs with a NULL field
-    take ``missing`` (the ES parameter).
+    with the ES modifiers ``none | log1p | ln1p | sqrt | square |
+    reciprocal``. In ES these are DISTINCT: ``log1p`` is the common
+    (base-10) log of 1+x, ``ln1p`` the natural log of 1+x — the two
+    differ by a constant ln(10) factor (ranking-equal, value-different).
+    ``square`` is an explicit x*x — ``pow(x, 2.0)`` is not guaranteed
+    bit-equal. Docs with a NULL field take ``missing`` (the ES
+    parameter).
 
     Unlike the decay/recency multipliers this one is NOT bounded by 1,
     so the result is the ES *rescorer* contract (``rescore`` window with
@@ -215,7 +218,9 @@ def field_value_factor_topk(index, meta: DataFrame, query, *,
                         use_wand=use_wand)
     v = F.coalesce(F.col(field_col).cast("double"),
                    F.lit(float(missing))) * F.lit(float(factor))
-    if modifier in ("log1p", "ln1p"):
+    if modifier == "log1p":     # ES log1p = log10(1 + x)
+        m = F.log(10.0, v + F.lit(1.0))
+    elif modifier == "ln1p":    # ES ln1p = ln(1 + x)
         m = F.log1p(v)
     elif modifier == "sqrt":
         m = F.sqrt(v)

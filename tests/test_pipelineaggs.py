@@ -43,6 +43,27 @@ class TestPipeline:
         assert [r["n"] for r in out] == [3, 2]
         assert [r["deriv"] for r in out] == [None, -1.0]
 
+    def test_min_doc_count_2_omits_small_buckets(self, spark):
+        # ES omits buckets with doc_count < min_doc_count; the pipeline
+        # functions run over the surviving sparse sequence
+        import duckdb
+        df = _mk(spark, [3, 1, 4, 2, 5])
+        out = date_histogram_pipeline(df, "ts", window=2,
+                                      min_doc_count=3).collect()
+        assert [r["n"] for r in out] == [3, 4, 5]
+        assert [r["deriv"] for r in out] == [None, 1.0, 1.0]
+        assert [r["cum"] for r in out] == [3, 7, 12]
+        con = duckdb.connect()
+        con.register("events", df.toPandas())
+        want = [tuple(r) for r in con.execute(
+            date_histogram_pipeline_sql("events", "ts", window=2,
+                                        min_doc_count=3)).fetchall()]
+        def norm(rows):   # bucket may come back date vs datetime
+            import datetime as _dt
+            return [(_dt.date(b.year, b.month, b.day), *rest)
+                    for b, *rest in rows]
+        assert norm([tuple(r) for r in out]) == norm(want)
+
     def test_duckdb_twin_parity(self, spark):
         import duckdb
         df = _mk(spark, [4, 1, 0, 0, 7, 2])

@@ -300,7 +300,8 @@ class TestFieldValueFactor:
 
     @pytest.mark.parametrize("modifier,fn", [
         ("none", lambda v: v),
-        ("log1p", lambda v: math.log1p(v)),
+        ("log1p", lambda v: math.log10(1.0 + v)),   # ES log1p is base-10
+        ("ln1p", lambda v: math.log1p(v)),          # ES ln1p is natural
         ("sqrt", lambda v: math.sqrt(v)),
         ("square", lambda v: v * v),
         ("reciprocal", lambda v: 1.0 / v),
