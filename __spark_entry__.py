@@ -2952,10 +2952,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import pandas as pd
 
         def gen(batches):
+            import numpy as np
+            from fatespark.jpeg import jpeg_encode
+
+            def real_jpeg(d):
+                # 8x8-tile-constant gray content + unit quant tables ->
+                # EXACT decode (fatespark.jpeg module docstring), so the
+                # pixel stats have a closed-form SQL twin; dims exercise
+                # partial edge blocks
+                w = 8 * (1 + d % 3) + d % 5
+                h = 8 * (1 + d % 2) + d % 7
+                tx = np.arange((w + 7) // 8)
+                ty = np.arange((h + 7) // 8)
+                g = ((d * 31 + tx[None, :] * 7 + ty[:, None] * 13)
+                     % 200 + 20).astype(np.uint8)
+                px = np.repeat(np.repeat(g, 8, 0), 8, 1)[:h, :w]
+                return jpeg_encode(px, quality=None)
+
             for pdf in batches:
                 ids = pdf["doc_id"].tolist()
                 if kind == "image":
-                    pay = [mm.fake_image_bytes(i) for i in ids]
+                    # even ids: REAL baseline JPEG (pure-numpy Huffman +
+                    # IDCT decode path); odd ids: the FIMG fake container
+                    pay = [real_jpeg(i) if i % 2 == 0
+                           else mm.fake_image_bytes(i) for i in ids]
                 elif kind == "audio":
                     pay = [mm.fake_audio_bytes(i) for i in ids]
                 else:  # 'video': 6 frames back-to-back
@@ -2966,6 +2986,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.mapInPandas(gen, "doc_id long, payload binary")
 
     def mm_image_meta(spark, sf):
+        """Mixed-container image stats: even doc_ids carry REAL baseline
+        JPEGs decoded by the pure-numpy Huffman+IDCT decoder
+        (fatespark.jpeg.jpeg_decode — tile-constant content + unit quant
+        tables make the decode EXACT, so luma stats hash against the
+        closed-form oracle), odd doc_ids the FIMG fake container."""
         from fatespark import multimodal as mm
         return mm.image_metadata(_fake_payloads(spark, sf, "image"))
     q["mm_image_meta"] = mm_image_meta
@@ -3353,6 +3378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash-exact in the round-4 judge selfcheck; this ordering converts
     # that one-off sweep into standing policy.)
     first = [
+        # changed THIS round (mm_image_meta now mixes real baseline JPEGs
+        # into its payloads): re-verify first
+        "mm_image_meta",
         # never officially verified (62): these fill the 50-row budget
         "ft_maxscore_topk", "ft_msm", "ft_impact_topk", "ft_prf",
         "ft_common_terms", "ft_mmr", "ft_sort_by_field",
@@ -3393,7 +3421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_curate", "dd_exact_groups", "dd_exact_streaming",
         "dd_ngram_jaccard", "dd_minhash", "dd_simhash", "dd_clusters",
         "dd_embdup", "dd_embdup_banded", "ann_topk", "ann_lsh_topk",
-        "ann_ivf_topk", "mm_binary_meta", "mm_image_meta", "mm_audio_meta",
+        "ann_ivf_topk", "mm_binary_meta", "mm_audio_meta",
         "mm_frame_sample", "q1_pricing", "q_top_customers",
         "q_events_by_type", "q_events_top3_per_user",
         # round-4 official rows (freshest -> last)
@@ -6819,11 +6847,41 @@ FROM documents"""
     # image: px_i = (i*(2*doc_id+1)) % 251, i in 0..63 (8x8); mean = sum/64
     # (sum of <2^53 ints is exact in float64; /64 is a power of two -> the
     # DOUBLE arithmetic matches numpy's mean bit-for-bit)
+    # even doc_ids: REAL baseline JPEG, 8x8-tile-constant gray, dims
+    # w = 8*(1 + d%3) + d%5, h = 8*(1 + d%2) + d%7, tile value
+    # g(tx,ty) = (d*31 + 7tx + 13ty) % 200 + 20 — tile sums weighted by
+    # the cropped tile pixel counts reproduce the decoded luma mean
+    # EXACTLY (unit quant tables; fatespark/jpeg.py determinism
+    # contract). Odd doc_ids: the FIMG fake as before. Integer sums are
+    # exact in float64; one correctly-rounded division each side.
     o["mm_image_meta"] = """
-SELECT d.doc_id, 8 AS width, 8 AS height, 64::BIGINT AS n_pixels,
-       sum((t.i * (2 * d.doc_id + 1)) % 251) / 64.0 AS mean_px
-FROM documents d CROSS JOIN generate_series(0, 63) t(i)
-GROUP BY d.doc_id"""
+WITH dims AS (
+  SELECT doc_id,
+         8 * (1 + doc_id % 3) + doc_id % 5 AS w,
+         8 * (1 + doc_id % 2) + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+jp AS (
+  SELECT d.doc_id, d.w AS width, d.h AS height,
+         CAST(d.w * d.h AS BIGINT) AS n_pixels,
+         CAST(sum(((d.doc_id * 31 + t.tx * 7 + u.ty * 13) % 200 + 20)
+                  * least(8, d.w - 8 * t.tx)
+                  * least(8, d.h - 8 * u.ty)) AS DOUBLE)
+           / (d.w * d.h) AS mean_px
+  FROM dims d
+  CROSS JOIN generate_series(0, 3) t(tx)
+  CROSS JOIN generate_series(0, 2) u(ty)
+  WHERE 8 * t.tx < d.w AND 8 * u.ty < d.h
+  GROUP BY d.doc_id, d.w, d.h
+),
+fimg AS (
+  SELECT d.doc_id, 8 AS width, 8 AS height, 64::BIGINT AS n_pixels,
+         sum((t.i * (2 * d.doc_id + 1)) % 251) / 64.0 AS mean_px
+  FROM documents d CROSS JOIN generate_series(0, 63) t(i)
+  WHERE d.doc_id % 2 = 1
+  GROUP BY d.doc_id
+)
+SELECT * FROM jp UNION ALL SELECT * FROM fimg"""
 
     # audio: s_i = ((i*(doc_id%97+3)) % 2048) - 1024, i in 0..63;
     # rms = sqrt(sum(s_i^2)/64): integer sum exact, /64 exact, sqrt IEEE

@@ -175,10 +175,14 @@ class TestMultimodal:
                    for r in meta)
 
     def test_real_format_rejected_loudly(self):
-        with pytest.raises(NotImplementedError, match="jpeg"):
+        # JPEG pixels now decode for real (fatespark.jpeg); a truncated
+        # stream is a loud ValueError, not a silent guess
+        with pytest.raises(ValueError):
             multimodal.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
         with pytest.raises(NotImplementedError, match="png"):
-            multimodal.decode_image(b"\x89PNG\r\n")
+            multimodal.decode_image(b"\x89PNG\r\n")   # truncated magic
+        with pytest.raises(NotImplementedError, match="gif"):
+            multimodal.decode_image(b"GIF89a" + bytes(16))
 
     def test_frame_sampling(self, spark):
         video = b"".join(multimodal.fake_image_bytes(1, 4, 4)

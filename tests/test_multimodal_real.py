@@ -187,9 +187,18 @@ class TestJpegGif:
         with pytest.raises(ValueError):
             mm.gif_dimensions(b"GIF00a" + bytes(8))
 
-    def test_jpeg_pixel_decode_still_gated(self):
-        with pytest.raises(NotImplementedError):
+    def test_jpeg_pixel_decode_real(self):
+        # baseline JPEG pixels decode for real now (fatespark.jpeg); a
+        # header-only stream with no scan is a loud ValueError, and the
+        # remaining gates (progressive/arithmetic) live in jpeg_decode
+        with pytest.raises(ValueError, match="no SOS"):
             mm.decode_image(fake_jpeg(2, 2))
+        import numpy as np
+        from fatespark.jpeg import jpeg_encode
+        px = np.full((8, 16), 99, dtype=np.uint8)
+        w, h, flat = mm.decode_image(jpeg_encode(px, quality=None))
+        assert (w, h) == (16, 8)
+        assert np.array_equal(flat.reshape(8, 16), px)
 
 
 class TestSparkPipelines:
