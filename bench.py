@@ -103,12 +103,13 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
-    def timed(name, reps: int = 1, pre=None, record_samples: bool = False):
+    def timed(name, reps: int = 1, pre=None, record_samples: bool = True):
         """Time fn; with reps > 1 report the median of reps runs. ``pre``
         runs untimed before EVERY sample (clean_room / rmtree for builds
-        so re-runs do full work). ``record_samples`` emits the raw
-        run-order samples — the BENCH.md 3-sample protocol for every
-        entry that historically ran > 5 s."""
+        so re-runs do full work). Raw run-order samples are recorded for
+        EVERY multi-rep entry (the BENCH.md 3-sample protocol, round-5
+        extended from the >5 s family to everything sampled — a single
+        1.5 s sample against a 1.2 s steady state misreports by 25%)."""
         def deco(fn):
             samples = []
             out = None
@@ -386,7 +387,7 @@ def main() -> None:
     from fatespark.build import IndexBuilder as _IB
     from fatespark.local import LocalSearchIndex
 
-    @timed("compact_local")
+    @timed("compact_local", reps=3)
     def _cl():
         return _IB(idx_dir, BuildConfig(n_buckets=8, salt_bits=1)
                    ).compact_local(spark)
@@ -422,7 +423,7 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
-    @timed("dd_minhash")
+    @timed("dd_minhash", reps=3)
     def _mh():
         return dedup.minhash_dedup_pairs(docs, threshold=0.35,
                                          num_hashes=64, bands=16).count()
@@ -513,7 +514,7 @@ def main() -> None:
     _bloom_m, _bloom_k = 1 << 22, 4
     _bloom_holder = {}
 
-    @timed("dd_bloom_build_200k")
+    @timed("dd_bloom_build_200k", reps=3)
     def _bb():
         b = bloom_build(corpus.select("url"), "url",
                         m_bits=_bloom_m, k=_bloom_k)
@@ -529,7 +530,7 @@ def main() -> None:
         return cms_build(terms, "term", depth=4,
                          width=1 << 14).count()
 
-    @timed("dd_bloom_probe_100k")
+    @timed("dd_bloom_probe_100k", reps=3)
     def _bp():
         half = corpus.select("url").limit(50000)
         absent = corpus.select(
@@ -541,7 +542,7 @@ def main() -> None:
 
     clean_room()
 
-    @timed("tx_kmv_200k")
+    @timed("tx_kmv_200k", reps=3)
     def _kmv():  # KMV distinct-url sketch per lang over the 200k pages
         from fatespark.sketch import kmv_distinct_df
         return kmv_distinct_df(corpus, "lang", "url", k=256).collect()
@@ -643,7 +644,7 @@ def main() -> None:
         return (_packing.pack_sequences(d, budget=2048)
                 .agg(F.max("seq_id"), F.sum("n_seqs")).collect())
 
-    @timed("tx_mixture_200k", pre=clean_room)
+    @timed("tx_mixture_200k", reps=3, pre=clean_room)
     def _mx():  # per-source token agg + broadcast plan + narrow scoring
         d = corpus.select(F.xxhash64("url").alias("doc_id"),
                           F.col("lang").alias("source"), "text")
@@ -653,7 +654,7 @@ def main() -> None:
                     token_budget=30_000_000)
                 .agg(F.sum("n_copies")).collect())
 
-    @timed("tx_url_filter_200k", pre=clean_room)
+    @timed("tx_url_filter_200k", reps=3, pre=clean_room)
     def _uf():  # 10k-domain broadcast blocklist + keyword rule, all narrow
         d = corpus.select(F.xxhash64("url").alias("doc_id"), "url")
         bl = [f"blocked{i}.test" for i in range(10_000)]
@@ -676,7 +677,7 @@ def main() -> None:
             corpus.select(F.xxhash64("url").alias("doc_id"), "text"),
             _bpe_merges).agg(F.sum("n_tokens")).collect()
 
-    @timed("tx_html_extract_200k", pre=clean_room)
+    @timed("tx_html_extract_200k", reps=3, pre=clean_room)
     def _hx():  # general markup -> text, pure JVM regexp chain, zero
         # shuffles (runs inside the scan stage)
         from fatespark import htmlx as _htmlx
@@ -706,7 +707,7 @@ def main() -> None:
         return (_warc.read_warc(warc_blobs.select("blob"))
                 .agg(F.count("*"), F.sum(F.length("body"))).collect())
 
-    @timed("tx_sitemap_parse_200k", pre=clean_room)
+    @timed("tx_sitemap_parse_200k", reps=3, pre=clean_room)
     def _smp():  # urlset blob explode + field extracts (warc shape)
         from fatespark import sitemap as _sm
         entries = corpus.select(
@@ -721,7 +722,7 @@ def main() -> None:
         return (_sm.parse_sitemap(blobs.select("xml"))
                 .agg(F.count("*"), F.count("priority")).collect())
 
-    @timed("wg_robots_200k", pre=clean_room)
+    @timed("wg_robots_200k", reps=3, pre=clean_room)
     def _wgr():  # parse 10k hosts' robots.txt (window work over tiny
         # per-host groups) + gate 200k urls (broadcast join, struct max)
         from fatespark import robots as _robots
@@ -768,7 +769,7 @@ def main() -> None:
         return (_lg.pagerank(edges, iterations=5)
                 .agg(F.sum("rank")).collect())
 
-    @timed("wg_hits_200k", pre=clean_room)
+    @timed("wg_hits_200k", reps=3, pre=clean_room)
     def _wgh():  # integer-exact HITS, 5 iterations over the same
         # 200k-node affine graph (two pagerank-shaped halves/round)
         from fatespark import linkgraph as _lg
@@ -804,7 +805,7 @@ def main() -> None:
         qv = emb.limit(1).collect()[0]["embedding"]
         return ann.cosine_topk(emb, list(qv), k=10).collect()
 
-    @timed("dd_embdup_banded")
+    @timed("dd_embdup_banded", reps=3)
     def _ebd():
         return dedup.embedding_dup_pairs_banded(
             emb, threshold=0.9, n_bands=8, planes_per_band=8,
@@ -843,7 +844,7 @@ def main() -> None:
     for sz, tag in ((10_000, "10k"), (100_000, "100k")):
         lsh_path = f"/tmp/fatespark_bench_lsh_{tag}"
 
-        @timed(f"ann_lsh_build_{tag}")
+        @timed(f"ann_lsh_build_{tag}", reps=3)
         def _lb(sz=sz, lsh_path=lsh_path):
             return ann.LshVectorIndex.build(_synth_emb(sz), lsh_path,
                                             dim=64, n_planes=8)
@@ -985,7 +986,7 @@ def main() -> None:
         clean_room()
         shutil.rmtree(_sorted_dir, ignore_errors=True)
 
-    @timed("build_sorted_200k", pre=_fresh_sorted_dir)
+    @timed("build_sorted_200k", reps=3, pre=_fresh_sorted_dir)
     def _srtb():  # Lucene index sorting: two-phase global rank (ONE range
         # shuffle) + the ordinary build with doc_id = rank
         return _bsrt(spark, _srt_corpus, _sorted_dir, "n_chars",
@@ -1044,7 +1045,7 @@ def main() -> None:
     from fatespark.phrasesuggest import phrase_suggest as _psf, \
         write_bigram_lm as _wlm
 
-    @timed("build_bigram_lm_200k")
+    @timed("build_bigram_lm_200k", reps=3)
     def _lmb():  # one-time serving-side LM build (pairs/unigrams/meta)
         return _wlm(idx, _ps_docs)
 
@@ -1195,6 +1196,76 @@ def main() -> None:
                         mode="AND").collect()
         clean_room()
 
+        # iterative graph ops at 10x nodes/edges (round-4 ask #4: the one
+        # tier without linearity evidence) — same affine graph, 2M nodes /
+        # 6M edges, 5 rounds
+        from fatespark import linkgraph as _lg2
+        _gn2 = spark.range(scale_pages).select(F.col("id").alias("src"))
+        _ge2 = _gn2.select("src", F.explode(F.array(
+            F.pmod(F.col("src") * 7 + 13, F.lit(scale_pages)),
+            F.pmod(F.col("src") * 31 + 7, F.lit(scale_pages)),
+            F.lit(0).cast("long"))).alias("dst")).where(
+                F.col("src") % 10 != 0)
+
+        @timed("wg_pagerank_2m")
+        def _wgp2m():
+            return (_lg2.pagerank(_ge2, iterations=5)
+                    .agg(F.sum("rank")).collect())
+        clean_room()
+
+        @timed("wg_hits_2m")
+        def _wgh2m():
+            return (_lg2.hits(_ge2, iterations=5)
+                    .agg(F.sum("hub"), F.sum("authority")).collect())
+        clean_room()
+
+        # round-4 serving aggs at 10x (ask #7): MATCH-bounded downstream
+        # claims certified against the 2M sorted index (standard layout,
+        # doc_id = rank) + synthetic child/lang metadata keyed to it
+        _idx2m = SearchIndex(spark, _srt2m_dir)
+
+        @timed("q_percolate_2m")
+        def _perc2m():  # registry x full 2M-doc stream (corpus-scan shaped)
+            from fatespark.percolate import percolate
+            vocab = ["the", "smith", "jones", "data", "batch", "join",
+                     "scan", "merge", "big", "array", "sort", "column"]
+            varr = F.array(*[F.lit(v) for v in vocab])
+            pick = lambda j: F.element_at(
+                varr, (F.pmod(F.xxhash64(F.col("id") * (j + 1) + j),
+                              F.lit(len(vocab))) + 1).cast("int"))
+            regs = spark.range(512).select(
+                F.col("id").cast("int").alias("query_id"),
+                F.array(pick(0), pick(1), pick(2)).alias("terms"),
+                F.when(F.col("id") % 3 == 0, F.lit(2)).cast("int")
+                .alias("min_match"))
+            return percolate(big_d, regs).count()
+        clean_room()
+
+        @timed("agg_has_child_2m")
+        def _hc2m():
+            from fatespark.blockjoin import has_child_topk
+            ch = spark.range(1, scale_pages + 1).select(
+                F.col("id").alias("doc_id"),
+                F.pmod(F.col("id"), F.lit(997)).alias("pkey"))
+            return has_child_topk(_idx2m, ch, ["smith", "jones"], "pkey",
+                                  k=10, mode="OR",
+                                  score_mode="sum").collect()
+        clean_room()
+
+        @timed("agg_diversified_2m")
+        def _div2m():
+            from fatespark.bucketaggs import diversified_sampler
+            langs = F.array(F.lit("en"), F.lit("de"), F.lit("ru"),
+                            F.lit("fr"))
+            meta = spark.range(1, scale_pages + 1).select(
+                F.col("id").alias("doc_id"),
+                F.element_at(langs, (F.pmod(F.col("id"), F.lit(4)) + 1)
+                             .cast("int")).alias("lang"))
+            return diversified_sampler(_idx2m, meta, ["smith", "jones"],
+                                       "lang",
+                                       max_docs_per_value=3).collect()
+        clean_room()
+
         for big_name, small_name in [
                 ("dd_substring_2m", "dd_substring_200k"),
                 ("dd_substring_cut_2m", "dd_substring_cut_200k"),
@@ -1202,7 +1273,12 @@ def main() -> None:
                 ("geo_knn_2m", "geo_knn_200k"),
                 ("charindex_build_100k", "charindex_build_10k"),
                 ("build_sorted_2m", "build_sorted_200k"),
-                ("q_sorted_early_2m", "q_sorted_early")]:
+                ("q_sorted_early_2m", "q_sorted_early"),
+                ("wg_pagerank_2m", "wg_pagerank_200k"),
+                ("wg_hits_2m", "wg_hits_200k"),
+                ("q_percolate_2m", "q_percolate_200k"),
+                ("agg_has_child_2m", "agg_has_child_200k"),
+                ("agg_diversified_2m", "agg_diversified_200k")]:
             extra[f"scale_ratio_{big_name}"] = round(
                 times[big_name] / max(times[small_name], 1e-9), 2)
         extra["scale_probe_pages"] = scale_pages
