@@ -48,6 +48,8 @@ handles the residual join skew.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # anchor tag: double-quoted href (the deterministic-fixture contract;
@@ -85,6 +87,31 @@ def extract_links(pages: DataFrame, html_col: str = "html",
         _clean_anchor(F.regexp_extract("_tag", LINK_RE, 2)).alias("anchor"))
 
 
+@contextmanager
+def _aqe_coalesce(df: DataFrame):
+    """Scope AQE post-shuffle coalescing over an iterative graph loop.
+
+    The session default disables coalescing because the BUILD's python
+    merge stage wants even fixed-width packing (session.py rationale).
+    The graph loops are the opposite case: 10+ small checkpoint jobs per
+    run whose aggregation shuffles carry node-table-sized data — at 200k
+    nodes the fixed 4x-cores partition count is pure task overhead, and
+    at 10^12 edges a FIXED count would be wrong in the other direction.
+    AQE right-sizes each shuffle from observed bytes, which is the
+    scale-correct behavior for both ends. Safe to scope here: every
+    loop step materializes via an EAGER localCheckpoint while the flag
+    is set; results are partitioning-invariant integer sums (module
+    contract), so the flag can never change scores."""
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def _auto_scale(n: int, den: int) -> int:
     """The largest overflow-safe scale: num*(contrib+share) is bounded
     by num*N*scale <= (num/den)*2**62 < 2**63. Found the hard way: at
@@ -107,39 +134,43 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     edges count twice (multigraph semantics — dedup upstream if not
     wanted). Deterministic bit-for-bit: see the module contract."""
     num, den = damping_num, damping_den
-    edges = (edges.select(F.col("src").cast("long"),
-                          F.col("dst").cast("long"))
-             .repartition("src").localCheckpoint(eager=True))
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint(eager=True))
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0).cast("long"))
-    if scale is None:
-        scale = _auto_scale(n, den)
-    outdeg = (edges.groupBy("src").agg(F.count("*").alias("deg"))
-              .localCheckpoint(eager=True))
-    dangling = (nodes.join(outdeg, nodes.node == outdeg.src, "left_anti")
-                .localCheckpoint(eager=True))
-    base = ((den - num) * scale) // den
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
-    for _ in range(iterations):
-        dang = (dangling.join(ranks, "node")
-                .agg(F.sum("rank")).collect()[0][0]) or 0
-        share = dang // n
-        contribs = (edges
-                    .join(ranks.withColumnRenamed("node", "src"), "src")
-                    .join(outdeg, "src")
-                    .select(F.col("dst").alias("node"),
-                            F.expr("rank div deg").alias("c"))
-                    .groupBy("node")
-                    .agg(F.sum("c").alias("contrib")))
-        ranks = (nodes.join(contribs, "node", "left")
-                 .select("node", (F.lit(base) + F.expr(
-                     f"({num}L * (coalesce(contrib, 0L) + {share}L)) "
-                     f"div {den}L")).alias("rank"))
-                 .localCheckpoint(eager=True))
+    with _aqe_coalesce(edges):
+        edges = (edges.select(F.col("src").cast("long"),
+                              F.col("dst").cast("long"))
+                 .repartition("src").localCheckpoint(eager=True))
+        nodes = (edges.select(F.col("src").alias("node"))
+                 .union(edges.select(F.col("dst").alias("node")))
+                 .distinct().localCheckpoint(eager=True))
+        n = nodes.count()
+        if n == 0:
+            return nodes.withColumn("rank", F.lit(0).cast("long"))
+        if scale is None:
+            scale = _auto_scale(n, den)
+        outdeg = (edges.groupBy("src").agg(F.count("*").alias("deg"))
+                  .localCheckpoint(eager=True))
+        dangling = (nodes.join(outdeg, nodes.node == outdeg.src,
+                               "left_anti")
+                    .localCheckpoint(eager=True))
+        base = ((den - num) * scale) // den
+        ranks = nodes.select("node",
+                             F.lit(scale).cast("long").alias("rank"))
+        for _ in range(iterations):
+            dang = (dangling.join(ranks, "node")
+                    .agg(F.sum("rank")).collect()[0][0]) or 0
+            share = dang // n
+            contribs = (edges
+                        .join(ranks.withColumnRenamed("node", "src"),
+                              "src")
+                        .join(outdeg, "src")
+                        .select(F.col("dst").alias("node"),
+                                F.expr("rank div deg").alias("c"))
+                        .groupBy("node")
+                        .agg(F.sum("c").alias("contrib")))
+            ranks = (nodes.join(contribs, "node", "left")
+                     .select("node", (F.lit(base) + F.expr(
+                         f"({num}L * (coalesce(contrib, 0L) + {share}L)) "
+                         f"div {den}L")).alias("rank"))
+                     .localCheckpoint(eager=True))
     return ranks
 
 
@@ -196,6 +227,11 @@ def hits(edges: DataFrame, iterations: int = 5,
     (the divisor scan and the score table both read the checkpoint
     rather than recomputing the join)."""
     cap = 2 ** cap_bits
+    with _aqe_coalesce(edges):
+        return _hits_loop(edges, iterations, cap)
+
+
+def _hits_loop(edges: DataFrame, iterations: int, cap: int) -> DataFrame:
     edges = (edges.select(F.col("src").cast("long"),
                           F.col("dst").cast("long"))
              .repartition("src").localCheckpoint(eager=True))
