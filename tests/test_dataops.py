@@ -181,8 +181,10 @@ class TestMultimodal:
             multimodal.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
         with pytest.raises(NotImplementedError, match="png"):
             multimodal.decode_image(b"\x89PNG\r\n")   # truncated magic
-        with pytest.raises(NotImplementedError, match="gif"):
+        with pytest.raises(ValueError):   # truncated GIF: loud, not gated
             multimodal.decode_image(b"GIF89a" + bytes(16))
+        with pytest.raises(NotImplementedError, match="wav/avi"):
+            multimodal.decode_image(b"RIFF" + bytes(16))   # AVI container
 
     def test_frame_sampling(self, spark):
         video = b"".join(multimodal.fake_image_bytes(1, 4, 4)

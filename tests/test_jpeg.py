@@ -145,9 +145,12 @@ class TestMultimodalWiring:
         assert (w, h) == (16, 16)
         assert np.abs(flat.reshape(16, 16).astype(int) - want).max() <= 1
 
-    def test_gif_still_gated(self):
-        with pytest.raises(NotImplementedError, match="gif"):
-            decode_image(b"GIF89a" + bytes(20))
+    def test_gif_decodes_for_real_now(self):
+        from fatespark.gif import gif_encode
+        px = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+        w, h, flat = decode_image(gif_encode(px))
+        assert (w, h) == (8, 8)
+        assert np.array_equal(flat.reshape(8, 8), px)  # gray palette: luma==ix
 
 
 class TestAnnexKTables:
