@@ -124,3 +124,28 @@ class TestMultimodalWiring:
         want = (77 * 200 + 150 * 100 + 29 * 40) >> 8
         got = flat.reshape(4, 4)
         assert got[0, 0] == 0 and got[1, 1] == want
+
+
+class TestVideoSampling:
+    def test_gif_frames_sampled_on_spark(self, spark):
+        import pandas as pd
+        from fatespark import multimodal as mm
+        from fatespark.gif import gif_encode, gif_decode
+        # build a 5-frame animated GIF by splicing single-frame encodes
+        pxs = [np.full((6, 7), 10 * i + 5, dtype=np.uint8)
+               for i in range(5)]
+        parts = [gif_encode(p) for p in pxs]
+        hdr_end = 13 + 256 * 3
+        buf = parts[0][:hdr_end] + b"".join(p[hdr_end:-1] for p in parts) \
+            + b"\x3b"
+        assert len(gif_decode(buf)[2]) == 5
+        df = spark.createDataFrame([(1, bytearray(buf))],
+                                   "doc_id long, payload binary")
+        rows = mm.sample_frames(df, every_n=2).collect()
+        assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+        # every emitted frame is a standalone decodable image
+        for r in rows:
+            w, h, flat = mm.decode_image(bytes(r["frame"]))
+            assert (w, h) == (7, 6)
+            assert np.array_equal(flat.reshape(6, 7),
+                                  pxs[r["frame_idx"]])

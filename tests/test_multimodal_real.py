@@ -259,3 +259,21 @@ class TestSparkPipelines:
             assert jm[d]["height"] == d % 77 + 16
             assert jm[d]["n_components"] == d % 3 + 1
         df.unpersist()
+
+
+class TestWav24:
+    def test_24bit_pcm_demoted_to_top16(self):
+        import numpy as np
+        # hand-build a 24-bit mono WAV: values chosen so >>8 is exact
+        vals = np.array([0, 1 << 8, -(1 << 8), (1 << 23) - 256,
+                         -(1 << 23)], dtype=np.int64)
+        raw = bytearray()
+        for v in vals:
+            raw += int(v & 0xFFFFFF).to_bytes(3, "little")
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(raw)) + bytes(raw))
+        buf = b"RIFF" + struct.pack("<I", len(body)) + body
+        rate, ch, bits, s = mm.wav_decode(buf)
+        assert (rate, ch, bits) == (8000, 1, 24)
+        assert s.tolist() == (vals >> 8).tolist()
