@@ -152,9 +152,38 @@ class TestPng:
     def test_unsupported_raise(self):
         px = np.zeros((2, 2), np.uint8)
         buf = bytearray(mm.png_encode(px))
-        buf[24] = 16  # bit depth byte in IHDR
+        buf[24] = 4  # bit depth byte in IHDR: packed depths stay gated
         with pytest.raises(NotImplementedError):
             mm.png_decode(bytes(buf))
+
+    @pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+    def test_16bit_roundtrip(self, ft):
+        rng = np.random.default_rng(ft + 50)
+        px = rng.integers(0, 65536, size=(7, 9)).astype(np.uint16)
+        w, h, bd, ct, out = mm.png_decode(mm.png_encode(px, ft))
+        assert (w, h, bd, ct) == (9, 7, 16, 0)
+        assert out.dtype == np.uint16 and np.array_equal(out, px)
+
+    @pytest.mark.parametrize("shape", [(13, 9), (8, 8), (1, 1),
+                                       (3, 17, 3), (5, 2, 4)])
+    def test_adam7_roundtrip(self, shape):
+        rng = np.random.default_rng(sum(shape))
+        px = rng.integers(0, 256, size=shape).astype(np.uint8)
+        w, h, bd, ct, out = mm.png_decode(
+            mm.png_encode(px, 4, interlace=True))
+        assert np.array_equal(out, px)
+
+    def test_adam7_16bit_roundtrip(self):
+        rng = np.random.default_rng(99)
+        px = rng.integers(0, 65536, size=(11, 6, 3)).astype(np.uint16)
+        _, _, bd, _, out = mm.png_decode(
+            mm.png_encode(px, 2, interlace=True))
+        assert bd == 16 and np.array_equal(out, px)
+
+    def test_decode_image_16bit_demotes(self):
+        px = np.array([[0, 65535], [256, 32768]], dtype=np.uint16)
+        _, _, flat = mm.decode_image(mm.png_encode(px))
+        assert flat.tolist() == [0, 255, 1, 128]
 
     def test_decode_image_routes_png_luma(self):
         g = np.array([[0, 255], [128, 1]], np.uint8)
