@@ -1,5 +1,7 @@
-"""Real multimodal codecs: RIFF/WAV PCM, PNG (all five scanline filters),
-JPEG/GIF header metadata — pure stdlib + numpy, no codec libraries.
+"""Real multimodal codecs: RIFF/WAV PCM (8/16/24-bit), PNG (all five
+scanline filters, every legal depth, Adam7), JPEG/GIF header metadata —
+pure stdlib + numpy, no codec libraries (pixel codecs live in
+test_jpeg.py / test_gif.py).
 
 Independence of the checks: WAV fixtures are written by the stdlib ``wave``
 module (a third-party-to-us RIFF writer) and read by our parser, and vice
@@ -149,12 +151,53 @@ class TestPng:
         assert px.tolist() == [[[255, 0, 0], [0, 255, 0]],
                                [[0, 255, 0], [0, 0, 255]]]
 
-    def test_unsupported_raise(self):
+    def test_illegal_depth_raises(self):
         px = np.zeros((2, 2), np.uint8)
         buf = bytearray(mm.png_encode(px))
-        buf[24] = 4  # bit depth byte in IHDR: packed depths stay gated
-        with pytest.raises(NotImplementedError):
+        buf[24] = 3  # bit depth byte in IHDR: 3 is not a legal PNG depth
+        with pytest.raises(ValueError):
             mm.png_decode(bytes(buf))
+
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    @pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+    def test_packed_gray_roundtrip(self, depth, ft):
+        rng = np.random.default_rng(depth * 10 + ft)
+        # odd width exercises the trailing pad bits
+        px = rng.integers(0, 1 << depth, size=(6, 11)).astype(np.uint8)
+        w, h, bd, ct, out = mm.png_decode(
+            mm.png_encode(px, ft, bit_depth=depth))
+        assert (w, h, bd, ct) == (11, 6, depth, 0)
+        assert np.array_equal(out, px)   # RAW small samples
+
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    def test_packed_gray_adam7(self, depth):
+        rng = np.random.default_rng(depth)
+        px = rng.integers(0, 1 << depth, size=(13, 9)).astype(np.uint8)
+        _, _, bd, _, out = mm.png_decode(
+            mm.png_encode(px, 4, bit_depth=depth, interlace=True))
+        assert bd == depth and np.array_equal(out, px)
+
+    def test_packed_palette_decode(self):
+        # hand-craft a 2-bit palette PNG: 2x3 indices [[0,1,2],[3,0,1]]
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+        # rows packed MSB-first, 2 bits/sample: 00 01 10 pad / 11 00 01 pad
+        scan = bytes([0, 0b00011000, 0, 0b11000100])
+        ihdr = struct.pack(">IIBBBBB", 3, 2, 2, 3, 0, 0, 0)
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+        buf = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"PLTE", plte)
+               + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+        w, h, bd, ct, px = mm.png_decode(buf)
+        assert (w, h, bd, ct) == (3, 2, 2, 3)
+        assert px.tolist() == [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                               [[9, 9, 9], [255, 0, 0], [0, 255, 0]]]
+
+    def test_decode_image_packed_gray_scales(self):
+        px = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+        _, _, flat = mm.decode_image(mm.png_encode(px, bit_depth=2))
+        assert flat.tolist() == [0, 85, 170, 255]
 
     @pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
     def test_16bit_roundtrip(self, ft):
